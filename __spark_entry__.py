@@ -3,36 +3,61 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Thin shim over ``dbt_model_diff_spark.catalog`` (the operator inventory)
+and ``dbt_model_diff_spark.operators.diff`` (the flagship diff engine).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full diff of two variants of `orders` at sf0.001 through
+    the real engine (snapshot -> rowcounts -> schema diff -> profile ->
+    single-shuffle row diff), returned as a one-row summary DataFrame."""
+    from pyspark.sql import Row
+
+    from dbt_model_diff_spark import diff_frames
+    from dbt_model_diff_spark.catalog import _orders_base, _orders_head
+
+    sf_dir = "/root/testdata/sf0.001"
+    res = diff_frames(
+        _orders_base(spark, sf_dir),
+        _orders_head(spark, sf_dir),
+        key_cols=["o_orderkey"],
+        sample=5,
+    )
+    return spark.createDataFrame(
+        [
+            Row(
+                mode=res["meta"]["mode"],
+                base_rows=res["rowcounts"]["base"],
+                head_rows=res["rowcounts"]["head"],
+                n_common_cols=len(res["schema_diff"]["common"]),
+                added=res["row_diff"]["added"],
+                removed=res["row_diff"]["removed"],
+                changed=res["row_diff"]["changed"],
+            )
+        ]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dbt_model_diff_spark.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dbt_model_diff_spark.catalog import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from dbt_model_diff_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dmds-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    from dbt_model_diff_spark import diff_frames
+    from dbt_model_diff_spark.catalog import QUERIES, _orders_base, _orders_head
+
+    def run_query(fn):
+        df = fn(spark, sf_dir)
+        # force full materialization without driver transfer
+        df.write.format("noop").mode("overwrite").save()
+
+    def flagship_diff():
+        diff_frames(
+            _orders_base(spark, sf_dir),
+            _orders_head(spark, sf_dir),
+            key_cols=["o_orderkey"],
+            sample=20,
+        )
+
+    bench_queries: dict[str, object] = {"diff_full_orders": flagship_diff}
+    for name in (
+        "diff_counts_orders",
+        "diff_profile_orders",
+        "pricing_summary",
+        "model_order_agg",
+        "model_int_orders",
+        "dedup_exact_groups",
+        "dedup_minhash_signatures",
+        "text_quality_features",
+        "knn_bruteforce",
+        "events_hourly_rollup",
+    ):
+        bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
+
+    # warm the JVM + parquet footer caches with a cheap scan
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, thunk in bench_queries.items():
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dmds_headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

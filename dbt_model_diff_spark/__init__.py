@@ -1,0 +1,20 @@
+"""dbt_model_diff_spark — a PySpark-native data-diff / analytics engine.
+
+A ground-up Spark reimplementation of the capabilities of
+``rahrajlat/dbt-model-diff`` (reference: /root/reference): build a model at
+two refs, snapshot both sides, and compare them — row counts, schema diff,
+per-column profiles, and key-based row-level diff — plus the large-scale
+training-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) the reference lacks.
+
+All heavy computation is expressed with the DataFrame / Spark SQL API so
+Catalyst + Tungsten choose physical strategies; nothing here hand-schedules
+work the optimizer already does.
+"""
+
+from dbt_model_diff_spark.config import DiffConfig
+from dbt_model_diff_spark.operators.diff import diff_frames
+
+__version__ = "0.1.0"
+
+__all__ = ["DiffConfig", "diff_frames", "__version__"]

@@ -1,0 +1,626 @@
+"""Query catalog: every operator exposed to the driver harness.
+
+Each entry pairs
+  - a Spark builder ``(spark, sf_dir) -> DataFrame`` exercising the real
+    engine code paths, with
+  - an equivalent DuckDB oracle SQL string over the driver's parquet views
+    (region nation customer supplier part orders lineitem events documents
+    embeddings).
+
+Engine-portability rules used throughout (SURVEY.md §7 "hash parity"):
+- Cross-row aggregates of floating point (SUM/AVG) are order-dependent in
+  double -> every such aggregate casts its terms to DECIMAL first and the
+  result to an explicit DECIMAL(p,s), which both engines compute and
+  render identically.
+- Element-wise double arithmetic (a*b, a/b) is deterministic IEEE — both
+  engines see the same parquet doubles and produce bit-identical results.
+- md5 hex output is identical across engines; xxhash64 is JVM-only, so
+  oracle-checked fingerprints use md5 (xxhash64 stays a DiffConfig scale
+  option).
+- Column names are aliased identically on both sides — the driver sorts
+  columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.config import DiffConfig
+from dbt_model_diff_spark.operators import dedup, similarity, textops
+from dbt_model_diff_spark.operators.diff import row_diff_frame
+from dbt_model_diff_spark.sources.readers import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Diff-engine base/head fixture: two deterministic variants of `orders`.
+# base drops keys ending in 9; head drops keys ending in 0 and bumps
+# o_totalprice by 1.0 where o_orderkey % 7 == 0. (FIXTURES.md §3.)
+# ---------------------------------------------------------------------------
+
+_ORDERS_NONKEY = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+_BASE_SQL = "SELECT * FROM orders WHERE o_orderkey % 10 < 9"
+_HEAD_SQL = """SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 10 > 0"""
+
+_DIFF_FLAG_SQL = " OR ".join(
+    f"(b.{c} IS DISTINCT FROM h.{c})" for c in _ORDERS_NONKEY
+)
+
+
+def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 < 9)
+
+
+def _orders_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 > 0)
+    return o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+
+@register(
+    "diff_counts_orders",
+    f"""
+WITH base AS ({_BASE_SQL}),
+head AS ({_HEAD_SQL}),
+j AS (
+  SELECT b.o_orderkey AS bk, h.o_orderkey AS hk, ({_DIFF_FLAG_SQL}) AS is_diff
+  FROM base b FULL OUTER JOIN head h ON b.o_orderkey = h.o_orderkey
+)
+SELECT count(*) FILTER (WHERE bk IS NULL) AS added,
+       count(*) FILTER (WHERE bk IS NOT NULL AND hk IS NOT NULL AND is_diff) AS changed,
+       count(*) FILTER (WHERE hk IS NULL) AS removed
+FROM j
+""",
+)
+def diff_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/B6/B8: added/removed/changed in ONE full-outer join + one agg.
+
+    The md5 row-hash equality used here is equivalent to column-wise
+    IS DISTINCT FROM (the oracle form): NULLs hash to a sentinel on both
+    sides, and Spark's cast-to-string is injective per type.
+    """
+    j = row_diff_frame(
+        _orders_base(spark, sf_dir),
+        _orders_head(spark, sf_dir),
+        ["o_orderkey"],
+        _ORDERS_NONKEY,
+        DiffConfig(),
+    )
+    bh, hh = F.col("__dmds_base_hash"), F.col("__dmds_head_hash")
+    return j.agg(
+        F.count(F.when(bh.isNull(), 1)).alias("added"),
+        F.count(F.when(bh.isNotNull() & hh.isNotNull() & (bh != hh), 1)).alias("changed"),
+        F.count(F.when(hh.isNull(), 1)).alias("removed"),
+    )
+
+
+@register(
+    "diff_changed_sample_keys",
+    f"""
+WITH base AS ({_BASE_SQL}),
+head AS ({_HEAD_SQL})
+SELECT b.o_orderkey AS o_orderkey
+FROM base b JOIN head h ON b.o_orderkey = h.o_orderkey
+WHERE {_DIFF_FLAG_SQL}
+ORDER BY o_orderkey
+LIMIT 20
+""",
+)
+def diff_changed_sample_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: deterministic changed-key sample (sorted, limit 20)."""
+    j = row_diff_frame(
+        _orders_base(spark, sf_dir),
+        _orders_head(spark, sf_dir),
+        ["o_orderkey"],
+        _ORDERS_NONKEY,
+        DiffConfig(),
+    )
+    bh, hh = F.col("__dmds_base_hash"), F.col("__dmds_head_hash")
+    return (
+        j.filter(bh.isNotNull() & hh.isNotNull() & (bh != hh))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "diff_rowcount_where",
+    """
+SELECT count(*) AS cnt FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+""",
+)
+def diff_rowcount_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B10: rowcount under a raw SQL predicate string."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter("o_orderstatus = 'F' AND o_totalprice > 100000")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _profile_oracle(cols: list[str]) -> str:
+    exprs = []
+    for c in cols:
+        exprs.append(f"count(*) FILTER (WHERE {c} IS NULL) AS nulls_{c}")
+        exprs.append(f"count(DISTINCT {c}) AS distinct_{c}")
+    return "SELECT " + ", ".join(exprs) + " FROM orders"
+
+
+_ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@register("diff_profile_orders", _profile_oracle(_ORDERS_COLS))
+def diff_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: single-pass per-column nulls + exact distinct as one wide row.
+
+    (The engine's column_profile() batches this into profile_batch_size
+    jobs; here it's one agg so the oracle is a single SQL statement.)
+    """
+    df = read_table(spark, sf_dir, "orders")
+    exprs = []
+    for c in _ORDERS_COLS:
+        exprs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
+        exprs.append(F.count_distinct(F.col(c)).alias(f"distinct_{c}"))
+    return df.agg(*exprs)
+
+
+@register(
+    "diff_schema_drift",
+    """
+SELECT * FROM (VALUES
+  ('o_comment_new', 'only_in_head'),
+  ('o_orderpriority', 'only_in_base')
+) AS t(col_name, presence)
+""",
+)
+def diff_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: order-preserving column-set diff, surfaced as rows. The Spark
+    side computes it from real DataFrame schemas (golden oracle)."""
+    from dbt_model_diff_spark.operators.diff import schema_diff
+
+    base = read_table(spark, sf_dir, "orders").drop("o_comment_new")  # no-op drop
+    base = base.select([c for c in base.columns])  # head order baseline
+    head = (
+        read_table(spark, sf_dir, "orders")
+        .drop("o_orderpriority")
+        .withColumn("o_comment_new", F.lit("x"))
+    )
+    sd = schema_diff(base.columns, head.columns)
+    rows = [(c, "only_in_head") for c in sd["only_in_head"]] + [
+        (c, "only_in_base") for c in sd["only_in_base"]
+    ]
+    return spark.createDataFrame(rows, "col_name string, presence string")
+
+
+# ---------------------------------------------------------------------------
+# Group D: model-building transforms (the dbt-demo surface, ported to the
+# TPC-H-ish tables). SURVEY.md §2 D1-D19.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "model_stg_customers",
+    """
+SELECT c_custkey AS customer_id,
+       upper(substr(trim(c_name), 1, 1)) || lower(substr(trim(c_name), 2)) AS customer_name,
+       lower(trim(c_mktsegment)) AS segment,
+       upper(c_mktsegment) AS segment_upper,
+       CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+       CAST(c_nationkey AS INT) AS nation_id
+FROM customer
+""",
+)
+def model_stg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2-D9: projection+rename, casts, trim/initcap/lower/upper.
+
+    (DuckDB lacks initcap; c_name/c_mktsegment are single-word so the
+    first-letter emulation in the oracle is exact.)
+    """
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.initcap(F.trim(F.col("c_name"))).alias("customer_name"),
+        F.lower(F.trim(F.col("c_mktsegment"))).alias("segment"),
+        F.upper(F.col("c_mktsegment")).alias("segment_upper"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+        F.col("c_nationkey").cast("int").alias("nation_id"),
+    )
+
+
+@register(
+    "model_int_orders",
+    """
+SELECT o.o_orderkey AS order_id,
+       o.o_orderdate AS order_date,
+       lower(o.o_orderstatus) AS status,
+       o.o_custkey AS customer_id,
+       c.c_name AS customer_name,
+       c.c_mktsegment AS segment
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def model_int_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: left outer equi-join orders->customers. Customer is the small
+    dim — broadcast it so the fact side never shuffles."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderdate").alias("order_date"),
+            F.lower(F.col("o_orderstatus")).alias("status"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+@register(
+    "model_order_agg",
+    """
+WITH item_agg AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS item_count,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS order_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey AS order_id,
+       o.o_orderdate AS order_date,
+       lower(o.o_orderstatus) AS status,
+       o.o_custkey AS customer_id,
+       a.item_count AS item_count,
+       a.order_total AS order_total
+FROM item_agg a JOIN orders o ON o.o_orderkey = a.l_orderkey
+""",
+)
+def model_order_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12+D14: group-by SUM then inner join (the fct_orders shape).
+
+    Sums go through DECIMAL so the result is order-of-summation
+    independent (exact), unlike double sums.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    # Decimal-first arithmetic: the parquet doubles are clean 2-decimal
+    # values, so source casts are unambiguous in every engine; products and
+    # sums are then exact (order-independent), unlike double aggregation.
+    extp = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    item_agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("item_count"),
+        F.sum(extp * (F.lit(1) - disc)).cast("decimal(18,4)").alias("order_total"),
+    )
+    return item_agg.join(o, item_agg["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.lower(F.col("o_orderstatus")).alias("status"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("item_count"),
+        F.col("order_total"),
+    )
+
+
+@register(
+    "model_case_when",
+    """
+SELECT n.n_name AS nation_name,
+       CASE WHEN r.r_name IN ('EUROPE', 'ASIA') THEN 'EA' ELSE 'OTHER' END AS zone
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+""",
+)
+def model_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11+D12: CASE WHEN ... IN over a broadcast equi-join."""
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_name").alias("nation_name"),
+        F.when(F.col("r_name").isin("EUROPE", "ASIA"), "EA")
+        .otherwise("OTHER")
+        .alias("zone"),
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(18,6)) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the bench headline aggregation (D14/D15)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    extp = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = extp * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(3,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(extp).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16 + LIMIT: compiles to TakeOrderedAndProject (per-partition
+    top-k, no global sort shuffle)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "filter_project_lineitem",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 + column pruning: predicate and 4-column projection both reach
+    the parquet scan (PushedFilters / ReadSchema)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions: events (JSON + time), documents (text/dedup), embeddings (ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the `props` string column."""
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form of the streaming windowed agg)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias("sum_value"),
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min-id winner per group."""
+    return dedup.exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+def _shingle_sql(n: int = 3) -> str:
+    terms = " || ' ' || ".join(f"t[g + {i}]" for i in range(n))
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS g
+  FROM tok WHERE len(t) >= {n}
+),
+sh AS (SELECT doc_id, {terms} AS shingle FROM pos)
+"""
+
+
+@register(
+    "text_shingle_stats",
+    _shingle_sql(3)
+    + """
+SELECT doc_id, count(*) AS n_shingles, count(DISTINCT shingle) AS n_distinct_shingles
+FROM sh GROUP BY doc_id
+""",
+)
+def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram shingling (the dedup building block): per-doc totals."""
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_distinct(F.col("shingle")).alias("n_distinct_shingles"),
+    )
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    aggs = ", ".join(
+        f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    return _shingle_sql(3) + f"SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+
+
+@register("dedup_minhash_signatures", _minhash_oracle(8))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over 3-gram shingles, 8 hash functions.
+
+    min(md5(seed || '|' || shingle)) is engine-portable (md5 hex), so the
+    full signature matrix is oracle-checked — not just row counts.
+    """
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
+    return dedup.minhash_signatures(sh, num_hashes=8)
+
+
+@register(
+    "text_quality_features",
+    """
+SELECT doc_id,
+       length(text) AS text_len,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', '')))
+            / 5 AS INT)
+     + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', '')))
+            / 5 AS INT)
+     + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', '')))
+            / 4 AS INT) AS stopword_count,
+       CAST(CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT)
+          + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS INT)
+          + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS INT)
+          AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+FROM documents
+""",
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/token/stopword features, all codegen."""
+    return textops.quality_features(read_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    def cnt(w: str) -> str:
+        pad = len(w) + 2
+        return (
+            f"CAST((length(' ' || text || ' ') - "
+            f"length(replace(' ' || text || ' ', ' {w} ', ''))) / {pad} AS INT)"
+        )
+
+    langs = list(textops.LANG_MARKERS)
+    counts = {
+        lang: " + ".join(cnt(w) for w in words)
+        for lang, words in textops.LANG_MARKERS.items()
+    }
+    sel = ", ".join(f"({counts[lang]}) AS c_{lang}" for lang in langs)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"c_{lang} > 0"] + [f"c_{lang} >= c_{later}" for later in langs[i + 1 :]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+WITH c AS (SELECT doc_id, lang, {sel} FROM documents)
+SELECT doc_id, lang AS labeled_lang, {case} AS pred_lang FROM c
+"""
+
+
+@register("text_language_id", _langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (argmax CASE chain)."""
+    return textops.language_id(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 document fingerprint."""
+    return textops.fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "knn_bruteforce",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_sim
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 3 query vectors (ANN ground truth).
+
+    Output is (query_id, neighbor_id, rank) — ids only, so the comparison
+    is robust to float rendering; selection itself is deterministic since
+    both engines fold the same doubles in array order.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=10
+    )

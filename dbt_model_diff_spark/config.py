@@ -1,0 +1,48 @@
+"""Engine configuration.
+
+The reference has no knobs beyond CLI flags (`cli.py:31-70`). At 100 TB the
+physical choices matter, so they are explicit here with parity-preserving
+defaults:
+
+- ``hash_algo``: 'md5' reproduces the reference's row fingerprint
+  (`adapters/postgres.py:94-101`); 'xxhash64' is the scale path (8-byte
+  JVM hash, no hex-string materialization, ~4x less shuffle width).
+- ``approx_distinct``: exact countDistinct matches the reference
+  (`adapters/postgres.py:80`); HLL approx_count_distinct avoids the
+  O(columns x rows) expand explosion at scale.
+- ``profile_batch_size``: N exact count-distincts in one agg produce an
+  N-way Expand (N x row multiplication). Batching caps that blowup while
+  still scanning the snapshot O(columns/batch) times instead of O(columns).
+- ``parity_profile_denominator``: reference quirk — profile numerators are
+  computed on the UNfiltered snapshot while percentages divide by the
+  WHERE-filtered rowcount (`core/diff_flow.py:152-154` vs `:129-135`).
+  True replicates it; False profiles the filtered frame consistently.
+- ``snapshot_mode``: how model outputs are frozen before the ~7 comparison
+  actions (the reference uses CTAS, `adapters/postgres.py:37-44`).
+  'persist' = MEMORY_AND_DISK cache (single-session); 'parquet' = write +
+  re-read (multi-session / audit trail, closest to CTAS); 'none' = lazy
+  recompute (only sane for tiny inputs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DiffConfig:
+    hash_algo: str = "md5"  # 'md5' | 'xxhash64'
+    null_sentinel: str = "<NULL>"
+    hash_separator: str = "|"
+    approx_distinct: bool = False
+    profile_batch_size: int = 8
+    parity_profile_denominator: bool = True
+    snapshot_mode: str = "persist"  # 'persist' | 'parquet' | 'none'
+    snapshot_dir: str = "/tmp/dbt_model_diff_spark_snapshots"
+    null_safe_keys: bool = False  # opt-in <=> join semantics (NOT reference parity)
+
+    def __post_init__(self) -> None:
+        if self.hash_algo not in ("md5", "xxhash64"):
+            raise ValueError(f"hash_algo must be md5|xxhash64, got {self.hash_algo}")
+        if self.snapshot_mode not in ("persist", "parquet", "none"):
+            raise ValueError(f"bad snapshot_mode {self.snapshot_mode}")

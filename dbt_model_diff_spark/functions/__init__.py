@@ -1,0 +1,3 @@
+from dbt_model_diff_spark.functions.hashing import canonical_str, row_hash_expr
+
+__all__ = ["canonical_str", "row_hash_expr"]

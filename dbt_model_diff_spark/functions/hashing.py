@@ -1,0 +1,58 @@
+"""Row-fingerprint expressions.
+
+Reproduces the reference's type-agnostic, null-safe row hash
+(`adapters/postgres.py:94-101`):
+
+    md5(coalesce(c1::text,'<NULL>') || '|' || coalesce(c2::text,'<NULL>') ...)
+
+as a Catalyst expression: every column cast to string, NULL replaced by a
+sentinel, joined with a separator, hashed. An empty column list hashes the
+empty string (`adapters/postgres.py:96-97`) so all-key tables always
+compare equal.
+
+Scale note: md5 materializes a 32-char hex string per row — 32+ bytes of
+shuffle width. ``xxhash64`` keeps the fingerprint as an 8-byte long
+entirely inside codegen; it is the 100 TB default via
+``DiffConfig(hash_algo='xxhash64')``. Both are JVM-side built-ins — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonical_str(col: Column, null_sentinel: str = "<NULL>") -> Column:
+    """Cast any column to its canonical string form, NULL -> sentinel.
+
+    Matches the reference's `coalesce(col::text, '<NULL>')` canonicalization
+    (`adapters/postgres.py:99`). Spark's cast-to-string is deterministic per
+    type; both sides of a diff use this same rendering, so equality
+    semantics are internally consistent (SURVEY.md §7 "hash parity").
+    """
+    return F.coalesce(col.cast("string"), F.lit(null_sentinel))
+
+
+def row_hash_expr(
+    cols: list[str],
+    algo: str = "md5",
+    null_sentinel: str = "<NULL>",
+    separator: str = "|",
+) -> Column:
+    """Fingerprint expression over ``cols`` (non-key common columns).
+
+    ``concat_ws`` alone would be wrong: it *skips* NULLs rather than
+    rendering a sentinel, making ('a', NULL) collide with ('a',) — hence
+    the explicit coalesce per column, matching the reference.
+    """
+    if not cols:
+        parts: list[Column] = [F.lit("")]
+    else:
+        parts = [canonical_str(F.col(c), null_sentinel) for c in cols]
+    joined = F.concat_ws(separator, *parts)
+    if algo == "md5":
+        return F.md5(joined)
+    if algo == "xxhash64":
+        return F.xxhash64(joined)
+    raise ValueError(f"unknown hash algo: {algo}")

@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7 step 6).
+
+Five strategies, all shuffle-conscious:
+
+- exact_dedup: hash-groupBy on a content fingerprint. ONE shuffle on the
+  md5 (uniformly distributed — no skew), map-side partial aggs.
+- minhash_signatures / lsh_candidate_pairs: MinHash over word shingles +
+  banded LSH. The minimum hash uses lexicographic min of
+  ``md5(seed || '|' || shingle)`` — md5 hex is identical across engines,
+  so signatures are oracle-checkable, unlike JVM-specific xxhash64.
+  Candidate generation joins docs on band buckets: the shuffle key is the
+  band hash, so cost scales with bucket sizes, never all-pairs. A
+  ``max_bucket_size`` guard drops degenerate buckets (boilerplate docs)
+  that would otherwise explode quadratically at 100 TB.
+- simhash: 64-bit sign-sum fingerprint from per-token md5 bits; hamming
+  distance via bit_count(xor) for near-dup banding.
+- ngram_jaccard_pairs: exact Jaccard over shingle sets for a candidate
+  pair set — used to verify LSH candidates (LSH recall is probabilistic,
+  Jaccard is the ground truth).
+- embedding near-dup lives in similarity.py (cosine threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: fingerprint, kept (min) id, dup count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly the min-id row per distinct content. Implemented as a
+    semi-join of the input against the winners — two narrow shuffles on
+    uniformly-distributed hash keys, no row-content shuffle."""
+    winners = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    shingle_df: DataFrame,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """MinHash signature per doc: mh_i = min(md5(i || '|' || shingle)).
+
+    Single groupBy(doc) with ``num_hashes`` min() partial aggs — one
+    shuffle of (doc_id, num_hashes x 32B). Lexicographic min over md5 hex
+    is a valid min-hash family (md5 is uniform on hex strings) and is
+    bit-identical in any engine with md5.
+    """
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(i)), F.col(shingle_col)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Banded LSH: docs sharing ANY band bucket become a candidate pair.
+
+    Shuffle key = (band_id, band_hash); self-join inside buckets with
+    ``id < id`` dedup, then distinct on pairs. Buckets larger than
+    ``max_bucket_size`` are dropped — at web scale a single boilerplate
+    bucket can be O(millions) and its self-join O(n^2).
+    """
+    num_hashes = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    banded = signatures.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.bucket")
+
+    w = stacked.groupBy("band_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    small = w.filter(F.col("n") <= max_bucket_size).select("band_id", "bucket")
+    stacked = stacked.join(small, on=["band_id", "bucket"], how="left_semi")
+
+    a = stacked.select(F.col(id_col).alias("id_a"), "band_id", "bucket")
+    b = stacked.select(F.col(id_col).alias("id_b"), "band_id", "bucket")
+    return (
+        a.join(b, on=["band_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    shingle_df: DataFrame,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """60-bit SimHash from shingle md5s.
+
+    Per shingle, 15 hex chars of its md5 give a 60-bit value (60 keeps all
+    bit ops inside a signed JVM long, no sign headaches); per bit, +1 if
+    set else -1; fingerprint bit = sign of the sum. Expressed as 60
+    conditional sums in one groupBy — one shuffle, map-side combine.
+    """
+    long_h = F.conv(F.substring(F.md5(F.col(shingle_col)), 2, 15), 16, 10).cast("long")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(long_h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(60)
+    ]
+    agg = shingle_df.groupBy(id_col).agg(*sums)
+    fp = sum(
+        (
+            F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(60)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_pairs(fp_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by hamming distance over simhash, blocked on the high
+    16 bits to avoid all-pairs (near dups share high bits w.h.p.)."""
+    blocked = fp_df.select(
+        id_col, "simhash", F.shiftright(F.col("simhash"), 44).alias("block")
+    )
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block"
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    shingle_df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate (id_a, id_b) pairs.
+
+    |A ∩ B| via join of distinct shingle sets through the pair list;
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Shuffles are keyed on doc ids and the
+    candidate pair list — never all-pairs of the corpus.
+    """
+    distinct_sh = shingle_df.select(id_col, "shingle").distinct()
+    sizes = distinct_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a_sh = distinct_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b_sh = distinct_sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidate_pairs.join(a_sh, on="id_a")
+        .join(b_sh, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        candidate_pairs.join(inter, on=["id_a", "id_b"], how="left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out

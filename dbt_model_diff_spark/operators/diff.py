@@ -1,0 +1,221 @@
+"""Core diff engine: compare two DataFrames the way the reference compares
+two warehouse snapshots (`core/diff_flow.py:124-257`).
+
+Semantics reproduced exactly (SURVEY.md §2 group B):
+
+- B1 rowcounts with optional ``where`` predicate applied to BOTH sides
+  (`core/diff_flow.py:129-135`).
+- B2 schema diff: order-preserving column-NAME set difference, head order
+  for ``common`` (`core/diff_flow.py:137-150`). Types are not compared.
+- B3/B4 column profile: per-column nulls + exact distinct, percentages
+  with divide-by-zero -> 0.0; the reference's quirk of profiling the
+  UNfiltered snapshot while dividing by the filtered rowcount
+  (`core/diff_flow.py:152-154`) is replicated behind
+  ``DiffConfig.parity_profile_denominator``.
+- B5/B6 added/removed: equi-join on all keys, so NULL-key rows never match
+  and count as added AND removed, never changed (`core/diff_flow.py:185-206`).
+- B7/B8 changed: md5 row-hash over non-key COMMON columns only
+  (`core/diff_flow.py:181`), count of key-matched pairs whose hashes differ.
+- B9 sample: key columns of up to ``sample`` changed rows (default 20,
+  `cli.py:56-57`). Sorted by key here for determinism (the reference's bare
+  LIMIT is order-nondeterministic; SURVEY.md §7).
+- B13 STATS_ONLY mode when no keys are given (`core/diff_flow.py:85,177-178`).
+
+Physical design — deliberately NOT the reference's query shape. The
+reference issues 3 separate join queries (added, removed, changed) plus a
+4th for sampling: four shuffles of both relations. Here the row diff is ONE
+full-outer join on the keys over narrow projections (keys + 8-to-32-byte
+fingerprint), and added/removed/changed fall out of a single conditional
+aggregation over the join — one shuffle total, with map-side partial aggs.
+The joined frame is persisted only if a changed-row sample is requested, and
+it contains only key columns + two fingerprints regardless of input width.
+At 100 TB this is the difference between shuffling the keyspace once and
+shuffling it four times.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from dbt_model_diff_spark.config import DiffConfig
+from dbt_model_diff_spark.functions.hashing import row_hash_expr
+from dbt_model_diff_spark.operators.profile import column_profile
+from dbt_model_diff_spark.snapshots import SnapshotManager
+from dbt_model_diff_spark.util import pct
+
+_BH = "__dmds_base_hash"
+_HH = "__dmds_head_hash"
+
+
+def schema_diff(base_cols: list[str], head_cols: list[str]) -> dict[str, list[str]]:
+    """Order-preserving column-name diff (`core/diff_flow.py:137-150`)."""
+    base_set, head_set = set(base_cols), set(head_cols)
+    return {
+        "only_in_base": [c for c in base_cols if c not in head_set],
+        "only_in_head": [c for c in head_cols if c not in base_set],
+        "common": [c for c in head_cols if c in base_set],
+    }
+
+
+def row_diff_frame(
+    base: DataFrame,
+    head: DataFrame,
+    key_cols: list[str],
+    non_key_cols: list[str],
+    config: DiffConfig | None = None,
+) -> DataFrame:
+    """Narrow full-outer joined frame: key cols + base/head fingerprints.
+
+    NULL fingerprint on a side == row absent on that side (the fingerprint
+    expression itself is never NULL — md5/xxhash64 of a non-null string).
+    Equi-join ``on=key_cols`` reproduces the reference's NULL-key behavior:
+    NULL keys match nothing, so such rows surface as added+removed.
+    """
+    config = config or DiffConfig()
+    h = row_hash_expr(
+        non_key_cols, config.hash_algo, config.null_sentinel, config.hash_separator
+    )
+    b = base.select(*key_cols, h.alias(_BH))
+    hd = head.select(*key_cols, h.alias(_HH))
+    if config.null_safe_keys:
+        cond = [b[k].eqNullSafe(hd[k]) for k in key_cols]
+        joined = b.join(hd, on=cond, how="full_outer").select(
+            *[F.coalesce(b[k], hd[k]).alias(k) for k in key_cols], _BH, _HH
+        )
+        return joined
+    return b.join(hd, on=key_cols, how="full_outer")
+
+
+def diff_frames(
+    base: DataFrame,
+    head: DataFrame,
+    key_cols: list[str] | None = None,
+    where: str | None = None,
+    sample: int = 20,
+    col_stats: bool = True,
+    config: DiffConfig | None = None,
+    meta: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Full diff of two DataFrames -> the reference's result dict
+    (`core/diff_flow.py:80-94` skeleton; e2e contract
+    `tests/integration/test_postgres_e2e.py:299-307`).
+    """
+    config = config or DiffConfig()
+    key_cols = key_cols or []
+    snap = SnapshotManager(config)
+
+    result: dict[str, Any] = {
+        "meta": {
+            "mode": "FULL_DIFF" if key_cols else "STATS_ONLY",
+            "keys": key_cols,
+            "where": where,
+            **(meta or {}),
+        },
+        "rowcounts": {},
+        "schema_diff": {"only_in_base": [], "only_in_head": [], "common": []},
+        "column_profile": {},
+        "row_diff": None,
+    }
+
+    joined = None
+    try:
+        # Freeze both sides once (reference CTAS, `core/diff_flow.py:113,122`);
+        # every later action reads the snapshot, never the model pipeline.
+        base_s = snap.snapshot(base, "base")
+        head_s = snap.snapshot(head, "head")
+
+        base_f = base_s.filter(where) if where else base_s
+        head_f = head_s.filter(where) if where else head_s
+
+        base_count = base_f.count()
+        head_count = head_f.count()
+        result["rowcounts"] = {"base": base_count, "head": head_count}
+
+        sd = schema_diff(base_s.columns, head_s.columns)
+        result["schema_diff"] = sd
+        common_cols = sd["common"]
+
+        if col_stats and common_cols:
+            # Reference quirk: numerators from the unfiltered snapshot,
+            # denominators from the filtered count (`core/diff_flow.py:152-175`).
+            base_p = base_s if config.parity_profile_denominator else base_f
+            head_p = head_s if config.parity_profile_denominator else head_f
+            bprof = column_profile(base_p, common_cols, config)
+            hprof = column_profile(head_p, common_cols, config)
+            result["column_profile"] = {
+                c: {
+                    "base": {
+                        "nulls": bprof[c]["nulls"],
+                        "distinct": bprof[c]["distinct"],
+                        "null_pct": pct(bprof[c]["nulls"], base_count),
+                        "uniq_pct": pct(bprof[c]["distinct"], base_count),
+                    },
+                    "head": {
+                        "nulls": hprof[c]["nulls"],
+                        "distinct": hprof[c]["distinct"],
+                        "null_pct": pct(hprof[c]["nulls"], head_count),
+                        "uniq_pct": pct(hprof[c]["distinct"], head_count),
+                    },
+                }
+                for c in common_cols
+            }
+
+        if not key_cols:
+            return result
+
+        non_key_cols = [c for c in common_cols if c not in set(key_cols)]
+        joined = row_diff_frame(base_f, head_f, key_cols, non_key_cols, config)
+        want_sample = sample > 0
+        if want_sample:
+            # Narrow frame (keys + 2 fingerprints): cache it so the sample
+            # pass doesn't redo the join shuffle.
+            joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+
+        counts = joined.agg(
+            F.count(F.when(F.col(_BH).isNull(), 1)).alias("added"),
+            F.count(F.when(F.col(_HH).isNull(), 1)).alias("removed"),
+            F.count(
+                F.when(
+                    F.col(_BH).isNotNull()
+                    & F.col(_HH).isNotNull()
+                    & (F.col(_BH) != F.col(_HH)),
+                    1,
+                )
+            ).alias("changed"),
+        ).collect()[0]
+
+        sample_keys: list[list[Any]] = []
+        if counts["changed"] and want_sample:
+            # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+            # top-N, no global sort shuffle. Sorted for determinism.
+            rows = (
+                joined.filter(
+                    F.col(_BH).isNotNull()
+                    & F.col(_HH).isNotNull()
+                    & (F.col(_BH) != F.col(_HH))
+                )
+                .select(*key_cols)
+                .orderBy(*key_cols)
+                .limit(int(sample))
+                .collect()
+            )
+            sample_keys = [list(r) for r in rows]
+
+        result["row_diff"] = {
+            "added": int(counts["added"]),
+            "removed": int(counts["removed"]),
+            "changed": int(counts["changed"]),
+            "sample_keys": sample_keys,
+        }
+        return result
+    finally:
+        if joined is not None:
+            try:
+                joined.unpersist()
+            except Exception:
+                pass
+        snap.cleanup()

@@ -1,0 +1,67 @@
+"""Single-pass per-column profiling (nulls + distinct counts).
+
+The reference computes ALL per-column aggregates in ONE warehouse query —
+2xN aggregate expressions over one table scan (`adapters/postgres.py:71-92`).
+The Spark shape is one ``df.agg(*exprs)`` call -> one job.
+
+Scale caveat (SURVEY.md §4): N exact ``count(distinct c)`` in a single agg
+compiles to an N-way Expand operator — every input row is replicated N
+times before the shuffle. At 100 TB that is the difference between one
+scan and an N x row-multiplication. Two mitigations, both config-driven:
+
+- ``approx_distinct=True``: HLL sketches (approx_count_distinct) need no
+  Expand at all — single scan, mergeable partial aggs, ~2% error.
+- ``profile_batch_size=k``: exact mode runs ceil(N/k) jobs of k distincts
+  each, capping the Expand factor at k while the parquet scan is pruned to
+  just those k columns (ReadSchema pruning makes re-scans cheap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.config import DiffConfig
+
+
+def _batch(cols: list[str], size: int) -> list[list[str]]:
+    size = max(1, size)
+    return [cols[i : i + size] for i in range(0, len(cols), size)]
+
+
+def column_profile(
+    df: DataFrame,
+    cols: list[str],
+    config: DiffConfig | None = None,
+) -> dict[str, dict[str, int]]:
+    """Per-column ``{"nulls": n, "distinct": d}`` over ``df``.
+
+    Mirrors the reference's semantics exactly (`adapters/postgres.py:77-81`):
+    nulls = sum((c is null)::int); distinct = count(distinct c), which in
+    both Postgres and Spark ignores NULLs.
+    """
+    config = config or DiffConfig()
+    out: dict[str, dict[str, int]] = {}
+    if not cols:
+        return out
+
+    # Distinct aggregates drive the batching; null counts are plain sums and
+    # piggyback on whichever job scans their column anyway.
+    for group in _batch(list(cols), config.profile_batch_size):
+        exprs = []
+        for c in group:
+            exprs.append(
+                F.sum(F.col(c).isNull().cast("int")).alias(f"__nulls_{c}")
+            )
+            if config.approx_distinct:
+                exprs.append(F.approx_count_distinct(c).alias(f"__distinct_{c}"))
+            else:
+                exprs.append(F.count_distinct(F.col(c)).alias(f"__distinct_{c}"))
+        row = df.select(*group).agg(*exprs).collect()[0]
+        for c in group:
+            nulls = row[f"__nulls_{c}"]
+            out[c] = {
+                "nulls": int(nulls) if nulls is not None else 0,
+                "distinct": int(row[f"__distinct_{c}"]),
+            }
+    return out

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (SURVEY.md §7 step 6).
+
+The embedding is an ``array<float>`` column. Math is done in double via
+``zip_with`` + ``aggregate`` — a sequential left fold, so the summation
+order is deterministic and matches a loop-based SQL oracle bit-for-bit.
+Everything stays JVM-side (higher-order functions compile to codegen).
+
+Scale design:
+- brute_force_topk: queries broadcast (they are few), candidates scanned
+  once, per-partition top-k via window row_number — fine for |Q| small.
+- ivf_topk: coarse quantization — assign every vector to its nearest of
+  ``k_centroids`` sampled centroids (one broadcast pass), then search
+  only the probe-nearest cells. Turns O(|Q| x N) into O(|Q| x N x
+  probes/cells) with the centroid assignment reused across queries.
+- cosine_near_dup_pairs: LSH-style random-hyperplane bucketing to find
+  near-duplicate embeddings without all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Query side is broadcast (few rows); the candidate scan is a single
+    pass with no shuffle until the tiny per-query top-k aggregation.
+    Returns (query_id, neighbor_id, rank) — ids only, so results are
+    FP-rendering-independent for oracle comparison.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    k_centroids: int = 16,
+    probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    1. Sample ``k_centroids`` vectors as centroids (deterministic seed).
+    2. Assign every candidate to its nearest centroid (broadcast pass —
+       at 100 TB this is the only full scan, and it's shuffle-free).
+    3. For each query, compute its ``probes`` nearest centroids, search
+       only those cells.
+    Recall < 1.0 by construction; brute_force_topk is the ground truth.
+    """
+    cents = [
+        (i, row[vec_col])
+        for i, row in enumerate(
+            candidates.select(vec_col)
+            .sample(False, 1.0, seed)
+            .limit(k_centroids)
+            .collect()
+        )
+    ]
+    spark = candidates.sparkSession
+    cent_df = spark.createDataFrame(cents, ["centroid_id", "cvec"])
+
+    def nearest(df: DataFrame, vcol: str, out: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent_df)).withColumn(
+            "__d", cosine(F.col(vcol), F.col("cvec"))
+        )
+        w = Window.partitionBy(*[c for c in df.columns if c != vcol]).orderBy(
+            F.col("__d").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .select(*df.columns, F.col("centroid_id").alias(out))
+        )
+
+    cand_cells = nearest(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        "cell",
+        1,
+    )
+    query_cells = nearest(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        "cell",
+        probes,
+    )
+    scored = (
+        F.broadcast(query_cells)
+        .join(cand_cells, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-pattern bucket id from ``n_planes`` pseudo-random hyperplanes.
+
+    Hyperplane components are deterministic pseudo-randoms derived from
+    (seed, plane, dim index) via a hash — no driver-side data, pure
+    codegen. Vectors in the same bucket are cosine-close w.h.p.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
+    return df.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket by hyperplane signs, verify
+    candidates with exact cosine inside buckets only."""
+    b = random_hyperplane_buckets(df, n_planes, dim, id_col, vec_col, seed)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
+    return (
+        a.join(c, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7 step 6).
+
+All expressions are JVM-side built-ins (no Python UDFs): at 100 TB these
+run inside whole-stage codegen over the parquet scan, shuffle-free until
+the (optional) aggregations. Designed around the driver's ``documents``
+table (doc_id, text, lang, source, n_chars).
+
+Engine-portability note: every function here is chosen so an ANSI-SQL
+oracle (DuckDB) computes bit-identical results — substring counting via
+replace-length arithmetic rather than regex counts, md5 for fingerprints
+(identical hex output across engines), integer/double arithmetic only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Deliberately small + deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "que"],
+}
+
+
+def substring_count(text: Column, needle: str) -> Column:
+    """# of non-overlapping occurrences of ``needle`` via replace-length
+    arithmetic — identical semantics in Spark and ANSI SQL, unlike regex
+    counters whose dialects differ."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def token_count(text: Column, delimiter: str = " ") -> Column:
+    """Whitespace token count: size(split(text, delim))."""
+    return F.size(F.split(text, delimiter))
+
+
+def word_marker_count(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whole token (space-padded match)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return substring_count(padded, f" {word} ")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token count, stopword count
+    and ratios. Ratios are double divisions of exact ints — deterministic
+    IEEE, engine-portable."""
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    stop = sum(
+        (word_marker_count(t, w) for w in LANG_MARKERS["en"]),
+        F.lit(0),
+    )
+    return df.select(
+        "doc_id",
+        F.length(t).alias("text_len"),
+        n_tokens.alias("n_tokens"),
+        stop.alias("stopword_count"),
+        (stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (F.length(t).cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker counts as
+    a first-match-wins CASE chain (ties go to the earlier language in
+    LANG_MARKERS order; all-zero -> 'und'). Pure codegen-able CASE — the
+    identical CASE runs in the SQL oracle."""
+    t = F.col(text_col)
+    langs = list(LANG_MARKERS)
+    counts = {
+        lang: sum((word_marker_count(t, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+    pred = F.lit("und")
+    for i, lang in enumerate(reversed(langs)):
+        idx = len(langs) - 1 - i
+        cond = counts[lang] > 0
+        for later in langs[idx + 1 :]:
+            cond = cond & (counts[lang] >= counts[later])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("pred_lang")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of lowercased trimmed text.
+    md5 hex output is identical across engines (oracle-checkable)."""
+    return df.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Explode word n-gram shingles: one row per (doc_id, shingle).
+
+    Docs with fewer than ``n`` tokens produce no rows (inner explode) —
+    matched by the SQL oracle's generate_series semantics.
+    """
+    tok = F.split(F.col(text_col), " ")
+    expr = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"g -> concat_ws(' ', slice(split({text_col}, ' '), g, {n})))"
+    )
+    return (
+        df.filter(F.size(tok) >= n)
+        .select("doc_id", F.explode(expr).alias("shingle"))
+    )

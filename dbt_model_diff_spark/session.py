@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference delegates execution to a warehouse over one psycopg2
+connection (`dbt-model-diff/dbt_model_diff/adapters/postgres.py:17-24`);
+here the SparkSession IS the engine. Defaults are tuned so the same code
+runs on local[N] for tests and on a multi-executor cluster unchanged:
+
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast.
+- shuffle.partitions sized to the local core count (cluster deployments
+  should override via spark-submit conf; AQE coalesces the excess).
+- UTC session timezone so timestamp->string canonicalization is stable.
+- Arrow enabled for the few Pandas-UDF code paths (multimodal, ANN).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dbt_model_diff_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.ts is TIMESTAMP(NANOS) parquet, unsupported by the
+        # vectorized reader — read as long, normalized in sources.readers.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,65 @@
+"""Snapshot manager — the one explicit physical decision (SURVEY.md §4).
+
+The reference freezes each model output with CTAS into an isolated diff
+schema (`adapters/postgres.py:37-44`, naming `core/diff_flow.py:68-71`,
+cleanup `:271-274`) so its ~7 comparison queries read a stable copy and
+never re-run the model SQL. Lazy DataFrames would re-execute the whole
+model pipeline on every action, so snapshotting must be explicit here:
+
+- 'persist': MEMORY_AND_DISK cache. Cheapest for single-session diffs;
+  spills to local disk per executor at scale.
+- 'parquet': write + re-read. Closest to CTAS — survives the session,
+  gives columnar pruned re-reads for the profile scans, and is the right
+  choice when base/head builds are expensive relative to IO.
+- 'none': no materialization (tiny inputs / already-materialized tables).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from dbt_model_diff_spark.config import DiffConfig
+from dbt_model_diff_spark.util import sanitize_ident
+
+
+class SnapshotManager:
+    """Freezes DataFrames for stable multi-action comparison reads."""
+
+    def __init__(self, config: DiffConfig | None = None, run_id: str | None = None):
+        self.config = config or DiffConfig()
+        self.run_id = sanitize_ident(run_id or uuid.uuid4().hex[:12])
+        self._persisted: list[DataFrame] = []
+        self._paths: list[Path] = []
+
+    def snapshot(self, df: DataFrame, name: str) -> DataFrame:
+        mode = self.config.snapshot_mode
+        if mode == "none":
+            return df
+        if mode == "persist":
+            out = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._persisted.append(out)
+            return out
+        # parquet
+        path = Path(self.config.snapshot_dir) / self.run_id / sanitize_ident(name)
+        df.write.mode("overwrite").parquet(str(path))
+        self._paths.append(path)
+        return df.sparkSession.read.parquet(str(path))
+
+    def cleanup(self, keep: bool = False) -> None:
+        """Drop snapshots (reference drops the diff schema in a ``finally``
+        unless --keep-schemas, `core/diff_flow.py:271-274`)."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
+        if not keep:
+            for path in self._paths:
+                shutil.rmtree(path, ignore_errors=True)
+        self._paths.clear()

@@ -1,0 +1,3 @@
+from dbt_model_diff_spark.sources.readers import load_tables, read_table
+
+__all__ = ["load_tables", "read_table"]

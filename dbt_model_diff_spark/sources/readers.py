@@ -1,0 +1,66 @@
+"""Table readers for the driver's parquet testdata and CSV seeds.
+
+The reference's sources are warehouse tables landed by `dbt seed`
+(`dbt_project.yml:22-25`) — here the equivalents are
+``spark.read.parquet`` / ``spark.read.csv``. Reads are lazy scans;
+Catalyst pushes projections and filters into the parquet reader
+(PushedFilters / ReadSchema), so callers should NOT pre-collect or cache
+here.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as nanos-since-epoch
+        # long (spark.sql.legacy.parquet.nanosAsLong), truncate to micros —
+        # exactly what DuckDB's ns->us conversion does — and keep it naive
+        # (timestamp_ntz) to match the file's isAdjustedToUTC=false.
+        field = df.schema["ts"]
+        if isinstance(field.dataType, T.LongType):
+            # integer `div`, not `/`: float division loses precision above
+            # 2^53 and epoch-nanos are ~1.7e18.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Load every table as a DataFrame and register matching temp views so
+    both the DataFrame API and ``spark.sql`` can reference them."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_csv_seed(spark: SparkSession, path: str) -> DataFrame:
+    """CSV seed load (reference A6: `dbt seed` on 4 demo CSVs)."""
+    return spark.read.csv(path, header=True, inferSchema=True)

@@ -1,0 +1,29 @@
+"""Small pure-Python helpers shared across the engine.
+
+Semantics mirror the reference's `core/util.py` (sanitize_ident:8-32,
+pct:35-37) — these are plain-Python utilities, re-implemented from the
+documented behavior, not copied.
+"""
+
+from __future__ import annotations
+
+import re
+
+_IDENT_BAD = re.compile(r"[^a-zA-Z0-9_]")
+
+
+def sanitize_ident(raw: str, max_len: int = 60) -> str:
+    """Lowercase, replace non [a-zA-Z0-9_] with '_', truncate.
+
+    Used for run ids and snapshot table names, matching the reference's
+    `core/util.py:8-32` contract.
+    """
+    out = _IDENT_BAD.sub("_", raw.strip()).lower()
+    return out[:max_len] if max_len else out
+
+
+def pct(numerator: int, denominator: int) -> float:
+    """Percentage with divide-by-zero -> 0.0 (reference `core/util.py:35-37`)."""
+    if not denominator:
+        return 0.0
+    return numerator / denominator * 100.0

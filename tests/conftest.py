@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_DRIVER_MEM", "4g")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dbt_model_diff_spark.session import get_spark
+
+    s = get_spark(app_name="dmds-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

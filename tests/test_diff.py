@@ -1,0 +1,180 @@
+"""Core diff engine tests — the fixture matrix from FIXTURES.md §3 plus the
+reference's e2e golden scenario (test_postgres_e2e.py:299-307)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark import DiffConfig, diff_frames
+
+
+def _customers(spark, n):
+    names = {1: "Alice", 2: "Bob", 3: "Chandra", 4: "Deepak"}
+    return spark.createDataFrame(
+        [Row(customer_id=i, name=names[i]) for i in range(1, n + 1)]
+    )
+
+
+def test_e2e_golden(spark):
+    """Reference golden: base `where id <= 3`, head `where id <= 4` on
+    4-row customers, key customer_id -> base=3, head=4, added=1,
+    removed=0, changed=0."""
+    res = diff_frames(_customers(spark, 3), _customers(spark, 4), ["customer_id"])
+    assert res["rowcounts"] == {"base": 3, "head": 4}
+    assert res["row_diff"]["added"] == 1
+    assert res["row_diff"]["removed"] == 0
+    assert res["row_diff"]["changed"] == 0
+    assert res["meta"]["mode"] == "FULL_DIFF"
+
+
+def test_self_diff_is_zero(spark):
+    df = _customers(spark, 4)
+    res = diff_frames(df, df, ["customer_id"])
+    assert res["row_diff"] == {
+        "added": 0,
+        "removed": 0,
+        "changed": 0,
+        "sample_keys": [],
+    }
+    prof = res["column_profile"]
+    assert prof["customer_id"]["base"] == prof["customer_id"]["head"]
+    assert prof["customer_id"]["base"]["uniq_pct"] == 100.0
+
+
+def test_pure_delete(spark):
+    res = diff_frames(_customers(spark, 4), _customers(spark, 2), ["customer_id"])
+    assert res["row_diff"]["added"] == 0
+    assert res["row_diff"]["removed"] == 2
+    assert res["row_diff"]["changed"] == 0
+
+
+def test_value_change_and_sample(spark):
+    base = _customers(spark, 4)
+    head = base.withColumn(
+        "name", F.when(F.col("customer_id") == 2, "Robert").otherwise(F.col("name"))
+    )
+    res = diff_frames(base, head, ["customer_id"], sample=10)
+    assert res["row_diff"]["changed"] == 1
+    assert res["row_diff"]["sample_keys"] == [[2]]
+
+
+def test_null_becomes_sentinel_not_skipped(spark):
+    """NULL in a non-key column must differ from absent/'' — concat_ws
+    alone would collide them (hashing.py rationale)."""
+    base = spark.createDataFrame([Row(k=1, a="x", b=None)], "k int, a string, b string")
+    head = spark.createDataFrame([Row(k=1, a="x", b="")], "k int, a string, b string")
+    res = diff_frames(base, head, ["k"])
+    assert res["row_diff"]["changed"] == 1
+
+
+def test_null_keys_added_and_removed_never_changed(spark):
+    """Reference equi-join semantics: NULL keys never match
+    (`core/diff_flow.py:185-206`)."""
+    rows = [Row(k=None, v="same"), Row(k=1, v="a")]
+    schema = "k int, v string"
+    base = spark.createDataFrame(rows, schema)
+    head = spark.createDataFrame(rows, schema)
+    res = diff_frames(base, head, ["k"])
+    assert res["row_diff"]["added"] == 1
+    assert res["row_diff"]["removed"] == 1
+    assert res["row_diff"]["changed"] == 0
+
+
+def test_null_safe_keys_optin(spark):
+    rows = [Row(k=None, v="same")]
+    schema = "k int, v string"
+    base = spark.createDataFrame(rows, schema)
+    head = spark.createDataFrame(rows, schema)
+    res = diff_frames(base, head, ["k"], config=DiffConfig(null_safe_keys=True))
+    assert res["row_diff"] == {
+        "added": 0,
+        "removed": 0,
+        "changed": 0,
+        "sample_keys": [],
+    }
+
+
+def test_all_key_table_never_changed(spark):
+    """Empty non-key column list -> md5('') both sides
+    (`adapters/postgres.py:96-97`)."""
+    base = spark.createDataFrame([Row(k=1), Row(k=2)])
+    head = spark.createDataFrame([Row(k=1), Row(k=3)])
+    res = diff_frames(base, head, ["k"])
+    assert res["row_diff"]["changed"] == 0
+    assert res["row_diff"]["added"] == 1
+    assert res["row_diff"]["removed"] == 1
+
+
+def test_schema_drift(spark):
+    base = spark.createDataFrame([Row(k=1, a="x", dropped="d")])
+    head = spark.createDataFrame([Row(k=1, a="x", added="n")])
+    res = diff_frames(base, head, ["k"])
+    assert res["schema_diff"]["only_in_base"] == ["dropped"]
+    assert res["schema_diff"]["only_in_head"] == ["added"]
+    assert res["schema_diff"]["common"] == ["k", "a"]
+    # hash uses common non-key cols only -> unchanged
+    assert res["row_diff"]["changed"] == 0
+
+
+def test_stats_only_mode(spark):
+    res = diff_frames(_customers(spark, 3), _customers(spark, 4), key_cols=None)
+    assert res["meta"]["mode"] == "STATS_ONLY"
+    assert res["row_diff"] is None
+    assert res["rowcounts"] == {"base": 3, "head": 4}
+
+
+def test_where_predicate(spark):
+    base = _customers(spark, 4)
+    head = _customers(spark, 4)
+    res = diff_frames(base, head, ["customer_id"], where="customer_id <= 2")
+    assert res["rowcounts"] == {"base": 2, "head": 2}
+
+
+def test_parity_profile_denominator_quirk(spark):
+    """Reference profiles the UNfiltered snapshot but divides by the
+    filtered rowcount (`core/diff_flow.py:152-154`)."""
+    df = _customers(spark, 4)
+    res = diff_frames(df, df, ["customer_id"], where="customer_id <= 2")
+    prof = res["column_profile"]["customer_id"]["base"]
+    assert prof["distinct"] == 4  # unfiltered numerator
+    assert prof["uniq_pct"] == 200.0  # 4 / filtered 2 * 100
+
+    res2 = diff_frames(
+        df,
+        df,
+        ["customer_id"],
+        where="customer_id <= 2",
+        config=DiffConfig(parity_profile_denominator=False),
+    )
+    prof2 = res2["column_profile"]["customer_id"]["base"]
+    assert prof2["distinct"] == 2
+    assert prof2["uniq_pct"] == 100.0
+
+
+def test_duplicate_keys_multiply_like_reference(spark):
+    """m x n matched pairs with differing hashes all count as changed
+    (reference inner-join count, `core/diff_flow.py:207-225`)."""
+    base = spark.createDataFrame([Row(k=1, v="a"), Row(k=1, v="b")])
+    head = spark.createDataFrame([Row(k=1, v="c")])
+    res = diff_frames(base, head, ["k"])
+    assert res["row_diff"]["changed"] == 2
+    assert res["row_diff"]["added"] == 0
+    assert res["row_diff"]["removed"] == 0
+
+
+@pytest.mark.parametrize("algo", ["md5", "xxhash64"])
+def test_hash_algos_agree_on_counts(spark, algo):
+    base = _customers(spark, 4)
+    head = base.withColumn(
+        "name", F.when(F.col("customer_id") == 1, "Alyce").otherwise(F.col("name"))
+    )
+    res = diff_frames(base, head, ["customer_id"], config=DiffConfig(hash_algo=algo))
+    assert res["row_diff"]["changed"] == 1
+
+
+def test_parquet_snapshot_mode(spark, tmp_path):
+    cfg = DiffConfig(snapshot_mode="parquet", snapshot_dir=str(tmp_path))
+    res = diff_frames(_customers(spark, 3), _customers(spark, 4), ["customer_id"], config=cfg)
+    assert res["row_diff"]["added"] == 1
