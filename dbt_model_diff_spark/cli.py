@@ -1,0 +1,97 @@
+"""CLI — same surface as the reference's typer app (`cli.py:31-70`):
+
+    dbt-model-diff-spark diff <model> --keys k1,k2 --base main --head HEAD
+        [--project-dir .] [--profiles-dir ~/.dbt] [--profile P] [--target T]
+        [--where SQL] [--sample 20] [--keep-schemas]
+        [--col-stats/--no-col-stats] [--format rich|json|markdown]
+
+typer isn't a baked-in dependency, so this uses argparse with identical
+flag names/defaults; `diff` may be omitted for backward compat, matching
+the reference e2e's invocation matrix (test_postgres_e2e.py:205-239).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from dbt_model_diff_spark.formatters import FORMATTERS
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dbt-model-diff-spark",
+        description="diff one model's output between two git refs",
+    )
+    _add_diff_args(p)
+    return p
+
+
+def _add_diff_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", nargs="?", help="model name to diff")
+    p.add_argument("--keys", default="", help="comma-separated key columns")
+    p.add_argument("--base", default="main", help="base git ref")
+    p.add_argument("--head", default="HEAD", help="head git ref")
+    p.add_argument("--project-dir", default=".", help="project directory")
+    p.add_argument("--profiles-dir", default=None, help="profiles.yml directory")
+    p.add_argument("--profile", default=None)
+    p.add_argument("--target", default=None)
+    p.add_argument("--where", default=None, help="SQL predicate applied to both sides")
+    p.add_argument("--sample", type=int, default=20)
+    p.add_argument("--keep-schemas", action="store_true")
+    p.add_argument("--col-stats", dest="col_stats", action="store_true", default=True)
+    p.add_argument("--no-col-stats", dest="col_stats", action="store_false")
+    p.add_argument(
+        "--format",
+        dest="fmt",
+        default="rich",
+        help="rich|json|markdown",
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    # `diff` subcommand is optional (reference e2e invokes both forms,
+    # test_postgres_e2e.py:205-239)
+    if argv and argv[0] == "diff":
+        argv = argv[1:]
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.model:
+        parser.error("model is required")
+    if args.fmt not in FORMATTERS:
+        parser.error(f"--format must be one of {sorted(set(FORMATTERS) - {'text'})}")
+
+    key_cols = [k.strip() for k in args.keys.split(",") if k.strip()]
+
+    from dbt_model_diff_spark.session import get_spark
+    from dbt_model_diff_spark.orchestration import run_git_diff
+
+    extra_conf: dict[str, str] = {}
+    master = None
+    if args.profiles_dir:
+        from dbt_model_diff_spark.sources.profiles import load_conn_info
+
+        conn, _ = load_conn_info(args.profiles_dir, args.profile, args.target)
+        master = conn.master
+        extra_conf = conn.conf
+
+    spark = get_spark(app_name="dbt-model-diff-spark", master=master, extra_conf=extra_conf)
+    result = run_git_diff(
+        spark,
+        project_dir=Path(args.project_dir),
+        model=args.model,
+        base_ref=args.base,
+        head_ref=args.head,
+        key_cols=key_cols,
+        where=args.where,
+        sample=args.sample,
+        col_stats=args.col_stats,
+    )
+    print(FORMATTERS[args.fmt](result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,12 @@
+from dbt_model_diff_spark.formatters.json_fmt import render_json
+from dbt_model_diff_spark.formatters.markdown_fmt import render_markdown
+from dbt_model_diff_spark.formatters.text_fmt import render_text
+
+FORMATTERS = {
+    "json": render_json,
+    "markdown": render_markdown,
+    "rich": render_text,  # reference CLI calls its console format "rich"
+    "text": render_text,
+}
+
+__all__ = ["render_json", "render_markdown", "render_text", "FORMATTERS"]

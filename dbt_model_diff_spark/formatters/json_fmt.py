@@ -1,0 +1,12 @@
+"""JSON renderer — the machine contract asserted by the reference's e2e
+test (`formatters/json_fmt.py:9-28`; assertions on parsed output at
+`tests/integration/test_postgres_e2e.py:299-307`)."""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+
+def render_json(result: dict[str, Any]) -> str:
+    return json.dumps(result, indent=2, sort_keys=True, default=str)

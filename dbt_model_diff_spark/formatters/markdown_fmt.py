@@ -1,0 +1,80 @@
+"""Markdown renderer — PR-comment layout mirroring the reference's
+`formatters/markdown_fmt.py:8-119` section structure (header, rowcounts,
+schema diff, column profile, row diff + sample keys)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def _md_table(headers: list[str], rows: list[list[Any]]) -> str:
+    out = ["| " + " | ".join(headers) + " |", "|" + "|".join("---" for _ in headers) + "|"]
+    for r in rows:
+        out.append("| " + " | ".join(str(v) for v in r) + " |")
+    return "\n".join(out)
+
+
+def render_markdown(result: dict[str, Any]) -> str:
+    meta = result["meta"]
+    lines: list[str] = []
+    model = meta.get("model", "<frames>")
+    lines.append(f"## dbt-model-diff: `{model}`")
+    lines.append("")
+    lines.append(
+        f"**mode:** {meta.get('mode')} | **base:** {meta.get('base', '-')} | "
+        f"**head:** {meta.get('head', '-')} | **keys:** {', '.join(meta.get('keys') or []) or '-'}"
+    )
+    lines.append("")
+
+    rc = result.get("rowcounts", {})
+    lines.append("### Row counts")
+    lines.append(_md_table(["side", "rows"], [["base", rc.get("base")], ["head", rc.get("head")]]))
+    lines.append("")
+
+    sd = result.get("schema_diff", {})
+    lines.append("### Schema diff")
+    if not sd.get("only_in_base") and not sd.get("only_in_head"):
+        lines.append(f"- no column changes ({len(sd.get('common', []))} common columns)")
+    else:
+        for c in sd.get("only_in_head", []):
+            lines.append(f"- `+ {c}` (only in head)")
+        for c in sd.get("only_in_base", []):
+            lines.append(f"- `- {c}` (only in base)")
+    lines.append("")
+
+    prof = result.get("column_profile") or {}
+    if prof:
+        lines.append("### Column profile")
+        rows = []
+        for col, p in prof.items():
+            rows.append(
+                [
+                    col,
+                    f"{p['base']['null_pct']:.1f}%",
+                    f"{p['head']['null_pct']:.1f}%",
+                    p["base"]["distinct"],
+                    p["head"]["distinct"],
+                    f"{p['base']['uniq_pct']:.1f}%",
+                    f"{p['head']['uniq_pct']:.1f}%",
+                ]
+            )
+        lines.append(
+            _md_table(
+                ["column", "null% (base)", "null% (head)", "distinct (base)",
+                 "distinct (head)", "uniq% (base)", "uniq% (head)"],
+                rows,
+            )
+        )
+        lines.append("")
+
+    rd = result.get("row_diff")
+    if rd is not None:
+        lines.append("### Row diff")
+        lines.append(f"- added: **{rd['added']}**")
+        lines.append(f"- removed: **{rd['removed']}**")
+        lines.append(f"- changed: **{rd['changed']}**")
+        if rd.get("sample_keys"):
+            lines.append("")
+            lines.append("Sample changed keys:")
+            lines.append(_md_table(list(meta.get("keys") or []), rd["sample_keys"]))
+    return "\n".join(lines)

@@ -1,0 +1,90 @@
+"""Console renderer — the reference uses `rich` panels/tables
+(`formatters/rich_fmt.py:14-141`). rich isn't a hard dependency here:
+if importable we use it, else a plain-text layout with the same sections
+and the same `.1f` percentage formatting."""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def render_text(result: dict[str, Any]) -> str:
+    try:  # pragma: no cover - exercised only where rich is installed
+        import io
+
+        from rich.console import Console
+
+        buf = io.StringIO()
+        console = Console(file=buf, width=100)
+        _render_rich(console, result)
+        return buf.getvalue()
+    except ImportError:
+        return _render_plain(result)
+
+
+def _render_plain(result: dict[str, Any]) -> str:
+    meta = result["meta"]
+    lines = []
+    bar = "=" * 64
+    lines.append(bar)
+    lines.append(f" dbt-model-diff  model={meta.get('model', '<frames>')}  mode={meta.get('mode')}")
+    lines.append(
+        f" base={meta.get('base', '-')}  head={meta.get('head', '-')}  "
+        f"keys={','.join(meta.get('keys') or []) or '-'}"
+    )
+    lines.append(bar)
+    rc = result.get("rowcounts", {})
+    lines.append(f" rowcounts: base={rc.get('base')}  head={rc.get('head')}")
+    sd = result.get("schema_diff", {})
+    lines.append(
+        f" schema: {len(sd.get('common', []))} common"
+        + (f", +{sd['only_in_head']}" if sd.get("only_in_head") else "")
+        + (f", -{sd['only_in_base']}" if sd.get("only_in_base") else "")
+    )
+    prof = result.get("column_profile") or {}
+    if prof:
+        lines.append(" column profile (null% b/h, distinct b/h, uniq% b/h):")
+        for col, p in prof.items():
+            lines.append(
+                f"   {col:30s} {p['base']['null_pct']:6.1f}/{p['head']['null_pct']:6.1f}  "
+                f"{p['base']['distinct']:8d}/{p['head']['distinct']:8d}  "
+                f"{p['base']['uniq_pct']:6.1f}/{p['head']['uniq_pct']:6.1f}"
+            )
+    rd = result.get("row_diff")
+    if rd is not None:
+        lines.append(
+            f" row diff: added={rd['added']}  removed={rd['removed']}  changed={rd['changed']}"
+        )
+        if rd.get("sample_keys"):
+            lines.append(f" sample changed keys: {rd['sample_keys']}")
+    lines.append(bar)
+    return "\n".join(lines)
+
+
+def _render_rich(console, result: dict[str, Any]) -> None:  # pragma: no cover
+    from rich.panel import Panel
+    from rich.table import Table
+
+    meta = result["meta"]
+    console.print(
+        Panel(
+            f"model={meta.get('model', '<frames>')} mode={meta.get('mode')} "
+            f"base={meta.get('base', '-')} head={meta.get('head', '-')} "
+            f"keys={','.join(meta.get('keys') or []) or '-'}",
+            title="dbt-model-diff",
+        )
+    )
+    rc = result.get("rowcounts", {})
+    t = Table(title="Summary")
+    t.add_column("side")
+    t.add_column("rows")
+    t.add_row("base", str(rc.get("base")))
+    t.add_row("head", str(rc.get("head")))
+    console.print(t)
+    rd = result.get("row_diff")
+    if rd is not None:
+        t2 = Table(title="Row diff")
+        for k in ("added", "removed", "changed"):
+            t2.add_column(k)
+        t2.add_row(str(rd["added"]), str(rd["removed"]), str(rd["changed"]))
+        console.print(t2)

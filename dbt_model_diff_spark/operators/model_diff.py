@@ -1,0 +1,72 @@
+"""run_model_diff — the library-API equivalent of the reference's
+`run_diff` (entry point 3, `core/diff_flow.py:21-277`).
+
+The reference's flow is: git worktree x2 -> `dbt build` x2 -> CTAS
+snapshot x2 -> SQL comparisons. Here the warehouse+dbt stack collapses
+into: build the model DAG from a base registry and a head registry (two
+in-memory model definitions, two git checkouts, or any other source of
+two registries), then hand the two DataFrames to the core diff engine,
+which does its own snapshotting.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_model_diff_spark.config import DiffConfig
+from dbt_model_diff_spark.operators.diff import diff_frames
+from dbt_model_diff_spark.plans.registry import ModelRegistry
+from dbt_model_diff_spark.util import sanitize_ident
+
+
+def run_model_diff(
+    spark: SparkSession,
+    base_registry: ModelRegistry,
+    head_registry: ModelRegistry,
+    model: str,
+    key_cols: list[str] | None = None,
+    base_sources: dict[str, DataFrame] | None = None,
+    head_sources: dict[str, DataFrame] | None = None,
+    where: str | None = None,
+    sample: int = 20,
+    col_stats: bool = True,
+    config: DiffConfig | None = None,
+    base_label: str = "base",
+    head_label: str = "head",
+) -> dict[str, Any]:
+    """Build ``model`` from both registries and diff the outputs.
+
+    Returns the reference-shaped result dict (meta/rowcounts/schema_diff/
+    column_profile/row_diff — `core/diff_flow.py:80-94`).
+    """
+    run_id = sanitize_ident(f"{model}_{base_label}_{head_label}")
+
+    base_built = base_registry.build(spark, sources=base_sources, select=[model])
+    base_df = base_built[model]
+    head_built = head_registry.build(
+        spark, sources=head_sources if head_sources is not None else base_sources,
+        select=[model],
+    )
+    head_df = head_built[model]
+
+    return diff_frames(
+        base_df,
+        head_df,
+        key_cols=key_cols,
+        where=where,
+        sample=sample,
+        col_stats=col_stats,
+        config=config,
+        meta={
+            "model": model,
+            "base": base_label,
+            "head": head_label,
+            "diff_schema": f"dbt_model_diff__{run_id}",
+            "tables": {
+                "base": f"{sanitize_ident(model)}__base",
+                "head": f"{sanitize_ident(model)}__head",
+            },
+        },
+    )

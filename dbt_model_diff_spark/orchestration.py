@@ -1,0 +1,97 @@
+"""Git-worktree orchestration (reference C1-C4): build one model at two
+git refs and diff the outputs.
+
+Mirrors `core/diff_flow.py:96-122` (worktree add -> build -> snapshot for
+each side, cleanup in finally, `:259-269`) with `dbt build` replaced by
+the registry builder. Subprocess handling follows the reference's
+contract (`core/subprocess_utils.py:9-43`): capture output, raise
+RuntimeError with the full transcript on nonzero exit.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from dbt_model_diff_spark.config import DiffConfig
+from dbt_model_diff_spark.operators.model_diff import run_model_diff
+from dbt_model_diff_spark.sources.project import load_project, load_seeds
+
+
+def run(cmd: list[str], cwd: Path | None = None) -> str:
+    """Run a subprocess; raise RuntimeError with full output on failure."""
+    proc = subprocess.run(
+        cmd, cwd=cwd, capture_output=True, text=True
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"command failed ({proc.returncode}): {' '.join(cmd)}\n"
+            f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+        )
+    return proc.stdout
+
+
+def repo_root_of(project_dir: Path) -> Path:
+    return Path(
+        run(["git", "-C", str(project_dir), "rev-parse", "--show-toplevel"]).strip()
+    ).resolve()
+
+
+def run_git_diff(
+    spark: SparkSession,
+    project_dir: Path | str,
+    model: str,
+    base_ref: str,
+    head_ref: str,
+    key_cols: list[str] | None = None,
+    where: str | None = None,
+    sample: int = 20,
+    col_stats: bool = True,
+    config: DiffConfig | None = None,
+) -> dict[str, Any]:
+    """Worktree x2 -> load project x2 -> run_model_diff."""
+    project_dir = Path(project_dir).resolve()
+    repo_root = repo_root_of(project_dir)
+    project_rel = project_dir.relative_to(repo_root)
+
+    tmp_dir = Path(tempfile.mkdtemp(prefix="dbt-model-diff-spark-"))
+    wt_base = tmp_dir / "base"
+    wt_head = tmp_dir / "head"
+    try:
+        run(["git", "-C", str(repo_root), "worktree", "add", "--force", str(wt_base), base_ref])
+        run(["git", "-C", str(repo_root), "worktree", "add", "--force", str(wt_head), head_ref])
+
+        base_proj = wt_base / project_rel
+        head_proj = wt_head / project_rel
+        base_registry = load_project(base_proj)
+        head_registry = load_project(head_proj)
+        base_sources = load_seeds(spark, base_proj)
+        head_sources = load_seeds(spark, head_proj)
+
+        return run_model_diff(
+            spark,
+            base_registry,
+            head_registry,
+            model=model,
+            key_cols=key_cols,
+            base_sources=base_sources,
+            head_sources=head_sources or base_sources,
+            where=where,
+            sample=sample,
+            col_stats=col_stats,
+            config=config,
+            base_label=base_ref,
+            head_label=head_ref,
+        )
+    finally:
+        for wt in (wt_base, wt_head):
+            try:
+                run(["git", "-C", str(repo_root), "worktree", "remove", "--force", str(wt)])
+            except Exception:
+                pass
+        shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -1,0 +1,3 @@
+from dbt_model_diff_spark.plans.registry import Model, ModelRegistry
+
+__all__ = ["Model", "ModelRegistry"]

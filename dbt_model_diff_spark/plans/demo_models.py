@@ -1,0 +1,120 @@
+"""The reference's demo warehouse project, re-expressed as registry models.
+
+1:1 port of `dbt/dbt_warehouse_demo_with_docs/models/**.sql` (stage ->
+intermediate -> core, 11 models) — they are plain ANSI SQL, which Spark
+SQL runs verbatim (SURVEY.md §2 group D). Sources are the four seed CSVs
+(`seeds/*.csv`), supplied as DataFrames under 'raw__<name>'.
+"""
+
+from __future__ import annotations
+
+from dbt_model_diff_spark.plans.registry import ModelRegistry
+
+
+def demo_registry() -> ModelRegistry:
+    r = ModelRegistry()
+
+    # --- stage (models/stage/*.sql) ---
+    r.sql(
+        "stg_customers",
+        """
+        with src as (select * from {{ source('raw', 'customers') }})
+        select
+            cast(customer_id as int) as customer_id,
+            initcap(trim(customer_name)) as customer_name,
+            lower(trim(email)) as email,
+            cast(signup_date as date) as signup_date,
+            upper(country) as country
+        from src
+        """,
+        schema="stage",
+    )
+    r.sql(
+        "stg_orders",
+        """
+        with src as (select * from {{ source('raw', 'orders') }})
+        select
+            cast(order_id as int) as order_id,
+            cast(customer_id as int) as customer_id,
+            cast(order_date as date) as order_date,
+            lower(status) as status
+        from src
+        """,
+        schema="stage",
+    )
+    r.sql(
+        "stg_order_items",
+        """
+        with src as (select * from {{ source('raw', 'order_items') }})
+        select
+            cast(order_id as int) as order_id,
+            cast(product_id as int) as product_id,
+            cast(quantity as int) as quantity,
+            cast(unit_price as decimal(10,2)) as unit_price,
+            cast(quantity as int) * cast(unit_price as decimal(10,2)) as line_total
+        from src
+        """,
+        schema="stage",
+    )
+    r.sql(
+        "stg_products",
+        """
+        with src as (select * from {{ source('raw', 'products') }})
+        select
+            cast(product_id as int) as product_id,
+            initcap(trim(product_name)) as product_name,
+            initcap(trim(category)) as category,
+            cast(list_price as decimal(10,2)) as list_price
+        from src
+        """,
+        schema="stage",
+    )
+
+    # --- intermediate (models/intermediate/*.sql) ---
+    r.sql(
+        "int_customers",
+        """
+        select c.*,
+               case when c.country in ('UK', 'US') then 'EN' else 'EN' end as locale
+        from {{ ref('stg_customers') }} c
+        """,
+        schema="intermediate",
+    )
+    r.sql(
+        "int_orders",
+        """
+        select o.order_id, o.order_date, o.status,
+               c.customer_id, c.customer_name, c.country
+        from {{ ref('stg_orders') }} o
+        left join {{ ref('stg_customers') }} c on c.customer_id = o.customer_id
+        """,
+        schema="intermediate",
+    )
+    r.sql(
+        "int_products",
+        "select p.* from {{ ref('stg_products') }} p",
+        schema="intermediate",
+    )
+    r.sql(
+        "int_order_agg",
+        """
+        with items as (
+            select oi.order_id,
+                   sum(oi.line_total) as order_total,
+                   sum(oi.quantity) as item_count
+            from {{ ref('stg_order_items') }} oi
+            group by oi.order_id
+        )
+        select o.order_id, o.order_date, o.status, o.customer_id,
+               o.customer_name, o.country, i.item_count, i.order_total
+        from items i
+        join {{ ref('int_orders') }} o on o.order_id = i.order_id
+        """,
+        schema="intermediate",
+    )
+
+    # --- core (models/core/*.sql) ---
+    r.sql("dim_customers", "select * from {{ ref('int_customers') }}", schema="core")
+    r.sql("dim_products", "select * from {{ ref('int_products') }}", schema="core")
+    r.sql("fct_orders", "select * from {{ ref('int_order_agg') }}", schema="core")
+    return r

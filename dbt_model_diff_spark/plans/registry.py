@@ -1,0 +1,143 @@
+"""Model registry + DAG builder — the engine-native replacement for
+`dbt build` (reference C3, `core/dbt_runner.py:11-39`) and manifest-based
+relation resolution (A8, `core/manifest.py:11-52`).
+
+A model is a SQL string using dbt-style ``{{ ref('name') }}`` /
+``{{ source('schema', 'table') }}`` Jinja-lite references, or a Python
+DataFrame-builder function. ``build()`` topologically orders the DAG and
+materializes each model as a temp view (the analogue of the demo
+project's `+materialized: table`, `dbt_project.yml:12-20`), leaving
+everything LAZY: a "built" model is a logical plan, so Catalyst can fuse,
+prune, and push down across model boundaries — something the reference's
+per-model warehouse CTAS can never do. Materialization is an explicit
+choice at diff/snapshot time (snapshots.py).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}")
+_SOURCE_RE = re.compile(
+    r"\{\{\s*source\(\s*['\"]([A-Za-z0-9_]+)['\"]\s*,\s*['\"]([A-Za-z0-9_]+)['\"]\s*\)\s*\}\}"
+)
+
+
+@dataclass
+class Model:
+    name: str
+    sql: str | None = None
+    builder: Callable[[SparkSession, dict[str, DataFrame]], DataFrame] | None = None
+    schema: str = "main"  # namespace label (reference D19 custom schema macro)
+    description: str = ""
+
+    def refs(self) -> list[str]:
+        if self.sql is None:
+            return []
+        return _REF_RE.findall(self.sql)
+
+    def sources(self) -> list[tuple[str, str]]:
+        if self.sql is None:
+            return []
+        return _SOURCE_RE.findall(self.sql)
+
+
+class ModelRegistry:
+    """Name -> Model mapping with dependency-ordered build.
+
+    Two registries at two "refs" (e.g. two git worktrees, or just two
+    in-memory variants) are the inputs to a model diff — see
+    ``dbt_model_diff_spark.operators.model_diff.run_model_diff``.
+    """
+
+    def __init__(self) -> None:
+        self._models: dict[str, Model] = {}
+
+    def add(self, model: Model) -> "ModelRegistry":
+        self._models[model.name] = model
+        return self
+
+    def sql(self, name: str, sql: str, schema: str = "main", description: str = "") -> "ModelRegistry":
+        return self.add(Model(name=name, sql=sql, schema=schema, description=description))
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._models
+
+    def models(self) -> dict[str, Model]:
+        return dict(self._models)
+
+    def upstream_closure(self, targets: list[str]) -> list[str]:
+        """All models needed to build ``targets`` (dbt's `--select model`
+        pulls upstream models the same way)."""
+        seen: set[str] = set()
+        stack = list(targets)
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            if n not in self._models:
+                raise KeyError(f"model '{n}' not registered")
+            seen.add(n)
+            stack.extend(self._models[n].refs())
+        return self.topo_order([n for n in seen])
+
+    def topo_order(self, names: list[str] | None = None) -> list[str]:
+        names = names if names is not None else list(self._models)
+        name_set = set(names)
+        state: dict[str, int] = {}
+        order: list[str] = []
+
+        def visit(n: str, path: tuple[str, ...]) -> None:
+            if state.get(n) == 2:
+                return
+            if state.get(n) == 1:
+                cycle = " -> ".join(path + (n,))
+                raise ValueError(f"model cycle: {cycle}")
+            state[n] = 1
+            for dep in self._models[n].refs():
+                if dep in name_set:
+                    visit(dep, path + (n,))
+            state[n] = 2
+            order.append(n)
+
+        for n in sorted(names):
+            visit(n, ())
+        return order
+
+    def compile_sql(self, model: Model) -> str:
+        """Resolve {{ ref }} / {{ source }} to plain view names."""
+        assert model.sql is not None
+        out = _REF_RE.sub(lambda m: m.group(1), model.sql)
+        out = _SOURCE_RE.sub(lambda m: f"{m.group(1)}__{m.group(2)}", out)
+        return out
+
+    def build(
+        self,
+        spark: SparkSession,
+        sources: dict[str, DataFrame] | None = None,
+        select: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Build models (all, or ``select`` + upstream) as temp views.
+
+        ``sources`` maps 'schema__table' (or plain table) names to input
+        DataFrames — the analogue of dbt seeds/sources.
+        """
+        built: dict[str, DataFrame] = {}
+        for key, df in (sources or {}).items():
+            df.createOrReplaceTempView(key)
+        order = (
+            self.upstream_closure(select) if select else self.topo_order()
+        )
+        for name in order:
+            model = self._models[name]
+            if model.builder is not None:
+                df = model.builder(spark, built)
+            else:
+                df = spark.sql(self.compile_sql(model))
+            df.createOrReplaceTempView(name)
+            built[name] = df
+        return built

@@ -1,0 +1,70 @@
+"""profiles.yml loader (reference C5, `core/dbt_profiles.py:14-85`).
+
+Same resolution ladder: explicit profile arg -> $DBT_PROFILE -> the sole
+profile in the file; target arg -> profile's default target. The
+reference accepts types postgres/redshift (`core/dbt_profiles.py:71-75`);
+this engine accepts type 'spark' and returns its config dict (master,
+app_name, any spark.* conf keys) for SessionBuilder consumption.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+@dataclass(frozen=True)
+class SparkConnInfo:
+    master: str = "local[*]"
+    app_name: str = "dbt_model_diff_spark"
+    conf: dict[str, str] = field(default_factory=dict)
+
+
+def load_conn_info(
+    profiles_dir: Path | str,
+    profile: str | None = None,
+    target: str | None = None,
+) -> tuple[SparkConnInfo, str]:
+    """Resolve (conn_info, adapter_type) from profiles.yml."""
+    import yaml
+
+    path = Path(profiles_dir) / "profiles.yml"
+    if not path.exists():
+        raise FileNotFoundError(f"profiles.yml not found in {profiles_dir}")
+    data = yaml.safe_load(path.read_text()) or {}
+    profiles = {k: v for k, v in data.items() if isinstance(v, dict) and "outputs" in v}
+
+    name = profile or os.environ.get("DBT_PROFILE")
+    if not name:
+        if len(profiles) != 1:
+            raise ValueError(
+                f"multiple profiles found ({sorted(profiles)}); pass --profile"
+            )
+        name = next(iter(profiles))
+    if name not in profiles:
+        raise ValueError(f"profile '{name}' not found (have: {sorted(profiles)})")
+
+    prof = profiles[name]
+    tgt = target or prof.get("target")
+    outputs = prof.get("outputs", {})
+    if tgt not in outputs:
+        raise ValueError(f"target '{tgt}' not in profile '{name}' (have: {sorted(outputs)})")
+
+    out: dict[str, Any] = outputs[tgt]
+    wtype = str(out.get("type", "")).lower()
+    if wtype != "spark":
+        raise ValueError(
+            f"unsupported warehouse type '{wtype}' — this engine runs on Spark; "
+            "set `type: spark` in profiles.yml"
+        )
+    conf = {k: str(v) for k, v in out.items() if k.startswith("spark.")}
+    return (
+        SparkConnInfo(
+            master=str(out.get("master", "local[*]")),
+            app_name=str(out.get("app_name", "dbt_model_diff_spark")),
+            conf=conf,
+        ),
+        wtype,
+    )

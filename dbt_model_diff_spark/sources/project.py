@@ -1,0 +1,47 @@
+"""Project loader: a directory of model SQL files -> ModelRegistry.
+
+The Spark-native analogue of a dbt project (reference layout:
+`dbt/dbt_warehouse_demo_with_docs/`): ``models/**/*.sql`` hold one model
+per file (file stem = model name, subdirectory = schema label, dbt-style
+``{{ ref() }}`` / ``{{ source() }}``), ``seeds/*.csv`` are loaded as
+``raw__<name>`` source frames.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_model_diff_spark.plans.registry import Model, ModelRegistry
+from dbt_model_diff_spark.sources.readers import read_csv_seed
+
+
+def load_project(project_dir: Path | str) -> ModelRegistry:
+    project_dir = Path(project_dir)
+    models_dir = project_dir / "models"
+    registry = ModelRegistry()
+    if not models_dir.is_dir():
+        raise FileNotFoundError(f"no models/ directory under {project_dir}")
+    for sql_path in sorted(models_dir.rglob("*.sql")):
+        schema = (
+            sql_path.parent.name if sql_path.parent != models_dir else "main"
+        )
+        registry.add(
+            Model(name=sql_path.stem, sql=sql_path.read_text(), schema=schema)
+        )
+    return registry
+
+
+def load_seeds(
+    spark: SparkSession, project_dir: Path | str, source_schema: str = "raw"
+) -> dict[str, DataFrame]:
+    """``seeds/*.csv`` -> {'raw__<stem>': DataFrame} (reference A6)."""
+    seeds_dir = Path(project_dir) / "seeds"
+    out: dict[str, DataFrame] = {}
+    if seeds_dir.is_dir():
+        for csv_path in sorted(seeds_dir.glob("*.csv")):
+            out[f"{source_schema}__{csv_path.stem}"] = read_csv_seed(
+                spark, str(csv_path)
+            )
+    return out

@@ -1,0 +1,147 @@
+"""Full-path e2e: throwaway git repo with a model at two refs, driven
+through the CLI with --format json — the Spark-native port of the
+reference's only integration test (test_postgres_e2e.py:242-310)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from dbt_model_diff_spark.formatters import render_json, render_markdown, render_text
+
+
+def _git(repo: Path, *args: str) -> None:
+    subprocess.run(
+        ["git", "-C", str(repo), *args],
+        check=True,
+        capture_output=True,
+        env={
+            "GIT_AUTHOR_NAME": "t",
+            "GIT_AUTHOR_EMAIL": "t@t",
+            "GIT_COMMITTER_NAME": "t",
+            "GIT_COMMITTER_EMAIL": "t@t",
+            "PATH": "/usr/bin:/bin:/usr/local/bin",
+            "HOME": str(repo),
+        },
+    )
+
+
+@pytest.fixture()
+def golden_repo(tmp_path):
+    repo = tmp_path / "proj"
+    (repo / "models").mkdir(parents=True)
+    (repo / "seeds").mkdir()
+    (repo / "seeds" / "customers.csv").write_text(
+        "id,name\n1,Alice\n2,Bob\n3,Chandra\n4,Deepak\n"
+    )
+    model = repo / "models" / "dim_customers.sql"
+    model.write_text(
+        "select id as customer_id, name from {{ source('raw', 'customers') }} "
+        "where id <= 3 order by id"
+    )
+    _git(repo, "init", "-b", "main")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-m", "base model")
+    _git(repo, "checkout", "-b", "feature/include-4")
+    model.write_text(
+        "select id as customer_id, name from {{ source('raw', 'customers') }} "
+        "where id <= 4 order by id"
+    )
+    _git(repo, "commit", "-am", "widen filter")
+    _git(repo, "checkout", "main")
+    return repo
+
+
+def test_cli_golden_json(spark, golden_repo, capsys, monkeypatch):
+    from dbt_model_diff_spark import cli
+
+    # reuse the test session instead of building a new one inside main()
+    monkeypatch.setattr(
+        "dbt_model_diff_spark.session.get_spark", lambda **kw: spark
+    )
+    rc = cli.main(
+        [
+            "diff",
+            "dim_customers",
+            "--keys",
+            "customer_id",
+            "--base",
+            "main",
+            "--head",
+            "feature/include-4",
+            "--project-dir",
+            str(golden_repo),
+            "--format",
+            "json",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rowcounts"]["base"] == 3
+    assert out["rowcounts"]["head"] == 4
+    assert out["row_diff"]["added"] == 1
+    assert out["row_diff"]["removed"] == 0
+    assert out["row_diff"]["changed"] == 0
+    assert out["meta"]["mode"] == "FULL_DIFF"
+
+
+def test_cli_bare_form_and_validation(golden_repo):
+    from dbt_model_diff_spark import cli
+
+    with pytest.raises(SystemExit):
+        cli.main([])  # missing model
+    with pytest.raises(SystemExit):
+        cli.main(["diff", "m", "--format", "yaml"])  # bad format
+
+
+def test_formatters_render_all_sections():
+    result = {
+        "meta": {"model": "m", "mode": "FULL_DIFF", "keys": ["id"], "base": "a", "head": "b"},
+        "rowcounts": {"base": 3, "head": 4},
+        "schema_diff": {"only_in_base": ["gone"], "only_in_head": ["new"], "common": ["id", "v"]},
+        "column_profile": {
+            "v": {
+                "base": {"nulls": 0, "distinct": 3, "null_pct": 0.0, "uniq_pct": 100.0},
+                "head": {"nulls": 1, "distinct": 3, "null_pct": 25.0, "uniq_pct": 75.0},
+            }
+        },
+        "row_diff": {"added": 1, "removed": 0, "changed": 2, "sample_keys": [[7], [9]]},
+    }
+    j = json.loads(render_json(result))
+    assert j["row_diff"]["changed"] == 2
+    md = render_markdown(result)
+    assert "| base | 3 |" in md
+    assert "`+ new`" in md and "`- gone`" in md
+    assert "25.0%" in md
+    txt = render_text(result)
+    assert "added=1" in txt and "changed=2" in txt
+
+
+def test_profiles_loader(tmp_path):
+    from dbt_model_diff_spark.sources.profiles import load_conn_info
+
+    (tmp_path / "profiles.yml").write_text(
+        """
+myproj:
+  target: dev
+  outputs:
+    dev:
+      type: spark
+      master: local[2]
+      spark.sql.shuffle.partitions: 8
+    pg:
+      type: postgres
+"""
+    )
+    conn, wtype = load_conn_info(tmp_path)
+    assert wtype == "spark"
+    assert conn.master == "local[2]"
+    assert conn.conf["spark.sql.shuffle.partitions"] == "8"
+
+    with pytest.raises(ValueError, match="unsupported warehouse type"):
+        load_conn_info(tmp_path, target="pg")
+    with pytest.raises(ValueError, match="not found"):
+        load_conn_info(tmp_path, profile="ghost")

@@ -1,0 +1,173 @@
+"""Model registry / DAG builder / run_model_diff tests — ports the
+reference's e2e golden scenario (test_postgres_e2e.py) and exercises the
+11-model demo project (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+
+from dbt_model_diff_spark.operators.model_diff import run_model_diff
+from dbt_model_diff_spark.plans.demo_models import demo_registry
+from dbt_model_diff_spark.plans.registry import Model, ModelRegistry
+
+
+@pytest.fixture(scope="module")
+def seeds(spark):
+    """The demo seed CSVs (4 rows each), as raw all-string-ish frames."""
+    customers = spark.createDataFrame(
+        [
+            ("1", "  alice SMITH ", " Alice@Example.COM ", "2024-01-05", "uk"),
+            ("2", "bob jones", "BOB@x.org", "2024-02-10", "us"),
+            ("3", " chandra rao", "chandra@y.in", "2024-03-15", "in"),
+            ("4", "deepak nair ", "deepak@z.in", "2024-04-20", "in"),
+        ],
+        "customer_id string, customer_name string, email string, signup_date string, country string",
+    )
+    orders = spark.createDataFrame(
+        [
+            ("10", "1", "2024-02-01", "COMPLETED"),
+            ("11", "2", "2024-03-01", "Pending"),
+            ("12", "1", "2024-04-01", "completed"),
+            ("13", "3", "2024-05-01", "CANCELLED"),
+        ],
+        "order_id string, customer_id string, order_date string, status string",
+    )
+    order_items = spark.createDataFrame(
+        [
+            ("10", "100", "2", "9.99"),
+            ("10", "101", "1", "5.00"),
+            ("11", "100", "3", "9.99"),
+            ("12", "102", "4", "2.50"),
+        ],
+        "order_id string, product_id string, quantity string, unit_price string",
+    )
+    products = spark.createDataFrame(
+        [
+            ("100", " widget", "tools", "9.99"),
+            ("101", "gadget ", "tools", "5.00"),
+            ("102", "sprocket", "parts", "2.50"),
+        ],
+        "product_id string, product_name string, category string, list_price string",
+    )
+    return {
+        "raw__customers": customers,
+        "raw__orders": orders,
+        "raw__order_items": order_items,
+        "raw__products": products,
+    }
+
+
+def test_demo_dag_topo_and_build(spark, seeds):
+    r = demo_registry()
+    order = r.topo_order()
+    assert order.index("stg_orders") < order.index("int_orders")
+    assert order.index("int_orders") < order.index("int_order_agg")
+    assert order.index("int_order_agg") < order.index("fct_orders")
+
+    built = r.build(spark, sources=seeds)
+    assert len(built) == 11
+
+    stg = {row["customer_id"]: row for row in built["stg_customers"].collect()}
+    assert stg[1]["customer_name"] == "Alice Smith"  # initcap(trim(...))
+    assert stg[1]["email"] == "alice@example.com"
+    assert stg[1]["country"] == "UK"
+    assert stg[1]["signup_date"] == datetime.date(2024, 1, 5)
+
+    fct = {row["order_id"]: row for row in built["fct_orders"].collect()}
+    assert fct[10]["order_total"] == Decimal("24.98")  # 2*9.99 + 1*5.00
+    assert fct[10]["item_count"] == 3
+    assert fct[10]["customer_name"] == "Alice Smith"
+    assert 13 not in fct  # order with no items absent (inner join)
+
+
+def test_select_builds_upstream_only(spark, seeds):
+    r = demo_registry()
+    built = r.build(spark, sources=seeds, select=["int_orders"])
+    assert set(built) == {"stg_customers", "stg_orders", "int_orders"}
+
+
+def test_cycle_detection(spark):
+    r = ModelRegistry()
+    r.sql("a", "select * from {{ ref('b') }}")
+    r.sql("b", "select * from {{ ref('a') }}")
+    with pytest.raises(ValueError, match="cycle"):
+        r.topo_order()
+
+
+def test_missing_ref(spark):
+    r = ModelRegistry()
+    r.sql("a", "select * from {{ ref('ghost') }}")
+    with pytest.raises(KeyError, match="ghost"):
+        r.upstream_closure(["a"])
+
+
+def test_builder_function_model(spark, seeds):
+    from pyspark.sql import functions as F
+
+    r = demo_registry()
+    r.add(
+        Model(
+            name="uk_customers",
+            builder=lambda s, built: built["stg_customers"].filter(
+                F.col("country") == "UK"
+            ),
+        )
+    )
+    # builder models have no SQL refs; build everything so deps exist
+    built = r.build(spark, sources=seeds)
+    assert built["uk_customers"].count() == 1
+
+
+def test_e2e_golden_via_model_diff(spark):
+    """The reference's whole e2e scenario (test_postgres_e2e.py:299-307)
+    through the model layer: one model at two 'refs' differing by a
+    filter; diff on customer_id -> base=3/head=4, added=1."""
+    raw = spark.createDataFrame(
+        [(1, "Alice"), (2, "Bob"), (3, "Chandra"), (4, "Deepak")],
+        "id int, name string",
+    )
+    base_reg = ModelRegistry().sql(
+        "dim_customers",
+        "select id as customer_id, name from {{ source('raw', 'customers') }} "
+        "where id <= 3 order by id",
+    )
+    head_reg = ModelRegistry().sql(
+        "dim_customers",
+        "select id as customer_id, name from {{ source('raw', 'customers') }} "
+        "where id <= 4 order by id",
+    )
+    res = run_model_diff(
+        spark,
+        base_reg,
+        head_reg,
+        model="dim_customers",
+        key_cols=["customer_id"],
+        base_sources={"raw__customers": raw},
+        base_label="main",
+        head_label="feature/include-4",
+    )
+    assert res["rowcounts"] == {"base": 3, "head": 4}
+    assert res["row_diff"]["added"] == 1
+    assert res["row_diff"]["removed"] == 0
+    assert res["row_diff"]["changed"] == 0
+    assert res["meta"]["model"] == "dim_customers"
+    assert res["meta"]["diff_schema"].startswith("dbt_model_diff__dim_customers")
+
+
+def test_model_diff_value_change(spark):
+    raw = spark.createDataFrame(
+        [(1, "Alice", 10.0), (2, "Bob", 20.0)], "id int, name string, score double"
+    )
+    base_reg = ModelRegistry().sql(
+        "m", "select id, name, score from {{ source('raw', 't') }}"
+    )
+    head_reg = ModelRegistry().sql(
+        "m", "select id, name, score * 2 as score from {{ source('raw', 't') }}"
+    )
+    res = run_model_diff(
+        spark, base_reg, head_reg, "m", ["id"], base_sources={"raw__t": raw}
+    )
+    assert res["row_diff"]["changed"] == 2
