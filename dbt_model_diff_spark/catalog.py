@@ -624,3 +624,322 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         emb.filter(F.col("vec_id") < 3), emb, k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Extensions batch 2: LSH near-dup pipeline, SimHash, window functions,
+# set ops, sessionization. (Window functions / set ops are explicitly
+# ABSENT from the reference — SURVEY.md §2F — and provided as engine
+# extensions for the training-data-pipeline surface.)
+# ---------------------------------------------------------------------------
+
+_SIGS_SQL = (
+    _shingle_sql(3)
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(8))
+    + " FROM sh GROUP BY doc_id)"
+)
+
+_BANDS_PRED = " OR ".join(
+    f"(a.mh{2*b} = b.mh{2*b} AND a.mh{2*b+1} = b.mh{2*b+1})" for b in range(4)
+)
+
+
+@register(
+    "dedup_lsh_pairs",
+    _SIGS_SQL
+    + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sigs a, sigs b
+WHERE a.doc_id < b.doc_id AND ({_BANDS_PRED})
+""",
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (4 bands x 2 rows over the MinHash
+    signatures). The Spark side buckets+joins on band hashes — shuffle
+    scales with bucket sizes; the oracle's O(n^2) scan is only viable at
+    oracle scale."""
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    # max_bucket_size high: the oracle has no bucket-size guard
+    return dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+    )
+
+
+@register(
+    "dedup_jaccard_verified",
+    _SIGS_SQL
+    + f""",
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a, sigs b
+  WHERE a.doc_id < b.doc_id AND ({_BANDS_PRED})
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh s1 ON s1.doc_id = c.id_a
+  JOIN dsh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+""",
+)
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for every LSH candidate pair — the verify
+    stage of the near-dup pipeline (LSH recall is probabilistic; Jaccard
+    over shingle sets is ground truth)."""
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+    )
+    return dedup.ngram_jaccard_pairs(sh, cand)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(60))
+    return (
+        _shingle_sql(3)
+        + f""",
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 2, 15) AS BIGINT) AS h FROM sh
+),
+bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+    )
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints from shingle md5s — one groupBy with 60
+    conditional sums (map-side combine; no Python in the path)."""
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
+    return dedup.simhash(sh)
+
+
+
+def _simhash_fp_cte() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(60))
+    return (
+        _shingle_sql(3)
+        + f""",
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 2, 15) AS BIGINT) AS h FROM sh
+),
+bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits)
+"""
+    )
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    _simhash_fp_cte()
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a, fp b
+WHERE a.doc_id < b.doc_id
+  AND (a.simhash >> 44) = (b.simhash >> 44)
+  AND bit_count(xor(a.simhash, b.simhash)) <= 8
+""",
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, blocked on the high 16 bits (the same
+    blocking runs in the oracle so semantics match exactly)."""
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
+    fp = dedup.simhash(sh)
+    return dedup.simhash_near_pairs(fp, max_hamming=8)
+
+
+@register(
+    "window_running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(18,2)) AS running_total
+FROM orders
+""",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function (beyond-reference extension): per-customer running
+    order total. Decimal cumsum -> exact, order fixed by (date, key)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "window_dedup_keep_latest",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def window_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup via row_number — the standard Spark
+    pattern for 'latest record wins' compaction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "setop_except_intersect",
+    """
+WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0),
+ex AS (SELECT o_orderkey, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)),
+inter AS (SELECT o_orderkey, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+SELECT * FROM ex UNION ALL SELECT * FROM inter
+""",
+)
+def setop_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION ALL (absent from the reference —
+    SURVEY.md §2F — provided as engine extensions)."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 5 == 0)
+    ex = a.exceptAll(b).distinct().withColumn("op", F.lit("except"))
+    inter = a.intersect(b).withColumn("op", F.lit("intersect"))
+    return ex.unionAll(inter)
+
+
+@register(
+    "events_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM g
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + running sum — the batch
+    twin of the streaming session-window operator."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = read_table(spark, sf_dir, "events")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(prev_ts.cast("timestamp"))
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(cum).cast("bigint").alias("session_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (rows-only driver check — no oracle entry):
+# Pandas-UDF multimodal pipelines and approximate ANN.
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas pipeline: synthesize binary blobs -> stub-decode header
+    -> byte-histogram features; joins decode metadata with feature length.
+    Codec is stubbed (no image libs in container) — plumbing is real."""
+    from dbt_model_diff_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = mm.synthesize_binary(docs)
+    decoded = mm.decode_stub(media)
+    feats = mm.byte_histogram_features(media).select(
+        "doc_id", F.size("features").alias("n_features")
+    )
+    return decoded.join(feats, on="doc_id").select(
+        "doc_id", "width", "height", "payload_len", "ok", "n_features"
+    )
+
+
+@register("knn_ivf")
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for 3 query vectors (recall measured against
+    knn_bruteforce in tests; approximate by construction -> rows-only)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=10, k_centroids=16, probes=8
+    )
+
+
+@register("embedding_near_dup")
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH buckets +
+    exact cosine verify (hyperplanes from a Python RNG -> rows-only)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # synthetic embeddings top out near cosine 0.44 — 0.35 keeps the
+    # result non-trivial while still "near-dup" for this data
+    pairs = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.35, n_planes=8, dim=64
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cos_sim"), 4).alias("cos_sim_r")
+    )

@@ -1,0 +1,164 @@
+"""Multimodal column plumbing (SURVEY.md §7 step 6).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct. The Spark-side plumbing — schemas, Arrow batch shapes,
+``mapInPandas`` signatures, partition sizing — is real and tested; the
+codec step is stubbed because decode libraries (PIL/ffmpeg/librosa) are
+not in this container:
+
+- ``decode_stub``: parses a deterministic fake header (see
+  ``synthesize_binary``) instead of a real codec. Swapping in PIL is a
+  one-function change (`_decode_batch`).
+- ``byte_histogram_features``: a REAL feature extractor (256-bin byte
+  histogram, L1-normalized) — no codec needed, fully deterministic.
+
+Scale notes: mapInPandas streams Arrow batches, so per-batch memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` x avg blob
+size — for 100 MB+ blobs set that conf low (e.g. 32) and repartition so
+a partition's blobs fit the executor; blobs never pass through a
+shuffle here (all ops are map-side).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# fake container format: magic 'DMDS' + u16 width + u16 height + payload
+_MAGIC = b"DMDS"
+_HEADER_FMT = ">4sHH"  # keep as a plain string: Struct objects don't pickle
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media blobs from text (test/fixture path): a
+    parseable header + utf-8 payload. Real pipelines land blobs via
+    ``spark.read.format('binaryFile')`` or parquet binary columns."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    w = (F.length(F.col(text_col)) % 1024).cast("int")
+    h = ((F.length(F.col(text_col)) * 7) % 768).cast("int")
+    header = F.concat(
+        F.lit(_MAGIC),
+        _be16(w),
+        _be16(h),
+    )
+    return df.select(
+        "doc_id",
+        F.concat(header, payload).alias("content"),
+        F.lit("image/x-dmds").alias("media_type"),
+        (F.octet_length(payload) + F.lit(_HEADER_SIZE)).cast("int").alias("byte_len"),
+    )
+
+
+def _be16(col):
+    """2-byte big-endian encoding of an int column, JVM-side."""
+    return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload_len", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def decode_stub(media: DataFrame) -> DataFrame:
+    """'Decode' each blob via mapInPandas (Arrow-batched). The stub parses
+    the fake header; a real build replaces ``_decode_batch``'s body with
+    PIL/ffmpeg calls — the Spark plumbing is identical."""
+
+    def _decode_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content)
+                if len(blob) >= _HEADER_SIZE and blob[:4] == _MAGIC:
+                    _, w, h = struct.unpack(_HEADER_FMT, blob[:_HEADER_SIZE])
+                    rows.append((doc_id, w, h, len(blob) - _HEADER_SIZE, True))
+                else:
+                    rows.append((doc_id, None, None, None, False))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "payload_len", "ok"]
+            )
+
+    return media.select("doc_id", "content").mapInPandas(
+        _decode_batch, schema=DECODED_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def byte_histogram_features(media: DataFrame, bins: int = 64) -> DataFrame:
+    """Real feature extraction: L1-normalized byte histogram per blob via
+    mapInPandas + numpy (vectorized per Arrow batch)."""
+
+    def _featurize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                arr = np.frombuffer(bytes(content), dtype=np.uint8)
+                hist = np.bincount(arr // (256 // bins), minlength=bins).astype(
+                    "float64"
+                )
+                total = hist.sum()
+                feats.append(
+                    (hist / total if total else hist).astype("float32").tolist()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media.select("doc_id", "content").mapInPandas(
+        _featurize, schema=FEATURES_SCHEMA
+    )
+
+
+def frame_sample_stub(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' plumbing: one output row per sampled offset
+    (video frame analogue). Demonstrates the 1->N mapInPandas shape."""
+
+    def _sample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_off, out_val = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content)
+                for off in range(0, len(blob), every_n_bytes):
+                    out_ids.append(doc_id)
+                    out_off.append(off)
+                    out_val.append(int(blob[off]))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "offset": out_off, "byte_val": out_val}
+            )
+
+    return media.select("doc_id", "content").mapInPandas(
+        _sample,
+        schema="doc_id long, offset int, byte_val int",
+    )

@@ -1,0 +1,163 @@
+"""Structured Streaming operators over the events table.
+
+The reference has zero streaming surface (SURVEY.md §2F); these are the
+engine extensions for continuous ingestion at scale:
+
+- ``hourly_rollup_stream``: watermarked tumbling-window aggregation —
+  the streaming twin of the batch ``events_hourly_rollup`` catalog query
+  (same groupBy keys, same aggregates). Late rows beyond the watermark
+  are dropped; state is bounded by (watermark + window) per key.
+- ``sessionize_stream``: gap-based session windows via the built-in
+  ``session_window`` — bounded state, mergeable sessions.
+- ``stateful_running_max``: applyInPandasWithState custom stateful
+  operator (per-user running max of `value`) — the template for
+  operators the built-ins can't express.
+
+All sources are file streams over the driver's parquet; tests run with
+``Trigger.AvailableNow`` + memory sink and assert equality against the
+batch twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with the same ns->us
+    timestamp normalization as the batch reader (sources/readers.py)."""
+    # the file source wants a directory: stream the sf dir, globbed down to
+    # the events file(s)
+    df = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling 1-hour rollup by event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user with a gap timeout — bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("running_max", T.DoubleType())])
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("running_max", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def stateful_running_max(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running max of `value` + count of events seen. Template for logic the
+    built-in aggregations can't express (per-key mutable state across
+    micro-batches)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            running_max, n_seen = state.get
+        else:
+            running_max, n_seen = float("-inf"), 0
+        for pdf in pdfs:
+            if len(pdf):
+                running_max = max(running_max, float(pdf["value"].max()))
+                n_seen += len(pdf)
+        state.update((running_max, n_seen))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [user_id], "running_max": [running_max], "n_seen": [n_seen]}
+        )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("running_max", T.DoubleType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming frame to completion (AvailableNow) into a memory
+    sink; returns the sink table as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,133 @@
+"""Extension operator tests: dedup family, similarity search, text ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import dedup, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different content here entirely now"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, "der schnelle braune fuchs und der faule hund"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    dup = [g for g in groups if g["dup_count"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1 and dup[0]["dup_count"] == 2
+
+    kept = dedup.exact_dedup(docs).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2, 3, 5]
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    sh = textops.shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    assert set(sigs.columns) == {"doc_id"} | {f"mh{i}" for i in range(8)}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+    }
+    # exact dup pair must always collide on every band
+    assert (1, 4) in pairs
+    # unrelated docs shouldn't pair
+    assert (3, 5) not in pairs
+
+
+def test_jaccard_values(spark, docs):
+    sh = textops.shingles(docs, n=3)
+    cand = spark.createDataFrame(
+        [(1, 4), (1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+         dedup.ngram_jaccard_pairs(sh, cand).collect()}
+    assert j[(1, 4)] == 1.0          # identical
+    assert 0.0 < j[(1, 2)] < 1.0     # near dup
+    assert j[(1, 3)] == 0.0          # disjoint
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = textops.shingles(docs, n=3)
+    fp = dedup.simhash(sh)
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert vals[1] == vals[4]  # identical docs -> identical fingerprints
+    pairs = dedup.simhash_near_pairs(fp, max_hamming=0).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 4 for r in pairs)
+
+
+def test_bucket_size_guard(spark):
+    # 100 identical docs -> one bucket of 100; guard drops it entirely
+    many = spark.createDataFrame(
+        [(i, "same words repeated here for everyone") for i in range(100)],
+        "doc_id long, text string",
+    )
+    sh = textops.shingles(many, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    guarded = dedup.lsh_candidate_pairs(sigs, max_bucket_size=10).count()
+    unguarded = dedup.lsh_candidate_pairs(sigs, max_bucket_size=1000).count()
+    assert guarded == 0
+    assert unguarded == 100 * 99 // 2
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, emb, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(q, emb, k=10, k_centroids=8, probes=8).collect()
+    }
+    # probes == centroids -> exhaustive search -> identical results
+    assert approx == exact
+    # fewer probes: recall may drop but stays useful
+    approx2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(q, emb, k=10, k_centroids=8, probes=3).collect()
+    }
+    recall = len(approx2 & exact) / len(exact)
+    assert recall >= 0.5
+
+
+def test_cosine_near_dup_pairs_selfmatch(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.cosine_near_dup_pairs(
+        df, threshold=0.99, n_planes=6, dim=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house", "en"),
+            (2, "der hund und die katze und der vogel", "de"),
+            (3, "xyzzy plugh", "zz"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in textops.language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"

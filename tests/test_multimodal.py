@@ -1,0 +1,55 @@
+"""Multimodal plumbing tests: binary columns, mapInPandas decode/feature/
+frame-sample pipelines (stubbed codec, real Spark plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import multimodal as mm
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "a" * 300), (3, "")],
+        "doc_id long, text string",
+    )
+
+
+def test_synthesize_and_decode_roundtrip(spark):
+    media = mm.synthesize_binary(_docs(spark))
+    assert [f.name for f in media.schema.fields] == [
+        "doc_id", "content", "media_type", "byte_len",
+    ]
+    decoded = {r["doc_id"]: r for r in mm.decode_stub(media).collect()}
+    assert decoded[1]["ok"] and decoded[1]["payload_len"] == 11
+    assert decoded[1]["width"] == 11 and decoded[1]["height"] == 77
+    assert decoded[2]["width"] == 300 % 1024 and decoded[2]["payload_len"] == 300
+    assert decoded[3]["ok"] and decoded[3]["payload_len"] == 0
+
+
+def test_decode_rejects_garbage(spark):
+    bad = spark.createDataFrame([(9, bytearray(b"nope"))], "doc_id long, content binary")
+    row = mm.decode_stub(bad).collect()[0]
+    assert row["ok"] is False and row["width"] is None
+
+
+def test_byte_histogram_features(spark):
+    media = mm.synthesize_binary(_docs(spark))
+    feats = {r["doc_id"]: r["features"] for r in mm.byte_histogram_features(media).collect()}
+    assert len(feats[1]) == 64
+    assert math.isclose(sum(feats[1]), 1.0, rel_tol=1e-5)
+    # doc 2 payload is all 'a' (0x61 -> bin 24 with 64 bins); header adds 8 bytes
+    assert feats[2][0x61 // 4] > 0.9
+
+
+def test_frame_sample_shape(spark):
+    media = mm.synthesize_binary(_docs(spark))
+    frames = mm.frame_sample_stub(media, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc2: 308 bytes -> offsets 0,64,...,256 -> 5 rows
+    assert len(by_doc[2]) == 5
+    assert {r["offset"] for r in by_doc[2]} == {0, 64, 128, 192, 256}
