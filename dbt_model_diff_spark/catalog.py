@@ -943,3 +943,42 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cos_sim"), 4).alias("cos_sim_r")
     )
+
+
+@register(
+    "top_revenue_orders",
+    """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> 3-table join -> agg ->
+    top-k. customer is broadcast (selective + small); lineitem never
+    shuffles before the aggregation keyed on its join key."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

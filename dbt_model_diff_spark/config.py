@@ -21,7 +21,11 @@ defaults:
   actions (the reference uses CTAS, `adapters/postgres.py:37-44`).
   'persist' = MEMORY_AND_DISK cache (single-session); 'parquet' = write +
   re-read (multi-session / audit trail, closest to CTAS); 'none' = lazy
-  recompute (only sane for tiny inputs).
+  recompute (only sane for tiny inputs); 'auto' (default) = persist only
+  when the plan contains a shuffle-producing node (Join/Aggregate/Window/
+  Sort/Distinct) — a plain scan+filter+project is cheaper to re-run per
+  action than to cache, since parquet pruning gives each action exactly
+  the columns it needs.
 """
 
 from __future__ import annotations
@@ -37,12 +41,12 @@ class DiffConfig:
     approx_distinct: bool = False
     profile_batch_size: int = 8
     parity_profile_denominator: bool = True
-    snapshot_mode: str = "persist"  # 'persist' | 'parquet' | 'none'
+    snapshot_mode: str = "auto"  # 'auto' | 'persist' | 'parquet' | 'none'
     snapshot_dir: str = "/tmp/dbt_model_diff_spark_snapshots"
     null_safe_keys: bool = False  # opt-in <=> join semantics (NOT reference parity)
 
     def __post_init__(self) -> None:
         if self.hash_algo not in ("md5", "xxhash64"):
             raise ValueError(f"hash_algo must be md5|xxhash64, got {self.hash_algo}")
-        if self.snapshot_mode not in ("persist", "parquet", "none"):
+        if self.snapshot_mode not in ("auto", "persist", "parquet", "none"):
             raise ValueError(f"bad snapshot_mode {self.snapshot_mode}")

@@ -35,6 +35,7 @@ shuffling it four times.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -131,8 +132,12 @@ def diff_frames(
         base_f = base_s.filter(where) if where else base_s
         head_f = head_s.filter(where) if where else head_s
 
-        base_count = base_f.count()
-        head_count = head_f.count()
+        # base/head actions are independent — submit both jobs at once and
+        # let the Spark scheduler interleave them (the reference runs every
+        # comparison query sequentially over one connection).
+        with ThreadPoolExecutor(2) as pool:
+            fb, fh = pool.submit(base_f.count), pool.submit(head_f.count)
+            base_count, head_count = fb.result(), fh.result()
         result["rowcounts"] = {"base": base_count, "head": head_count}
 
         sd = schema_diff(base_s.columns, head_s.columns)
@@ -144,8 +149,10 @@ def diff_frames(
             # denominators from the filtered count (`core/diff_flow.py:152-175`).
             base_p = base_s if config.parity_profile_denominator else base_f
             head_p = head_s if config.parity_profile_denominator else head_f
-            bprof = column_profile(base_p, common_cols, config)
-            hprof = column_profile(head_p, common_cols, config)
+            with ThreadPoolExecutor(2) as pool:
+                fb = pool.submit(column_profile, base_p, common_cols, config)
+                fh = pool.submit(column_profile, head_p, common_cols, config)
+                bprof, hprof = fb.result(), fh.result()
             result["column_profile"] = {
                 c: {
                     "base": {

@@ -36,8 +36,23 @@ class SnapshotManager:
         self._persisted: list[DataFrame] = []
         self._paths: list[Path] = []
 
+    @staticmethod
+    def _plan_is_expensive(df: DataFrame) -> bool:
+        """True if re-running the plan per action would redo real work —
+        i.e. the analyzed plan contains a shuffle/blocking operator. A
+        scan+filter+project is cheaper to re-run (with per-action column
+        pruning) than to materialize."""
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            return True  # can't inspect -> be safe, materialize
+        markers = ("Join", "Aggregate", "Window", "Sort", "Distinct", "Deduplicate")
+        return any(m in plan for m in markers)
+
     def snapshot(self, df: DataFrame, name: str) -> DataFrame:
         mode = self.config.snapshot_mode
+        if mode == "auto":
+            mode = "persist" if self._plan_is_expensive(df) else "none"
         if mode == "none":
             return df
         if mode == "persist":
