@@ -88,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         where=args.where,
         sample=args.sample,
         col_stats=args.col_stats,
+        keep_snapshots=args.keep_schemas,
     )
     print(FORMATTERS[args.fmt](result))
     return 0

@@ -100,10 +100,15 @@ def diff_frames(
     col_stats: bool = True,
     config: DiffConfig | None = None,
     meta: dict[str, Any] | None = None,
+    keep_snapshots: bool = False,
 ) -> dict[str, Any]:
     """Full diff of two DataFrames -> the reference's result dict
     (`core/diff_flow.py:80-94` skeleton; e2e contract
     `tests/integration/test_postgres_e2e.py:299-307`).
+
+    ``keep_snapshots`` is the --keep-schemas analogue: parquet-mode
+    snapshots survive the run for post-hoc inspection
+    (`core/diff_flow.py:271-274`).
     """
     config = config or DiffConfig()
     key_cols = key_cols or []
@@ -225,4 +230,4 @@ def diff_frames(
                 joined.unpersist()
             except Exception:
                 pass
-        snap.cleanup()
+        snap.cleanup(keep=keep_snapshots)

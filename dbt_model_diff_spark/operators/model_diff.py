@@ -35,6 +35,7 @@ def run_model_diff(
     config: DiffConfig | None = None,
     base_label: str = "base",
     head_label: str = "head",
+    keep_snapshots: bool = False,
 ) -> dict[str, Any]:
     """Build ``model`` from both registries and diff the outputs.
 
@@ -59,6 +60,7 @@ def run_model_diff(
         sample=sample,
         col_stats=col_stats,
         config=config,
+        keep_snapshots=keep_snapshots,
         meta={
             "model": model,
             "base": base_label,

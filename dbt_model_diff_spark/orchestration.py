@@ -53,8 +53,16 @@ def run_git_diff(
     sample: int = 20,
     col_stats: bool = True,
     config: DiffConfig | None = None,
+    keep_snapshots: bool = False,
 ) -> dict[str, Any]:
-    """Worktree x2 -> load project x2 -> run_model_diff."""
+    """Worktree x2 -> load project x2 -> run_model_diff.
+
+    ``keep_snapshots=True`` (--keep-schemas) forces parquet snapshots and
+    leaves them on disk under the config's snapshot_dir."""
+    if keep_snapshots:
+        from dataclasses import replace
+
+        config = replace(config or DiffConfig(), snapshot_mode="parquet")
     project_dir = Path(project_dir).resolve()
     repo_root = repo_root_of(project_dir)
     project_rel = project_dir.relative_to(repo_root)
@@ -87,6 +95,7 @@ def run_git_diff(
             config=config,
             base_label=base_ref,
             head_label=head_ref,
+            keep_snapshots=keep_snapshots,
         )
     finally:
         for wt in (wt_base, wt_head):

@@ -22,6 +22,13 @@ def sanitize_ident(raw: str, max_len: int = 60) -> str:
     return out[:max_len] if max_len else out
 
 
+def quote_ident(ident: str) -> str:
+    """Spark SQL identifier quoting: backticks, embedded backticks doubled
+    (the Spark analogue of the reference's double-quote rule,
+    `adapters/postgres.py:26-27`). Unneeded in the DataFrame API."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
 def pct(numerator: int, denominator: int) -> float:
     """Percentage with divide-by-zero -> 0.0 (reference `core/util.py:35-37`)."""
     if not denominator:

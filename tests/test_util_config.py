@@ -1,0 +1,79 @@
+"""Utility, config, snapshot-mode, and profile-variant tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from dbt_model_diff_spark.config import DiffConfig
+from dbt_model_diff_spark.operators.profile import column_profile
+from dbt_model_diff_spark.snapshots import SnapshotManager
+from dbt_model_diff_spark.util import pct, quote_ident, sanitize_ident
+
+
+def test_sanitize_ident():
+    # reference `core/util.py:8-32`: lowercase, non-alnum -> _, truncate 60
+    assert sanitize_ident("My-Model v2!") == "my_model_v2_"
+    assert sanitize_ident("a" * 100) == "a" * 60
+    assert sanitize_ident("  x  ") == "x"
+
+
+def test_pct_divide_by_zero():
+    assert pct(5, 0) == 0.0
+    assert pct(1, 4) == 25.0
+
+
+def test_quote_ident():
+    assert quote_ident("plain") == "`plain`"
+    assert quote_ident("wei`rd") == "`wei``rd`"
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        DiffConfig(hash_algo="sha1")
+    with pytest.raises(ValueError):
+        DiffConfig(snapshot_mode="cache")
+
+
+def test_profile_approx_distinct(spark):
+    df = spark.createDataFrame([Row(v=i % 50) for i in range(1000)])
+    exact = column_profile(df, ["v"], DiffConfig(approx_distinct=False))
+    approx = column_profile(df, ["v"], DiffConfig(approx_distinct=True))
+    assert exact["v"]["distinct"] == 50
+    assert abs(approx["v"]["distinct"] - 50) <= 3  # HLL ~2% error
+
+
+def test_profile_batching_equivalence(spark):
+    df = spark.createDataFrame(
+        [Row(a=i % 3, b=i % 5, c=None if i % 2 else i) for i in range(100)],
+        "a int, b int, c int",
+    )
+    one = column_profile(df, ["a", "b", "c"], DiffConfig(profile_batch_size=1))
+    big = column_profile(df, ["a", "b", "c"], DiffConfig(profile_batch_size=8))
+    assert one == big
+    assert one["c"]["nulls"] == 50
+
+
+def test_snapshot_auto_mode(spark):
+    mgr = SnapshotManager(DiffConfig(snapshot_mode="auto"))
+    plain = spark.range(10)  # trivial scan
+    joined = spark.range(10).join(spark.range(5), "id")  # shuffle op
+    assert not mgr._plan_is_expensive(plain)
+    assert mgr._plan_is_expensive(joined)
+    out = mgr.snapshot(plain, "p")
+    assert out.is_cached is False
+    out2 = mgr.snapshot(joined, "j")
+    assert out2.is_cached is True
+    mgr.cleanup()
+    assert out2.is_cached is False
+
+
+def test_keep_snapshots_parquet(spark, tmp_path):
+    from dbt_model_diff_spark import diff_frames
+
+    df = spark.createDataFrame([Row(k=1, v="a")])
+    cfg = DiffConfig(snapshot_mode="parquet", snapshot_dir=str(tmp_path))
+    diff_frames(df, df, ["k"], config=cfg, keep_snapshots=True)
+    kept = list(tmp_path.rglob("*.parquet"))
+    assert kept, "snapshots should survive with keep_snapshots=True"
+    diff_frames(df, df, ["k"], config=cfg, keep_snapshots=False)
