@@ -945,6 +945,295 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Extensions batch 3: token counting + rolling-hash fingerprints, multi-level
+# aggregation (ROLLUP / CUBE / GROUPING SETS), semi/anti joins, exact
+# median-by-ranking, as-of join, banded range join. (All absent from the
+# reference — SURVEY.md §2F — engine extensions.)
+# ---------------------------------------------------------------------------
+
+_BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@register(
+    "text_token_stats",
+    f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}'))) AS n_distinct_bpe_tokens
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenization (leftmost-
+    first alternation — identical in Java regex and RE2)."""
+    return textops.token_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_rolling_fingerprint",
+    f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_extract_all(text, '{_BPE_PAT}'),
+             t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+         (acc, t) -> (acc * 31 + t) % 1000000007) AS rolling_fp
+FROM documents
+""",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint over BPE-ish tokens —
+    one codegen'd fold, no shuffle, exact bigint arithmetic."""
+    return textops.rolling_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+_ROLLUP_AGGS_SQL = """count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total_price"""
+
+
+def _rollup_aggs():
+    return [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_price"),
+    ]
+
+
+@register(
+    "agg_rollup_orders",
+    f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       {_ROLLUP_AGGS_SQL}
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority): hierarchical subtotals + grand total in
+    one pass (Expand x3 then a single hash agg — still one shuffle)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(*_rollup_aggs())
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "agg_cube_orders",
+    f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       {_ROLLUP_AGGS_SQL}
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all 4 grouping combinations in one job."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(*_rollup_aggs())
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets_orders",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (two independent group-bys in
+    one scan)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__dmds_orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders
+        FROM __dmds_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "join_semi_customers",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 480000)
+""",
+)
+def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one very large
+    order. The filtered order side is tiny -> broadcast semi join."""
+    c = read_table(spark, sf_dir, "customer")
+    big = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    return c.join(
+        F.broadcast(big), c["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent orders."""
+    c = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "median_price_by_priority",
+    """
+SELECT o_orderpriority AS priority, o_totalprice AS median_price FROM (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+) t WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+""",
+)
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median by ranking (deterministic tie-break on the
+    key — unlike percentile_cont, identical row selection in any engine).
+    approx_percentile is the 100 TB path (see approx_profile_orders)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2.0).cast("bigint"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("median_price"),
+        )
+    )
+
+
+@register(
+    "asof_latest_purchase",
+    """
+WITH p AS (
+  SELECT user_id, ts, max(event_id) AS prior_purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, p.prior_purchase_id
+FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event gets the user's latest purchase at-or-before
+    its timestamp (union+window formulation — one shuffle; see
+    operators/temporal.py). Oracle uses DuckDB's native ASOF LEFT JOIN."""
+    from dbt_model_diff_spark.operators import temporal
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("prior_purchase_id"))
+    )
+    return temporal.asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["prior_purchase_id"],
+    ).select("event_id", "user_id", "prior_purchase_id")
+
+
+@register(
+    "range_join_value_bands",
+    """
+SELECT e.event_id, b.band FROM events e
+JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 1000000.0, 'high'))
+  AS b(lo, hi, band)
+ON e.value >= b.lo AND e.value < b.hi
+""",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: fact rows to [lo, hi) value bands via broadcast
+    nested-loop — the fact table never shuffles."""
+    from dbt_model_diff_spark.operators import temporal
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "value")
+    return temporal.range_join_bands(
+        e,
+        "value",
+        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1_000_000.0, "high")],
+        label_col="band",
+    ).select("event_id", "band")
+
+
+@register("approx_profile_orders")
+def approx_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile path: approx_count_distinct (HLL sketches — no
+    Expand, mergeable partial aggs) + approx_percentile in ONE scan.
+    Approximate by construction -> rows-only driver check; accuracy is
+    asserted against exact values in tests/test_extensions.py."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_nd_custkey"),
+        F.approx_count_distinct("o_totalprice").alias("approx_nd_totalprice"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("multimodal_resize_frames")
+def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize (stub codec) -> frame sampling (1->N rows) ->
+    per-doc frame stats. Exercises the full multimodal plumbing chain."""
+    from dbt_model_diff_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = mm.synthesize_binary(docs)
+    resized = mm.resize_stub(media, target_w=32, target_h=24)
+    frames = mm.frame_sample_stub(
+        resized.select("doc_id", "content"), every_n_bytes=16
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("byte_val").alias("max_byte"),
+    )
+
+
 @register(
     "top_revenue_orders",
     """

@@ -139,6 +139,51 @@ def byte_histogram_features(media: DataFrame, bins: int = 64) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("byte_len", T.IntegerType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFrame:
+    """'Resize' each blob via mapInPandas. STUB codec (no PIL in this
+    container): rewrites the fake header to the target dims and
+    deterministically decimates the payload to ~(target_w*target_h)/(w*h)
+    of its bytes (stride sampling) — the real build replaces the body of
+    ``_resize_batch`` with ``PIL.Image.resize``; schema, Arrow batching,
+    and partition behavior are identical."""
+
+    def _resize_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content)
+                if len(blob) < _HEADER_SIZE or blob[:4] != _MAGIC:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
+                _, w, h = struct.unpack(_HEADER_FMT, blob[:_HEADER_SIZE])
+                payload = blob[_HEADER_SIZE:]
+                src_px = max(1, w * h)
+                stride = max(1, src_px // max(1, target_w * target_h))
+                resized = payload[::stride]
+                out = struct.pack(_HEADER_FMT, _MAGIC, target_w, target_h) + resized
+                rows.append((doc_id, out, target_w, target_h, len(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "width", "height", "byte_len"]
+            )
+
+    return media.select("doc_id", "content").mapInPandas(
+        _resize_batch, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_stub(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing: one output row per sampled offset
     (video frame analogue). Demonstrates the 1->N mapInPandas shape."""

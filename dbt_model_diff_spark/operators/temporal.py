@@ -1,0 +1,100 @@
+"""Temporal join operators: as-of join and banded range join.
+
+The reference has NO temporal joins (SURVEY.md §2F — all its joins are
+conjunctive equi-joins, `core/diff_flow.py:185`); these are engine
+extensions for the event/time surface of a training-data pipeline.
+
+Scale design:
+
+- ``asof_join`` is the union+window formulation: tag both inputs, union
+  them, and run ``last(payload, ignorenulls=True)`` over a window
+  partitioned by the join keys and ordered by (ts, side). That is ONE
+  shuffle of (left + right) keyed on the join keys — versus the naive
+  range-join formulation (left JOIN right ON key AND l.ts >= r.ts, then
+  argmax per left row) which explodes to O(|left| x |matches|) rows
+  before re-aggregating. Skewed keys degrade to a single partition's
+  sort, which AQE's skew handling splits.
+- ``range_join_bands`` broadcasts the (tiny) band table and lets Spark
+  pick BroadcastNestedLoopJoin: each fact row is tested against B bands
+  map-side, no shuffle of the fact table at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TS = "__dmds_ts"
+_SIDE = "__dmds_side"
+_PAY = "__dmds_pay"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``payload_cols``
+    from the LATEST right row with the same ``on`` keys and
+    ``right.ts <= left.ts`` (``<`` when ``strict``). Unmatched left rows
+    keep NULL payloads (left-outer semantics, like DuckDB ``ASOF LEFT
+    JOIN``).
+
+    Determinism: callers should ensure ``right`` has at most one row per
+    (keys, ts) — pre-aggregate otherwise; with ties the winner is
+    plan-dependent.
+    """
+    pay_struct = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        pay_struct.alias(_PAY),
+        # At equal ts the right row must sort BEFORE the left row for
+        # inclusive (<=) semantics — and after it for strict (<).
+        F.lit(1 if strict else 0).alias(_SIDE),
+    )
+    left_cols = left.columns
+    l = left.withColumn(_TS, F.col(left_ts)).withColumn(
+        _SIDE, F.lit(0 if strict else 1)
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(_TS, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+    left_side = 0 if strict else 1
+    return matched.filter(F.col(_SIDE) == left_side).select(
+        *left_cols,
+        *[F.col(f"{_PAY}.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def range_join_bands(
+    df: DataFrame,
+    val_col: str,
+    bands: list[tuple[float, float, str]],
+    label_col: str = "band",
+) -> DataFrame:
+    """Join each row to the band ``[lo, hi)`` containing ``val_col``.
+
+    ``bands`` is a small in-memory list — broadcast, so the fact side is
+    never shuffled (BroadcastNestedLoopJoin; with non-overlapping bands
+    each row matches at most once, keeping output size == input size).
+    """
+    spark = df.sparkSession
+    band_df = spark.createDataFrame(
+        bands, schema="__lo double, __hi double, " + f"{label_col} string"
+    )
+    cond = (F.col(val_col) >= F.col("__lo")) & (F.col(val_col) < F.col("__hi"))
+    return (
+        df.join(F.broadcast(band_df), cond, "inner")
+        .drop("__lo", "__hi")
+    )

@@ -41,6 +41,59 @@ def token_count(text: Column, delimiter: str = " ") -> Column:
     return F.size(F.split(text, delimiter))
 
 
+# BPE-ish pre-tokenizer: GPT-2-style segmentation (letters / digits /
+# punctuation runs, space-prefixed) restricted to a lookahead-free subset so
+# Java regex (Spark) and RE2 (DuckDB oracle) tokenize identically — both are
+# leftmost-first on alternation.
+BPE_ISH_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def bpe_tokens(text: Column, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """Array of BPE-ish tokens via regexp_extract_all (JVM-side, codegen)."""
+    return F.regexp_extract_all(text, F.lit(pattern), 0)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish tokens, and distinct
+    BPE-ish tokens per document — all array built-ins, no Python."""
+    t = F.col(text_col)
+    toks = bpe_tokens(t)
+    return df.select(
+        "doc_id",
+        token_count(t).alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )
+
+
+# Polynomial rolling-hash parameters (Rabin-Karp): base 31, Mersenne-ish
+# modulus. Intermediate values stay < 3.6e10 << 2^63, so the fold is exact
+# bigint arithmetic in every engine (no overflow wraparound relied upon).
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint via a token-level polynomial rolling hash.
+
+    Each BPE-ish token is mapped to a 32-bit int (first 8 hex chars of its
+    md5 — engine-portable), then folded left-to-right:
+    ``h = (h * 31 + tok) % 1_000_000_007``. The whole pipeline is a single
+    codegen'd expression: no shuffle, no UDF, order-sensitive by design
+    (unlike the md5-of-whole-text fingerprint, prefix-equal docs get
+    related-but-distinct hashes and streaming chunks can be folded
+    incrementally)."""
+    expr = F.expr(
+        "aggregate("
+        f"  transform(regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0),"
+        "             t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)),"
+        "  cast(0 as bigint),"
+        f"  (acc, t) -> (acc * {ROLLING_BASE} + t) % {ROLLING_MOD}"
+        ")"
+    )
+    return df.select("doc_id", expr.alias("rolling_fp"))
+
+
 def word_marker_count(text: Column, word: str) -> Column:
     """Occurrences of ``word`` as a whole token (space-padded match)."""
     padded = F.concat(F.lit(" "), text, F.lit(" "))

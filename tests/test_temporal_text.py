@@ -1,0 +1,168 @@
+"""Tests for temporal joins (as-of, range bands) and the batch-3 text ops
+(BPE-ish tokenizer, rolling-hash fingerprint)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import temporal, textops
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts(10, 0)),
+            (2, "A", _ts(10, 30)),
+            (3, "A", _ts(9, 0)),   # before any quote -> no match
+            (4, "B", _ts(12, 0)),
+            (5, "C", _ts(12, 0)),  # key with no quotes at all
+        ],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(9, 30), 100.0),
+            ("A", _ts(10, 0), 101.0),   # equal-ts: inclusive picks this
+            ("A", _ts(10, 15), 102.0),
+            ("B", _ts(11, 0), 50.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_inclusive(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = temporal.asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts", payload_cols=["px"]
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert got == {1: 101.0, 2: 102.0, 3: None, 4: 50.0, 5: None}
+
+
+def test_asof_join_strict(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = temporal.asof_join(
+        trades,
+        quotes,
+        on=["sym"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["px"],
+        strict=True,
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    # strict: the 10:00 quote is no longer visible to the 10:00 trade
+    assert got == {1: 100.0, 2: 102.0, 3: None, 4: 50.0, 5: None}
+
+
+def test_asof_join_preserves_left_columns_and_count(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = temporal.asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts", payload_cols=["px"]
+    )
+    assert out.columns == ["trade_id", "sym", "ts", "px"]
+    assert out.count() == trades.count()
+
+
+def test_range_join_bands(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 150.0), (4, 999.0), (5, -1.0)],
+        "id long, v double",
+    )
+    out = temporal.range_join_bands(
+        df, "v", [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1e6, "high")]
+    )
+    got = {r["id"]: r["band"] for r in out.collect()}
+    # -1.0 falls in no band (inner join drops it); boundaries are [lo, hi)
+    assert got == {1: "low", 2: "mid", 3: "mid", 4: "high"}
+
+
+def test_range_join_bands_is_broadcast(spark):
+    df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    out = temporal.range_join_bands(df, "v", [(0.0, 10.0, "x")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # fact side must not shuffle
+
+
+def test_bpe_tokens_segmentation(spark):
+    df = spark.createDataFrame([("Hello world, 42 times!  done",)], "text string")
+    toks = df.select(textops.bpe_tokens(F.col("text")).alias("t")).first()["t"]
+    assert toks == ["Hello", " world", ",", " 42", " times", "!", "  ", "done"]
+    # lossless: concatenation reconstructs the input
+    assert "".join(toks) == "Hello world, 42 times!  done"
+
+
+def test_token_stats_counts(spark):
+    df = spark.createDataFrame([(7, "a b, b")], "doc_id long, text string")
+    row = textops.token_stats(df).first()
+    assert row["n_ws_tokens"] == 3
+    # tokens: ["a", " b", ",", " b"] -> 4 total, 3 distinct
+    assert row["n_bpe_tokens"] == 4
+    assert row["n_distinct_bpe_tokens"] == 3
+
+
+def test_rolling_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "gamma beta alpha"), (4, "alpha beta")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["rolling_fp"] for r in textops.rolling_fingerprint(df).collect()}
+    assert fps[1] == fps[2]          # deterministic
+    assert fps[1] != fps[3]          # order-sensitive
+    assert fps[1] != fps[4]          # prefix != whole
+    assert all(0 <= v < textops.ROLLING_MOD for v in fps.values())
+
+    # incremental property: fold of full text == continuing the fold of a
+    # prefix with the remaining tokens (chunked/streaming computation)
+    import hashlib
+
+    def tok_hash(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    def fold(tokens, acc=0):
+        for t in tokens:
+            acc = (acc * textops.ROLLING_BASE + tok_hash(t)) % textops.ROLLING_MOD
+        return acc
+
+    assert fps[1] == fold(["alpha", " beta", " gamma"])
+    assert fps[1] == fold([" gamma"], acc=fold(["alpha", " beta"]))
+
+
+def test_resize_stub_roundtrip(spark):
+    from dbt_model_diff_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "short")], "doc_id long, text string"
+    )
+    media = mm.synthesize_binary(docs)
+    resized = mm.resize_stub(media, target_w=8, target_h=8)
+    rows = {r["doc_id"]: r for r in resized.collect()}
+    assert rows[1]["width"] == 8 and rows[1]["height"] == 8
+    # resized blob is itself decodable by the stub decoder
+    decoded = {r["doc_id"]: r for r in mm.decode_stub(resized).collect()}
+    assert decoded[1]["ok"] and decoded[1]["width"] == 8
+    # payload shrank for the large doc
+    assert rows[1]["byte_len"] < 500
+
+
+def test_approx_profile_accuracy(spark, sf_dir):
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_nd"),
+        F.count_distinct("o_custkey").alias("exact_nd"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_med"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_med"),
+    ).first()
+    assert abs(row["approx_nd"] - row["exact_nd"]) / row["exact_nd"] < 0.05
+    assert abs(row["approx_med"] - row["exact_med"]) / row["exact_med"] < 0.05
