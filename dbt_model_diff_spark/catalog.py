@@ -511,11 +511,22 @@ def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 8) -> str:
-    aggs = ", ".join(
-        f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(num_hashes)
+def _minhash_agg_sql(num_hashes: int = 8) -> str:
+    """min((a_i*b + c_i) mod p) aggregates — the same universal-hash family
+    as dedup.minhash_signatures (shared constants via dedup.minhash_params)."""
+    p = dedup.MINHASH_PRIME
+    b = f"(CAST('0x' || substr(md5(shingle), 2, 15) AS BIGINT) % {p})"
+    return ", ".join(
+        f"min(({b} * {a} + {c}) % {p}) AS mh{i}"
+        for i, (a, c) in enumerate(dedup.minhash_params(num_hashes))
     )
-    return _shingle_sql(3) + f"SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    return (
+        _shingle_sql(3)
+        + f"SELECT doc_id, {_minhash_agg_sql(num_hashes)} FROM sh GROUP BY doc_id"
+    )
 
 
 @register("dedup_minhash_signatures", _minhash_oracle(8))
@@ -636,7 +647,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIGS_SQL = (
     _shingle_sql(3)
     + ", sigs AS (SELECT doc_id, "
-    + ", ".join(f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(8))
+    + _minhash_agg_sql(8)
     + " FROM sh GROUP BY doc_id)"
 )
 

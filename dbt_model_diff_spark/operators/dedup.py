@@ -5,9 +5,10 @@ Five strategies, all shuffle-conscious:
 - exact_dedup: hash-groupBy on a content fingerprint. ONE shuffle on the
   md5 (uniformly distributed — no skew), map-side partial aggs.
 - minhash_signatures / lsh_candidate_pairs: MinHash over word shingles +
-  banded LSH. The minimum hash uses lexicographic min of
-  ``md5(seed || '|' || shingle)`` — md5 hex is identical across engines,
-  so signatures are oracle-checkable, unlike JVM-specific xxhash64.
+  banded LSH. Each shingle is md5-hashed ONCE to a 60-bit int; the hash
+  family is derived by universal integer mixing ``(a_i*b + c_i) mod p`` —
+  exact bigint arithmetic identical across engines, so full signatures
+  are oracle-checkable, unlike JVM-specific xxhash64.
   Candidate generation joins docs on band buckets: the shuffle key is the
   band hash, so cost scales with bucket sizes, never all-pairs. A
   ``max_bucket_size`` guard drops degenerate buckets (boilerplate docs)
@@ -47,26 +48,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(winners, on=id_col, how="left_semi")
 
 
+# Universal-hash family for MinHash: h_i(b) = (a_i*b + c_i) mod p over a
+# 31-bit Mersenne prime. b < p and a_i < p keep every product < 2^62 —
+# exact bigint arithmetic in any engine (the DuckDB oracle runs the same
+# formula; see catalog.py). Parameters are fixed pseudo-random odd
+# multipliers (Knuth multiplicative constant), deterministic per index.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, c_i) per hash function — shared by the Spark operator and the
+    SQL oracle generator so both compute identical signatures."""
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1)) % MINHASH_PRIME
+        c = (40503 * (i + 1) + 123456791) % MINHASH_PRIME
+        out.append((a | 1, c))  # odd multiplier, never 0
+    return out
+
+
 def minhash_signatures(
     shingle_df: DataFrame,
     num_hashes: int = 8,
     id_col: str = "doc_id",
     shingle_col: str = "shingle",
 ) -> DataFrame:
-    """MinHash signature per doc: mh_i = min(md5(i || '|' || shingle)).
+    """MinHash signature per doc: mh_i = min((a_i*b + c_i) mod p) where b
+    is a 60-bit int from ONE md5 of the shingle.
 
     Single groupBy(doc) with ``num_hashes`` min() partial aggs — one
-    shuffle of (doc_id, num_hashes x 32B). Lexicographic min over md5 hex
-    is a valid min-hash family (md5 is uniform on hex strings) and is
-    bit-identical in any engine with md5.
-    """
+    shuffle of (doc_id, num_hashes x 8B longs). Hashing each shingle once
+    and deriving the family by integer mixing is ~8x less md5 work than
+    hashing per (seed, shingle), and bigint mins shuffle 4x narrower than
+    md5 hex strings."""
+    base = (
+        F.conv(F.substring(F.md5(F.col(shingle_col)), 2, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    withb = shingle_df.withColumn("__mh_b", base)
     aggs = [
-        F.min(
-            F.md5(F.concat_ws("|", F.lit(str(i)), F.col(shingle_col)))
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.col("__mh_b") * F.lit(a) + F.lit(c)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, c) in enumerate(minhash_params(num_hashes))
     ]
-    return shingle_df.groupBy(id_col).agg(*aggs)
+    return withb.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

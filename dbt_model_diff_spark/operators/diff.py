@@ -137,27 +137,45 @@ def diff_frames(
         base_f = base_s.filter(where) if where else base_s
         head_f = head_s.filter(where) if where else head_s
 
-        # base/head actions are independent — submit both jobs at once and
-        # let the Spark scheduler interleave them (the reference runs every
-        # comparison query sequentially over one connection).
-        with ThreadPoolExecutor(2) as pool:
-            fb, fh = pool.submit(base_f.count), pool.submit(head_f.count)
-            base_count, head_count = fb.result(), fh.result()
-        result["rowcounts"] = {"base": base_count, "head": head_count}
-
         sd = schema_diff(base_s.columns, head_s.columns)
         result["schema_diff"] = sd
         common_cols = sd["common"]
 
-        if col_stats and common_cols:
-            # Reference quirk: numerators from the unfiltered snapshot,
-            # denominators from the filtered count (`core/diff_flow.py:152-175`).
-            base_p = base_s if config.parity_profile_denominator else base_f
-            head_p = head_s if config.parity_profile_denominator else head_f
+        # When no WHERE filter splits the profiled frame from the counted
+        # frame, count(*) rides the first profile batch — one less scan per
+        # side. base/head actions are independent either way — submit both
+        # at once and let the Spark scheduler interleave them (the
+        # reference runs every query sequentially over one connection).
+        profile_now = col_stats and bool(common_cols)
+        fuse_counts = profile_now and where is None
+        bprof: dict = {}
+        hprof: dict = {}
+        if fuse_counts:
             with ThreadPoolExecutor(2) as pool:
-                fb = pool.submit(column_profile, base_p, common_cols, config)
-                fh = pool.submit(column_profile, head_p, common_cols, config)
-                bprof, hprof = fb.result(), fh.result()
+                fb = pool.submit(
+                    column_profile, base_s, common_cols, config, True
+                )
+                fh = pool.submit(
+                    column_profile, head_s, common_cols, config, True
+                )
+                (bprof, base_count), (hprof, head_count) = fb.result(), fh.result()
+        else:
+            with ThreadPoolExecutor(2) as pool:
+                fb, fh = pool.submit(base_f.count), pool.submit(head_f.count)
+                base_count, head_count = fb.result(), fh.result()
+            if profile_now:
+                # Reference quirk: numerators from the unfiltered snapshot,
+                # denominators from the filtered count
+                # (`core/diff_flow.py:152-175`).
+                base_p = base_s if config.parity_profile_denominator else base_f
+                head_p = head_s if config.parity_profile_denominator else head_f
+                with ThreadPoolExecutor(2) as pool:
+                    fb = pool.submit(column_profile, base_p, common_cols, config)
+                    fh = pool.submit(column_profile, head_p, common_cols, config)
+                    bprof, hprof = fb.result(), fh.result()
+        result["rowcounts"] = {"base": base_count, "head": head_count}
+
+        if profile_now:
             result["column_profile"] = {
                 c: {
                     "base": {

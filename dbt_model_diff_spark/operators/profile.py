@@ -33,22 +33,32 @@ def column_profile(
     df: DataFrame,
     cols: list[str],
     config: DiffConfig | None = None,
-) -> dict[str, dict[str, int]]:
+    include_rowcount: bool = False,
+) -> dict[str, dict[str, int]] | tuple[dict[str, dict[str, int]], int]:
     """Per-column ``{"nulls": n, "distinct": d}`` over ``df``.
 
     Mirrors the reference's semantics exactly (`adapters/postgres.py:77-81`):
     nulls = sum((c is null)::int); distinct = count(distinct c), which in
     both Postgres and Spark ignores NULLs.
+
+    ``include_rowcount=True`` piggybacks a ``count(*)`` on the first batch
+    and returns ``(profile, rowcount)`` — saving the diff flow a separate
+    count job when no WHERE filter separates the two frames.
     """
     config = config or DiffConfig()
     out: dict[str, dict[str, int]] = {}
+    rowcount: int | None = None
     if not cols:
+        if include_rowcount:
+            return out, df.count()
         return out
 
     # Distinct aggregates drive the batching; null counts are plain sums and
     # piggyback on whichever job scans their column anyway.
-    for group in _batch(list(cols), config.profile_batch_size):
+    for gi, group in enumerate(_batch(list(cols), config.profile_batch_size)):
         exprs = []
+        if include_rowcount and gi == 0:
+            exprs.append(F.count(F.lit(1)).alias("__rowcount"))
         for c in group:
             exprs.append(
                 F.sum(F.col(c).isNull().cast("int")).alias(f"__nulls_{c}")
@@ -58,10 +68,14 @@ def column_profile(
             else:
                 exprs.append(F.count_distinct(F.col(c)).alias(f"__distinct_{c}"))
         row = df.select(*group).agg(*exprs).collect()[0]
+        if include_rowcount and gi == 0:
+            rowcount = int(row["__rowcount"])
         for c in group:
             nulls = row[f"__nulls_{c}"]
             out[c] = {
                 "nulls": int(nulls) if nulls is not None else 0,
                 "distinct": int(row[f"__distinct_{c}"]),
             }
+    if include_rowcount:
+        return out, int(rowcount or 0)
     return out

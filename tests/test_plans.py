@@ -1,0 +1,122 @@
+"""Physical-plan posture tests (the 100 TB checklist, SURVEY.md §4/§7).
+
+Correctness tests prove the operators compute the right answer; these
+prove the PLANS are the ones that survive a 1000-executor scale-up:
+dims broadcast, filters and projections reach the parquet scan, top-k
+avoids global sorts, and the diff join shuffles the keyspace exactly
+once.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.catalog import QUERIES
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    plan = _executed_plan(QUERIES["model_int_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must not shuffle
+
+
+def test_filter_and_projection_reach_scan(spark, sf_dir):
+    plan = _executed_plan(QUERIES["filter_project_lineitem"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_discount" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan reads exactly the 4 projected columns
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _executed_plan(QUERIES["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    plan = _executed_plan(QUERIES["pricing_summary"](spark, sf_dir))
+    # map-side combine: partial_ aggregates before the exchange
+    assert "partial_" in plan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+
+
+def test_row_diff_single_shuffle_and_narrow(spark, sf_dir):
+    from dbt_model_diff_spark.config import DiffConfig
+    from dbt_model_diff_spark.operators.diff import row_diff_frame
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    j = row_diff_frame(
+        o, o, ["o_orderkey"], ["o_totalprice", "o_orderstatus"], DiffConfig()
+    )
+    executed = _executed_plan(j.agg(F.count(F.lit(1))))
+    # narrow scans: each side reads keys + hashed cols only (column pruning
+    # through the md5 projection reaches the parquet scan)
+    for schema_part in executed.split("ReadSchema: ")[1:]:
+        line = schema_part.splitlines()[0]
+        assert "o_orderdate" not in line and "o_custkey" not in line
+    # one join of the two sides; each side exchanges once on the keys
+    assert executed.count("SortMergeJoin") + executed.count("ShuffledHashJoin") == 1
+
+
+def test_asof_join_single_exchange(spark):
+    from dbt_model_diff_spark.operators.temporal import asof_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("ts"), F.col("id").alias("x")
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 20).alias("ts"), F.col("id").alias("v")
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"])
+    plan = _executed_plan(out)
+    # union + window: ONE shuffle keyed on the join keys, no join operator
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_profile_batching_caps_expand_width(spark, sf_dir):
+    from dbt_model_diff_spark.config import DiffConfig
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    cfg = DiffConfig()
+    df = read_table(spark, sf_dir, "orders")
+    cols = df.columns
+    batch = cols[: cfg.profile_batch_size]
+    exprs = []
+    for c in batch:
+        exprs.append(F.sum(F.col(c).isNull().cast("int")))
+        exprs.append(F.count_distinct(F.col(c)))
+    plan = _executed_plan(df.select(*batch).agg(*exprs))
+    if "Expand" in plan:
+        # Expand multiplies rows by (distinct-agg groups + 1); the batch
+        # cap keeps that factor bounded regardless of table width
+        factor = plan.split("Expand")[1]
+        assert len(batch) <= cfg.profile_batch_size
+    # approx mode must never Expand
+    approx = df.agg(*[F.approx_count_distinct(c) for c in cols])
+    assert "Expand" not in _executed_plan(approx)
+
+
+def test_lsh_pairs_no_cartesian(spark, sf_dir):
+    plan = _executed_plan(QUERIES["dedup_lsh_pairs"](spark, sf_dir))
+    # banded LSH must join on band buckets, never cross-join the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_join_is_broadcast(spark, sf_dir):
+    plan = _executed_plan(QUERIES["join_semi_customers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
