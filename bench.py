@@ -53,6 +53,9 @@ def main() -> None:
         "text_quality_features",
         "knn_bruteforce",
         "events_hourly_rollup",
+        "q5_local_supplier_volume",
+        "q17_small_quantity_revenue",
+        "asof_latest_purchase",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 

@@ -1245,6 +1245,207 @@ def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Extensions batch 4: TPC-H query shapes Q4/Q5/Q12/Q14/Q17 adapted to the
+# driver's column subset — correlated EXISTS, 6-table join, conditional
+# aggregation, ratio-of-conditional-sums, and correlated scalar-subquery
+# rewritten as a co-grouped decimal comparison.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_with_returns",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS -> left-semi join, then agg. The
+    order-side date filter prunes before the semi join."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    ret = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(ret, o["o_orderkey"] == ret["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT n.n_name AS nation_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. lineitem (the one big table) joins
+    orders on its own key, then every dim side is broadcast — the fact
+    stream shuffles once for the join and once for the final agg."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    """
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_returnflag
+""",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional-sum pivot on the dim column."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+SELECT CAST(100 * sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END)
+            / sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(3,2))))
+       AS DECIMAL(18,6)) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue ratio. part is broadcast; both sums
+    are exact decimals so the division renders identically everywhere."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .agg(
+            (F.lit(100) * F.sum(promo_rev) / F.sum(rev))
+            .cast("decimal(18,6)")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS small_qty_revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * pa.cnt < pa.sum_qty
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: 'quantity < 0.2 * avg(quantity) per part'. The
+    correlated scalar subquery is rewritten as a per-part pre-aggregation
+    joined back, and the avg comparison is cross-multiplied
+    (qty * 5 * cnt < sum_qty) so it stays in EXACT decimal/bigint
+    arithmetic — no float division on either engine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(pa, F.col("pa_partkey") == li["l_partkey"])
+        .filter(
+            F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 @register(
     "top_revenue_orders",
     """
