@@ -450,6 +450,29 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_typed",
+    """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+FROM events
+GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
+""",
+)
+def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse via from_json with an explicit schema (single
+    parse per row into a struct — vs get_json_object re-parsing per
+    field), then aggregate on the extracted value."""
+    e = read_table(spark, sf_dir, "events")
+    parsed = e.select(F.from_json(F.col("props"), "k INT").alias("p"))
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_bucket"), F.col("p.k").alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
 SELECT date_trunc('hour', ts) AS hour_ts, event_type,

@@ -1,0 +1,79 @@
+"""Table sinks: partitioned / bucketed / JSONL writers.
+
+The reference's only sink is warehouse CTAS (`adapters/postgres.py:37-44`);
+at 100 TB the LAYOUT of what's written decides the cost of everything
+downstream, so sinks are first-class here:
+
+- ``write_partitioned``: hive-style directory partitioning on a
+  low-cardinality column. Readers filtering on the partition column get
+  partition PRUNING (whole directories skipped — `PartitionFilters` in
+  the scan, not `PushedFilters`).
+- ``write_bucketed``: ``bucketBy(n, keys)`` + ``saveAsTable``. Two tables
+  bucketed the same way join with NO exchange on either side — the
+  shuffle is paid once at write time and amortized over every later join
+  / aggregation on the bucket keys. This is the Spark analogue of the
+  reference's "snapshot once, compare many times" (CTAS) economics.
+- ``write_jsonl`` / ``read_jsonl``: line-delimited JSON interchange for
+  document pipelines (schema_hint avoids a full inference pass at scale).
+
+All writers accept repartitioning hints so output file counts stay sane:
+the #1 operational failure of naive Spark pipelines is a million tiny
+files (one per task) or one giant file (repartition(1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    files_per_partition: int | None = None,
+) -> None:
+    """Write hive-partitioned parquet. With ``files_per_partition``, rows
+    are pre-shuffled by the partition columns so each directory gets that
+    many files instead of one-per-task."""
+    out = df
+    if files_per_partition is not None:
+        out = df.repartition(files_per_partition, *partition_cols)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Joins/aggregations between tables bucketed on the same keys with the
+    same bucket count run exchange-free (verified in
+    tests/test_sinks.py::test_bucketed_join_no_shuffle)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Line-delimited JSON (one object per line) — the lingua franca of
+    document/training-data interchange."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Read JSONL. Pass ``schema`` in production — schema inference scans
+    the data once before the real read (2x IO at scale)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -144,6 +144,56 @@ def stateful_running_max(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def purchase_click_attribution_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase attributed to the same
+    user's clicks in the preceding ``window``.
+
+    Both sides are watermarked, and the join condition bounds click.ts to
+    [purchase.ts - window, purchase.ts], so state per key is bounded by
+    (watermark + window) — the canonical pattern for joining two live
+    streams without unbounded state."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("purchase_user").alias("user_id"))
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, unlike ``dropDuplicates`` whose state grows forever.
+    The at-scale companion of the batch exact_dedup operator."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

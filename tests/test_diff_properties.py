@@ -1,0 +1,125 @@
+"""Property-based tests for the diff engine (SURVEY.md §5 test plan item 3):
+
+- diff(X, X) is all-zeros for ANY frame;
+- appending k rows yields added == k;
+- mutating a non-key column on k rows yields changed == k;
+- deleting k rows yields removed == k;
+- NULL-key rows count as added+removed, never changed (reference
+  equi-join semantics, `core/diff_flow.py:185-206`).
+
+Hypothesis drives the row contents; each strategy case runs a real Spark
+diff, so examples are capped small and deadlines disabled.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from dbt_model_diff_spark import diff_frames
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # id (made unique below)
+        st.one_of(st.none(), st.text(max_size=8)),
+        st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+SCHEMA = "id long, name string, score long"
+
+
+def _df(spark, rows):
+    # unique ids: hypothesis supplies values, uniqueness comes from position
+    uniq = [(i, r[1], r[2]) for i, r in enumerate(rows)]
+    return spark.createDataFrame(uniq, SCHEMA)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_self_diff_is_zero(spark, rows):
+    df = _df(spark, rows)
+    res = diff_frames(df, df, key_cols=["id"], sample=5)
+    assert res["rowcounts"]["base"] == res["rowcounts"]["head"] == len(rows)
+    assert res["row_diff"] == {
+        "added": 0,
+        "removed": 0,
+        "changed": 0,
+        "sample_keys": [],
+    }
+    assert res["schema_diff"]["only_in_base"] == []
+    assert res["schema_diff"]["only_in_head"] == []
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS, k=st.integers(min_value=1, max_value=5))
+def test_appended_rows_count_as_added(spark, rows, k):
+    base = _df(spark, rows)
+    extra = [(len(rows) + i, "new", i) for i in range(k)]
+    head = base.unionByName(spark.createDataFrame(extra, SCHEMA))
+    res = diff_frames(base, head, key_cols=["id"])
+    assert res["row_diff"]["added"] == k
+    assert res["row_diff"]["removed"] == 0
+    assert res["row_diff"]["changed"] == 0
+    # symmetric: swapping sides flips added/removed
+    rev = diff_frames(head, base, key_cols=["id"])
+    assert rev["row_diff"]["removed"] == k and rev["row_diff"]["added"] == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_mutation_counts_as_changed(spark, rows):
+    from pyspark.sql import functions as F
+
+    base = _df(spark, rows)
+    k = max(1, len(rows) // 2)
+    # mutate score on ids < k in a NULL-proof way (sentinel shift)
+    head = base.withColumn(
+        "score",
+        F.when(F.col("id") < k, F.coalesce(F.col("score"), F.lit(0)) + 1).otherwise(
+            F.col("score")
+        ),
+    )
+    res = diff_frames(base, head, key_cols=["id"], sample=100)
+    assert res["row_diff"]["changed"] == k
+    assert res["row_diff"]["added"] == 0 and res["row_diff"]["removed"] == 0
+    # sample keys are exactly the mutated ids (sorted, capped at sample)
+    assert [r[0] for r in res["row_diff"]["sample_keys"]] == list(range(k))
+
+
+def test_null_keys_never_match(spark):
+    base = spark.createDataFrame(
+        [(None, "x", 1), (1, "a", 1), (2, "b", 2)], SCHEMA
+    )
+    head = spark.createDataFrame(
+        [(None, "x", 1), (1, "a", 1), (2, "b", 99)], SCHEMA
+    )
+    res = diff_frames(base, head, key_cols=["id"])
+    # the NULL-key row (identical content!) appears on both sides but
+    # NULL = NULL is not true in an equi-join -> added AND removed
+    assert res["row_diff"]["added"] == 1
+    assert res["row_diff"]["removed"] == 1
+    assert res["row_diff"]["changed"] == 1  # id=2 score mutation
+    # opt-in null-safe join treats them as matching (engine extension)
+    from dbt_model_diff_spark.config import DiffConfig
+
+    res2 = diff_frames(
+        base, head, key_cols=["id"], config=DiffConfig(null_safe_keys=True)
+    )
+    assert res2["row_diff"]["added"] == 0
+    assert res2["row_diff"]["removed"] == 0
+    assert res2["row_diff"]["changed"] == 1

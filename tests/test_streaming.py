@@ -69,3 +69,50 @@ def test_stateful_running_max(spark, sf_dir):
     for uid, row in final.items():
         assert row["n_seen"] == batch[uid][1]
         assert row["running_max"] == pytest.approx(batch[uid][0])
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    stream = se.purchase_click_attribution_stream(se.read_events_stream(spark, sf_dir))
+    got = se.run_stream_to_memory(stream, "attr_test", output_mode="append").collect()
+
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = (
+        purchases.join(
+            clicks,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    )
+    assert {(r["purchase_id"], r["click_id"]) for r in got} == {
+        (r["purchase_id"], r["click_id"]) for r in batch
+    }
+    assert len(got) > 0
+
+
+def test_dedup_stream_bounded_state(spark, sf_dir):
+    stream = se.dedup_stream(se.read_events_stream(spark, sf_dir), keys=["user_id", "event_type"])
+    got = se.run_stream_to_memory(stream, "dedup_test", output_mode="append").collect()
+
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    n_keys = e.select("user_id", "event_type").distinct().count()
+    # one survivor per key (all events fall inside one watermark window at
+    # this scale)
+    assert len(got) == n_keys
+    assert len({(r["user_id"], r["event_type"]) for r in got}) == n_keys

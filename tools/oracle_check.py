@@ -60,9 +60,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
@@ -92,7 +94,8 @@ def main() -> int:
         if problems:
             failures.append(name)
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    scope = "" if ran == len(qs) else f" (subset of {len(qs)})"
+    print(f"\n{ran - len(failures)}/{ran} queries match{scope}")
     return 1 if failures else 0
 
 
