@@ -1268,6 +1268,37 @@ def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_salted_status_totals",
+    """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def skew_salted_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation on a 3-value hot key (operators/skew.py)
+    — identical results to the plain groupBy, shuffle fanned out 16x per
+    key. Salting is invisible in the output, so fully oracle-checked."""
+    from dbt_model_diff_spark.operators import skew
+
+    o = read_table(spark, sf_dir, "orders")
+    return skew.salted_agg(
+        o,
+        ["o_orderstatus"],
+        {
+            "n_orders": ("count", F.lit(1)),
+            "total_price": ("sum", F.col("o_totalprice").cast("decimal(14,2)")),
+        },
+        salt=16,
+    ).select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_price").cast("decimal(18,2)").alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions batch 4: TPC-H query shapes Q4/Q5/Q12/Q14/Q17 adapted to the
 # driver's column subset — correlated EXISTS, 6-table join, conditional

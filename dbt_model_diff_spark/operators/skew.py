@@ -1,0 +1,87 @@
+"""Skew-mitigation operators: salted aggregation and salted broadcast-free
+join.
+
+AQE's skew-join splitting (on by default, session.py) handles most skew at
+runtime by splitting oversized shuffle partitions. These operators are the
+EXPLICIT counterpart for the two cases AQE can't fix:
+
+- ``salted_agg``: a groupBy on a handful of hot keys (e.g. 3 statuses over
+  10^11 rows) puts each whole key on ONE reducer no matter how AQE splits —
+  partial aggregation already collapses most of it map-side, but when the
+  per-key combine itself is the bottleneck (wide agg state, few mappers per
+  key), salting fans each key out to ``salt`` reducers and re-merges.
+  Works for any decomposable aggregate (sum/count/min/max — merge = same
+  op; avg must be decomposed into sum+count by the caller).
+- ``salted_join``: a shuffle join where ONE side has hot keys: the skewed
+  side gets a random salt in [0, salt), the other side is replicated
+  ``salt`` times, and the join key becomes (key, salt) — each hot key now
+  spreads over ``salt`` partitions. Exact same rows as the unsalted join.
+
+Both use ``F.rand(seed)`` only to ASSIGN work, never in results — output
+is deterministic row-multiset either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__dmds_salt"
+
+# merge function per decomposable aggregate
+_MERGES = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | Column]],
+    salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-stage aggregation: groupBy(keys + salt) partials, then
+    groupBy(keys) merge.
+
+    ``aggs`` maps output column -> (op, input column/expr) with op in
+    sum|count|min|max. The first shuffle is keyed on (keys, salt) —
+    ``salt``x more partitions per hot key; the second shuffle moves only
+    ``salt`` pre-aggregated rows per key.
+    """
+    bad = [op for op, _ in aggs.values() if op not in _MERGES]
+    if bad:
+        raise ValueError(f"non-decomposable agg ops: {bad}")
+
+    salted = df.withColumn(_SALT, (F.rand(seed) * salt).cast("int"))
+    partial_exprs = []
+    for out, (op, col) in aggs.items():
+        col = F.col(col) if isinstance(col, str) else col
+        expr = F.count(col) if op == "count" else getattr(F, op)(col)
+        partial_exprs.append(expr.alias(out))
+    partials = salted.groupBy(*keys, _SALT).agg(*partial_exprs)
+
+    merge_exprs = [
+        _MERGES[op](F.col(out)).alias(out) for out, (op, _) in aggs.items()
+    ]
+    return partials.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot join keys.
+
+    ``skewed`` rows get one random salt; ``other`` is exploded ``salt``
+    ways (every salt value) so any (key, salt) pair finds its match. Use
+    when ``other`` is too big to broadcast but much smaller than
+    ``skewed`` — replication costs |other| x salt.
+    """
+    s = skewed.withColumn(_SALT, (F.rand(seed) * salt).cast("int"))
+    o = other.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return s.join(o, on=on + [_SALT], how=how).drop(_SALT)

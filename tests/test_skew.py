@@ -1,0 +1,70 @@
+"""Salted aggregation / salted join: exact results, spread shuffle keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import skew
+from dbt_model_diff_spark.sources.readers import read_table
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    salted = skew.salted_agg(
+        o,
+        ["o_orderstatus"],
+        {
+            "n": ("count", F.lit(1)),
+            "total": ("sum", F.col("o_totalprice").cast("decimal(14,2)")),
+            "max_key": ("max", "o_orderkey"),
+        },
+        salt=8,
+    )
+    plain = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("total"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    a = {r["o_orderstatus"]: (r["n"], r["total"], r["max_key"]) for r in salted.collect()}
+    b = {r["o_orderstatus"]: (r["n"], r["total"], r["max_key"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        skew.salted_agg(o, ["o_orderstatus"], {"a": ("avg", "o_totalprice")})
+
+
+def test_salted_agg_two_stage_plan(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    salted = skew.salted_agg(
+        o, ["o_orderstatus"], {"n": ("count", F.lit(1))}, salt=8
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # stage 1 keyed on (key, salt), stage 2 on key: two exchanges
+    assert plan.count("Exchange") == 2
+    assert "__dmds_salt" in plan
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = skew.salted_join(li, o, on=["l_orderkey"], salt=4)
+    plain = li.join(o, on="l_orderkey")
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
+    sa = sorted(tuple(r) for r in salted.collect())
+    pl = sorted(tuple(r) for r in plain.collect())
+    assert sa == pl
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    right = spark.createDataFrame([(1, 10.0), (1, 11.0)], "k long, w double")
+    out = skew.salted_join(left, right, on=["k"], salt=4, how="left")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [(1, "a", 10.0), (1, "a", 11.0), (2, "b", None), (3, "c", None)]
