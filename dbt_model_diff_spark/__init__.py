@@ -13,8 +13,8 @@ work the optimizer already does.
 """
 
 from dbt_model_diff_spark.config import DiffConfig
-from dbt_model_diff_spark.operators.diff import diff_frames
+from dbt_model_diff_spark.operators.diff import diff_frames, diff_paths
 
 __version__ = "0.1.0"
 
-__all__ = ["DiffConfig", "diff_frames", "__version__"]
+__all__ = ["DiffConfig", "diff_frames", "diff_paths", "__version__"]

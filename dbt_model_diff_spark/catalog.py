@@ -954,6 +954,79 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORD_SQL = (
+    "CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT)"
+    " + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS INT)"
+    " + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS INT)"
+)
+
+
+@register(
+    "pipeline_training_data",
+    f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+dd AS (SELECT d.* FROM documents d JOIN keep k ON k.doc_id = d.doc_id),
+f AS (SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_STOPWORD_SQL} AS stopword_count
+      FROM dd)
+SELECT doc_id, lang, n_tokens FROM f
+WHERE n_tokens >= 20 AND stopword_count >= 1
+""",
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline shape: exact dedup (min-id winner
+    per distinct text) -> quality features -> keep docs with >=20 tokens
+    and at least one common stopword. Chains the dedup and textops
+    operators the way a real corpus-cleaning job does."""
+    docs = read_table(spark, sf_dir, "documents")
+    dd = dedup.exact_dedup(docs)
+    qf = textops.quality_features(dd)
+    return (
+        dd.join(qf, on="doc_id")
+        .filter((F.col("n_tokens") >= 20) & (F.col("stopword_count") >= 1))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@register(
+    "embedding_stats",
+    """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) * 1000000)
+            AS BIGINT) AS norm_micro
+FROM embeddings
+""",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector dimension + L2 norm. Both engines fold the same doubles
+    left-to-right (deterministic IEEE), so the norm is bit-identical;
+    floor(x*1e6) -> bigint makes the comparison rendering-proof."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        "aggregate(embedding, cast(0.0 as double),"
+        " (acc, x) -> acc + cast(x as double) * cast(x as double))"
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.floor(F.sqrt(sq) * 1_000_000).cast("bigint").alias("norm_micro"),
+    )
+
+
+@register("kmeans_embedding_clusters")
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (4 iterations, DataFrame-only loop) -> cluster
+    sizes. Iterative + sampling-seeded -> rows-only driver check;
+    convergence is asserted in tests/test_extensions.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, _, _ = similarity.kmeans(emb, k=8, iters=4)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
 @register("knn_ivf")
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for 3 query vectors (recall measured against

@@ -1,4 +1,4 @@
-from dbt_model_diff_spark.operators.diff import diff_frames
+from dbt_model_diff_spark.operators.diff import diff_frames, diff_paths
 from dbt_model_diff_spark.operators.profile import column_profile
 
-__all__ = ["diff_frames", "column_profile"]
+__all__ = ["diff_frames", "diff_paths", "column_profile"]

@@ -91,6 +91,33 @@ def row_diff_frame(
     return b.join(hd, on=key_cols, how="full_outer")
 
 
+def diff_paths(
+    spark,
+    base_path: str,
+    head_path: str,
+    key_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    **kwargs: Any,
+) -> dict[str, Any]:
+    """Diff two stored tables by path (parquet/csv/json/orc) — the
+    'compare two snapshots that already exist' entry point, e.g. outputs
+    of two pipeline runs. Stored tables are already frozen, so snapshot
+    materialization is skipped (snapshot_mode='none') unless the caller
+    overrides config."""
+    reader = lambda p: getattr(spark.read, fmt)(p)  # noqa: E731
+    if kwargs.get("config") is None:
+        kwargs["config"] = DiffConfig(snapshot_mode="none")
+    meta = {"base_path": base_path, "head_path": head_path}
+    meta.update(kwargs.pop("meta", None) or {})
+    return diff_frames(
+        reader(base_path),
+        reader(head_path),
+        key_cols=key_cols,
+        meta=meta,
+        **kwargs,
+    )
+
+
 def diff_frames(
     base: DataFrame,
     head: DataFrame,

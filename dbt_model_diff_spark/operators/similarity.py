@@ -217,3 +217,93 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", "cos_sim")
         .distinct()
     )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Lloyd's k-means over an embedding column — the iterative-algorithm
+    template (IVF with REFINED centroids; `ivf_topk` uses one sampling
+    pass instead).
+
+    Per iteration: ONE scan assigning each vector to its nearest centroid
+    (centroids enter the plan as literal arrays — broadcast-free) + one
+    narrow shuffle of (cluster, dim-position) partial sums. Driver state
+    is k x dim floats; rows never leave the executors. At 100 TB each
+    iteration is a map-side-combined aggregation — the canonical
+    DataFrame-only iterative loop (no RDDs, no MLlib dependency).
+
+    Returns (assignments DataFrame, final centroids, per-iteration total
+    inertia). Assignment output: (id, cluster, sq_dist).
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans on empty frame")
+    dim = len(first[0])
+
+    cents = [
+        list(r[vec_col])
+        for r in df.select(vec_col).sample(False, 1.0, seed).limit(k).collect()
+    ]
+
+    def lit_vec(vals: list[float]):
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    def assigned_frame() -> DataFrame:
+        choices = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            lit_vec(c),
+                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("sq_dist"),
+                    F.lit(ci).alias("cluster"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(choices)
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            best["cluster"].alias("cluster"),
+            best["sq_dist"].alias("sq_dist"),
+        )
+
+    inertia_history: list[float] = []
+    for _ in range(iters):
+        assigned = assigned_frame()
+        # element-wise centroid means: explode to (cluster, pos, val) and
+        # aggregate — k x dim result rows, tiny collect
+        stats = (
+            assigned.select(
+                "cluster", "sq_dist", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("pos") == 0, F.col("sq_dist"))).alias("inertia0"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        inertia = 0.0
+        for r in stats:
+            new_cents[r["cluster"]][r["pos"]] = r["s"] / r["n"]
+            if r["pos"] == 0:
+                inertia += r["inertia0"] or 0.0
+        inertia_history.append(inertia)
+        cents = new_cents
+
+    return assigned_frame(), cents, inertia_history

@@ -123,3 +123,64 @@ def test_null_keys_never_match(spark):
     assert res2["row_diff"]["added"] == 0
     assert res2["row_diff"]["removed"] == 0
     assert res2["row_diff"]["changed"] == 1
+
+
+def test_typed_canonicalization_roundtrip(spark):
+    """Row hashing must distinguish/equate values across the tricky types:
+    decimals (trailing zeros), dates vs timestamps, booleans, arrays."""
+    schema = (
+        "id long, d decimal(10,2), dt date, ts timestamp, b boolean, arr array<int>"
+    )
+    import datetime as dtm
+
+    rows = [
+        (1, None, dtm.date(2024, 1, 1), dtm.datetime(2024, 1, 1, 12), True, [1, 2]),
+        (2, __import__("decimal").Decimal("5.10"), None, None, False, []),
+        (3, __import__("decimal").Decimal("0.00"), dtm.date(2000, 2, 29), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    res = diff_frames(df, df, key_cols=["id"])
+    assert res["row_diff"]["added"] == res["row_diff"]["removed"] == 0
+    assert res["row_diff"]["changed"] == 0
+
+    # flip one value per type; every flip must be detected as changed
+    from pyspark.sql import functions as F
+
+    flips = {
+        "d": F.coalesce(F.col("d"), F.lit(0).cast("decimal(10,2)")) + 1,
+        "dt": F.date_add(F.coalesce(F.col("dt"), F.lit("1990-01-01").cast("date")), 1),
+        "b": ~F.coalesce(F.col("b"), F.lit(False)),
+        "arr": F.array(F.lit(9)),
+    }
+    for col, expr in flips.items():
+        head = df.withColumn(col, expr)
+        r = diff_frames(df, head, key_cols=["id"])
+        assert r["row_diff"]["changed"] == 3, f"flip of {col} not fully detected"
+
+
+def test_null_vs_sentinel_string_distinct(spark):
+    """A literal '<NULL>' string must NOT hash-collide with a NULL value:
+    the sentinel is only a within-column placeholder, and the '|' separator
+    keeps columns positionally anchored."""
+    base = spark.createDataFrame([(1, None, "<NULL>")], "id long, a string, b string")
+    head = spark.createDataFrame([(1, "<NULL>", None)], "id long, a string, b string")
+    res = diff_frames(base, head, key_cols=["id"])
+    # same concatenation either way -> the reference's own semantics
+    # ALSO collide here (known canonicalization limit, kept for parity);
+    # assert we reproduce it rather than silently diverge
+    assert res["row_diff"]["changed"] == 0
+
+
+def test_diff_paths(spark, tmp_path):
+    from dbt_model_diff_spark import diff_paths
+
+    base = spark.range(10).withColumnRenamed("id", "k")
+    head = spark.range(2, 12).withColumnRenamed("id", "k")
+    pb, ph = str(tmp_path / "b"), str(tmp_path / "h")
+    base.write.parquet(pb)
+    head.write.parquet(ph)
+    res = diff_paths(spark, pb, ph, key_cols=["k"])
+    assert res["rowcounts"] == {"base": 10, "head": 10}
+    assert res["row_diff"]["added"] == 2
+    assert res["row_diff"]["removed"] == 2
+    assert res["meta"]["base_path"] == pb

@@ -131,3 +131,20 @@ def test_language_id_markers(spark):
     assert out[1] == "en"
     assert out[2] == "de"
     assert out[3] == "und"
+
+
+def test_kmeans_converges_and_partitions(spark):
+    from dbt_model_diff_spark.operators.similarity import kmeans
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    assigned, cents, inertia = kmeans(emb, k=4, iters=4)
+    assert len(cents) == 4
+    # every vector assigned exactly once, clusters within range
+    rows = assigned.select("vec_id", "cluster").collect()
+    assert len(rows) == n
+    assert {r["cluster"] for r in rows} <= set(range(4))
+    # Lloyd's never increases inertia
+    for a, b in zip(inertia, inertia[1:]):
+        assert b <= a + 1e-6
