@@ -29,6 +29,23 @@ def quote_ident(ident: str) -> str:
     return "`" + ident.replace("`", "``") + "`"
 
 
+def parse_relation_name(relation_name: str) -> tuple[str, str]:
+    """``"db"."schema"."table"`` (quoted or dotted) -> (schema, identifier).
+
+    Takes the LAST TWO dot components, exactly like the reference's
+    `core/manifest.py:55-65` — the database component is dropped because
+    the comparison session is already scoped to one catalog. Accepts
+    double-quoted (warehouse) and backtick-quoted (Spark) identifiers.
+    """
+    parts = [p.strip().strip('"').strip("`") for p in relation_name.split(".")]
+    parts = [p for p in parts if p]
+    if not parts:
+        raise ValueError(f"empty relation name: {relation_name!r}")
+    if len(parts) == 1:
+        return "", parts[0]
+    return parts[-2], parts[-1]
+
+
 def pct(numerator: int, denominator: int) -> float:
     """Percentage with divide-by-zero -> 0.0 (reference `core/util.py:35-37`)."""
     if not denominator:

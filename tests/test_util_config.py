@@ -77,3 +77,17 @@ def test_keep_snapshots_parquet(spark, tmp_path):
     kept = list(tmp_path.rglob("*.parquet"))
     assert kept, "snapshots should survive with keep_snapshots=True"
     diff_frames(df, df, ["k"], config=cfg, keep_snapshots=False)
+
+
+def test_parse_relation_name():
+    from dbt_model_diff_spark.util import parse_relation_name
+
+    assert parse_relation_name('"db"."sch"."tbl"') == ("sch", "tbl")
+    assert parse_relation_name("db.sch.tbl") == ("sch", "tbl")
+    assert parse_relation_name("sch.tbl") == ("sch", "tbl")
+    assert parse_relation_name("tbl") == ("", "tbl")
+    assert parse_relation_name("`cat`.`sch`.`tbl`") == ("sch", "tbl")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_relation_name("")
