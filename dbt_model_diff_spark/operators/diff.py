@@ -139,6 +139,13 @@ def diff_frames(
     """
     config = config or DiffConfig()
     key_cols = key_cols or []
+    for side_name, side_df in (("base", base), ("head", head)):
+        missing = [k for k in key_cols if k not in side_df.columns]
+        if missing:
+            raise ValueError(
+                f"key column(s) {missing} not in {side_name} side "
+                f"(columns: {side_df.columns})"
+            )
     snap = SnapshotManager(config)
 
     result: dict[str, Any] = {

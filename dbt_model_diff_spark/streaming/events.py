@@ -194,6 +194,33 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def write_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    query_name: str = "dmds_stream_sink",
+    partition_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Durable streaming sink: append-mode parquet with checkpointed
+    exactly-once file commits. ``available_now=True`` drains the current
+    backlog and stops (batch-style backfill); ``False`` runs continuous
+    micro-batches. Partitioning matches the batch sink conventions
+    (sources/sinks.py)."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .queryName(query_name)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

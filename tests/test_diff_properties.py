@@ -184,3 +184,24 @@ def test_diff_paths(spark, tmp_path):
     assert res["row_diff"]["added"] == 2
     assert res["row_diff"]["removed"] == 2
     assert res["meta"]["base_path"] == pb
+
+
+def test_missing_key_raises(spark):
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    head = spark.createDataFrame([(1, "a")], "other_id long, v string")
+    with pytest.raises(ValueError, match="key column.*head"):
+        diff_frames(base, head, key_cols=["id"])
+
+
+def test_duplicate_key_semantics(spark):
+    """Non-unique keys: the changed count is over JOIN PAIRS (m x n per
+    key), matching the reference's JOIN USING semantics
+    (`core/diff_flow.py:207-225`) — duplicates are NOT collapsed."""
+    base = spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string")
+    head = spark.createDataFrame([(1, "a")], "id long, v string")
+    res = diff_frames(base, head, key_cols=["id"])
+    # every base row finds a key match (no removed); pairs: (a,a) same,
+    # (b,a) changed
+    assert res["row_diff"]["added"] == 0
+    assert res["row_diff"]["removed"] == 0
+    assert res["row_diff"]["changed"] == 1

@@ -116,3 +116,21 @@ def test_dedup_stream_bounded_state(spark, sf_dir):
     # this scale)
     assert len(got) == n_keys
     assert len({(r["user_id"], r["event_type"]) for r in got}) == n_keys
+
+
+def test_write_stream_parquet_exactly_once(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = se.read_events_stream(spark, sf_dir)
+    flat = events.select("event_id", "user_id", "event_type")
+    q = se.write_stream_parquet(flat, out, ckpt, partition_cols=["event_type"])
+    q.awaitTermination(120)
+
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    n = read_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(out).count() == n
+    # re-running against the same checkpoint is a no-op (exactly-once)
+    q2 = se.write_stream_parquet(flat, out, ckpt, query_name="rerun")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n
