@@ -47,6 +47,11 @@ def synthesize_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic fake media blobs from text (test/fixture path): a
     parseable header + utf-8 payload. Real pipelines land blobs via
     ``spark.read.format('binaryFile')`` or parquet binary columns."""
+    from dbt_model_diff_spark.util import spread_for_compute
+
+    # downstream is all Pandas-UDF work — partition count IS the
+    # parallelism, so spread a compacted source before synthesizing
+    df = spread_for_compute(df)
     payload = F.encode(F.col(text_col), "utf-8")
     w = (F.length(F.col(text_col)) % 1024).cast("int")
     h = ((F.length(F.col(text_col)) * 7) % 768).cast("int")

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import Column
 
+from dbt_model_diff_spark.util import spread_for_compute
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
@@ -63,8 +65,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    # cosine over every (query, candidate) pair is compute-bound: make
+    # sure a compacted candidate file doesn't serialize it
+    c = spread_for_compute(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
     )
     scored = (
         F.broadcast(q)
@@ -130,7 +136,11 @@ def ivf_topk(
         )
 
     cand_cells = nearest(
-        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        spread_for_compute(
+            candidates.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+            )
+        ),
         "__cv",
         "cell",
         1,
@@ -206,7 +216,9 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket by hyperplane signs, verify
     candidates with exact cosine inside buckets only."""
-    b = random_hyperplane_buckets(df, n_planes, dim, id_col, vec_col, seed)
+    b = random_hyperplane_buckets(
+        spread_for_compute(df), n_planes, dim, id_col, vec_col, seed
+    )
     a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
     return (
@@ -245,6 +257,7 @@ def kmeans(
     if first is None:
         raise ValueError("kmeans on empty frame")
     dim = len(first[0])
+    df = spread_for_compute(df)
 
     cents = [
         list(r[vec_col])

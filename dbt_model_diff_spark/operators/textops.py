@@ -152,18 +152,34 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, spread: bool = True
+) -> DataFrame:
     """Explode word n-gram shingles: one row per (doc_id, shingle).
 
     Docs with fewer than ``n`` tokens produce no rows (inner explode) —
     matched by the SQL oracle's generate_series semantics.
+
+    ``spread``: the explode multiplies rows ~tokens-fold and the
+    downstream hashing is CPU-heavy, so input partitioning decides the
+    parallelism of the whole dedup pipeline. A small/compacted document
+    table often arrives as a handful of file splits (at worst ONE) —
+    in that case pre-spread the narrow (id, text) rows across the
+    cluster before exploding. The repartition shuffle moves only the
+    input docs (cheap); when the input is already well-partitioned it
+    is skipped entirely.
     """
     tok = F.split(F.col(text_col), " ")
+    src = df.select("doc_id", text_col)
+    if spread:
+        from dbt_model_diff_spark.util import spread_for_compute
+
+        src = spread_for_compute(src)
     expr = F.expr(
         f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
         f"g -> concat_ws(' ', slice(split({text_col}, ' '), g, {n})))"
     )
     return (
-        df.filter(F.size(tok) >= n)
+        src.filter(F.size(tok) >= n)
         .select("doc_id", F.explode(expr).alias("shingle"))
     )

@@ -1,13 +1,34 @@
-"""Small pure-Python helpers shared across the engine.
+"""Small helpers shared across the engine.
 
-Semantics mirror the reference's `core/util.py` (sanitize_ident:8-32,
-pct:35-37) — these are plain-Python utilities, re-implemented from the
-documented behavior, not copied.
+Semantics of the ident/pct helpers mirror the reference's `core/util.py`
+(sanitize_ident:8-32, pct:35-37) — re-implemented from the documented
+behavior, not copied.
 """
 
 from __future__ import annotations
 
 import re
+
+from pyspark.sql import DataFrame
+
+
+def spread_for_compute(df: DataFrame, min_rows: int = 0) -> DataFrame:
+    """Repartition a DataFrame up to the cluster's parallelism IF its
+    current partitioning under-uses it.
+
+    Small/compacted inputs (a single parquet file with one row group)
+    arrive as 1-3 splits no matter what the split-size confs say — and
+    any CPU-heavy downstream stage (explode, vector math, Pandas UDF)
+    then runs nearly serial. The shuffle this inserts moves only the
+    narrow input rows, and it is a NO-OP whenever the source is already
+    well-partitioned (the normal case at scale), so operators can call it
+    unconditionally ahead of compute-bound stages.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 _IDENT_BAD = re.compile(r"[^a-zA-Z0-9_]")
 
