@@ -1574,6 +1574,159 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_share_by_year",
+    """
+SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(sum(CASE WHEN n.n_name = 'GERMANY'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END)
+            / sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(3,2))))
+            AS DECIMAL(18,6)) AS germany_share
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY year(o.o_orderdate)
+""",
+)
+def q8_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per order year —
+    conditional-sum ratio in exact decimals, year() date extraction."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    de_rev = F.when(F.col("n_name") == "GERMANY", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (F.sum(de_rev) / F.sum(rev)).cast("decimal(18,6)").alias("germany_share")
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue_by_customer",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS returned_revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY returned_revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("returned_revenue"))
+        .orderBy(F.col("returned_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides —
+    the join stays an equi-join on partkey with the disjunction applied
+    as a post-join filter (Catalyst also derives the per-side prunable
+    parts: brand/size reach the part scan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+SELECT o_orderpriority AS priority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority x status as columns. Explicit value
+    list -> single-pass pivot (no extra distinct-values job)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "priority",
+            # empty pivot cells are NULL in Spark but 0 under FILTER
+            *[
+                F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+                for s in ("F", "O", "P")
+            ],
+        )
+    )
+
+
+@register(
     "top_revenue_orders",
     """
 SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,

@@ -50,8 +50,47 @@ def _add_diff_args(p: argparse.ArgumentParser) -> None:
     )
 
 
+def _main_diff_paths(argv: list[str]) -> int:
+    """``diff-paths <base_path> <head_path> --keys ...`` — compare two
+    stored tables directly (outputs of two pipeline runs), no git/model
+    registry involved (engine extension; see operators/diff.diff_paths)."""
+    p = argparse.ArgumentParser(prog="dbt-model-diff-spark diff-paths")
+    p.add_argument("base_path")
+    p.add_argument("head_path")
+    p.add_argument("--keys", default="", help="comma-separated key columns")
+    p.add_argument("--source-format", default="parquet", help="parquet|csv|json|orc")
+    p.add_argument("--where", default=None)
+    p.add_argument("--sample", type=int, default=20)
+    p.add_argument("--col-stats", dest="col_stats", action="store_true", default=True)
+    p.add_argument("--no-col-stats", dest="col_stats", action="store_false")
+    p.add_argument("--format", dest="fmt", default="rich")
+    args = p.parse_args(argv)
+    if args.fmt not in FORMATTERS:
+        p.error(f"--format must be one of {sorted(set(FORMATTERS) - {'text'})}")
+    key_cols = [k.strip() for k in args.keys.split(",") if k.strip()]
+
+    from dbt_model_diff_spark.operators.diff import diff_paths
+    from dbt_model_diff_spark.session import get_spark
+
+    spark = get_spark(app_name="dbt-model-diff-spark")
+    result = diff_paths(
+        spark,
+        args.base_path,
+        args.head_path,
+        key_cols=key_cols,
+        fmt=args.source_format,
+        where=args.where,
+        sample=args.sample,
+        col_stats=args.col_stats,
+    )
+    print(FORMATTERS[args.fmt](result))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "diff-paths":
+        return _main_diff_paths(argv[1:])
     # `diff` subcommand is optional (reference e2e invokes both forms,
     # test_postgres_e2e.py:205-239)
     if argv and argv[0] == "diff":

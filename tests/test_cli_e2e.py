@@ -145,3 +145,20 @@ myproj:
         load_conn_info(tmp_path, target="pg")
     with pytest.raises(ValueError, match="not found"):
         load_conn_info(tmp_path, profile="ghost")
+
+
+def test_cli_diff_paths(spark, tmp_path, capsys):
+    import json as _json
+
+    from dbt_model_diff_spark.cli import main
+
+    base = spark.range(6).withColumnRenamed("id", "k")
+    head = spark.range(1, 8).withColumnRenamed("id", "k")
+    pb, ph = str(tmp_path / "b"), str(tmp_path / "h")
+    base.write.parquet(pb)
+    head.write.parquet(ph)
+    rc = main(["diff-paths", pb, ph, "--keys", "k", "--format", "json"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["rowcounts"] == {"base": 6, "head": 7}
+    assert out["row_diff"]["added"] == 2 and out["row_diff"]["removed"] == 1
