@@ -219,6 +219,58 @@ def diff_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "col_name string, presence string")
 
 
+_LI_BASE_SQL = "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag FROM lineitem WHERE l_orderkey % 4 < 3"
+_LI_HEAD_SQL = """SELECT l_orderkey, l_linenumber,
+       CASE WHEN (l_orderkey + l_linenumber) % 11 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+       l_extendedprice, l_returnflag
+FROM lineitem WHERE l_orderkey % 4 > 0"""
+
+_LI_NONKEY = ["l_quantity", "l_extendedprice", "l_returnflag"]
+_LI_DIFF_FLAG = " OR ".join(f"(b.{c} IS DISTINCT FROM h.{c})" for c in _LI_NONKEY)
+
+
+@register(
+    "diff_counts_lineitem_multikey",
+    f"""
+WITH base AS ({_LI_BASE_SQL}),
+head AS ({_LI_HEAD_SQL}),
+j AS (
+  SELECT b.l_orderkey AS bk, h.l_orderkey AS hk, ({_LI_DIFF_FLAG}) AS is_diff
+  FROM base b FULL OUTER JOIN head h
+    ON b.l_orderkey = h.l_orderkey AND b.l_linenumber = h.l_linenumber
+)
+SELECT count(*) FILTER (WHERE bk IS NULL) AS added,
+       count(*) FILTER (WHERE bk IS NOT NULL AND hk IS NOT NULL AND is_diff) AS changed,
+       count(*) FILTER (WHERE hk IS NULL) AS removed
+FROM j
+""",
+)
+def diff_counts_lineitem_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/B6/B8 on a COMPOSITE key (l_orderkey, l_linenumber): the join
+    shuffles on both key columns; same one-shuffle conditional-agg shape
+    as the single-key diff."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    base = li.filter(F.col("l_orderkey") % 4 < 3)
+    head = li.filter(F.col("l_orderkey") % 4 > 0).withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") + F.col("l_linenumber")) % 11 == 0,
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    j = row_diff_frame(
+        base, head, ["l_orderkey", "l_linenumber"], _LI_NONKEY, DiffConfig()
+    )
+    bh, hh = F.col("__dmds_base_hash"), F.col("__dmds_head_hash")
+    return j.agg(
+        F.count(F.when(bh.isNull(), 1)).alias("added"),
+        F.count(F.when(bh.isNotNull() & hh.isNotNull() & (bh != hh), 1)).alias("changed"),
+        F.count(F.when(hh.isNull(), 1)).alias("removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Group D: model-building transforms (the dbt-demo surface, ported to the
 # TPC-H-ish tables). SURVEY.md §2 D1-D19.
