@@ -180,33 +180,61 @@ def diff_frames(
         # side. base/head actions are independent either way — submit both
         # at once and let the Spark scheduler interleave them (the
         # reference runs every query sequentially over one connection).
+        # The row-diff join is equally independent of the profiles, so its
+        # count aggregation is submitted to the same pool below.
         profile_now = col_stats and bool(common_cols)
         fuse_counts = profile_now and where is None
         bprof: dict = {}
         hprof: dict = {}
-        if fuse_counts:
-            with ThreadPoolExecutor(2) as pool:
-                fb = pool.submit(
-                    column_profile, base_s, common_cols, config, True
+
+        non_key_cols = [c for c in common_cols if c not in set(key_cols)]
+        want_sample = sample > 0
+        counts = None
+        counts_future = None
+        pool = ThreadPoolExecutor(5)
+        try:
+            if key_cols:
+                joined = row_diff_frame(
+                    base_f, head_f, key_cols, non_key_cols, config
                 )
-                fh = pool.submit(
-                    column_profile, head_s, common_cols, config, True
+                if want_sample:
+                    # Narrow frame (keys + 2 fingerprints): cache it so the
+                    # sample pass doesn't redo the join shuffle.
+                    joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+                counts_agg = joined.agg(
+                    F.count(F.when(F.col(_BH).isNull(), 1)).alias("added"),
+                    F.count(F.when(F.col(_HH).isNull(), 1)).alias("removed"),
+                    F.count(
+                        F.when(
+                            F.col(_BH).isNotNull()
+                            & F.col(_HH).isNotNull()
+                            & (F.col(_BH) != F.col(_HH)),
+                            1,
+                        )
+                    ).alias("changed"),
                 )
+                counts_future = pool.submit(lambda: counts_agg.collect()[0])
+
+            if fuse_counts:
+                fb = pool.submit(column_profile, base_s, common_cols, config, True)
+                fh = pool.submit(column_profile, head_s, common_cols, config, True)
                 (bprof, base_count), (hprof, head_count) = fb.result(), fh.result()
-        else:
-            with ThreadPoolExecutor(2) as pool:
+            else:
                 fb, fh = pool.submit(base_f.count), pool.submit(head_f.count)
                 base_count, head_count = fb.result(), fh.result()
-            if profile_now:
-                # Reference quirk: numerators from the unfiltered snapshot,
-                # denominators from the filtered count
-                # (`core/diff_flow.py:152-175`).
-                base_p = base_s if config.parity_profile_denominator else base_f
-                head_p = head_s if config.parity_profile_denominator else head_f
-                with ThreadPoolExecutor(2) as pool:
+                if profile_now:
+                    # Reference quirk: numerators from the unfiltered
+                    # snapshot, denominators from the filtered count
+                    # (`core/diff_flow.py:152-175`).
+                    base_p = base_s if config.parity_profile_denominator else base_f
+                    head_p = head_s if config.parity_profile_denominator else head_f
                     fb = pool.submit(column_profile, base_p, common_cols, config)
                     fh = pool.submit(column_profile, head_p, common_cols, config)
                     bprof, hprof = fb.result(), fh.result()
+            if counts_future is not None:
+                counts = counts_future.result()
+        finally:
+            pool.shutdown(wait=True)
         result["rowcounts"] = {"base": base_count, "head": head_count}
 
         if profile_now:
@@ -228,29 +256,8 @@ def diff_frames(
                 for c in common_cols
             }
 
-        if not key_cols:
+        if not key_cols or counts is None:
             return result
-
-        non_key_cols = [c for c in common_cols if c not in set(key_cols)]
-        joined = row_diff_frame(base_f, head_f, key_cols, non_key_cols, config)
-        want_sample = sample > 0
-        if want_sample:
-            # Narrow frame (keys + 2 fingerprints): cache it so the sample
-            # pass doesn't redo the join shuffle.
-            joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
-
-        counts = joined.agg(
-            F.count(F.when(F.col(_BH).isNull(), 1)).alias("added"),
-            F.count(F.when(F.col(_HH).isNull(), 1)).alias("removed"),
-            F.count(
-                F.when(
-                    F.col(_BH).isNotNull()
-                    & F.col(_HH).isNotNull()
-                    & (F.col(_BH) != F.col(_HH)),
-                    1,
-                )
-            ).alias("changed"),
-        ).collect()[0]
 
         sample_keys: list[list[Any]] = []
         if counts["changed"] and want_sample:

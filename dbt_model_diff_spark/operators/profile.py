@@ -18,6 +18,8 @@ scan and an N x row-multiplication. Two mitigations, both config-driven:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,8 +56,12 @@ def column_profile(
         return out
 
     # Distinct aggregates drive the batching; null counts are plain sums and
-    # piggyback on whichever job scans their column anyway.
-    for gi, group in enumerate(_batch(list(cols), config.profile_batch_size)):
+    # piggyback on whichever job scans their column anyway. Batches are
+    # independent column-pruned scans, so submit them all at once and let
+    # the Spark scheduler interleave their stages.
+    groups = _batch(list(cols), config.profile_batch_size)
+
+    def _run_batch(gi: int, group: list[str]):
         exprs = []
         if include_rowcount and gi == 0:
             exprs.append(F.count(F.lit(1)).alias("__rowcount"))
@@ -67,7 +73,14 @@ def column_profile(
                 exprs.append(F.approx_count_distinct(c).alias(f"__distinct_{c}"))
             else:
                 exprs.append(F.count_distinct(F.col(c)).alias(f"__distinct_{c}"))
-        row = df.select(*group).agg(*exprs).collect()[0]
+        return df.select(*group).agg(*exprs).collect()[0]
+
+    if len(groups) == 1:
+        rows = [_run_batch(0, groups[0])]
+    else:
+        with ThreadPoolExecutor(min(4, len(groups))) as pool:
+            rows = list(pool.map(_run_batch, range(len(groups)), groups))
+    for gi, (group, row) in enumerate(zip(groups, rows)):
         if include_rowcount and gi == 0:
             rowcount = int(row["__rowcount"])
         for c in group:
