@@ -1815,3 +1815,524 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes round 2 (Q2/Q6/Q7/Q11/Q13/Q15/Q16/Q18/Q21/Q22), adapted to
+# the driver schema: no partsupp table (lineitem supplies the part-supplier
+# pairs), no l_commitdate/l_receiptdate (l_returnflag='R' marks the
+# "problem" lines), no c_phone (c_nationkey plays the country code).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_revenue_delta",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4)) AS revenue_delta,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins. All three
+    predicates reach the parquet scan (PushedFilters), so at 100 TB this
+    reads only row groups whose min/max straddle the ranges."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    delta = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(3,2)")
+    return li.agg(
+        F.sum(delta).cast("decimal(18,4)").alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DECIMAL(18,4)) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(3,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. The disjunctive nation-pair predicate lands after both broadcast
+    dim joins; lineitem->orders is the only big-big shuffle."""
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("n1_key") == s["s_nationkey"])
+        .join(F.broadcast(n2), F.col("n2_key") == c["c_nationkey"])
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(volume).cast("decimal(18,4)").alias("revenue"))
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — orders per customer
+    (left join keeps zero-order customers), then customers per order
+    count. The second agg input is one row per customer, so the second
+    shuffle is tiny regardless of fact size."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(18,4)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max 3-month revenue. The revenue
+    CTE is one row per supplier, so the scalar max and the equality filter
+    both run over the small aggregate; the max is broadcast back rather
+    than forcing a single-partition window."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).cast("decimal(18,4)").alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("__max_rev"),
+        )
+        .join(F.broadcast(s), s["s_suppkey"] == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """
+SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    suppliers per part group, excluding a NOT-IN supplier denylist. The
+    denylist is a broadcast anti join; part filters are broadcast-side."""
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = read_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 180
+)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a GROUP BY ... HAVING subquery -> semi
+    join on the pre-aggregated big keys. The HAVING agg and the outer agg
+    share the l_orderkey shuffle key, so AQE can reuse the exchange."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__qty"))
+        .filter(F.col("__qty") > 180)
+        .select(F.col("l_orderkey").alias("__big_key"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("__big_key"), "left_semi"
+    )
+    return (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("decimal(18,2)").alias("total_qty"))
+    )
+
+
+@register(
+    "q21_sole_problem_supplier",
+    """
+SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (l_returnflag='R' stands in for the late-delivery
+    predicate): suppliers who were the ONLY supplier with a returned line
+    in a multi-supplier order. EXISTS / NOT EXISTS with a same-order,
+    different-supplier correlation compile to per-order existence flags
+    computed in ONE groupBy over lineitem — no self-join of the fact
+    table, one shuffle on l_orderkey."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # Per (order, supplier): did THIS supplier return; per order: distinct
+    # suppliers and distinct returning suppliers. A supplier waits alone
+    # when the order has >=2 suppliers, they returned, and no one else did.
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("ret").alias("n_ret_supps"),
+    )
+    waiting = (
+        per_pair.filter(F.col("ret") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_ret_supps") == 1))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(s), s["s_suppkey"] == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "q22_rich_idle_customers",
+    """
+SELECT CAST(c.c_nationkey AS INT) AS cntry, count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,6))
+                     FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+""",
+)
+def q22_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (c_nationkey stands in for the phone country code;
+    "idle" means no URGENT orders — the driver data gives every customer
+    at least one order): above-average-balance customers, grouped by
+    country. Scalar-subquery threshold broadcast; NOT EXISTS -> anti join
+    against the filtered orders key projection."""
+    c = read_table(spark, sf_dir, "customer")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.avg(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("decimal(18,6)")
+            .alias("__avg_bal")
+        )
+    )
+    o_keys = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(thresh), F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q2_min_retail_parts",
+    """
+SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                         WHERE p2.p_size = p.p_size)
+ORDER BY p.p_size, p.p_partkey
+LIMIT 100
+""",
+)
+def q2_min_retail_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-subquery -> per-group min computed
+    once and broadcast back as an equi-join (no partsupp in the driver
+    schema, so the group is p_size). Doubles compare exactly — min
+    introduces no arithmetic."""
+    p = read_table(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_size").alias("__size")).agg(
+        F.min("p_retailprice").alias("__min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p["p_size"] == F.col("__size"))
+            & (p["p_retailprice"] == F.col("__min_price")),
+        )
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_high_value_suppliers",
+    """
+WITH value AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,4)) AS val
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, val
+FROM value
+WHERE val > (SELECT CAST(sum(val) * CAST(0.011 AS DECIMAL(6,3)) AS DECIMAL(38,7))
+             FROM value)
+""",
+)
+def q11_high_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers holding more than a fixed fraction of
+    total lineitem value. The per-supplier aggregate is computed once and
+    reused for both the global total and the filter (Spark: cached narrow
+    frame; the scalar total joins back via broadcast)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    value = li.groupBy("l_suppkey").agg(F.sum(v).cast("decimal(28,4)").alias("val"))
+    total = value.agg(
+        (F.sum("val") * F.lit(0.011).cast("decimal(6,3)"))
+        .cast("decimal(38,7)")
+        .alias("__thresh")
+    )
+    return (
+        value.join(F.broadcast(total), F.col("val") > F.col("__thresh"))
+        .select("l_suppkey", "val")
+    )
+
+
+@register(
+    "q9_product_profit_by_nation",
+    """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                - CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(12,2))
+                  * CAST(0.1 AS DECIMAL(3,1))) AS DECIMAL(28,4)) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%ring%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+)
+def q9_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no ps_supplycost in the driver schema — cost is
+    modeled as 10% of retail price x quantity): profit per supplier
+    nation per order year, part filtered by a LIKE pattern. part /
+    supplier / nation broadcast; lineitem->orders is the one shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    ) * F.lit(0.1).cast("decimal(3,1)")
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("decimal(28,4)").alias("profit"))
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_suppkey
+  HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) >
+         (SELECT CAST(avg(qty) AS DECIMAL(18,6)) FROM (
+            SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty
+            FROM lineitem l2
+            JOIN part p2 ON p2.p_partkey = l2.l_partkey
+            WHERE p2.p_type = 'PROMO'
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l2.l_suppkey) t)
+)
+ORDER BY s.s_suppkey
+""",
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp availqty — "excess" means shipping
+    more PROMO quantity than the average supplier in the window):
+    nested IN + HAVING-over-scalar-subquery. The per-supplier aggregate
+    is computed ONCE and reused for both the average and the filter."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    per_supp = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty")
+        )
+    )
+    avg_qty = per_supp.agg(
+        F.avg("qty").cast("decimal(18,6)").alias("__avg_qty")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(avg_qty), F.col("qty") > F.col("__avg_qty"))
+        .join(F.broadcast(s), s["s_suppkey"] == F.col("l_suppkey"), "inner")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
