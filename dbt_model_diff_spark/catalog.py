@@ -2336,3 +2336,89 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation round 2: deterministic sampling / splits and
+# benchmark decontamination (operators/sampling.py, dedup.ngram_contamination).
+# ---------------------------------------------------------------------------
+
+# first-hex-digit bucket of md5(id) — identical text in Spark and DuckDB
+_HASH_BUCKET_SQL = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
+
+
+@register(
+    "sample_stratified_documents",
+    f"""
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE ({_HASH_BUCKET_SQL}) <
+      CASE lang WHEN 'en' THEN 8 WHEN 'zh' THEN 16 ELSE 4 END
+GROUP BY lang
+""",
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: keep 8/16 of English,
+    all of Chinese, 4/16 of other languages, keyed on md5(doc_id) — a
+    shuffle-free per-row filter whose membership is reproducible across
+    runs and cluster sizes (operators/sampling.py)."""
+    from dbt_model_diff_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    sampled = sampling.stratified_hash_sample(
+        docs, "lang", "doc_id", {"en": 8, "zh": 16}, default_sixteenths=4
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "split_train_eval_documents",
+    f"""
+SELECT CASE WHEN ({_HASH_BUCKET_SQL}) < 2 THEN 'eval' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def split_train_eval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeatable train/eval holdout split (2/16 eval) by id hash: the
+    same doc_id lands in the same split on every run, so eval can never
+    bleed into train between pipeline versions."""
+    from dbt_model_diff_spark.operators import sampling
+
+    docs = sampling.train_eval_split(
+        read_table(spark, sf_dir, "documents"), "doc_id", eval_sixteenths=2
+    )
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "decontaminate_train_docs",
+    _shingle_sql(5)
+    + """,
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+SELECT t.doc_id, count(DISTINCT t.shingle) AS n_leaked_shingles
+FROM train t JOIN bench b ON b.shingle = t.shingle
+GROUP BY t.doc_id
+""",
+)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 10 != 0) that
+    share any word 5-gram with the benchmark slice (doc_id % 10 == 0),
+    scored by distinct leaked shingles. The benchmark shingle set is
+    broadcast — the training corpus is scanned once, never shuffled
+    (dedup.ngram_contamination)."""
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=5)
+    bench = sh.filter(F.col("doc_id") % 10 == 0)
+    train = sh.filter(F.col("doc_id") % 10 != 0)
+    return dedup.ngram_contamination(train, bench)

@@ -229,3 +229,28 @@ def ngram_jaccard_pairs(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def ngram_contamination(
+    train_shingles: DataFrame,
+    bench_shingles: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any n-gram shingle
+    with a benchmark/eval set, scored by how many distinct shingles leak.
+
+    Input frames are (id, shingle) as produced by ``textops.shingles`` —
+    the n is chosen there (13-gram word overlap is the common
+    decontamination criterion; tests use smaller n on tiny docs).
+
+    Scale shape: the benchmark side is small by construction (eval suites,
+    not corpora) — its DISTINCT shingle set is broadcast, so the training
+    corpus is never shuffled: one scan, map-side semi join, then an
+    aggregation keyed on the (pre-filtered, tiny) contaminated remainder.
+    """
+    bench_set = bench_shingles.select("shingle").distinct()
+    return (
+        train_shingles.join(F.broadcast(bench_set), on="shingle", how="inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("shingle")).alias("n_leaked_shingles"))
+    )

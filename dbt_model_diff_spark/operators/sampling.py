@@ -1,0 +1,107 @@
+"""Deterministic and randomized sampling for training-data curation.
+
+Beyond-reference surface (the reference has no sampling; its only row
+bounding is the diff sample LIMIT, `core/diff_flow.py:246`). A 100 TB
+corpus pipeline needs repeatable subsetting: the same document must land
+in the same split on every run, on every cluster size, with no coordination
+— so the primary operators here key off a content-independent hash of the
+document id, not off ``rand()``.
+
+Portability note: the hash is the first hex digit of md5(id-as-string),
+giving 16 equal buckets. md5 hex renders identically in Spark and DuckDB,
+so hash-sampled queries are fully oracle-checkable — unlike rand()-based
+sampling, which is engine- and partitioning-dependent.
+
+Scale posture: every operator is a stateless per-row filter — no shuffle,
+no driver state, trivially parallel over any partitioning. ``sampleBy`` /
+``reservoir_sample`` are provided for when statistical (rather than
+repeatable) sampling is wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket(id_col: Column, buckets: int = 16) -> Column:
+    """Stable bucket in [0, buckets) from md5 of the id's string form.
+
+    For buckets <= 16 this uses one hex digit (cheap substring compare in
+    both engines); larger bucket counts use the md5 value mod buckets.
+    """
+    h = F.md5(id_col.cast("string"))
+    if buckets == 16:
+        return F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(buckets)
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, keep_sixteenths: int) -> DataFrame:
+    """Keep a deterministic keep_sixteenths/16 fraction of rows by id hash."""
+    if not 0 <= keep_sixteenths <= 16:
+        raise ValueError("keep_sixteenths must be in [0, 16]")
+    return df.filter(hash_bucket(F.col(id_col)) < keep_sixteenths)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, int],
+    default_sixteenths: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value ->
+    sixteenths kept (e.g. {"en": 8, "de": 16} keeps half of English, all
+    of German, ``default_sixteenths``/16 of everything else).
+
+    This is the down/up-weighting step of corpus mixing (keep all of a
+    scarce language, thin an over-represented one) made reproducible:
+    membership depends only on the row id, never on partitioning or seed
+    state, so incremental re-runs see a consistent corpus.
+    """
+    bucket = hash_bucket(F.col(id_col))
+    thresh: Column = F.lit(default_sixteenths)
+    for value, sixteenths in sorted(rates.items()):
+        if not 0 <= sixteenths <= 16:
+            raise ValueError(f"rate for {value!r} must be in [0, 16]")
+        thresh = F.when(F.col(stratum_col) == value, sixteenths).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def train_eval_split(
+    df: DataFrame, id_col: str, eval_sixteenths: int = 1
+) -> DataFrame:
+    """Tag each row 'eval' or 'train' by id hash — a repeatable holdout.
+
+    The same id always lands in the same split, so a document can never
+    leak from eval to train between pipeline runs (the sampling analogue
+    of the decontamination join in ``operators/dedup.py``).
+    """
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(F.col(id_col)) < eval_sixteenths, F.lit("eval")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def reservoir_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """Uniform k-row sample without replacement: rank by seeded pseudo-
+    random key, keep the global top-k.
+
+    orderBy+limit compiles to TakeOrderedAndProject: each partition keeps
+    its local top-k (the distributed reservoir), and only those k-row
+    reservoirs travel to the driver-side merge — never the full data.
+    Statistically uniform but partition-dependent; for run-to-run
+    repeatability prefer ``hash_sample``.
+    """
+    return (
+        df.withColumn("__r", F.rand(seed))
+        .orderBy("__r")
+        .limit(int(k))
+        .drop("__r")
+    )

@@ -1,0 +1,74 @@
+"""Deterministic sampling / split / decontamination operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import dedup, sampling, textops
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+
+
+def test_hash_sample_deterministic_and_proportional(spark, ids):
+    a = sorted(r["doc_id"] for r in sampling.hash_sample(ids, "doc_id", 8).collect())
+    b = sorted(r["doc_id"] for r in sampling.hash_sample(ids, "doc_id", 8).collect())
+    assert a == b  # same membership on every run
+    assert 0.35 < len(a) / 400 < 0.65  # ~8/16 of uniformly hashed ids
+    # monotone: a smaller rate selects a subset of a larger rate
+    small = {r["doc_id"] for r in sampling.hash_sample(ids, "doc_id", 4).collect()}
+    assert small <= set(a)
+
+
+def test_hash_sample_bounds(spark, ids):
+    assert sampling.hash_sample(ids, "doc_id", 0).count() == 0
+    assert sampling.hash_sample(ids, "doc_id", 16).count() == 400
+    with pytest.raises(ValueError):
+        sampling.hash_sample(ids, "doc_id", 17)
+
+
+def test_stratified_rates_apply_per_stratum(spark, ids):
+    out = sampling.stratified_hash_sample(
+        ids, "lang", "doc_id", {"de": 16}, default_sixteenths=0
+    )
+    rows = out.collect()
+    assert all(r["lang"] == "de" for r in rows)
+    assert len(rows) == ids.filter(F.col("lang") == "de").count()
+
+
+def test_train_eval_split_partitions_everything(spark, ids):
+    out = sampling.train_eval_split(ids, "doc_id", eval_sixteenths=2)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("eval", 0) + counts.get("train", 0) == 400
+    assert 0 < counts.get("eval", 0) < 400
+    # membership is a function of the id only
+    again = sampling.train_eval_split(ids, "doc_id", eval_sixteenths=2)
+    assert out.select("doc_id", "split").subtract(again.select("doc_id", "split")).count() == 0
+
+
+def test_reservoir_sample_size_and_membership(spark, ids):
+    out = sampling.reservoir_sample(ids, 25, seed=7).collect()
+    assert len(out) == 25
+    assert {r["doc_id"] for r in out} <= set(range(400))
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # bench
+            (10, "zzz alpha beta gamma delta qqq"),  # leaks a 4-gram
+            (11, "totally unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = textops.shingles(docs, n=4)
+    bench = sh.filter(F.col("doc_id") == 1)
+    train = sh.filter(F.col("doc_id") != 1)
+    hits = dedup.ngram_contamination(train, bench).collect()
+    assert [(r["doc_id"], r["n_leaked_shingles"]) for r in hits] == [(10, 1)]
