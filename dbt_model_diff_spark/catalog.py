@@ -2422,3 +2422,59 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = sh.filter(F.col("doc_id") % 10 == 0)
     train = sh.filter(F.col("doc_id") % 10 != 0)
     return dedup.ngram_contamination(train, bench)
+
+
+@register(
+    "diff_partitioned_orders",
+    f"""
+WITH base AS ({_BASE_SQL}),
+head AS ({_HEAD_SQL}),
+j AS (
+  SELECT b.o_orderkey AS bk, h.o_orderkey AS hk,
+         b.o_orderdate AS b_dt, h.o_orderdate AS h_dt,
+         ({_DIFF_FLAG_SQL}) AS is_diff
+  FROM base b FULL OUTER JOIN head h ON b.o_orderkey = h.o_orderkey
+),
+diffrows AS (SELECT * FROM j WHERE bk IS NULL OR hk IS NULL OR is_diff),
+dirty AS (
+  SELECT DISTINCT date_trunc('month', b_dt) AS m FROM diffrows WHERE b_dt IS NOT NULL
+  UNION
+  SELECT DISTINCT date_trunc('month', h_dt) FROM diffrows WHERE h_dt IS NOT NULL
+)
+SELECT (SELECT count(*) FROM j WHERE bk IS NULL) AS added,
+       (SELECT count(*) FROM j WHERE hk IS NULL) AS removed,
+       (SELECT count(*) FROM j WHERE bk IS NOT NULL AND hk IS NOT NULL AND is_diff) AS changed,
+       (SELECT count(*) FROM dirty) AS dirty_partitions,
+       (SELECT count(DISTINCT date_trunc('month', o_orderdate)) FROM base) AS total_partitions
+""",
+)
+def diff_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned diff (operators/partition_diff.py): fingerprint
+    order-month partitions (count + bit_xor of xxhash64 row fingerprint,
+    one cheap scan per side), then row-diff ONLY the dirty months. Counts
+    equal the full diff; at 100 TB the join reads just the changed
+    partitions' files when snapshots are stored partitioned by month.
+
+    The oracle derives dirtiness independently — a month is dirty iff it
+    contains an added/removed/changed row — which equals the fingerprint
+    definition up to 64-bit xor collisions."""
+    from dbt_model_diff_spark.operators.partition_diff import diff_partitioned
+
+    res = diff_partitioned(
+        _orders_base(spark, sf_dir),
+        _orders_head(spark, sf_dir),
+        key_cols=["o_orderkey"],
+        partition_col=F.date_trunc("month", F.col("o_orderdate")),
+    )
+    return spark.createDataFrame(
+        [
+            (
+                res["added"],
+                res["removed"],
+                res["changed"],
+                res["dirty_partitions"],
+                res["total_partitions"],
+            )
+        ],
+        "added long, removed long, changed long, dirty_partitions long, total_partitions long",
+    )

@@ -1,0 +1,152 @@
+"""Partition-pruned row diff: fingerprint partitions first, row-diff only
+the partitions that changed.
+
+Beyond-reference scale feature. The reference compares whole relations
+every run (`core/diff_flow.py:185-249`) — fine at warehouse-demo scale,
+quadratic pain at 100 TB where a typical head snapshot differs from base
+in a handful of date partitions. This operator makes the common case
+("99% of partitions untouched") cost one cheap scan per side:
+
+1. **Fingerprint pass** — per partition: row count and a bit_xor of the
+   64-bit row fingerprint (xxhash64 over the canonicalized row, the same
+   fingerprint family as ``functions/hashing.row_hash_expr``). bit_xor is
+   commutative/associative -> map-side partial aggregation, a
+   shuffle of |partitions| rows, and order-independence (no sort needed).
+2. **Prune** — partitions whose (count, fingerprint) match on both sides
+   are provably-unchanged-up-to-hash and skipped. A changed, added,
+   removed, or moved row always dirties every partition it touches on
+   either side (its row fingerprint participates in that partition's xor),
+   so no diff row can hide in a clean partition; the residual risk is the
+   64-bit collision of the xor aggregate itself.
+3. **Row-diff pass** — the standard one-shuffle full-outer key join
+   (`operators/diff.row_diff_frame`), with BOTH sides filtered to dirty
+   partitions first. When the snapshot is stored partitioned by the same
+   column (``sinks.write_partitioned``), that filter is a partition-pruned
+   scan: Spark never reads the clean partitions' files at all.
+
+Rows whose key match sits across two partitions (a row that "moved") are
+still matched: both partitions become dirty, and the key join is on keys
+only — partition membership never fragments the join.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.config import DiffConfig
+from dbt_model_diff_spark.functions.hashing import row_hash_expr
+
+_FP = "__dmds_part_fp"
+_CNT = "__dmds_part_cnt"
+
+
+def partition_fingerprints(
+    df: DataFrame,
+    partition_col: str | Column,
+    config: DiffConfig | None = None,
+) -> DataFrame:
+    """Per-partition (count, bit_xor(rowhash)) — one scan, tiny output."""
+    config = config or DiffConfig()
+    part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    fp = row_hash_expr(
+        df.columns, "xxhash64", config.null_sentinel, config.hash_separator
+    )
+    return (
+        df.select(part.alias("__part"), fp.alias("__fp"))
+        .groupBy("__part")
+        .agg(
+            F.count(F.lit(1)).alias(_CNT),
+            F.expr("bit_xor(__fp)").alias(_FP),
+        )
+    )
+
+
+def dirty_partitions(
+    base: DataFrame,
+    head: DataFrame,
+    partition_col: str | Column,
+    config: DiffConfig | None = None,
+) -> list[Any]:
+    """Partition values whose fingerprints differ (or exist on one side
+    only). Collected to the driver: one value per partition — bounded by
+    the partition count, not the data."""
+    bf = partition_fingerprints(base, partition_col, config)
+    hf = partition_fingerprints(head, partition_col, config)
+    b = bf.select(
+        "__part", F.col(_CNT).alias("b_cnt"), F.col(_FP).alias("b_fp")
+    )
+    h = hf.select(
+        "__part", F.col(_CNT).alias("h_cnt"), F.col(_FP).alias("h_fp")
+    )
+    rows = (
+        b.join(h, on="__part", how="full_outer")
+        .filter(
+            F.col("b_cnt").isNull()
+            | F.col("h_cnt").isNull()
+            | (F.col("b_cnt") != F.col("h_cnt"))
+            | (F.col("b_fp") != F.col("h_fp"))
+        )
+        .select("__part")
+        .collect()
+    )
+    return [r["__part"] for r in rows]
+
+
+def diff_partitioned(
+    base: DataFrame,
+    head: DataFrame,
+    key_cols: list[str],
+    partition_col: str | Column,
+    config: DiffConfig | None = None,
+) -> dict[str, Any]:
+    """Added/removed/changed counts via partition pruning.
+
+    Returns the same ``row_diff`` counts as ``diff_frames`` (minus the
+    sample), plus pruning stats: how many partitions were compared vs
+    skipped. Counts are identical to the full diff because clean
+    partitions contribute no diff rows (see module docstring).
+    """
+    from dbt_model_diff_spark.operators.diff import row_diff_frame
+
+    config = config or DiffConfig()
+    part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+
+    n_base_parts = base.select(part.alias("__p")).distinct().count()
+    dirty = dirty_partitions(base, head, partition_col, config)
+
+    if not dirty:
+        return {
+            "added": 0,
+            "removed": 0,
+            "changed": 0,
+            "dirty_partitions": 0,
+            "total_partitions": n_base_parts,
+        }
+
+    # isin on the collected dirty list: for partition columns this is a
+    # small literal list that reaches the parquet scan as an IN filter
+    # (partition pruning when the layout is partitioned by this column).
+    base_d = base.filter(part.isin(dirty))
+    head_d = head.filter(part.isin(dirty))
+
+    sd_common = [c for c in head.columns if c in set(base.columns)]
+    non_key = [c for c in sd_common if c not in set(key_cols)]
+    joined = row_diff_frame(base_d, head_d, key_cols, non_key, config)
+    bh, hh = F.col("__dmds_base_hash"), F.col("__dmds_head_hash")
+    counts = joined.agg(
+        F.count(F.when(bh.isNull(), 1)).alias("added"),
+        F.count(F.when(hh.isNull(), 1)).alias("removed"),
+        F.count(
+            F.when(bh.isNotNull() & hh.isNotNull() & (bh != hh), 1)
+        ).alias("changed"),
+    ).collect()[0]
+    return {
+        "added": int(counts["added"]),
+        "removed": int(counts["removed"]),
+        "changed": int(counts["changed"]),
+        "dirty_partitions": len(dirty),
+        "total_partitions": n_base_parts,
+    }

@@ -1,0 +1,87 @@
+"""Partition-pruned diff: counts match the full diff, clean partitions
+are skipped, moved rows stay matched across partitions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators.partition_diff import (
+    diff_partitioned,
+    dirty_partitions,
+)
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    # 100 rows across 10 partitions p0..p9
+    return spark.createDataFrame(
+        [(i, f"p{i % 10}", f"v{i}") for i in range(100)],
+        "id long, part string, val string",
+    )
+
+
+def test_identical_sides_no_dirty_partitions(spark, base):
+    res = diff_partitioned(base, base, ["id"], "part")
+    assert res == {
+        "added": 0,
+        "removed": 0,
+        "changed": 0,
+        "dirty_partitions": 0,
+        "total_partitions": 10,
+    }
+
+
+def test_localized_change_dirties_one_partition(spark, base):
+    head = base.withColumn(
+        "val", F.when(F.col("id") == 42, F.lit("CHANGED")).otherwise(F.col("val"))
+    )
+    assert sorted(dirty_partitions(base, head, "part")) == ["p2"]
+    res = diff_partitioned(base, head, ["id"], "part")
+    assert (res["added"], res["removed"], res["changed"]) == (0, 0, 1)
+    assert res["dirty_partitions"] == 1 and res["total_partitions"] == 10
+
+
+def test_add_and_remove_dirty_their_partitions(spark, base):
+    head = base.filter(F.col("id") != 7).union(
+        spark.createDataFrame([(1000, "p3", "new")], base.schema)
+    )
+    assert sorted(dirty_partitions(base, head, "part")) == ["p3", "p7"]
+    res = diff_partitioned(base, head, ["id"], "part")
+    assert (res["added"], res["removed"], res["changed"]) == (1, 1, 0)
+    assert res["dirty_partitions"] == 2
+
+
+def test_moved_row_counts_changed_not_added(spark, base):
+    # id 42 moves p2 -> p5: both partitions dirty, but the key join still
+    # matches it and reports CHANGED (partition col is a non-key column).
+    head = base.withColumn(
+        "part", F.when(F.col("id") == 42, F.lit("p5")).otherwise(F.col("part"))
+    )
+    assert sorted(dirty_partitions(base, head, "part")) == ["p2", "p5"]
+    res = diff_partitioned(base, head, ["id"], "part")
+    assert (res["added"], res["removed"], res["changed"]) == (0, 0, 1)
+
+
+def test_matches_full_diff_on_orders_fixture(spark, sf_dir):
+    from dbt_model_diff_spark import diff_frames
+    from dbt_model_diff_spark.catalog import _orders_base, _orders_head
+
+    full = diff_frames(
+        _orders_base(spark, sf_dir),
+        _orders_head(spark, sf_dir),
+        key_cols=["o_orderkey"],
+        sample=0,
+        col_stats=False,
+    )["row_diff"]
+    pruned = diff_partitioned(
+        _orders_base(spark, sf_dir),
+        _orders_head(spark, sf_dir),
+        key_cols=["o_orderkey"],
+        partition_col=F.date_trunc("month", F.col("o_orderdate")),
+    )
+    assert (pruned["added"], pruned["removed"], pruned["changed"]) == (
+        full["added"],
+        full["removed"],
+        full["changed"],
+    )
