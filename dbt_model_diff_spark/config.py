@@ -24,7 +24,11 @@ defaults:
 - ``snapshot_mode``: how model outputs are frozen before the ~7 comparison
   actions (the reference uses CTAS, `adapters/postgres.py:37-44`).
   'persist' = MEMORY_AND_DISK cache (single-session); 'parquet' = write +
-  re-read (multi-session / audit trail, closest to CTAS); 'none' = lazy
+  re-read (multi-session / audit trail, closest to CTAS); 'bucketed' =
+  saveAsTable bucketed+sorted on the diff keys, so the row-diff join of
+  the two snapshots is exchange-free AND sort-free (both sides arrive
+  co-partitioned and pre-sorted — the physical plan for repeated diffs
+  over the same keyspace at 100 TB); 'none' = lazy
   recompute (only sane for tiny inputs); 'auto' (default) = persist only
   when the plan contains a shuffle-producing node (Join/Aggregate/Window/
   Sort/Distinct) — a plain scan+filter+project is cheaper to re-run per
@@ -45,12 +49,15 @@ class DiffConfig:
     approx_distinct: bool = False
     profile_batch_size: int = 8
     parity_profile_denominator: bool = True
-    snapshot_mode: str = "auto"  # 'auto' | 'persist' | 'parquet' | 'none'
+    snapshot_mode: str = "auto"  # 'auto'|'persist'|'parquet'|'bucketed'|'none'
     snapshot_dir: str = "/tmp/dbt_model_diff_spark_snapshots"
+    snapshot_buckets: int = 32  # bucket count for snapshot_mode='bucketed'
     null_safe_keys: bool = False  # opt-in <=> join semantics (NOT reference parity)
 
     def __post_init__(self) -> None:
         if self.hash_algo not in ("md5", "xxhash64"):
             raise ValueError(f"hash_algo must be md5|xxhash64, got {self.hash_algo}")
-        if self.snapshot_mode not in ("auto", "persist", "parquet", "none"):
+        if self.snapshot_mode not in ("auto", "persist", "parquet", "bucketed", "none"):
             raise ValueError(f"bad snapshot_mode {self.snapshot_mode}")
+        if self.snapshot_buckets < 1:
+            raise ValueError("snapshot_buckets must be >= 1")

@@ -165,8 +165,8 @@ def diff_frames(
     try:
         # Freeze both sides once (reference CTAS, `core/diff_flow.py:113,122`);
         # every later action reads the snapshot, never the model pipeline.
-        base_s = snap.snapshot(base, "base")
-        head_s = snap.snapshot(head, "head")
+        base_s = snap.snapshot(base, "base", bucket_cols=key_cols or None)
+        head_s = snap.snapshot(head, "head", bucket_cols=key_cols or None)
 
         base_f = base_s.filter(where) if where else base_s
         head_f = head_s.filter(where) if where else head_s

@@ -35,6 +35,7 @@ class SnapshotManager:
         self.run_id = sanitize_ident(run_id or uuid.uuid4().hex[:12])
         self._persisted: list[DataFrame] = []
         self._paths: list[Path] = []
+        self._tables: list[tuple[object, str]] = []  # (SparkSession, table)
 
     @staticmethod
     def _plan_is_expensive(df: DataFrame) -> bool:
@@ -49,16 +50,35 @@ class SnapshotManager:
         markers = ("Join", "Aggregate", "Window", "Sort", "Distinct", "Deduplicate")
         return any(m in plan for m in markers)
 
-    def snapshot(self, df: DataFrame, name: str) -> DataFrame:
+    def snapshot(
+        self, df: DataFrame, name: str, bucket_cols: list[str] | None = None
+    ) -> DataFrame:
         mode = self.config.snapshot_mode
         if mode == "auto":
             mode = "persist" if self._plan_is_expensive(df) else "none"
+        if mode == "bucketed" and not bucket_cols:
+            mode = "parquet"  # no keys to bucket on (STATS_ONLY diff)
         if mode == "none":
             return df
         if mode == "persist":
             out = df.persist(StorageLevel.MEMORY_AND_DISK)
             self._persisted.append(out)
             return out
+        if mode == "bucketed":
+            # CTAS analogue with physical layout: both snapshots land
+            # hash-bucketed AND sorted on the diff keys, so the row-diff
+            # full-outer join is planned with zero Exchange and zero Sort
+            # nodes — the snapshot write pays the one shuffle, every
+            # comparison (and any re-diff of the same snapshots) rides it.
+            tbl = f"dmds_snap_{self.run_id}_{sanitize_ident(name)}"
+            (
+                df.write.mode("overwrite")
+                .bucketBy(self.config.snapshot_buckets, *bucket_cols)
+                .sortBy(*bucket_cols)
+                .saveAsTable(tbl)
+            )
+            self._tables.append((df.sparkSession, tbl))
+            return df.sparkSession.table(tbl)
         # parquet
         path = Path(self.config.snapshot_dir) / self.run_id / sanitize_ident(name)
         df.write.mode("overwrite").parquet(str(path))
@@ -77,4 +97,10 @@ class SnapshotManager:
         if not keep:
             for path in self._paths:
                 shutil.rmtree(path, ignore_errors=True)
+            for spark, tbl in self._tables:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                except Exception:
+                    pass
         self._paths.clear()
+        self._tables.clear()

@@ -178,3 +178,40 @@ def test_parquet_snapshot_mode(spark, tmp_path):
     cfg = DiffConfig(snapshot_mode="parquet", snapshot_dir=str(tmp_path))
     res = diff_frames(_customers(spark, 3), _customers(spark, 4), ["customer_id"], config=cfg)
     assert res["row_diff"]["added"] == 1
+
+
+def test_bucketed_snapshot_mode_exchange_free_join(spark):
+    """snapshot_mode='bucketed' must (a) return correct counts and
+    (b) co-locate both snapshots so the row-diff join has no Exchange."""
+    from dbt_model_diff_spark.operators.diff import row_diff_frame
+    from dbt_model_diff_spark.snapshots import SnapshotManager
+
+    cfg = DiffConfig(snapshot_mode="bucketed", snapshot_buckets=4)
+    res = diff_frames(
+        _customers(spark, 3), _customers(spark, 4), ["customer_id"], config=cfg
+    )
+    assert res["row_diff"] == {
+        "added": 1,
+        "removed": 0,
+        "changed": 0,
+        "sample_keys": [],
+    }
+
+    snap = SnapshotManager(cfg)
+    try:
+        b = snap.snapshot(_customers(spark, 3), "b", bucket_cols=["customer_id"])
+        h = snap.snapshot(_customers(spark, 4), "h", bucket_cols=["customer_id"])
+        j = row_diff_frame(b, h, ["customer_id"], ["name"], cfg)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        snap.cleanup()
+
+
+def test_bucketed_mode_without_keys_falls_back(spark):
+    """STATS_ONLY diff has no keys to bucket on -> parquet fallback, not
+    an error."""
+    cfg = DiffConfig(snapshot_mode="bucketed")
+    res = diff_frames(_customers(spark, 3), _customers(spark, 4), config=cfg)
+    assert res["meta"]["mode"] == "STATS_ONLY"
+    assert res["rowcounts"] == {"base": 3, "head": 4}
