@@ -2478,3 +2478,33 @@ def diff_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "added long, removed long, changed long, dirty_partitions long, total_partitions long",
     )
+
+
+@register(
+    "stream_hourly_rollup",
+    """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of events_hourly_rollup, run as a real
+    Structured Streaming job: file-source readStream over the events
+    parquet -> watermarked tumbling-window aggregation ->
+    Trigger.AvailableNow -> memory sink, returned as a batch frame.
+
+    Oracle-checked against the same batch SQL — with AvailableNow the
+    whole backlog drains before the final watermark, so no row is late
+    and streaming totals equal batch totals exactly (the equivalence that
+    makes the operator safe to deploy for continuous ingestion)."""
+    from dbt_model_diff_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    rolled = se.hourly_rollup_stream(stream)
+    out = se.run_stream_to_memory(
+        rolled, query_name=f"stream_hourly_rollup_{abs(hash(sf_dir)) % 10_000}"
+    )
+    return out.select("hour_ts", "event_type", "n_events", "sum_value")
