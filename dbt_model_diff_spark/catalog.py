@@ -2508,3 +2508,48 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled, query_name=f"stream_hourly_rollup_{abs(hash(sf_dir)) % 10_000}"
     )
     return out.select("hour_ts", "event_type", "n_events", "sum_value")
+
+
+@register(
+    "diff_counts_embeddings",
+    """
+WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 < 9),
+head AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 7 = 0 THEN label + 1 ELSE label END AS label
+  FROM embeddings WHERE vec_id % 10 > 0
+),
+j AS (
+  SELECT b.vec_id AS bk, h.vec_id AS hk,
+         ((b.embedding IS DISTINCT FROM h.embedding)
+          OR (b.label IS DISTINCT FROM h.label)) AS is_diff
+  FROM base b FULL OUTER JOIN head h ON b.vec_id = h.vec_id
+)
+SELECT count(*) FILTER (WHERE bk IS NULL) AS added,
+       count(*) FILTER (WHERE bk IS NOT NULL AND hk IS NOT NULL AND is_diff) AS changed,
+       count(*) FILTER (WHERE hk IS NULL) AS removed
+FROM j
+""",
+)
+def diff_counts_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row diff over a table with an array<float> column: the embedding
+    participates in the row fingerprint via its canonical string form
+    (element-wise float rendering is injective), so vector changes are
+    detected exactly — no UDF, no explode, same single-shuffle plan as
+    scalar tables. The oracle's IS DISTINCT FROM on lists is the
+    column-wise equivalent."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 < 9)
+    head = emb.filter(F.col("vec_id") % 10 > 0).withColumn(
+        "label",
+        F.when(F.col("vec_id") % 7 == 0, F.col("label") + 1).otherwise(
+            F.col("label")
+        ),
+    )
+    j = row_diff_frame(base, head, ["vec_id"], ["embedding", "label"], DiffConfig())
+    bh, hh = F.col("__dmds_base_hash"), F.col("__dmds_head_hash")
+    return j.agg(
+        F.count(F.when(bh.isNull(), 1)).alias("added"),
+        F.count(F.when(bh.isNotNull() & hh.isNotNull() & (bh != hh), 1)).alias("changed"),
+        F.count(F.when(hh.isNull(), 1)).alias("removed"),
+    )

@@ -21,16 +21,31 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def canonical_str(col: Column, null_sentinel: str = "<NULL>") -> Column:
+def canonical_str(
+    col: Column,
+    null_sentinel: str = "<NULL>",
+    dtype: T.DataType | None = None,
+) -> Column:
     """Cast any column to its canonical string form, NULL -> sentinel.
 
     Matches the reference's `coalesce(col::text, '<NULL>')` canonicalization
     (`adapters/postgres.py:99`). Spark's cast-to-string is deterministic per
     type; both sides of a diff use this same rendering, so equality
     semantics are internally consistent (SURVEY.md §7 "hash parity").
+
+    Binary columns are the exception: ``cast(binary as string)`` reads the
+    bytes as UTF-8, and every invalid sequence collapses to the same
+    replacement character — two DIFFERENT payloads (image bytes, audio
+    frames) can render identically and a real change would go undetected.
+    With the column's ``dtype`` supplied, binary canonicalizes through
+    base64 (injective) instead. Multimodal tables (SURVEY.md §7 step 6)
+    diff correctly because ``row_diff_frame`` passes each side's schema.
     """
+    if dtype is not None and isinstance(dtype, T.BinaryType):
+        return F.coalesce(F.base64(col), F.lit(null_sentinel))
     return F.coalesce(col.cast("string"), F.lit(null_sentinel))
 
 
@@ -39,17 +54,25 @@ def row_hash_expr(
     algo: str = "md5",
     null_sentinel: str = "<NULL>",
     separator: str = "|",
+    dtypes: dict[str, T.DataType] | None = None,
 ) -> Column:
     """Fingerprint expression over ``cols`` (non-key common columns).
 
     ``concat_ws`` alone would be wrong: it *skips* NULLs rather than
     rendering a sentinel, making ('a', NULL) collide with ('a',) — hence
     the explicit coalesce per column, matching the reference.
+
+    ``dtypes`` (column -> Spark DataType, usually ``dict(df.schema...)``)
+    enables type-aware canonicalization — currently base64 for binary
+    columns; all other types use the plain string cast.
     """
+    dtypes = dtypes or {}
     if not cols:
         parts: list[Column] = [F.lit("")]
     else:
-        parts = [canonical_str(F.col(c), null_sentinel) for c in cols]
+        parts = [
+            canonical_str(F.col(c), null_sentinel, dtypes.get(c)) for c in cols
+        ]
     joined = F.concat_ws(separator, *parts)
     if algo == "md5":
         return F.md5(joined)

@@ -77,11 +77,22 @@ def row_diff_frame(
     NULL keys match nothing, so such rows surface as added+removed.
     """
     config = config or DiffConfig()
-    h = row_hash_expr(
-        non_key_cols, config.hash_algo, config.null_sentinel, config.hash_separator
-    )
-    b = base.select(*key_cols, h.alias(_BH))
-    hd = head.select(*key_cols, h.alias(_HH))
+
+    def side_hash(df: DataFrame) -> Any:
+        # Each side canonicalizes with its OWN schema (type-aware: binary
+        # -> base64); mixed-type columns still compare via their string
+        # forms, like the reference's ::text on both sides.
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        return row_hash_expr(
+            non_key_cols,
+            config.hash_algo,
+            config.null_sentinel,
+            config.hash_separator,
+            dtypes=dtypes,
+        )
+
+    b = base.select(*key_cols, side_hash(base).alias(_BH))
+    hd = head.select(*key_cols, side_hash(head).alias(_HH))
     if config.null_safe_keys:
         cond = [b[k].eqNullSafe(hd[k]) for k in key_cols]
         joined = b.join(hd, on=cond, how="full_outer").select(

@@ -215,3 +215,33 @@ def test_bucketed_mode_without_keys_falls_back(spark):
     res = diff_frames(_customers(spark, 3), _customers(spark, 4), config=cfg)
     assert res["meta"]["mode"] == "STATS_ONLY"
     assert res["rowcounts"] == {"base": 3, "head": 4}
+
+
+def test_binary_columns_diff_via_base64(spark):
+    """Two binary payloads that are DIFFERENT bytes but identical after a
+    lossy UTF-8 cast (invalid sequences -> replacement char) must still
+    count as changed: canonicalization uses base64 for binary columns."""
+    base = spark.createDataFrame([(1, bytearray(b"\xff\xfe\x01"))], "id long, payload binary")
+    head = spark.createDataFrame([(1, bytearray(b"\xfe\xff\x01"))], "id long, payload binary")
+    # sanity: the naive string cast really is lossy for these payloads
+    lossy = base.union(head).selectExpr("cast(payload as string) s").collect()
+    assert lossy[0]["s"] == lossy[1]["s"]
+    res = diff_frames(base, head, ["id"], col_stats=False)
+    assert res["row_diff"]["changed"] == 1
+
+    same = diff_frames(base, base, ["id"], col_stats=False)
+    assert same["row_diff"] == {
+        "added": 0,
+        "removed": 0,
+        "changed": 0,
+        "sample_keys": [],
+    }
+
+
+def test_array_columns_diff(spark):
+    """array<float> (embedding) columns participate in the row hash via
+    their canonical string rendering."""
+    base = spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id long, vec array<double>")
+    head = spark.createDataFrame([(1, [1.0, 2.5]), (2, [3.0, 4.0])], "id long, vec array<double>")
+    res = diff_frames(base, head, ["id"], col_stats=False)
+    assert res["row_diff"]["changed"] == 1
