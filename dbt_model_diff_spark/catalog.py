@@ -2553,3 +2553,47 @@ def diff_counts_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(bh.isNotNull() & hh.isNotNull() & (bh != hh), 1)).alias("changed"),
         F.count(F.when(hh.isNull(), 1)).alias("removed"),
     )
+
+
+@register(
+    "stream_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, session_id
+""",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization via the built-in
+    ``session_window`` (30-minute gap), run as a real AvailableNow
+    streaming job into a memory sink.
+
+    The oracle derives the same sessions in pure SQL (lag -> new-session
+    flag -> running sum -> per-session min/max/count); session_window's
+    end == last event + gap, matching the oracle's ``max(ts) + INTERVAL``.
+    Streaming equals batch exactly because the backlog drains before the
+    final watermark (no late drops)."""
+    from dbt_model_diff_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    sess = se.sessionize_stream(stream, gap="30 minutes")
+    out = se.run_stream_to_memory(
+        sess, query_name=f"stream_sessionize_{abs(hash(sf_dir)) % 10_000}"
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
