@@ -64,15 +64,36 @@ def _main_diff_paths(argv: list[str]) -> int:
     p.add_argument("--col-stats", dest="col_stats", action="store_true", default=True)
     p.add_argument("--no-col-stats", dest="col_stats", action="store_false")
     p.add_argument("--format", dest="fmt", default="rich")
+    p.add_argument(
+        "--partition-col",
+        default=None,
+        help="partition-pruned diff: fingerprint this column's partitions "
+        "first and row-diff only the dirty ones (counts only, no "
+        "profile/sample; requires --keys)",
+    )
     args = p.parse_args(argv)
     if args.fmt not in FORMATTERS:
         p.error(f"--format must be one of {sorted(set(FORMATTERS) - {'text'})}")
     key_cols = [k.strip() for k in args.keys.split(",") if k.strip()]
+    if args.partition_col and not key_cols:
+        p.error("--partition-col requires --keys")
 
     from dbt_model_diff_spark.operators.diff import diff_paths
     from dbt_model_diff_spark.session import get_spark
 
     spark = get_spark(app_name="dbt-model-diff-spark")
+    if args.partition_col:
+        import json as _json
+
+        from dbt_model_diff_spark.operators.partition_diff import diff_partitioned
+
+        reader = getattr(spark.read, args.source_format)
+        base_df, head_df = reader(args.base_path), reader(args.head_path)
+        if args.where:
+            base_df, head_df = base_df.filter(args.where), head_df.filter(args.where)
+        res = diff_partitioned(base_df, head_df, key_cols, args.partition_col)
+        print(_json.dumps(res, sort_keys=True))
+        return 0
     result = diff_paths(
         spark,
         args.base_path,

@@ -162,3 +162,31 @@ def test_cli_diff_paths(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out["rowcounts"] == {"base": 6, "head": 7}
     assert out["row_diff"]["added"] == 2 and out["row_diff"]["removed"] == 1
+
+
+def test_cli_diff_paths_partition_pruned(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.cli import main
+
+    base = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    head = base.withColumn(
+        "val", F.when(F.col("k") == 5, F.lit("CHANGED")).otherwise(F.col("val"))
+    )
+    pb, ph = str(tmp_path / "pb"), str(tmp_path / "ph")
+    base.write.partitionBy("part").parquet(pb)
+    head.write.partitionBy("part").parquet(ph)
+    rc = main(
+        ["diff-paths", pb, ph, "--keys", "k", "--partition-col", "part",
+         "--format", "json"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["changed"] == 1 and out["added"] == 0 and out["removed"] == 0
+    assert out["dirty_partitions"] == 1 and out["total_partitions"] == 4
