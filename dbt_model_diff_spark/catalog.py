@@ -2092,23 +2092,29 @@ def q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     different-supplier correlation compile to per-order existence flags
     computed in ONE groupBy over lineitem — no self-join of the fact
     table, one shuffle on l_orderkey."""
+    from pyspark.sql import Window
+
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     # Per (order, supplier): did THIS supplier return; per order: distinct
     # suppliers and distinct returning suppliers. A supplier waits alone
     # when the order has >=2 suppliers, they returned, and no one else did.
+    # The per-order totals come from a window over the per-pair aggregate —
+    # lineitem is scanned ONCE; the window's exchange moves only the
+    # (order, supplier) pairs, never the fact rows.
     per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
     )
-    per_order = per_pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supps"),
-        F.sum("ret").alias("n_ret_supps"),
-    )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        per_pair.filter(F.col("ret") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supps") >= 2) & (F.col("n_ret_supps") == 1))
+        per_pair.withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn("n_ret_supps", F.sum("ret").over(w))
+        .filter(
+            (F.col("ret") == 1)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_ret_supps") == 1)
+        )
     )
     s = read_table(spark, sf_dir, "supplier")
     return (

@@ -120,3 +120,46 @@ def test_lsh_pairs_no_cartesian(spark, sf_dir):
 def test_semi_join_is_broadcast(spark, sf_dir):
     plan = _executed_plan(QUERIES["join_semi_customers"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q6_predicates_reach_parquet_scan(spark, sf_dir):
+    """Q6 is pure scan-filter-agg: all three range predicates must be
+    pushed to the parquet reader (row-group min/max pruning at scale)."""
+    plan = _executed_plan(QUERIES["q6_revenue_delta"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    """Q5's 6-table join: every dim side broadcast; the only sort-merge
+    joins allowed are fact-to-fact (lineitem-orders)."""
+    plan = _executed_plan(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q21_no_fact_self_join(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS correlation compiles to per-order aggregation
+    flags, not a self-join of lineitem: at most one sort-merge join (the
+    per-pair/per-order frames), never three lineitem scans joined."""
+    df = QUERIES["q21_sole_problem_supplier"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("FileScan parquet") <= 2  # lineitem + supplier
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    plan = _executed_plan(QUERIES["decontaminate_train_docs"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sampling_is_shuffle_free_filter(spark, sf_dir):
+    """Hash sampling must stay a per-row filter: no Exchange before the
+    final aggregation's own shuffle."""
+    from dbt_model_diff_spark.operators import sampling
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    sampled = sampling.hash_sample(
+        read_table(spark, sf_dir, "documents"), "doc_id", 8
+    )
+    plan = _executed_plan(sampled)
+    assert "Exchange" not in plan
