@@ -1597,25 +1597,25 @@ WHERE p.p_brand = 'Brand#23'
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: 'quantity < 0.2 * avg(quantity) per part'. The
-    correlated scalar subquery is rewritten as a per-part pre-aggregation
-    joined back, and the avg comparison is cross-multiplied
-    (qty * 5 * cnt < sum_qty) so it stays in EXACT decimal/bigint
-    arithmetic — no float division on either engine."""
+    correlated scalar subquery becomes a window over l_partkey AFTER the
+    broadcast part filter — lineitem is scanned once and the window's
+    shuffle carries only the Brand#23 slice (~1/25 of the fact rows), not
+    a full-table pre-aggregation. Per-part stats are identical either way
+    because the part filter keeps or drops a partkey's rows atomically.
+    The avg comparison is cross-multiplied (qty * 5 * cnt < sum_qty) so it
+    stays in EXACT decimal/bigint arithmetic — no float division on either
+    engine."""
+    from pyspark.sql import Window
+
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-        .cast("decimal(18,2)")
-        .alias("sum_qty"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
-        .join(pa, F.col("pa_partkey") == li["l_partkey"])
-        .filter(
-            F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("cnt")
-            < F.col("sum_qty")
-        )
+        .withColumn("sum_qty", F.sum(qty).over(w).cast("decimal(18,2)"))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
             .cast("decimal(18,2)")
@@ -1965,10 +1965,13 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: supplier(s) with max 3-month revenue. The revenue
-    CTE is one row per supplier, so the scalar max and the equality filter
-    both run over the small aggregate; the max is broadcast back rather
-    than forcing a single-partition window."""
+    """TPC-H Q15 shape: supplier(s) with max 3-month revenue. The scalar
+    max comes from a global window OVER the per-supplier aggregate — the
+    revenue subplan (the expensive lineitem scan + shuffle) executes once;
+    the window's single-partition pass moves only one narrow row per
+    supplier, never fact rows."""
+    from pyspark.sql import Window
+
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -1979,13 +1982,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(rev).cast("decimal(18,4)").alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     s = read_table(spark, sf_dir, "supplier")
     return (
-        revenue.join(
-            F.broadcast(max_rev),
-            F.col("total_revenue") == F.col("__max_rev"),
+        revenue.withColumn(
+            "__max_rev", F.max("total_revenue").over(Window.partitionBy())
         )
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(s), s["s_suppkey"] == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -2044,26 +2046,29 @@ GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
 """,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: IN over a GROUP BY ... HAVING subquery -> semi
-    join on the pre-aggregated big keys. The HAVING agg and the outer agg
-    share the l_orderkey shuffle key, so AQE can reuse the exchange."""
+    """TPC-H Q18 shape: IN over a GROUP BY ... HAVING subquery. The outer
+    query's sum(l_quantity) per order IS the HAVING aggregate (the outer
+    grouping keys are all order-level), so the per-order aggregate is
+    computed once and reused as both the filter and the output column —
+    one lineitem scan, one shuffle, and no join back to the fact table.
+    The selective HAVING (>180) leaves a small frame for AQE to broadcast
+    into the orders join."""
     li = read_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(12,2)")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("__qty"))
-        .filter(F.col("__qty") > 180)
-        .select(F.col("l_orderkey").alias("__big_key"))
+        .agg(F.sum(qty).cast("decimal(18,2)").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
     )
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == F.col("__big_key"), "left_semi"
-    )
+    o = read_table(spark, sf_dir, "orders")
     return (
-        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        big.join(o, o["o_orderkey"] == big["l_orderkey"])
         .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(qty).cast("decimal(18,2)").alias("total_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
     )
 
 
@@ -2332,12 +2337,18 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty")
         )
     )
-    avg_qty = per_supp.agg(
-        F.avg("qty").cast("decimal(18,6)").alias("__avg_qty")
-    )
+    # Scalar avg via a global window over the per-supplier aggregate: the
+    # lineitem scan + shuffle runs once; the single-partition window pass
+    # sees one narrow row per supplier.
+    from pyspark.sql import Window
+
     s = read_table(spark, sf_dir, "supplier")
     return (
-        per_supp.join(F.broadcast(avg_qty), F.col("qty") > F.col("__avg_qty"))
+        per_supp.withColumn(
+            "__avg_qty",
+            F.avg("qty").over(Window.partitionBy()).cast("decimal(18,6)"),
+        )
+        .filter(F.col("qty") > F.col("__avg_qty"))
         .join(F.broadcast(s), s["s_suppkey"] == F.col("l_suppkey"), "inner")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")

@@ -163,3 +163,23 @@ def test_sampling_is_shuffle_free_filter(spark, sf_dir):
     )
     plan = _executed_plan(sampled)
     assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q20_excess_stock_suppliers",
+    ],
+)
+def test_single_fact_scan(spark, sf_dir, name):
+    """Agg-then-reuse queries (scalar max/avg subquery, HAVING-IN) must
+    not re-derive the aggregate from a second lineitem scan: the
+    window-over-aggregate / reused-aggregate rewrites keep exactly one
+    fact scan in the executed plan."""
+    import re
+
+    plan = _executed_plan(QUERIES[name](spark, sf_dir))
+    assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
