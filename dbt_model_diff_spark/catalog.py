@@ -783,7 +783,16 @@ JOIN sizes sb ON sb.doc_id = c.id_b
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for every LSH candidate pair — the verify
     stage of the near-dup pipeline (LSH recall is probabilistic; Jaccard
-    over shingle sets is ground truth)."""
+    over shingle sets is ground truth).
+
+    The shingle explosion feeds four plan branches (signatures + both
+    intersection sides + set sizes) and is deliberately RECOMPUTED per
+    branch: measured at sf0.1 / local[32], persist() of the exploded
+    frame is ~1.5x slower than re-running the codegen explode over the
+    columnar scan (the cache is wide strings and its materialization
+    barrier serializes the branches). At 100 TB the pipeline instead
+    materializes shingles/signatures to parquet once upstream and each
+    stage re-reads that narrow table."""
     sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(
@@ -1033,11 +1042,18 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators the way a real corpus-cleaning job does."""
     docs = read_table(spark, sf_dir, "documents")
     dd = dedup.exact_dedup(docs)
-    qf = textops.quality_features(dd)
+    # Features are scalar projections — compute them inline on the deduped
+    # frame instead of joining quality_features back on doc_id (that join
+    # would re-derive the whole dedup subplan for its second input).
+    t = F.col("text")
+    n_tokens = textops.token_count(t)
+    stop = sum(
+        (textops.word_marker_count(t, w) for w in textops.LANG_MARKERS["en"]),
+        F.lit(0),
+    )
     return (
-        dd.join(qf, on="doc_id")
-        .filter((F.col("n_tokens") >= 20) & (F.col("stopword_count") >= 1))
-        .select("doc_id", "lang", "n_tokens")
+        dd.filter((n_tokens >= 20) & (stop >= 1))
+        .select("doc_id", "lang", n_tokens.alias("n_tokens"))
     )
 
 
@@ -2150,7 +2166,15 @@ def q22_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idle" means no URGENT orders — the driver data gives every customer
     at least one order): above-average-balance customers, grouped by
     country. Scalar-subquery threshold broadcast; NOT EXISTS -> anti join
-    against the filtered orders key projection."""
+    against the filtered orders key projection.
+
+    Deliberately TWO customer scans: the threshold scan is column-pruned
+    to c_acctbal with map-side partial aggregation (a near-free columnar
+    pass), whereas folding the scalar into a window over the raw table
+    would funnel every customer row through one partition. Re-scan beats
+    single-partition shuffle when the reused frame is a raw table; the
+    window trick is reserved for reusing ALREADY-AGGREGATED frames
+    (q11/q15/q20/q21)."""
     c = read_table(spark, sf_dir, "customer")
     thresh = (
         c.filter(F.col("c_acctbal") > 0)
@@ -2193,7 +2217,13 @@ def q2_min_retail_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated min-subquery -> per-group min computed
     once and broadcast back as an equi-join (no partsupp in the driver
     schema, so the group is p_size). Doubles compare exactly — min
-    introduces no arithmetic."""
+    introduces no arithmetic.
+
+    Deliberately TWO part scans: p_size has ~50 distinct values, so a
+    window over the raw table would shuffle every part row into <=50
+    partitions (guaranteed skew); the mins scan instead prunes to two
+    columns, partial-aggregates map-side, and ships ~50 rows for the
+    broadcast join back."""
     p = read_table(spark, sf_dir, "part")
     mins = p.groupBy(F.col("p_size").alias("__size")).agg(
         F.min("p_retailprice").alias("__min_price")
@@ -2227,21 +2257,25 @@ WHERE val > (SELECT CAST(sum(val) * CAST(0.011 AS DECIMAL(6,3)) AS DECIMAL(38,7)
 )
 def q11_high_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: suppliers holding more than a fixed fraction of
-    total lineitem value. The per-supplier aggregate is computed once and
-    reused for both the global total and the filter (Spark: cached narrow
-    frame; the scalar total joins back via broadcast)."""
+    total lineitem value. The global total comes from a window OVER the
+    per-supplier aggregate, so the lineitem scan + shuffle runs once; the
+    single-partition window pass sees one narrow row per supplier (never
+    fact rows — contrast q22/q2, where the second scan is the cheaper
+    plan because the reused frame there is the RAW table)."""
+    from pyspark.sql import Window
+
     li = read_table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
         "decimal(12,2)"
     )
     value = li.groupBy("l_suppkey").agg(F.sum(v).cast("decimal(28,4)").alias("val"))
-    total = value.agg(
-        (F.sum("val") * F.lit(0.011).cast("decimal(6,3)"))
-        .cast("decimal(38,7)")
-        .alias("__thresh")
-    )
     return (
-        value.join(F.broadcast(total), F.col("val") > F.col("__thresh"))
+        value.withColumn(
+            "__thresh",
+            (F.sum("val").over(Window.partitionBy()) * F.lit(0.011).cast("decimal(6,3)"))
+            .cast("decimal(38,7)"),
+        )
+        .filter(F.col("val") > F.col("__thresh"))
         .select("l_suppkey", "val")
     )
 

@@ -106,6 +106,16 @@ def lsh_candidate_pairs(
     ``id < id`` dedup, then distinct on pairs. Buckets larger than
     ``max_bucket_size`` are dropped — at web scale a single boilerplate
     bucket can be O(millions) and its self-join O(n^2).
+
+    The banded projection feeds three plan branches (bucket histogram,
+    semi-join, both self-join sides) and Spark does not share subplans
+    across join inputs — each branch re-derives it. Measured at sf0.1 /
+    local[32], recompute beats persist(): the branch is whole-stage
+    codegen from a columnar scan, and caching inserts a materialization
+    barrier that serializes the three branches. In a multi-stage 100 TB
+    pipeline the signatures frame is written to parquet ONCE upstream
+    (see SnapshotManager) and this function reads that — the recompute
+    then re-scans a narrow signature table, never the raw corpus.
     """
     num_hashes = bands * rows_per_band
     band_cols = []
