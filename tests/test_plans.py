@@ -168,6 +168,8 @@ def test_sampling_is_shuffle_free_filter(spark, sf_dir):
 @pytest.mark.parametrize(
     "name",
     [
+        "q9_product_profit_by_nation",
+        "q11_high_value_suppliers",
         "q15_top_supplier",
         "q17_small_quantity_revenue",
         "q18_large_volume_customers",
