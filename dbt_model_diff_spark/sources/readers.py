@@ -31,6 +31,13 @@ TPCH_TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
+        # (PARQUET_TYPE_ILLEGAL) unless nanos are surfaced as raw longs. The
+        # conf is runtime-settable, so set it here instead of relying on the
+        # session factory — callers (the correctness driver, notebooks) may
+        # hand us a vanilla session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): read as nanos-since-epoch

@@ -62,7 +62,7 @@ def hourly_rollup_stream(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
