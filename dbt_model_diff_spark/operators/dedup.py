@@ -180,12 +180,28 @@ def simhash(
     return agg.select(id_col, fp.alias("simhash"))
 
 
-def simhash_near_pairs(fp_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+def simhash_near_pairs(
+    fp_df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_block_size: int = 1000,
+) -> DataFrame:
     """Near-dup pairs by hamming distance over simhash, blocked on the high
-    16 bits to avoid all-pairs (near dups share high bits w.h.p.)."""
+    16 bits to avoid all-pairs (near dups share high bits w.h.p.).
+
+    Blocks larger than ``max_block_size`` are dropped before the self-join,
+    mirroring ``lsh_candidate_pairs``'s ``max_bucket_size``: one
+    boilerplate-heavy block (e.g. millions of template docs whose
+    fingerprints share high bits) would otherwise self-join O(n^2) at
+    corpus scale. The histogram is a narrow (block, count) aggregate with
+    map-side combine; the guard is a semi-join on the small surviving set.
+    """
     blocked = fp_df.select(
         id_col, "simhash", F.shiftright(F.col("simhash"), 44).alias("block")
     )
+    hist = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("n"))
+    small = hist.filter(F.col("n") <= max_block_size).select("block")
+    blocked = blocked.join(small, on="block", how="left_semi")
     a = blocked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block"
     )

@@ -52,7 +52,11 @@ def partition_fingerprints(
     config = config or DiffConfig()
     part = F.col(partition_col) if isinstance(partition_col, str) else partition_col
     fp = row_hash_expr(
-        df.columns, "xxhash64", config.null_sentinel, config.hash_separator
+        df.columns,
+        "xxhash64",
+        config.null_sentinel,
+        config.hash_separator,
+        dtypes={f.name: f.dataType for f in df.schema.fields},
     )
     return (
         df.select(part.alias("__part"), fp.alias("__fp"))
@@ -76,20 +80,27 @@ def dirty_partitions(
     bf = partition_fingerprints(base, partition_col, config)
     hf = partition_fingerprints(head, partition_col, config)
     b = bf.select(
-        "__part", F.col(_CNT).alias("b_cnt"), F.col(_FP).alias("b_fp")
+        F.col("__part").alias("b_part"),
+        F.col(_CNT).alias("b_cnt"),
+        F.col(_FP).alias("b_fp"),
     )
     h = hf.select(
-        "__part", F.col(_CNT).alias("h_cnt"), F.col(_FP).alias("h_fp")
+        F.col("__part").alias("h_part"),
+        F.col(_CNT).alias("h_cnt"),
+        F.col(_FP).alias("h_fp"),
     )
+    # Null-safe equality: a NULL partition group must match its NULL
+    # counterpart on the other side — a plain equi-join would surface it as
+    # two unmatched rows and flag it dirty even when unchanged.
     rows = (
-        b.join(h, on="__part", how="full_outer")
+        b.join(h, on=F.col("b_part").eqNullSafe(F.col("h_part")), how="full_outer")
         .filter(
             F.col("b_cnt").isNull()
             | F.col("h_cnt").isNull()
             | (F.col("b_cnt") != F.col("h_cnt"))
             | (F.col("b_fp") != F.col("h_fp"))
         )
-        .select("__part")
+        .select(F.coalesce(F.col("b_part"), F.col("h_part")).alias("__part"))
         .collect()
     )
     return [r["__part"] for r in rows]
@@ -129,8 +140,15 @@ def diff_partitioned(
     # isin on the collected dirty list: for partition columns this is a
     # small literal list that reaches the parquet scan as an IN filter
     # (partition pruning when the layout is partitioned by this column).
-    base_d = base.filter(part.isin(dirty))
-    head_d = head.filter(part.isin(dirty))
+    # `isin` is three-valued: it evaluates to NULL (not true) for NULL
+    # partition values, so a dirty NULL partition needs an explicit isNull
+    # arm or its rows silently vanish from the diff.
+    non_null_dirty = [v for v in dirty if v is not None]
+    pred = part.isin(non_null_dirty) if non_null_dirty else F.lit(False)
+    if len(non_null_dirty) < len(dirty):
+        pred = pred | part.isNull()
+    base_d = base.filter(pred)
+    head_d = head.filter(pred)
 
     sd_common = [c for c in head.columns if c in set(base.columns)]
     non_key = [c for c in sd_common if c not in set(key_cols)]

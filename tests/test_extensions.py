@@ -81,6 +81,19 @@ def test_bucket_size_guard(spark):
     assert unguarded == 100 * 99 // 2
 
 
+def test_simhash_block_size_guard(spark):
+    # 50 identical fingerprints land in one degenerate block; the guard
+    # drops the block instead of self-joining it O(n^2).
+    fp = spark.createDataFrame(
+        [(i, 0x0FF0_0000_0000_1234) for i in range(50)] + [(100, 0x0123_4567_89AB_CDEF)],
+        "doc_id long, simhash long",
+    )
+    guarded = dedup.simhash_near_pairs(fp, max_hamming=3, max_block_size=10).count()
+    unguarded = dedup.simhash_near_pairs(fp, max_hamming=3, max_block_size=1000).count()
+    assert guarded == 0
+    assert unguarded == 50 * 49 // 2
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     from dbt_model_diff_spark.sources.readers import read_table
 

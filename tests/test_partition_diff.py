@@ -63,6 +63,61 @@ def test_moved_row_counts_changed_not_added(spark, base):
     assert (res["added"], res["removed"], res["changed"]) == (0, 0, 1)
 
 
+def test_null_partition_unchanged_is_clean(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "p1", "b"), (3, None, "c")],
+        "id long, part string, val string",
+    )
+    assert dirty_partitions(df, df, "part") == []
+    res = diff_partitioned(df, df, ["id"], "part")
+    assert (res["added"], res["removed"], res["changed"]) == (0, 0, 0)
+    assert res["dirty_partitions"] == 0
+
+
+def test_null_partition_changes_are_counted(spark):
+    # An added row and a changed row both living in the NULL partition must
+    # surface in the pruned diff exactly as in the full diff.
+    from dbt_model_diff_spark import diff_frames
+
+    base = spark.createDataFrame(
+        [(1, None, "a"), (2, "p1", "b"), (3, None, "c")],
+        "id long, part string, val string",
+    )
+    head = spark.createDataFrame(
+        [(1, None, "a-CHANGED"), (2, "p1", "b"), (3, None, "c"), (4, None, "new")],
+        "id long, part string, val string",
+    )
+    dirty = dirty_partitions(base, head, "part")
+    assert dirty == [None]  # single null-safe-matched row, not duplicated
+    res = diff_partitioned(base, head, ["id"], "part")
+    assert (res["added"], res["removed"], res["changed"]) == (1, 0, 1)
+    full = diff_frames(base, head, key_cols=["id"], sample=0, col_stats=False)[
+        "row_diff"
+    ]
+    assert (res["added"], res["removed"], res["changed"]) == (
+        full["added"],
+        full["removed"],
+        full["changed"],
+    )
+
+
+def test_binary_column_change_dirties_partition(spark):
+    # cast(binary as string) collapses invalid UTF-8 to the replacement
+    # char; the fingerprint must canonicalize via base64 (injective) so two
+    # different payloads never fingerprint equal.
+    base = spark.createDataFrame(
+        [(1, "p0", bytearray(b"\xff\xfe\x00")), (2, "p1", bytearray(b"ok"))],
+        "id long, part string, payload binary",
+    )
+    head = spark.createDataFrame(
+        [(1, "p0", bytearray(b"\xfe\xff\x00")), (2, "p1", bytearray(b"ok"))],
+        "id long, part string, payload binary",
+    )
+    assert dirty_partitions(base, head, "part") == ["p0"]
+    res = diff_partitioned(base, head, ["id"], "part")
+    assert (res["added"], res["removed"], res["changed"]) == (0, 0, 1)
+
+
 def test_matches_full_diff_on_orders_fixture(spark, sf_dir):
     from dbt_model_diff_spark import diff_frames
     from dbt_model_diff_spark.catalog import _orders_base, _orders_head
