@@ -509,7 +509,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
 """,
@@ -1531,8 +1531,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_returnflag",
     """
 SELECT l.l_returnflag,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -2417,7 +2417,7 @@ _HASH_BUCKET_SQL = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
 @register(
     "sample_stratified_documents",
     f"""
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE ({_HASH_BUCKET_SQL}) <
       CASE lang WHEN 'en' THEN 8 WHEN 'zh' THEN 16 ELSE 4 END
@@ -2447,7 +2447,7 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN ({_HASH_BUCKET_SQL}) < 2 THEN 'eval' ELSE 'train' END AS split,
        count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 """,

@@ -4,6 +4,14 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, sorted
 column names, and the order-insensitive multiset of stringified rows.
 
+Oracle results are fetched through Arrow (``.arrow()``), not
+``fetchall()``: DuckDB's ``fetchall`` converts HUGEINT to a Python int,
+which silently masks the driver-visible type mismatch where DuckDB's
+``sum(INT)`` (HUGEINT -> Arrow decimal128(38,0) -> Decimal) meets Spark's
+``sum(int)`` (int64). ``_norm`` tags Decimal and int differently for the
+same reason — an integer-valued Decimal must NOT compare equal to an int,
+because the driver's value hash distinguishes them.
+
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
@@ -28,7 +36,9 @@ def _norm(v):
             return "nan"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        return f"decimal:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
     if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
@@ -71,9 +81,9 @@ def main() -> int:
         if name not in oracles:
             print(f"  {name}: rows-only ({len(srows)} rows)")
             continue
-        cur = con.execute(oracles[name])
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        tbl = con.execute(oracles[name]).arrow()
+        ocols = tbl.column_names
+        orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
