@@ -1000,11 +1000,28 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_decode_features")
+@register(
+    "multimodal_decode_features",
+    """
+SELECT doc_id,
+       CAST(length(text) % 1024 AS INT) AS width,
+       CAST((length(text) * 7) % 768 AS INT) AS height,
+       CAST(octet_length(encode(text)) AS INT) AS payload_len,
+       TRUE AS ok,
+       CAST(64 AS INT) AS n_features
+FROM documents
+""",
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas pipeline: synthesize binary blobs -> stub-decode header
     -> byte-histogram features; joins decode metadata with feature length.
-    Codec is stubbed (no image libs in container) — plumbing is real."""
+    Codec is stubbed (no image libs in container) — plumbing is real.
+
+    Fully oracle-checked: the synthesized blob is a deterministic function
+    of ``text`` (DMDS header with width = len%1024, height = len*7%768,
+    then the utf-8 payload), so the decode metadata is plain SQL over
+    ``documents`` for DuckDB — char counts for the header dims, byte
+    counts for the payload, 64 histogram bins."""
     from dbt_model_diff_spark.operators import multimodal as mm
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1088,30 +1105,155 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_embedding_clusters")
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """DuckDB replay of Lloyd's iterations with FIXED initial centroids
+    (the embeddings of vec_id < k). Assignment = argmin distance with
+    centroid-id tie-break (mirrors the engine's array_min over
+    struct(sq_dist, cluster)); update = elementwise mean, empty clusters
+    keep their previous centroid. Integer outputs (sizes, min ids) are
+    robust to last-ulp FP differences between the engines."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.cv), c.cluster) AS rn
+    FROM e CROSS JOIN c{i} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""u{i} AS (
+  SELECT a.cluster, g.pos, avg(a.v[g.pos]) AS m
+  FROM a{i} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) g
+  GROUP BY a.cluster, g.pos)"""
+        )
+        parts.append(
+            f"n{i} AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM u{i} GROUP BY cluster)"
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+  SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
+  FROM c{i} p LEFT JOIN n{i} n ON n.cluster = p.cluster)"""
+        )
+    final = f"""SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_vectors,
+       min(vec_id) AS min_vec_id
+FROM (
+  SELECT e.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, c.cv), c.cluster) AS rn
+  FROM e CROSS JOIN c{iters} c) WHERE rn = 1
+GROUP BY cluster"""
+    return ",\n".join(parts) + "\n" + final
+
+
+@register("kmeans_embedding_clusters", _kmeans_oracle(8, 4, 64))
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (4 iterations, DataFrame-only loop) -> cluster
-    sizes. Iterative + sampling-seeded -> rows-only driver check;
-    convergence is asserted in tests/test_extensions.py."""
+    sizes. Initial centroids pinned to the embeddings of vec_id 0..7, so
+    every iteration is deterministic and the DuckDB oracle replays the
+    full loop; convergence is asserted in tests/test_extensions.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned, _, _ = similarity.kmeans(emb, k=8, iters=4)
-    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
-
-
-@register("knn_ivf")
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 for 3 query vectors (recall measured against
-    knn_bruteforce in tests; approximate by construction -> rows-only)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb.filter(F.col("vec_id") < 3), emb, k=10, k_centroids=16, probes=8
+    init = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    assigned, _, _ = similarity.kmeans(emb, iters=4, init=init)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
     )
 
 
-@register("embedding_near_dup")
+def _ivf_oracle(n_queries: int, k_centroids: int, probes: int, k: int) -> str:
+    """DuckDB replay of IVF with FIXED centroids (embeddings of
+    vec_id < k_centroids): assign every vector to its cosine-nearest
+    centroid, probe the query's nearest cells, exact top-k inside them.
+    Rank output is integer -> FP-rendering-proof."""
+    return f"""
+WITH nrm AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nv
+  FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv, nv AS ncv FROM nrm WHERE vec_id < {k_centroids}),
+cand AS (
+  SELECT vec_id AS neighbor_id, v, nv, centroid_id AS cell FROM (
+    SELECT n.vec_id, n.v, n.nv, c.centroid_id,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.ncv) DESC,
+                                       c.centroid_id) AS rn
+    FROM nrm n CROSS JOIN c) WHERE rn = 1),
+qc AS (
+  SELECT vec_id AS query_id, v AS qv, nv AS nq, centroid_id AS cell FROM (
+    SELECT n.vec_id, n.v, n.nv, c.centroid_id,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.ncv) DESC,
+                                       c.centroid_id) AS rn
+    FROM nrm n CROSS JOIN c WHERE n.vec_id < {n_queries}) WHERE rn <= {probes})
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT q.query_id, d.neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_dot_product(q.qv, d.v) / (q.nq * d.nv) DESC,
+                                     d.neighbor_id) AS rank
+  FROM qc q JOIN cand d ON d.cell = q.cell AND d.neighbor_id <> q.query_id)
+WHERE rank <= {k}
+"""
+
+
+@register("knn_ivf", _ivf_oracle(3, 16, 8, 10))
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for 3 query vectors with centroids pinned to
+    the embeddings of vec_id 0..15 — deterministic, so the DuckDB oracle
+    replays the cell assignment + probe search exactly. Recall against
+    knn_bruteforce stays asserted in tests/test_extensions.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=10, probes=8, centroids=cents
+    )
+
+
+def _near_dup_oracle(threshold: float, n_planes: int, dim: int, seed: int = 42) -> str:
+    """DuckDB replay of hyperplane-LSH near-dup: the exact plane literals
+    from similarity.hyperplanes (seeded RNG) are embedded in the SQL, so
+    bucket ids and the exact-cosine verify are both reproducible."""
+    plane_terms = []
+    for p, plane in enumerate(similarity.hyperplanes(seed, n_planes, dim)):
+        lits = ", ".join(repr(x) for x in plane)
+        plane_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) > 0 THEN {2**p} ELSE 0 END)"
+        )
+    bucket = "\n       + ".join(plane_terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nv
+  FROM embeddings),
+b AS (SELECT vec_id, v, nv, {bucket} AS bucket FROM e)
+SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim_r FROM (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         list_dot_product(a.v, c.v) / (a.nv * c.nv) AS cos_sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+WHERE cos_sim >= {threshold}
+"""
+
+
+@register("embedding_near_dup", _near_dup_oracle(0.35, 8, 64))
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via random-hyperplane LSH buckets +
-    exact cosine verify (hyperplanes from a Python RNG -> rows-only)."""
+    exact cosine verify. The hyperplanes are a seeded deterministic
+    family (similarity.hyperplanes), so the oracle replays the same
+    bucketing from plane literals."""
     emb = read_table(spark, sf_dir, "embeddings")
     # synthetic embeddings top out near cosine 0.44 — 0.35 keeps the
     # result non-trivial while still "near-dup" for this data
@@ -1379,25 +1521,96 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "band")
 
 
-@register("approx_profile_orders")
+@register(
+    "approx_profile_orders",
+    """
+SELECT count(*) AS n_rows,
+       TRUE AS nd_custkey_ok,
+       TRUE AS nd_totalprice_ok,
+       TRUE AS median_ok
+FROM orders
+""",
+)
 def approx_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB profile path: approx_count_distinct (HLL sketches — no
     Expand, mergeable partial aggs) + approx_percentile in ONE scan.
-    Approximate by construction -> rows-only driver check; accuracy is
-    asserted against exact values in tests/test_extensions.py."""
+
+    Oracle-checked via error bounds: the sketches (rsd 0.02) must land
+    within 5% of the exact distinct counts and the approx median within
+    1% of the exact median — deterministic booleans, since Spark's HLL++
+    and t-digest are hash-seeded, not random. The exact aggregates here
+    exist only to bound the sketch error for the oracle; the scale path
+    is the approx-only profile in operators/profile.py."""
     o = read_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_nd_custkey"),
-        F.approx_count_distinct("o_totalprice").alias("approx_nd_totalprice"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+    a = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("and_ck"),
+        F.approx_count_distinct("o_totalprice", rsd=0.02).alias("and_tp"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("amed"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+    )
+    return a.select(
+        "n_rows",
+        (F.abs(F.col("and_ck") - F.col("nd_ck")) <= 0.05 * F.col("nd_ck")).alias(
+            "nd_custkey_ok"
+        ),
+        (F.abs(F.col("and_tp") - F.col("nd_tp")) <= 0.05 * F.col("nd_tp")).alias(
+            "nd_totalprice_ok"
+        ),
+        (
+            F.abs(F.col("amed").cast("double") - F.col("med").cast("double"))
+            <= 0.01 * F.col("med").cast("double")
+        ).alias("median_ok"),
     )
 
 
-@register("multimodal_resize_frames")
+@register(
+    "multimodal_resize_frames",
+    """
+WITH m AS (
+  SELECT doc_id,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS plen,
+         length(text) % 1024 AS w,
+         (length(text) * 7) % 768 AS h
+  FROM documents),
+p AS (
+  SELECT doc_id, hx, plen,
+         GREATEST(1, GREATEST(1, w * h) // 768) AS stride
+  FROM m),
+s AS (
+  SELECT doc_id, hx, stride,
+         8 + (plen + stride - 1) // stride AS blen
+  FROM p),
+fr AS (
+  SELECT doc_id, stride, hx,
+         unnest(generate_series(0, CAST(blen - 1 AS BIGINT), 16)) AS off
+  FROM s),
+bv AS (
+  SELECT doc_id,
+         CASE WHEN off = 0 THEN 68
+              ELSE 16 * (strpos('0123456789ABCDEF',
+                                substr(hx, CAST(2 * (off - 8) * stride + 1 AS BIGINT), 1)) - 1)
+                 + (strpos('0123456789ABCDEF',
+                           substr(hx, CAST(2 * (off - 8) * stride + 2 AS BIGINT), 1)) - 1)
+         END AS byte_val
+  FROM fr)
+SELECT doc_id, count(*) AS n_frames, CAST(max(byte_val) AS INT) AS max_byte
+FROM bv GROUP BY doc_id
+""",
+)
 def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas resize (stub codec) -> frame sampling (1->N rows) ->
-    per-doc frame stats. Exercises the full multimodal plumbing chain."""
+    per-doc frame stats. Exercises the full multimodal plumbing chain.
+
+    Fully oracle-checked: the stub resize is deterministic byte math over
+    the synthesized blob (stride-decimated utf-8 payload behind an 8-byte
+    DMDS header, stride = max(1, w*h/768)), so DuckDB reproduces every
+    sampled frame byte from hex(encode(text)) — offset 0 lands on the
+    'D' of the rewritten header (68), offsets 16k land on payload byte
+    (off-8)*stride."""
     from dbt_model_diff_spark.operators import multimodal as mm
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

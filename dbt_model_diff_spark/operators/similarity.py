@@ -100,27 +100,35 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    1. Sample ``k_centroids`` vectors as centroids (deterministic seed).
+    1. Sample ``k_centroids`` vectors as centroids (deterministic seed),
+       or take them from ``centroids`` (``centroid_id``, ``cvec``) when
+       given — an explicit centroid set makes the whole result a
+       deterministic function of the input, which is what the DuckDB
+       oracle for ``knn_ivf`` replays.
     2. Assign every candidate to its nearest centroid (broadcast pass —
        at 100 TB this is the only full scan, and it's shuffle-free).
     3. For each query, compute its ``probes`` nearest centroids, search
        only those cells.
     Recall < 1.0 by construction; brute_force_topk is the ground truth.
     """
-    cents = [
-        (i, row[vec_col])
-        for i, row in enumerate(
-            candidates.select(vec_col)
-            .sample(False, 1.0, seed)
-            .limit(k_centroids)
-            .collect()
-        )
-    ]
-    spark = candidates.sparkSession
-    cent_df = spark.createDataFrame(cents, ["centroid_id", "cvec"])
+    if centroids is not None:
+        cent_df = centroids.select("centroid_id", "cvec")
+    else:
+        cents = [
+            (i, row[vec_col])
+            for i, row in enumerate(
+                candidates.select(vec_col)
+                .sample(False, 1.0, seed)
+                .limit(k_centroids)
+                .collect()
+            )
+        ]
+        spark = candidates.sparkSession
+        cent_df = spark.createDataFrame(cents, ["centroid_id", "cvec"])
 
     def nearest(df: DataFrame, vcol: str, out: str, n: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cent_df)).withColumn(
@@ -171,6 +179,18 @@ def ivf_topk(
     )
 
 
+def hyperplanes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
+    """The deterministic hyperplane family used by LSH bucketing.
+
+    Exposed so the catalog can embed the exact same plane literals into
+    the DuckDB oracle for ``embedding_near_dup``.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 16,
@@ -181,14 +201,11 @@ def random_hyperplane_buckets(
 ) -> DataFrame:
     """Sign-pattern bucket id from ``n_planes`` pseudo-random hyperplanes.
 
-    Hyperplane components are deterministic pseudo-randoms derived from
-    (seed, plane, dim index) via a hash — no driver-side data, pure
-    codegen. Vectors in the same bucket are cosine-close w.h.p.
+    Hyperplane components come from :func:`hyperplanes` (seeded RNG —
+    deterministic) and enter the plan as double literals, pure codegen.
+    Vectors in the same bucket are cosine-close w.h.p.
     """
-    import random
-
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    planes = hyperplanes(seed, n_planes, dim)
     bucket = F.lit(0).cast("long")
     v = F.col(vec_col)
     for p, plane in enumerate(planes):
@@ -238,10 +255,16 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    init: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]], list[float]]:
     """Lloyd's k-means over an embedding column — the iterative-algorithm
     template (IVF with REFINED centroids; `ivf_topk` uses one sampling
     pass instead).
+
+    ``init`` pins the initial centroids (overriding ``k``/``seed``
+    sampling); with a fixed init the per-iteration assignments are a
+    deterministic function of the input, which the DuckDB oracle for
+    ``kmeans_embedding_clusters`` replays iteration by iteration.
 
     Per iteration: ONE scan assigning each vector to its nearest centroid
     (centroids enter the plan as literal arrays — broadcast-free) + one
@@ -259,10 +282,14 @@ def kmeans(
     dim = len(first[0])
     df = spread_for_compute(df)
 
-    cents = [
-        list(r[vec_col])
-        for r in df.select(vec_col).sample(False, 1.0, seed).limit(k).collect()
-    ]
+    if init is not None:
+        cents = [list(c) for c in init]
+        k = len(cents)
+    else:
+        cents = [
+            list(r[vec_col])
+            for r in df.select(vec_col).sample(False, 1.0, seed).limit(k).collect()
+        ]
 
     def lit_vec(vals: list[float]):
         return F.array(*[F.lit(float(v)) for v in vals])
