@@ -2200,15 +2200,19 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with max 3-month revenue. The scalar
-    max comes from a global window OVER the per-supplier aggregate — the
-    revenue subplan (the expensive lineitem scan + shuffle) executes once;
-    the window's single-partition pass moves only one narrow row per
-    supplier, never fact rows."""
-    from pyspark.sql import Window
-
+    max is a separate tiny agg over the per-supplier aggregate, broadcast
+    back as a one-row join side — the revenue subplan (the expensive
+    lineitem scan + shuffle) is shared via exchange reuse, and no
+    single-partition pass ever funnels the supplier rows through one
+    task (a global window here would, at up to O(10^7) suppliers at
+    100 TB)."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        # explicit, so BOTH aggregate branches carry the predicate the
+        # supplier equi-join would push into only the probe side — the
+        # subtrees stay canonically equal and AQE reuses the shuffle
+        & F.col("l_suppkey").isNotNull()
     )
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
@@ -2216,12 +2220,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(rev).cast("decimal(18,4)").alias("total_revenue")
     )
+    mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     s = read_table(spark, sf_dir, "supplier")
     return (
-        revenue.withColumn(
-            "__max_rev", F.max("total_revenue").over(Window.partitionBy())
-        )
-        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(s), s["s_suppkey"] == F.col("supplier_no"))
         .select(
             "s_suppkey",
@@ -2483,25 +2485,23 @@ WHERE val > (SELECT CAST(sum(val) * CAST(0.011 AS DECIMAL(6,3)) AS DECIMAL(38,7)
 )
 def q11_high_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: suppliers holding more than a fixed fraction of
-    total lineitem value. The global total comes from a window OVER the
-    per-supplier aggregate, so the lineitem scan + shuffle runs once; the
-    single-partition window pass sees one narrow row per supplier (never
-    fact rows — contrast q22/q2, where the second scan is the cheaper
-    plan because the reused frame there is the RAW table)."""
-    from pyspark.sql import Window
-
+    total lineitem value. The global threshold is a separate tiny agg
+    over the per-supplier aggregate, broadcast back as a one-row join
+    side — the lineitem scan + shuffle is shared via exchange reuse and
+    nothing ever passes through a single-partition window (contrast
+    q22/q2, where a second scan of the RAW table is the cheaper plan)."""
     li = read_table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
         "decimal(12,2)"
     )
     value = li.groupBy("l_suppkey").agg(F.sum(v).cast("decimal(28,4)").alias("val"))
+    thresh = value.agg(
+        (F.sum("val") * F.lit(0.011).cast("decimal(6,3)"))
+        .cast("decimal(38,7)")
+        .alias("__thresh")
+    )
     return (
-        value.withColumn(
-            "__thresh",
-            (F.sum("val").over(Window.partitionBy()) * F.lit(0.011).cast("decimal(6,3)"))
-            .cast("decimal(38,7)"),
-        )
-        .filter(F.col("val") > F.col("__thresh"))
+        value.join(F.broadcast(thresh), F.col("val") > F.col("__thresh"))
         .select("l_suppkey", F.col("val").cast("double").alias("val"))
     )
 
@@ -2587,6 +2587,9 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        # keep both aggregate branches canonically equal (see q15) so the
+        # scalar-avg branch reuses the fact shuffle instead of re-scanning
+        & F.col("l_suppkey").isNotNull()
     )
     per_supp = (
         li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
@@ -2597,21 +2600,18 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty")
         )
     )
-    # Scalar avg via a global window over the per-supplier aggregate: the
-    # lineitem scan + shuffle runs once; the single-partition window pass
-    # sees one narrow row per supplier.
-    from pyspark.sql import Window
-
+    # Scalar avg via a separate tiny agg over the per-supplier aggregate,
+    # broadcast back as a one-row join side: the lineitem scan + shuffle
+    # is shared via exchange reuse, and the supplier rows never funnel
+    # through a single-partition window task.
+    avg_qty = per_supp.agg(
+        # sum-cast-double / count, not avg(decimal): decimal-avg rounding
+        # is engine-specific, the IEEE division is not.
+        (F.sum("qty").cast("double") / F.count(F.lit(1))).alias("__avg_qty")
+    )
     s = read_table(spark, sf_dir, "supplier")
     return (
-        per_supp.withColumn(
-            "__avg_qty",
-            # sum-cast-double / count, not avg(decimal): decimal-avg rounding
-            # is engine-specific, the IEEE division is not.
-            F.sum("qty").over(Window.partitionBy()).cast("double")
-            / F.count(F.lit(1)).over(Window.partitionBy()),
-        )
-        .filter(F.col("qty") > F.col("__avg_qty"))
+        per_supp.join(F.broadcast(avg_qty), F.col("qty") > F.col("__avg_qty"))
         .join(F.broadcast(s), s["s_suppkey"] == F.col("l_suppkey"), "inner")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
@@ -2877,3 +2877,98 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess, query_name=f"stream_sessionize_{abs(hash(sf_dir)) % 10_000}"
     )
     return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# Driver registration order.
+#
+# The driver's correctness harness verifies the first 50 registered
+# queries in dict order (CORRECTNESS_r01/r02 both covered exactly
+# registrations 1-50). Source order above groups queries by topic; this
+# explicit priority list controls what the driver actually checks:
+# queries with no green driver row yet come first (TPC-H shapes,
+# streaming twins, sampling/split/decontamination, partitioned diff,
+# pivot/top-k, embedding-array diff), then the freshly re-oracled set
+# (events_props_typed after the BIGINT fix, the six previously
+# rows-only queries), then the Sec.2-core diff/model queries that must
+# stay inside the window. Long-stable queries (green in r1+r2) rotate
+# to slots 51+.
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # never driver-checked (registered 51-79 in rounds 1-2)
+    "q2_min_retail_parts",
+    "q4_priority_with_returns",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q8_share_by_year",
+    "q9_product_profit_by_nation",
+    "q10_returned_revenue_by_customer",
+    "q11_high_value_suppliers",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q21_sole_problem_supplier",
+    "q22_rich_idle_customers",
+    "pivot_status_by_priority",
+    "top_revenue_orders",
+    "sample_stratified_documents",
+    "split_train_eval_documents",
+    "decontaminate_train_docs",
+    "diff_partitioned_orders",
+    "diff_counts_embeddings",
+    "stream_hourly_rollup",
+    "stream_sessionize",
+    # red in r2, root-caused + fixed (HUGEINT oracle sum)
+    "events_props_typed",
+    # newly oracle-backed this round (rows-only in r1-r2)
+    "multimodal_decode_features",
+    "multimodal_resize_frames",
+    "kmeans_embedding_clusters",
+    "knn_ivf",
+    "embedding_near_dup",
+    "approx_profile_orders",
+    # Sec.2-core coverage that must stay in the driver window
+    "diff_counts_orders",
+    "diff_changed_sample_keys",
+    "diff_rowcount_where",
+    "diff_profile_orders",
+    "diff_schema_drift",
+    "diff_counts_lineitem_multikey",
+    "model_stg_customers",
+    "model_int_orders",
+    "model_order_agg",
+    "model_case_when",
+    "pricing_summary",
+    "topk_orders",
+    "filter_project_lineitem",
+    "events_json_extract",
+]
+
+
+def _reorder_for_driver() -> None:
+    """Rebuild QUERIES/ORACLES in _DRIVER_PRIORITY order, in place.
+
+    In-place mutation (not rebinding) so modules holding a reference to
+    these dicts see the reordered view. Queries not named in the
+    priority list keep their source order after it.
+    """
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
+    prioritized = set(_DRIVER_PRIORITY)
+    ordered = _DRIVER_PRIORITY + [n for n in QUERIES if n not in prioritized]
+    for d in (QUERIES, ORACLES):
+        snapshot = dict(d)
+        d.clear()
+        d.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
+_reorder_for_driver()

@@ -169,19 +169,42 @@ def test_sampling_is_shuffle_free_filter(spark, sf_dir):
     "name",
     [
         "q9_product_profit_by_nation",
-        "q11_high_value_suppliers",
-        "q15_top_supplier",
         "q17_small_quantity_revenue",
         "q18_large_volume_customers",
-        "q20_excess_stock_suppliers",
     ],
 )
 def test_single_fact_scan(spark, sf_dir, name):
     """Agg-then-reuse queries (scalar max/avg subquery, HAVING-IN) must
     not re-derive the aggregate from a second lineitem scan: the
-    window-over-aggregate / reused-aggregate rewrites keep exactly one
-    fact scan in the executed plan."""
+    reused-aggregate rewrites keep exactly one fact scan in the
+    executed plan."""
     import re
 
     plan = _executed_plan(QUERIES[name](spark, sf_dir))
     assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q11_high_value_suppliers",
+        "q15_top_supplier",
+        "q20_excess_stock_suppliers",
+    ],
+)
+def test_scalar_agg_reuses_fact_shuffle_no_window(spark, sf_dir, name):
+    """The global scalar (max revenue / value threshold / avg quantity)
+    comes from a separate tiny agg broadcast back over the per-supplier
+    aggregate — NEVER from a global window, which would funnel one row
+    per supplier (O(10^7+) at 100 TB) through a single task. AQE must
+    reuse the fact shuffle between the two aggregate branches, keeping
+    exactly one lineitem scan in the FINAL adaptive plan."""
+    import re
+
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()  # materialize so AQE finalizes stage reuse
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
+    assert "ReusedExchange" in plan
+    assert "Window(" not in plan
