@@ -11,7 +11,13 @@ Engine-portability rules used throughout (SURVEY.md §7 "hash parity"):
 - Cross-row aggregates of floating point (SUM/AVG) are order-dependent in
   double -> every such aggregate casts its terms to DECIMAL first and the
   result to an explicit DECIMAL(p,s), which both engines compute and
-  render identically.
+  render identically. Caveat for the final decimal->double output casts:
+  Spark rounds via BigDecimal.doubleValue (always correctly rounded);
+  DuckDB converts the int128 unscaled value to double and divides, which
+  is only guaranteed correctly rounded while the unscaled value stays
+  under 2^53. Fine at driver scale factors; at much larger SFs a
+  DECIMAL(28+) sum could diverge in the last ulp — do not treat the cast
+  as unconditionally portable.
 - Element-wise double arithmetic (a*b, a/b) is deterministic IEEE — both
   engines see the same parquet doubles and produce bit-identical results.
 - md5 hex output is identical across engines; xxhash64 is JVM-only, so
@@ -303,7 +309,8 @@ def model_stg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.col("c_mktsegment")).alias("segment_upper"),
         # Output decimals as double: the correctness driver canonicalizes
         # Decimal values asymmetrically between Spark and DuckDB results;
-        # the same exact decimal casts to a bit-identical double on both.
+        # the same exact decimal casts to the same double on both (exact
+        # while the unscaled value < 2^53 — see module docstring).
         F.col("c_acctbal").cast("decimal(12,2)").cast("double").alias("acctbal"),
         F.col("c_nationkey").cast("int").alias("nation_id"),
     )

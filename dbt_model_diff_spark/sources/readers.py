@@ -31,6 +31,17 @@ TPCH_TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table.
+
+    SIDE EFFECT for ``name == "events"``: sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the CALLER'S session,
+    permanently. The conf is consulted at scan (action) time, so a scoped
+    set/restore would break the returned lazy DataFrame — the persistence
+    is required. Consequence for callers: any later parquet read in the
+    same session that contains a TIMESTAMP(NANOS) column silently comes
+    back as LongType instead of erroring; if you need strict NANOS
+    rejection elsewhere, use a separate session.
+    """
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
         # (PARQUET_TYPE_ILLEGAL) unless nanos are surfaced as raw longs. The

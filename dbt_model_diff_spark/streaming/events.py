@@ -38,7 +38,15 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with the same ns->us
-    timestamp normalization as the batch reader (sources/readers.py)."""
+    timestamp normalization as the batch reader (sources/readers.py).
+
+    Sets the same session-wide nanosAsLong conf as the batch reader so a
+    vanilla session works here too (the explicit LongType schema skips
+    schema inference, but the scan itself still rejects TIMESTAMP(NANOS)
+    pages without the conf). Same caller-visible side effect as
+    sources.readers.read_table — see its docstring.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source wants a directory: stream the sf dir, globbed down to
     # the events file(s)
     df = (
