@@ -50,11 +50,15 @@ def main() -> None:
         "model_int_orders",
         "dedup_exact_groups",
         "dedup_minhash_signatures",
+        "dedup_lsh_pairs",
         "text_quality_features",
         "knn_bruteforce",
         "events_hourly_rollup",
         "q5_local_supplier_volume",
+        "q9_product_profit_by_nation",
         "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q21_sole_problem_supplier",
         "asof_latest_purchase",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
@@ -62,12 +66,15 @@ def main() -> None:
     # warm the JVM + parquet footer caches with a cheap scan
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
-    # best-of-2: first pass pays JIT/codegen warmup, second measures
-    # steady-state throughput (what a long-running cluster job sees)
+    # best-of-N (default 5): the first pass pays JIT/codegen warmup, the
+    # best of the rest approximates steady-state throughput (what a
+    # long-running cluster job sees); sub-second timings at this scale
+    # carry ~0.3 s scheduler jitter, which best-of-2 couldn't average out
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name, thunk in bench_queries.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             thunk()
             best = min(best, time.perf_counter() - t0)

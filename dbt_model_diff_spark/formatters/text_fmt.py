@@ -1,7 +1,14 @@
 """Console renderer — the reference uses `rich` panels/tables
 (`formatters/rich_fmt.py:14-141`). rich isn't a hard dependency here:
-if importable we use it, else a plain-text layout with the same sections
-and the same `.1f` percentage formatting."""
+if importable we render the same sections through it (E1 parity —
+header panel, summary table, schema-diff lines, 7-column profile
+table, row-diff table, sample-keys table), else a plain-text layout
+with the same content and the same `.1f` percentage formatting.
+
+The rich path is unit-tested against a stub module (tests inject a
+minimal rich API into sys.modules), so it stays exercised even in
+environments without the library.
+"""
 
 from __future__ import annotations
 
@@ -9,7 +16,7 @@ from typing import Any
 
 
 def render_text(result: dict[str, Any]) -> str:
-    try:  # pragma: no cover - exercised only where rich is installed
+    try:
         import io
 
         from rich.console import Console
@@ -61,30 +68,93 @@ def _render_plain(result: dict[str, Any]) -> str:
     return "\n".join(lines)
 
 
-def _render_rich(console, result: dict[str, Any]) -> None:  # pragma: no cover
+def _render_rich(console, result: dict[str, Any]) -> None:
+    """Rich-library rendering with the reference's section set
+    (`rich_fmt.py:58-141`): header panel, Metric/Value summary,
+    schema-diff lines, per-column profile table, row-diff table,
+    sample-keys table keyed by the diff key columns."""
     from rich.panel import Panel
     from rich.table import Table
 
-    meta = result["meta"]
+    meta = result.get("meta", {})
+    keys = meta.get("keys") or []
+    tables = meta.get("tables") or {}
+    header = "\n".join(
+        [
+            f"[bold]{meta.get('model', '<frames>')}[/bold]",
+            f"mode={meta.get('mode')}",
+            f"base={meta.get('base')}  head={meta.get('head')}",
+            f"keys={', '.join(keys) if keys else '(none)'}",
+            f"diff_schema={meta.get('diff_schema')}",
+            f"tables: {tables.get('base')} / {tables.get('head')}",
+        ]
+    )
+    console.print(Panel.fit(header, title="dbt-model-diff"))
+
+    def metric_table(title: str, rows: list[tuple[str, Any]]) -> Any:
+        t = Table(title=title)
+        t.add_column("Metric")
+        t.add_column("Value", justify="right")
+        for label, value in rows:
+            t.add_row(label, str(value))
+        return t
+
+    rc = result.get("rowcounts", {})
     console.print(
-        Panel(
-            f"model={meta.get('model', '<frames>')} mode={meta.get('mode')} "
-            f"base={meta.get('base', '-')} head={meta.get('head', '-')} "
-            f"keys={','.join(meta.get('keys') or []) or '-'}",
-            title="dbt-model-diff",
+        metric_table(
+            "Summary",
+            [("Base rowcount", rc.get("base", 0)), ("Head rowcount", rc.get("head", 0))],
         )
     )
-    rc = result.get("rowcounts", {})
-    t = Table(title="Summary")
-    t.add_column("side")
-    t.add_column("rows")
-    t.add_row("base", str(rc.get("base")))
-    t.add_row("head", str(rc.get("head")))
-    console.print(t)
+
+    sd = result.get("schema_diff", {})
+    for label, cols in (
+        ("HEAD", sd.get("only_in_head") or []),
+        ("BASE", sd.get("only_in_base") or []),
+    ):
+        if cols:
+            console.print(f"[yellow]Columns only in {label}:[/yellow] " + ", ".join(cols))
+
+    prof = result.get("column_profile") or {}
+    if prof:
+        pt = Table(title=f"Column profile ({len(prof)} common columns)")
+        pt.add_column("Column")
+        for side in ("Base", "Head"):
+            pt.add_column(f"{side} null %", justify="right")
+        for side in ("Base", "Head"):
+            pt.add_column(f"{side} distinct", justify="right")
+        for side in ("Base", "Head"):
+            pt.add_column(f"{side} uniq %", justify="right")
+        for col, p in prof.items():
+            b, h = p.get("base", {}), p.get("head", {})
+            pt.add_row(
+                col,
+                f"{b.get('null_pct', 0.0):.1f}",
+                f"{h.get('null_pct', 0.0):.1f}",
+                str(b.get("distinct", 0)),
+                str(h.get("distinct", 0)),
+                f"{b.get('uniq_pct', 0.0):.1f}",
+                f"{h.get('uniq_pct', 0.0):.1f}",
+            )
+        console.print(pt)
+
     rd = result.get("row_diff")
-    if rd is not None:
-        t2 = Table(title="Row diff")
-        for k in ("added", "removed", "changed"):
-            t2.add_column(k)
-        t2.add_row(str(rd["added"]), str(rd["removed"]), str(rd["changed"]))
-        console.print(t2)
+    if rd:
+        console.print(
+            metric_table(
+                "Row-level diff",
+                [
+                    ("Added rows", rd.get("added", 0)),
+                    ("Removed rows", rd.get("removed", 0)),
+                    ("Changed rows", rd.get("changed", 0)),
+                ],
+            )
+        )
+        sample = rd.get("sample_keys") or []
+        if sample:
+            st = Table(title=f"Sample changed keys (limit {len(sample)})")
+            for k in keys:
+                st.add_column(k)
+            for row in sample:
+                st.add_row(*[str(x) for x in row])
+            console.print(st)

@@ -120,6 +120,95 @@ def test_formatters_render_all_sections():
     assert "added=1" in txt and "changed=2" in txt
 
 
+def test_rich_renderer_path_with_stub(monkeypatch):
+    """Exercise the rich-library rendering path (E1) by injecting a
+    minimal rich API into sys.modules — the container has no `rich`, but
+    the code path must stay correct for environments that do."""
+    import sys
+    import types
+
+    calls: list[str] = []
+
+    class _Table:
+        def __init__(self, title=None):
+            self.title = title or ""
+            self.cols: list[str] = []
+            self.rows: list[tuple] = []
+
+        def add_column(self, name, **kw):
+            self.cols.append(name)
+
+        def add_row(self, *vals):
+            self.rows.append(vals)
+
+    class _Panel:
+        def __init__(self, body, title=None):
+            self.body, self.title = body, title
+
+        @classmethod
+        def fit(cls, body, title=None):
+            return cls(body, title=title)
+
+    class _Console:
+        def __init__(self, file=None, width=None):
+            self.file = file
+
+        def print(self, obj):
+            if isinstance(obj, _Panel):
+                calls.append(f"panel:{obj.title}")
+                self.file.write(obj.body + "\n")
+            elif isinstance(obj, _Table):
+                calls.append(f"table:{obj.title}")
+                self.file.write(
+                    "\n".join(
+                        [obj.title, " | ".join(obj.cols)]
+                        + [" | ".join(map(str, r)) for r in obj.rows]
+                    )
+                    + "\n"
+                )
+            else:
+                calls.append("text")
+                self.file.write(str(obj) + "\n")
+
+    rich = types.ModuleType("rich")
+    rich_console = types.ModuleType("rich.console")
+    rich_console.Console = _Console
+    rich_panel = types.ModuleType("rich.panel")
+    rich_panel.Panel = _Panel
+    rich_table = types.ModuleType("rich.table")
+    rich_table.Table = _Table
+    for name, mod in (
+        ("rich", rich),
+        ("rich.console", rich_console),
+        ("rich.panel", rich_panel),
+        ("rich.table", rich_table),
+    ):
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    result = {
+        "meta": {"model": "m", "mode": "FULL_DIFF", "keys": ["id"], "base": "a", "head": "b"},
+        "rowcounts": {"base": 3, "head": 4},
+        "schema_diff": {"only_in_base": ["gone"], "only_in_head": ["new"], "common": ["id", "v"]},
+        "column_profile": {
+            "v": {
+                "base": {"nulls": 0, "distinct": 3, "null_pct": 0.0, "uniq_pct": 100.0},
+                "head": {"nulls": 1, "distinct": 3, "null_pct": 25.0, "uniq_pct": 75.0},
+            }
+        },
+        "row_diff": {"added": 1, "removed": 0, "changed": 2, "sample_keys": [[7], [9]]},
+    }
+    out = render_text(result)
+    # all six reference sections rendered (rich_fmt.py:58-141 parity)
+    assert calls[0] == "panel:dbt-model-diff"
+    assert "table:Summary" in calls
+    assert "table:Column profile (1 common columns)" in calls
+    assert "table:Row-level diff" in calls
+    assert "table:Sample changed keys (limit 2)" in calls
+    assert sum(c == "text" for c in calls) == 2  # two schema-diff lines
+    assert "Columns only in HEAD" in out and "new" in out
+    assert "25.0" in out and "Changed rows | 2" in out
+
+
 def test_profiles_loader(tmp_path):
     from dbt_model_diff_spark.sources.profiles import load_conn_info
 
