@@ -107,17 +107,19 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` are dropped — at web scale a single boilerplate
     bucket can be O(millions) and its self-join O(n^2).
 
-    The banded projection feeds three plan branches (bucket histogram,
-    semi-join, both self-join sides) and Spark does not share subplans
-    across join inputs — each branch re-derives it. Measured at sf0.1 /
-    local[32], recompute beats persist(): the branch is whole-stage
-    codegen from a columnar scan, and caching inserts a materialization
-    barrier that serializes the three branches. In a multi-stage 100 TB
+    The guard is a windowed count over the SAME (band_id, bucket)
+    partitioning the self-join needs, not a separate histogram +
+    semi-join: everything downstream of the banding shares ONE exchange
+    (both self-join sides are canonically identical, so AQE reuses the
+    shuffle), and the signature pipeline runs exactly once. The window
+    pass over a degenerate bucket is linear (count + filter), never the
+    quadratic join it is guarding against. In a multi-stage 100 TB
     pipeline the signatures frame is written to parquet ONCE upstream
-    (see SnapshotManager) and this function reads that — the recompute
-    then re-scans a narrow signature table, never the raw corpus.
+    (see SnapshotManager) and this function reads that narrow table,
+    never the raw corpus.
     """
-    num_hashes = bands * rows_per_band
+    from pyspark.sql import Window
+
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -135,9 +137,12 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band_id", "bb.bucket")
 
-    w = stacked.groupBy("band_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    small = w.filter(F.col("n") <= max_bucket_size).select("band_id", "bucket")
-    stacked = stacked.join(small, on=["band_id", "bucket"], how="left_semi")
+    guard = Window.partitionBy("band_id", "bucket")
+    stacked = (
+        stacked.withColumn("__n", F.count(F.lit(1)).over(guard))
+        .filter(F.col("__n") <= max_bucket_size)
+        .drop("__n")
+    )
 
     a = stacked.select(F.col(id_col).alias("id_a"), "band_id", "bucket")
     b = stacked.select(F.col(id_col).alias("id_b"), "band_id", "bucket")
@@ -193,15 +198,22 @@ def simhash_near_pairs(
     mirroring ``lsh_candidate_pairs``'s ``max_bucket_size``: one
     boilerplate-heavy block (e.g. millions of template docs whose
     fingerprints share high bits) would otherwise self-join O(n^2) at
-    corpus scale. The histogram is a narrow (block, count) aggregate with
-    map-side combine; the guard is a semi-join on the small surviving set.
+    corpus scale. The guard is a windowed count over the same ``block``
+    partitioning the self-join shuffles on (see lsh_candidate_pairs) —
+    linear over a degenerate block, and the fingerprint subplan feeds
+    one shared exchange instead of histogram + semi-join branches.
     """
+    from pyspark.sql import Window
+
     blocked = fp_df.select(
         id_col, "simhash", F.shiftright(F.col("simhash"), 44).alias("block")
     )
-    hist = blocked.groupBy("block").agg(F.count(F.lit(1)).alias("n"))
-    small = hist.filter(F.col("n") <= max_block_size).select("block")
-    blocked = blocked.join(small, on="block", how="left_semi")
+    guard = Window.partitionBy("block")
+    blocked = (
+        blocked.withColumn("__n", F.count(F.lit(1)).over(guard))
+        .filter(F.col("__n") <= max_block_size)
+        .drop("__n")
+    )
     a = blocked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block"
     )
