@@ -545,10 +545,14 @@ GROUP BY date_trunc('hour', ts), event_type
 """,
 )
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window rollup (batch form of the streaming windowed agg)."""
+    """Tumbling-window rollup (batch form of the streaming windowed agg).
+
+    date_trunc returns LTZ even for an ntz input — cast back so the
+    surfaced type matches the ntz source and the oracle's TIMESTAMP."""
     e = read_table(spark, sf_dir, "events")
     return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_ts"),
+        F.col("event_type"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
@@ -2794,7 +2798,14 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = se.run_stream_to_memory(
         rolled, query_name=f"stream_hourly_rollup_{abs(hash(sf_dir)) % 10_000}"
     )
-    return out.select("hour_ts", "event_type", "n_events", "sum_value")
+    # the stream's event-time column is LTZ (watermarks need it); surface
+    # naive wall-clock like the batch twin so the oracle types line up
+    return out.select(
+        F.col("hour_ts").cast("timestamp_ntz").alias("hour_ts"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
 
 
 @register(
@@ -2883,7 +2894,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = se.run_stream_to_memory(
         sess, query_name=f"stream_sessionize_{abs(hash(sf_dir)) % 10_000}"
     )
-    return out.select("user_id", "session_start", "session_end", "n_events")
+    # LTZ event time inside the stream, naive wall-clock at the surface
+    # (matches the batch twin and the oracle's TIMESTAMP type)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
 
 
 # ---------------------------------------------------------------------------

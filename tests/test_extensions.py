@@ -161,3 +161,46 @@ def test_kmeans_converges_and_partitions(spark):
     # Lloyd's never increases inertia
     for a, b in zip(inertia, inertia[1:]):
         assert b <= a + 1e-6
+
+
+def test_kmeans_pinned_init_deterministic(spark):
+    """init= pins the starting centroids: two runs produce identical
+    assignments (the property the kmeans_embedding_clusters oracle
+    relies on), and k is taken from the init list."""
+    from dbt_model_diff_spark.operators.similarity import kmeans
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    init = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    a1, cents1, _ = kmeans(emb, k=999, iters=2, init=init)  # k ignored
+    a2, cents2, _ = kmeans(emb, iters=2, init=init)
+    assert len(cents1) == len(cents2) == 3
+    assert cents1 == cents2
+    m1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert m1 == m2
+
+
+def test_ivf_explicit_centroids_match_pinned_oracle_shape(spark):
+    """centroids= bypasses sampling; with probes == k_centroids the
+    search is exhaustive and equals brute force, proving the pinned
+    centroid set changes recall, never correctness of the cell math."""
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(q, emb, k=5, probes=6, centroids=cents).collect()
+    }
+    assert approx == exact

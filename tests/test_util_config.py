@@ -91,3 +91,35 @@ def test_parse_relation_name():
 
     with _pytest.raises(ValueError):
         parse_relation_name("")
+
+
+def test_driver_priority_window():
+    """The driver verifies the first 50 registered queries in dict order.
+    Guard the window's composition: every query name resolves, the
+    priority list is exactly the window size, and the never-checked /
+    re-oracled sets stay inside it."""
+    from dbt_model_diff_spark import catalog
+
+    names = list(catalog.QUERIES)
+    prio = catalog._DRIVER_PRIORITY
+    assert len(prio) == 50
+    assert names[: len(prio)] == prio
+    assert set(catalog.ORACLES) == set(catalog.QUERIES)  # full oracle coverage
+    window = set(prio)
+    for must in (
+        "events_props_typed",           # red in r2, fixed
+        "kmeans_embedding_clusters",    # newly oracle-backed
+        "knn_ivf",
+        "embedding_near_dup",
+        "multimodal_decode_features",
+        "multimodal_resize_frames",
+        "approx_profile_orders",
+        "stream_hourly_rollup",         # never driver-checked before r3
+        "stream_sessionize",
+        "diff_partitioned_orders",
+        "q2_min_retail_parts",
+        "q22_rich_idle_customers",
+        "diff_counts_orders",           # Sec.2 core must stay covered
+        "diff_profile_orders",
+    ):
+        assert must in window, must

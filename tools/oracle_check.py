@@ -51,6 +51,50 @@ def rows_multiset(cols, rows):
     return sorted(",".join(_norm(r[i]) for i in order) for r in rows)
 
 
+# Spark simpleString dtype -> Arrow types it may legitimately meet from
+# the DuckDB side. Anything off this table is a type mismatch a
+# value-level compare can mask (e.g. tz-aware vs naive timestamps whose
+# collected datetimes stringify identically in a UTC session).
+# Integer WIDTHS are interchangeable: CORRECTNESS_r02 has green driver
+# rows for queries pairing Spark int32 with DuckDB int64/int8
+# (knn_bruteforce, text_token_stats, dedup_simhash_near_pairs, ...), so
+# the driver normalizes integer values across widths — only the
+# int-vs-Decimal axis (DuckDB HUGEINT) is driver-visible.
+_INTS = {"int8", "int16", "int32", "int64"}
+_COMPATIBLE_ARROW = {
+    "bigint": _INTS,
+    "int": _INTS,
+    "smallint": _INTS,
+    "tinyint": _INTS,
+    "double": {"double"},
+    "float": {"float"},
+    "string": {"string", "large_string"},
+    "boolean": {"bool"},
+    "date": {"date32[day]"},
+    "timestamp_ntz": {"timestamp[us]"},
+    "binary": {"binary", "large_binary"},
+}
+
+
+def dtype_problems(spark_dtypes, arrow_schema) -> list[str]:
+    out = []
+    arrow = {f.name: str(f.type) for f in arrow_schema}
+    for col, sdt in spark_dtypes:
+        if col not in arrow:
+            continue  # column-set mismatch reported separately
+        expected = _COMPATIBLE_ARROW.get(sdt)
+        if sdt.startswith("decimal("):
+            expected = {"decimal128" + sdt[len("decimal") :]}
+        if sdt == "timestamp":
+            # Spark LTZ never lines up with DuckDB's naive TIMESTAMP —
+            # surface naive (timestamp_ntz) instead
+            out.append(f"{col}: spark LTZ timestamp vs oracle {arrow[col]}")
+            continue
+        if expected is not None and arrow[col] not in expected:
+            out.append(f"{col}: spark={sdt} oracle={arrow[col]}")
+    return out
+
+
 def main() -> int:
     import duckdb
 
@@ -87,6 +131,7 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        problems.extend(dtype_problems(sdf.dtypes, tbl.schema))
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
