@@ -236,7 +236,11 @@ def run_stream_to_memory(
     output_mode: str = "complete",
 ) -> DataFrame:
     """Run a streaming frame to completion (AvailableNow) into a memory
-    sink; returns the sink table as a batch DataFrame."""
+    sink; returns the sink table as a batch DataFrame.
+
+    Raises on timeout instead of returning: with a still-running query
+    the memory table holds whatever batches completed so far, and a
+    silently partial result is worse than an error."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -244,5 +248,10 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not drain within {timeout_sec}s"
+        )
     return stream_df.sparkSession.table(query_name)
