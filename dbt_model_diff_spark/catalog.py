@@ -2988,6 +2988,11 @@ def _reorder_for_driver() -> None:
     missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
     if missing:
         raise RuntimeError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
+    if len(set(_DRIVER_PRIORITY)) != len(_DRIVER_PRIORITY):
+        dupes = sorted(
+            n for n in set(_DRIVER_PRIORITY) if _DRIVER_PRIORITY.count(n) > 1
+        )
+        raise RuntimeError(f"_DRIVER_PRIORITY has duplicates: {dupes}")
     prioritized = set(_DRIVER_PRIORITY)
     ordered = _DRIVER_PRIORITY + [n for n in QUERIES if n not in prioritized]
     for d in (QUERIES, ORACLES):

@@ -108,14 +108,22 @@ def diff_paths(
     head_path: str,
     key_cols: list[str] | None = None,
     fmt: str = "parquet",
+    reader_options: dict[str, Any] | None = None,
     **kwargs: Any,
 ) -> dict[str, Any]:
     """Diff two stored tables by path (parquet/csv/json/orc) — the
     'compare two snapshots that already exist' entry point, e.g. outputs
-    of two pipeline runs. Stored tables are already frozen, so snapshot
-    materialization is skipped (snapshot_mode='none') unless the caller
-    overrides config."""
-    reader = lambda p: getattr(spark.read, fmt)(p)  # noqa: E731
+    of two pipeline runs. ``reader_options`` passes format options
+    through (CSV needs ``{"header": True, "inferSchema": True}`` to
+    surface real column names). Stored tables are already frozen, so
+    snapshot materialization is skipped (snapshot_mode='none') unless
+    the caller overrides config."""
+
+    def reader(p: str) -> DataFrame:
+        r = spark.read.format(fmt)
+        if reader_options:
+            r = r.options(**reader_options)
+        return r.load(p)
     if kwargs.get("config") is None:
         kwargs["config"] = DiffConfig(snapshot_mode="none")
     meta = {"base_path": base_path, "head_path": head_path}

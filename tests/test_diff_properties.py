@@ -186,6 +186,41 @@ def test_diff_paths(spark, tmp_path):
     assert res["meta"]["base_path"] == pb
 
 
+def test_diff_paths_orc_and_csv(spark, tmp_path):
+    """diff_paths covers every Spark-native storage format; ORC rides the
+    same reader and CSV surfaces real column names via reader_options."""
+    from dbt_model_diff_spark import diff_paths
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    head = spark.createDataFrame([(2, "b"), (3, "X"), (4, "d")], "k long, v string")
+
+    ob, oh = str(tmp_path / "ob"), str(tmp_path / "oh")
+    base.write.orc(ob)
+    head.write.orc(oh)
+    res = diff_paths(spark, ob, oh, key_cols=["k"], fmt="orc")
+    assert res["row_diff"] == {
+        "added": 1,
+        "removed": 1,
+        "changed": 1,
+        "sample_keys": [[3]],
+    }
+
+    cb, ch = str(tmp_path / "cb"), str(tmp_path / "ch")
+    base.write.option("header", True).csv(cb)
+    head.write.option("header", True).csv(ch)
+    res = diff_paths(
+        spark,
+        cb,
+        ch,
+        key_cols=["k"],
+        fmt="csv",
+        reader_options={"header": True, "inferSchema": True},
+    )
+    assert res["row_diff"]["added"] == 1
+    assert res["row_diff"]["removed"] == 1
+    assert res["row_diff"]["changed"] == 1
+
+
 def test_missing_key_raises(spark):
     base = spark.createDataFrame([(1, "a")], "id long, v string")
     head = spark.createDataFrame([(1, "a")], "other_id long, v string")
