@@ -40,8 +40,19 @@ def test_filter_and_projection_reach_scan(spark, sf_dir):
     assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
 
 
-def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
-    plan = _executed_plan(QUERIES["topk_orders"](spark, sf_dir))
+@pytest.mark.parametrize(
+    "name",
+    [
+        "topk_orders",
+        "top_revenue_orders",
+        "q10_returned_revenue_by_customer",
+        "q2_min_retail_parts",
+    ],
+)
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir, name):
+    """Every LIMIT-after-ORDER shape must compile to per-partition
+    TakeOrderedAndProject, never a global sort shuffle of all rows."""
+    plan = _executed_plan(QUERIES[name](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
 
 
