@@ -240,3 +240,36 @@ def test_duplicate_key_semantics(spark):
     assert res["row_diff"]["added"] == 0
     assert res["row_diff"]["removed"] == 0
     assert res["row_diff"]["changed"] == 1
+
+
+def test_empty_frame_edges(spark):
+    """Reference edge semantics: empty side -> profile pcts 0.0 (pct
+    divide-by-zero guard, core/util.py:35-37 analogue), all rows of the
+    other side count as added; all-key tables hash md5('') on both sides
+    so changed is always 0 (adapters/postgres.py:94-101 empty column
+    list); no keys -> STATS_ONLY even on empty frames."""
+    schema = "id long, v string"
+    empty = spark.createDataFrame([], schema)
+    full = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+
+    r = diff_frames(empty, full, key_cols=["id"])
+    assert r["rowcounts"] == {"base": 0, "head": 2}
+    assert r["row_diff"] == {
+        "added": 2,
+        "removed": 0,
+        "changed": 0,
+        "sample_keys": [],
+    }
+    assert r["column_profile"]["v"]["base"] == {
+        "nulls": 0,
+        "distinct": 0,
+        "null_pct": 0.0,
+        "uniq_pct": 0.0,
+    }
+
+    r2 = diff_frames(full, full, key_cols=["id", "v"])
+    assert r2["row_diff"]["changed"] == 0
+
+    r3 = diff_frames(empty, empty)
+    assert r3["meta"]["mode"] == "STATS_ONLY"
+    assert r3["rowcounts"] == {"base": 0, "head": 0}
