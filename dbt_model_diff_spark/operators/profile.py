@@ -70,8 +70,13 @@ def column_profile(
     # Distinct aggregates drive the batching; null counts are plain sums and
     # piggyback on whichever job scans their column anyway. Batches are
     # independent column-pruned scans, so submit them all at once and let
-    # the Spark scheduler interleave their stages.
-    groups = _batch(list(cols), config.profile_batch_size)
+    # the Spark scheduler interleave their stages. Approx mode has no
+    # Expand to cap — HLL sketches are plain mergeable aggs — so it takes
+    # everything in ONE scan.
+    if config.approx_distinct:
+        groups = [list(cols)]
+    else:
+        groups = _batch(list(cols), config.profile_batch_size)
 
     def _run_batch(gi: int, group: list[str]):
         exprs = []
