@@ -2904,6 +2904,66 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_running_max",
+    """
+SELECT user_id, CAST(max(value) AS DOUBLE) AS running_max, count(*) AS n_seen
+FROM events GROUP BY user_id
+""",
+)
+def stream_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running max of ``value`` + events seen, run as a real
+    AvailableNow job in update mode.
+
+    With the whole backlog draining in one micro-batch, the update-mode
+    memory sink holds exactly the final state per user, which equals the
+    batch ``max``/``count(*)`` the oracle computes. max over doubles is
+    exact (no summation-order dependence); NULL values are skipped like
+    SQL max and an all-NULL user surfaces NULL."""
+    from dbt_model_diff_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    out = se.run_stream_to_memory(
+        se.stateful_running_max(stream),
+        query_name=f"stream_running_max_{abs(hash(sf_dir)) % 10_000}",
+        output_mode="update",
+    )
+    return out.select("user_id", "running_max", "n_seen")
+
+
+@register(
+    "stream_click_attribution",
+    """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p
+JOIN events c ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+""",
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase attributed to the same
+    user's clicks in the preceding hour), run as a real AvailableNow
+    streaming job — both sides watermarked, join state bounded by
+    (watermark + window).
+
+    Inner interval-join matches emit in the micro-batch they are found,
+    so with the backlog draining in one batch the append-mode sink holds
+    every pair; the oracle is the equivalent batch self-join. Output is
+    ids only — no FP or timezone surface."""
+    from dbt_model_diff_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    joined = se.purchase_click_attribution_stream(stream, window="1 hour")
+    out = se.run_stream_to_memory(
+        joined,
+        query_name=f"stream_click_attr_{abs(hash(sf_dir)) % 10_000}",
+        output_mode="append",
+    )
+    return out.select("purchase_id", "click_id", "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver registration order.
 #
@@ -2912,12 +2972,13 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registrations 1-50). Source order above groups queries by topic; this
 # explicit priority list controls what the driver actually checks:
 # queries with no green driver row yet come first (TPC-H shapes,
-# streaming twins, sampling/split/decontamination, partitioned diff,
+# streaming twins incl. the stateful running-max and stream-stream
+# attribution join, sampling/split/decontamination, partitioned diff,
 # pivot/top-k, embedding-array diff), then the freshly re-oracled set
 # (events_props_typed after the BIGINT fix, the six previously
 # rows-only queries), then the Sec.2-core diff/model queries that must
-# stay inside the window. Long-stable queries (green in r1+r2) rotate
-# to slots 51+.
+# stay inside the window. Long-stable queries (green in r1+r2, e.g.
+# topk_orders, events_json_extract) rotate to slots 51+.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
@@ -2951,6 +3012,8 @@ _DRIVER_PRIORITY = [
     "diff_counts_embeddings",
     "stream_hourly_rollup",
     "stream_sessionize",
+    "stream_running_max",
+    "stream_click_attribution",
     # red in r2, root-caused + fixed (HUGEINT oracle sum)
     "events_props_typed",
     # newly oracle-backed this round (rows-only in r1-r2)
@@ -2972,9 +3035,7 @@ _DRIVER_PRIORITY = [
     "model_order_agg",
     "model_case_when",
     "pricing_summary",
-    "topk_orders",
     "filter_project_lineitem",
-    "events_json_extract",
 ]
 
 

@@ -121,16 +121,26 @@ def stateful_running_max(events: DataFrame, watermark: str = "2 hours") -> DataF
         if state.exists:
             running_max, n_seen = state.get
         else:
+            # -inf is the stored sentinel for "no non-null value yet";
+            # surfaced as NULL, matching SQL max() over all-NULL input
             running_max, n_seen = float("-inf"), 0
         for pdf in pdfs:
             if len(pdf):
-                running_max = max(running_max, float(pdf["value"].max()))
                 n_seen += len(pdf)
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    running_max = max(running_max, float(vals.max()))
         state.update((running_max, n_seen))
         import pandas as pd
 
         yield pd.DataFrame(
-            {"user_id": [user_id], "running_max": [running_max], "n_seen": [n_seen]}
+            {
+                "user_id": [user_id],
+                "running_max": [
+                    running_max if running_max != float("-inf") else None
+                ],
+                "n_seen": [n_seen],
+            }
         )
 
     state_schema = T.StructType(

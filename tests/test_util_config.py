@@ -116,6 +116,8 @@ def test_driver_priority_window():
         "approx_profile_orders",
         "stream_hourly_rollup",         # never driver-checked before r3
         "stream_sessionize",
+        "stream_running_max",
+        "stream_click_attribution",
         "diff_partitioned_orders",
         "q2_min_retail_parts",
         "q22_rich_idle_customers",
