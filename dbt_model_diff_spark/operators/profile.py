@@ -32,6 +32,8 @@ def _batch(cols: list[str], size: int) -> list[list[str]]:
     slowest batch, and a straggler tail batch wastes the whole gain
     (measured: orders diff at sf0.1 drops ~35% moving from [5] to
     [3,2])."""
+    if not cols:
+        return []
     size = max(1, size)
     n_groups = -(-len(cols) // size)
     base, extra = divmod(len(cols), n_groups)

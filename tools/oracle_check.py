@@ -84,7 +84,10 @@ def dtype_problems(spark_dtypes, arrow_schema) -> list[str]:
             continue  # column-set mismatch reported separately
         expected = _COMPATIBLE_ARROW.get(sdt)
         if sdt.startswith("decimal("):
-            expected = {"decimal128" + sdt[len("decimal") :]}
+            # pyarrow renders str(pa.decimal128(18, 4)) with a space after
+            # the comma; Spark's simpleString has none. Accept both.
+            body = sdt[len("decimal") :]
+            expected = {"decimal128" + body, "decimal128" + body.replace(",", ", ")}
         if sdt == "timestamp":
             # Spark LTZ never lines up with DuckDB's naive TIMESTAMP —
             # surface naive (timestamp_ntz) instead
