@@ -1,0 +1,198 @@
+"""Golden-transcript test for the rich rendering path (VERDICT r3 item 5).
+
+The container has no real ``rich``, so ``_render_rich`` is normally only
+exercised through an ad-hoc stub (test_cli_e2e.py) that checks content but
+not STRUCTURE — a section-name or column-order drift vs the reference's
+renderer (`dbt-model-diff/dbt_model_diff/formatters/rich_fmt.py:58-141`)
+would pass silently. This test pins the full section transcript — every
+console.print in order, with panel/table titles, column headers, and row
+cells — as a golden literal transcribed from the reference source, and
+asserts ``_render_rich`` reproduces it exactly through a recording stub
+that mimics the real rich API surface (Panel.fit, Table(title=...),
+add_column(justify=...), Console.print).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+# ---------------------------------------------------------------------------
+# Recording stub: faithful to the subset of the real rich API the renderer
+# uses, so an API misuse (wrong kwarg, missing classmethod) fails here too.
+# ---------------------------------------------------------------------------
+
+
+class _Table:
+    def __init__(self, title=None):
+        self.title = title
+        self.cols: list[str] = []
+        self.rows: list[tuple[str, ...]] = []
+
+    def add_column(self, header, justify="left"):
+        assert justify in ("left", "right", "center")
+        self.cols.append(header)
+
+    def add_row(self, *cells):
+        assert all(isinstance(c, str) for c in cells), "rich rows must be str"
+        assert len(cells) == len(self.cols)
+        self.rows.append(cells)
+
+
+class _Panel:
+    def __init__(self, body, title=None):
+        self.body, self.title = body, title
+
+    @classmethod
+    def fit(cls, body, title=None):
+        return cls(body, title=title)
+
+
+class _Console:
+    def __init__(self, file=None, width=None):
+        self.transcript: list[tuple] = []
+
+    def print(self, obj):
+        if isinstance(obj, _Panel):
+            self.transcript.append(("panel", obj.title, tuple(obj.body.splitlines())))
+        elif isinstance(obj, _Table):
+            self.transcript.append(("table", obj.title, tuple(obj.cols), tuple(obj.rows)))
+        else:
+            self.transcript.append(("text", str(obj)))
+
+
+@pytest.fixture()
+def rich_stub(monkeypatch):
+    rich = types.ModuleType("rich")
+    panel_mod = types.ModuleType("rich.panel")
+    panel_mod.Panel = _Panel
+    table_mod = types.ModuleType("rich.table")
+    table_mod.Table = _Table
+    console_mod = types.ModuleType("rich.console")
+    console_mod.Console = _Console
+    rich.panel, rich.table, rich.console = panel_mod, table_mod, console_mod
+    for name, mod in [
+        ("rich", rich),
+        ("rich.panel", panel_mod),
+        ("rich.table", table_mod),
+        ("rich.console", console_mod),
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+    return _Console
+
+
+_RESULT = {
+    "meta": {
+        "model": "stg_customers",
+        "mode": "FULL_DIFF",
+        "base": "abc123",
+        "head": "def456",
+        "keys": ["customer_id"],
+        "diff_schema": "dmd_diff",
+        "tables": {"base": "dmd.base_stg", "head": "dmd.head_stg"},
+    },
+    "rowcounts": {"base": 100, "head": 101},
+    "schema_diff": {
+        "only_in_head": ["new_col"],
+        "only_in_base": ["old_col"],
+        "common": ["customer_id", "name"],
+    },
+    "column_profile": {
+        "customer_id": {
+            "base": {"nulls": 0, "distinct": 100, "null_pct": 0.0, "uniq_pct": 100.0},
+            "head": {"nulls": 0, "distinct": 101, "null_pct": 0.0, "uniq_pct": 100.0},
+        },
+        "name": {
+            "base": {"nulls": 5, "distinct": 90, "null_pct": 5.0, "uniq_pct": 90.0},
+            "head": {"nulls": 6, "distinct": 91, "null_pct": 5.9, "uniq_pct": 90.1},
+        },
+    },
+    "row_diff": {"added": 2, "removed": 1, "changed": 3, "sample_keys": [[7], [9]]},
+}
+
+# Golden transcript, transcribed by hand from the REFERENCE renderer
+# (`rich_fmt.py:66-141`): one entry per console.print, in order. The repo
+# renderer must match section-for-section, title-for-title, cell-for-cell.
+_GOLDEN = [
+    (
+        "panel",
+        "dbt-model-diff",
+        (
+            "[bold]stg_customers[/bold]",
+            "mode=FULL_DIFF",
+            "base=abc123  head=def456",
+            "keys=customer_id",
+            "diff_schema=dmd_diff",
+            "tables: dmd.base_stg / dmd.head_stg",
+        ),
+    ),
+    (
+        "table",
+        "Summary",
+        ("Metric", "Value"),
+        (("Base rowcount", "100"), ("Head rowcount", "101")),
+    ),
+    ("text", "[yellow]Columns only in HEAD:[/yellow] new_col"),
+    ("text", "[yellow]Columns only in BASE:[/yellow] old_col"),
+    (
+        "table",
+        "Column profile (2 common columns)",
+        (
+            "Column",
+            "Base null %",
+            "Head null %",
+            "Base distinct",
+            "Head distinct",
+            "Base uniq %",
+            "Head uniq %",
+        ),
+        (
+            ("customer_id", "0.0", "0.0", "100", "101", "100.0", "100.0"),
+            ("name", "5.0", "5.9", "90", "91", "90.0", "90.1"),
+        ),
+    ),
+    (
+        "table",
+        "Row-level diff",
+        ("Metric", "Value"),
+        (("Added rows", "2"), ("Removed rows", "1"), ("Changed rows", "3")),
+    ),
+    (
+        "table",
+        "Sample changed keys (limit 2)",
+        ("customer_id",),
+        (("7",), ("9",)),
+    ),
+]
+
+
+def test_render_rich_matches_reference_golden_transcript(rich_stub):
+    from dbt_model_diff_spark.formatters.text_fmt import _render_rich
+
+    console = rich_stub()
+    _render_rich(console, _RESULT)
+    assert console.transcript == _GOLDEN
+
+
+def test_render_rich_minimal_result_sections(rich_stub):
+    """STATS_ONLY shape (no keys, no row_diff, no profile): header panel +
+    Summary only — conditional sections must stay conditional, mirroring
+    the reference's `if prof:` / `if rd:` / `if sample:` guards."""
+    from dbt_model_diff_spark.formatters.text_fmt import _render_rich
+
+    console = rich_stub()
+    _render_rich(
+        console,
+        {
+            "meta": {"model": "m", "mode": "STATS_ONLY", "keys": []},
+            "rowcounts": {"base": 1, "head": 1},
+            "schema_diff": {"only_in_head": [], "only_in_base": [], "common": ["a"]},
+            "column_profile": {},
+            "row_diff": None,
+        },
+    )
+    kinds = [t[0] for t in console.transcript]
+    assert kinds == ["panel", "table"]
+    assert console.transcript[1][1] == "Summary"
