@@ -24,40 +24,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with the same ns->us
     timestamp normalization as the batch reader (sources/readers.py).
 
+    File streams require an explicit schema, and the right one depends on
+    the file's physical timestamp type: TIMESTAMP(NANOS) must be read as
+    LongType (then integer-div'd to micros), while TIMESTAMP(MICROS) is a
+    native timestamp. Sniff via a batch footer read — same detection the
+    batch reader does with inference — so either vintage of the driver's
+    testdata streams correctly.
+
     Sets the same session-wide nanosAsLong conf as the batch reader so a
-    vanilla session works here too (the explicit LongType schema skips
-    schema inference, but the scan itself still rejects TIMESTAMP(NANOS)
+    vanilla session works here too (the scan rejects TIMESTAMP(NANOS)
     pages without the conf). Same caller-visible side effect as
     sources.readers.read_table — see its docstring.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    batch_ts = spark.read.parquet(path).schema["ts"].dataType
     # the file source wants a directory: stream the sf dir, globbed down to
     # the events file(s)
     df = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(batch_ts))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-    )
+    if isinstance(batch_ts, T.LongType):
+        # nanos-as-long vintage: integer `div` (float division loses
+        # precision above 2^53; epoch-nanos are ~1.7e18)
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def hourly_rollup_stream(

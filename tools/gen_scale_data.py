@@ -1,0 +1,171 @@
+"""Deterministic scale-up generator: build an sfN dataset from sf0.1.
+
+The driver ships sf0.001/0.01/0.1 only (TESTDATA.md); the 100 TB design
+claims need at least one decade of measured scaling, so this tool
+manufactures a larger SF by replicating sf0.1 `factor` times with
+consistent key offsets. No randomness — byte-identical output per run.
+
+Replication rules (chosen so every headline workload scales *linearly*
+in data volume rather than artificially super-linearly):
+
+- Dimension keys are dense 0..N-1 at sf0.1, so replica ``i`` adds
+  ``i * N_table`` to each key column, and fact FKs get the matching
+  owner-table offset (l_orderkey += i*150_000 like o_orderkey, etc.).
+  Referential integrity is preserved replica-locally.
+- ``region``/``nation`` stay fixed (TPC-H scales facts, not geography).
+- ``documents.text`` is salted per-replica with a letter rotation
+  (``translate`` rot-i over a-z/A-Z). This keeps byte length, word
+  lengths, whitespace, and within-replica duplicate/near-duplicate
+  structure EXACTLY intact while guaranteeing cross-replica shingle
+  sets are disjoint — so MinHash/LSH/SimHash candidate pairs grow ~10x
+  with 10x docs instead of ~100x (which a verbatim copy would cause,
+  every doc colliding with its 9 clones).
+- ``embeddings.embedding`` is circular-shifted by ``i`` positions:
+  norms and within-replica geometry are preserved, cross-replica cosine
+  of a vector vs its shifted clone is low, so ANN bucket sizes and
+  near-dup pair counts also scale linearly. kNN catalog queries pin the
+  query set to low vec_ids (replica 0), so the query count stays fixed
+  while the candidate corpus scales — the realistic big-data shape.
+- ``events`` offsets event_id and user_id; timestamps are kept, so
+  time-windowed rollups get 10x rows in the same hour buckets.
+
+Usage:
+    python tools/gen_scale_data.py [--factor 10] \
+        [--base /root/testdata/sf0.1] [--out .localdata/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import string
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# (table, key offsets applied per replica, output file count at factor=10)
+SF01_ROWS = {
+    "customer": 15_000,
+    "supplier": 1_000,
+    "part": 20_000,
+    "orders": 150_000,
+    "lineitem": 600_000,
+    "events": 100_000,
+    "documents": 5_000,
+    "embeddings": 2_000,
+}
+
+KEY_OFFSETS = {
+    "customer": {"c_custkey": SF01_ROWS["customer"]},
+    "supplier": {"s_suppkey": SF01_ROWS["supplier"]},
+    "part": {"p_partkey": SF01_ROWS["part"]},
+    "orders": {
+        "o_orderkey": SF01_ROWS["orders"],
+        "o_custkey": SF01_ROWS["customer"],
+    },
+    "lineitem": {
+        "l_orderkey": SF01_ROWS["orders"],
+        "l_partkey": SF01_ROWS["part"],
+        "l_suppkey": SF01_ROWS["supplier"],
+    },
+    "events": {
+        "event_id": SF01_ROWS["events"],
+        "user_id": 1_500,  # dense user space observed at sf0.1
+    },
+    "documents": {"doc_id": SF01_ROWS["documents"]},
+    "embeddings": {"vec_id": SF01_ROWS["embeddings"]},
+}
+
+# Output partition counts at factor=10 (~6M lineitem rows): multiple
+# files per big table so the scan parallelizes like a real lake layout.
+OUT_FILES = {
+    "lineitem": 16,
+    "orders": 8,
+    "events": 4,
+    "customer": 2,
+    "part": 2,
+    "documents": 4,
+    "embeddings": 2,
+    "supplier": 1,
+}
+
+LOWER = string.ascii_lowercase
+UPPER = string.ascii_uppercase
+
+
+def _rot_expr(col: str, shift: int):
+    """Letter-rotation (rot-`shift`) via JVM-side translate()."""
+    if shift % 26 == 0:
+        return F.col(col)
+    s = shift % 26
+    return F.translate(F.col(col), LOWER + UPPER, LOWER[s:] + LOWER[:s] + UPPER[s:] + UPPER[:s])
+
+
+def _shift_array_expr(col: str, shift: int, dim: int):
+    """Circular shift of an array column by `shift` positions."""
+    s = shift % dim
+    if s == 0:
+        return F.col(col)
+    return F.concat(F.slice(F.col(col), s + 1, dim - s), F.slice(F.col(col), 1, s))
+
+
+def replicate(df: DataFrame, table: str, factor: int, dim: int | None = None) -> DataFrame:
+    """Union `factor` key-offset replicas of `df` (replica 0 is verbatim)."""
+    parts = []
+    for i in range(factor):
+        rep = df
+        for col, base in KEY_OFFSETS.get(table, {}).items():
+            if i:
+                rep = rep.withColumn(col, (F.col(col) + F.lit(i * base)).cast(df.schema[col].dataType))
+        if table == "documents" and i:
+            rep = rep.withColumn("text", _rot_expr("text", i))
+        if table == "embeddings" and i and dim:
+            rep = rep.withColumn(
+                "embedding",
+                _shift_array_expr("embedding", i, dim).cast(df.schema["embedding"].dataType),
+            )
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent / ".localdata" / "sf1"))
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    from dbt_model_diff_spark.session import get_spark
+
+    spark = get_spark(app_name="gen-scale-data", master="local[32]", shuffle_partitions=32)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    for table in ("region", "nation"):
+        df = spark.read.parquet(f"{args.base}/{table}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(str(out / f"{table}.parquet"))
+        print(f"{table}: copied {df.count()} rows")
+
+    for table in KEY_OFFSETS:
+        df = spark.read.parquet(f"{args.base}/{table}.parquet")
+        dim = None
+        if table == "embeddings":
+            dim = len(df.select("embedding").first()[0])
+        rep = replicate(df, table, args.factor, dim=dim)
+        nfiles = max(1, round(OUT_FILES.get(table, 1) * args.factor / 10))
+        # repartition (not coalesce): spreads replicas across files so no
+        # single output file holds one replica's contiguous key range
+        rep.repartition(nfiles).write.mode("overwrite").parquet(str(out / f"{table}.parquet"))
+        n = spark.read.parquet(str(out / f"{table}.parquet")).count()
+        print(f"{table}: wrote {n} rows ({nfiles} files)")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
