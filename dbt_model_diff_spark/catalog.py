@@ -815,6 +815,73 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(sh, cand)
 
 
+_VERIFIED_PAIRS_SQL = (
+    _SIGS_SQL
+    + f""",
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a, sigs b
+  WHERE a.doc_id < b.doc_id AND ({_BANDS_PRED})
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh s1 ON s1.doc_id = c.id_a
+  JOIN dsh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+),
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+          / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) >= 0.6
+)"""
+)
+
+
+@register(
+    "dedup_components",
+    _VERIFIED_PAIRS_SQL.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + """,
+edges AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT re.a, e.b FROM reach re JOIN edges e ON e.a = re.r
+)
+SELECT component_id, count(*) AS n_members, max(node) AS max_member
+FROM (SELECT a AS node, min(r) AS component_id FROM reach GROUP BY a)
+GROUP BY component_id
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse: LSH candidates -> exact-Jaccard verify
+    (>= 0.6) -> connected components by min-label propagation
+    (operators/dedup.py connected_components) -> one summary row per
+    component. The oracle computes the same closure with a recursive CTE
+    (min reachable id == propagated min label on a connected graph).
+
+    Integer-only output: the 0.6 threshold compares a ratio of exact
+    shingle-set counts — a single double division of integers, identical
+    in both engines — so no FP-ordering divergence is possible."""
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+    )
+    ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
+    comp = dedup.connected_components(ver)
+    return comp.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
 def _simhash_oracle() -> str:
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -3110,10 +3177,11 @@ _DRIVER_PRIORITY = [
     "topk_orders",
     "window_dedup_keep_latest",
     "window_running_total",
-    # new in r4 — first driver row (2)
+    # new in r4 — first driver row (3)
     "stream_dedup_bounded_state",
     "join_salted_skew",
-    # Sec.2-core anchors kept inside every window (17)
+    "dedup_components",
+    # Sec.2-core anchors kept inside every window (16)
     "diff_counts_orders",
     "diff_changed_sample_keys",
     "diff_rowcount_where",
@@ -3129,7 +3197,6 @@ _DRIVER_PRIORITY = [
     "pricing_summary",
     "filter_project_lineitem",
     "approx_profile_orders",
-    "sample_stratified_documents",
     "decontaminate_train_docs",
 ]
 

@@ -269,6 +269,89 @@ def ngram_jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph via min-label
+    propagation: every node's label converges to the minimum id reachable
+    from it (the component representative).
+
+    Returns (node, label). Nodes appearing in no pair are absent —
+    singletons are trivially their own component and callers keep them
+    without a join (see ``near_dedup``).
+
+    Scale shape: the edge set is verified near-dup PAIRS — orders of
+    magnitude smaller than the corpus — so each iteration is one join +
+    one groupBy keyed on node ids over that small graph, never touching
+    the corpus. Convergence takes <= graph-diameter iterations; dup
+    clusters are shallow (a boilerplate family is a dense blob, diameter
+    ~2), so the loop runs ~3-5 times in practice. Lineage is truncated
+    per iteration with localCheckpoint so the plan stays O(1) deep
+    (GraphX's connectedComponents does the same under the hood). Exceeding
+    ``max_iters`` raises — fail-loud like the streaming drain guard.
+    """
+    edges = pairs.select(
+        F.col(left).alias("src"), F.col(right).alias("dst")
+    ).union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "src"), on="src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("dst", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations"
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "id_a",
+    right: str = "id_b",
+) -> DataFrame:
+    """Collapse verified near-dup pairs: keep exactly the min-id member of
+    each connected component plus every singleton (docs in no pair).
+
+    The loser set (component members that are not the representative) is
+    tiny relative to the corpus, so the anti-join broadcasts — the corpus
+    is scanned once and never shuffled.
+    """
+    comp = connected_components(pairs, left=left, right=right)
+    losers = comp.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
 def ngram_contamination(
     train_shingles: DataFrame,
     bench_shingles: DataFrame,

@@ -204,3 +204,29 @@ def test_ivf_explicit_centroids_match_pinned_oracle_shape(spark):
         for r in similarity.ivf_topk(q, emb, k=5, probes=6, centroids=cents).collect()
     }
     assert approx == exact
+
+
+def test_connected_components_chain_blob_and_convergence(spark):
+    # chain 1-2-3-4 (diameter 3), blob {10,11,12} (triangle), pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["label"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_max_iters_raises(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=1)
+
+
+def test_near_dedup_keeps_reps_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup.near_dedup(docs, pairs).collect())
+    # reps 1 and 10 survive, singletons 4 and 99 survive untouched
+    assert kept == [1, 4, 10, 99]

@@ -134,3 +134,55 @@ def test_write_stream_parquet_exactly_once(spark, sf_dir, tmp_path):
     q2 = se.write_stream_parquet(flat, out, ckpt, query_name="rerun")
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n
+
+
+def test_events_readers_handle_both_timestamp_vintages(spark, tmp_path):
+    """The driver has shipped events.parquet as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across rounds; batch and stream readers must
+    normalize either vintage to the same instants (r4 regression: the
+    stream hard-assumed nanos and silently divided micros by 1000)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [7, 7],
+        "event_type": ["click", "view"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    ts = [
+        datetime.datetime(2024, 1, 1, 0, 0, 5),
+        datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+    ]
+    for unit in ("ns", "us"):
+        d = tmp_path / f"vintage_{unit}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp(unit)),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"]),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"]),
+            }
+        )
+        pq.write_table(table, d / "events.parquet", version="2.6", store_schema=False)
+
+        batch = {r["event_id"]: r["ts"] for r in read_table(spark, str(d), "events").collect()}
+        stream_df = se.read_events_stream(spark, str(d))
+        got = se.run_stream_to_memory(
+            stream_df.groupBy("event_id").agg(F.max("ts").alias("ts")),
+            f"vintage_{unit}",
+        )
+        streamed = {r["event_id"]: r["ts"] for r in got.collect()}
+        assert batch[1].replace(tzinfo=None) == ts[0], unit
+        assert batch[2].replace(tzinfo=None) == ts[1], unit
+        assert {k: v.replace(tzinfo=None) for k, v in streamed.items()} == {
+            k: v.replace(tzinfo=None) for k, v in batch.items()
+        }, unit
