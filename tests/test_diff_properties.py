@@ -273,3 +273,46 @@ def test_empty_frame_edges(spark):
     r3 = diff_frames(empty, empty)
     assert r3["meta"]["mode"] == "STATS_ONLY"
     assert r3["rowcounts"] == {"base": 0, "head": 0}
+
+
+PAIRS = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find_components(pairs):
+    """Pure-Python reference: component label = min reachable node."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress everything, then relabel roots to min member (roots
+    # are already min because we always parent the larger root)
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=PAIRS)
+def test_connected_components_matches_union_find(spark, pairs):
+    from dbt_model_diff_spark.operators.dedup import connected_components
+
+    norm = [(min(a, b), max(a, b)) for a, b in pairs]
+    df = spark.createDataFrame(norm, "id_a long, id_b long")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    assert got == _union_find_components(norm)
