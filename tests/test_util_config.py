@@ -129,3 +129,23 @@ def test_driver_priority_window():
         "pricing_summary",
     ):
         assert must in window, must
+
+
+def test_gen_scale_data_salt_expressions(spark):
+    """Scale-up generator invariants: letter rotation preserves length and
+    whitespace (so n_chars/token stats hold) while changing every word;
+    circular shift preserves array multiset/norm."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import gen_scale_data as g
+
+    df = spark.createDataFrame([("Hello worldZ az",)], "text string")
+    out = df.select(g._rot_expr("text", 1).alias("r1"), g._rot_expr("text", 26).alias("r26")).first()
+    assert out["r1"] == "Ifmmp xpsmeA ba"
+    assert out["r26"] == "Hello worldZ az"
+
+    arr = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0],)], "embedding array<double>")
+    shifted = arr.select(g._shift_array_expr("embedding", 1, 4).alias("s")).first()["s"]
+    assert shifted == [2.0, 3.0, 4.0, 1.0]
