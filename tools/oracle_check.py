@@ -110,9 +110,12 @@ def main() -> int:
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # the driver ships single-file tables; Spark-written datasets
+        # (e.g. tools/gen_scale_data.py output) are DIRECTORIES of part
+        # files — glob those for DuckDB
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
