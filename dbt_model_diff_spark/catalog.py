@@ -11,13 +11,16 @@ Engine-portability rules used throughout (SURVEY.md §7 "hash parity"):
 - Cross-row aggregates of floating point (SUM/AVG) are order-dependent in
   double -> every such aggregate casts its terms to DECIMAL first and the
   result to an explicit DECIMAL(p,s), which both engines compute and
-  render identically. Caveat for the final decimal->double output casts:
+  render identically. The final decimal->double output casts differ:
   Spark rounds via BigDecimal.doubleValue (always correctly rounded);
-  DuckDB converts the int128 unscaled value to double and divides, which
-  is only guaranteed correctly rounded while the unscaled value stays
-  under 2^53. Fine at driver scale factors; at much larger SFs a
-  DECIMAL(28+) sum could diverge in the last ulp — do not treat the cast
-  as unconditionally portable.
+  DuckDB's direct DECIMAL->DOUBLE converts the int128 unscaled value to
+  double and divides, which is only correctly rounded while the unscaled
+  value stays under 2^53 — measured to break by 1 ulp at sf1 for the
+  scale-6 charge sums (r4). Every oracle therefore bridges the cast
+  through VARCHAR (``CAST(CAST(sum(..) AS VARCHAR) AS DOUBLE)``): the
+  decimal's exact digits re-parse with strtod's correct rounding,
+  matching Spark at any scale. The bridge is an identity for DOUBLE sums
+  (DuckDB renders shortest-roundtrip digits).
 - Element-wise double arithmetic (a*b, a/b) is deterministic IEEE — both
   engines see the same parquet doubles and produce bit-identical results.
 - md5 hex output is identical across engines; xxhash64 is JVM-only, so
@@ -351,8 +354,8 @@ def model_int_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH item_agg AS (
   SELECT l_orderkey,
-         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS item_count,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS order_total
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS item_count,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS order_total
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o.o_orderkey AS order_id,
@@ -417,10 +420,10 @@ def model_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -539,7 +542,7 @@ def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT date_trunc('hour', ts) AS hour_ts, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
@@ -960,10 +963,9 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     """
 SELECT o_custkey, o_orderkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS running_total
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
 FROM orders
 """,
 )
@@ -1406,7 +1408,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROLLUP_AGGS_SQL = """count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price"""
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total_price"""
 
 
 def _rollup_aggs():
@@ -1726,7 +1728,7 @@ def multimodal_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderstatus,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM orders GROUP BY o_orderstatus
 """,
 )
@@ -1831,8 +1833,8 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
 SELECT n.n_name AS nation_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1909,12 +1911,12 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_share",
     """
-SELECT 100 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+SELECT 100 * CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
                            THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
                                 * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
-                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-            / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
        AS promo_revenue_pct
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -1954,7 +1956,7 @@ WITH pa AS (
          count(*) AS cnt
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS small_qty_revenue,
        count(*) AS n_lines
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -1997,12 +1999,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_share_by_year",
     """
 SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
-       CAST(sum(CASE WHEN n.n_name = 'GERMANY'
+       CAST(CAST(sum(CASE WHEN n.n_name = 'GERMANY'
                      THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
                           * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
-                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-            / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
             AS germany_share
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2041,8 +2043,8 @@ def q8_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue_by_customer",
     """
 SELECT c.c_custkey, c.c_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS returned_revenue
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS returned_revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2073,8 +2075,8 @@ def q10_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "q19_disjunctive_predicates",
     """
-SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
@@ -2152,8 +2154,8 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_orders",
     """
 SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2198,8 +2200,8 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_delta",
     """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue_delta,
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue_delta,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2232,7 +2234,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     """
 SELECT supp_nation, cust_nation, l_year,
-       CAST(sum(volume) AS DOUBLE) AS revenue
+       CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -2409,7 +2411,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customers",
     """
 SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-       CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+       CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_qty
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2511,9 +2513,9 @@ def q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_rich_idle_customers",
     """
 SELECT CAST(c.c_nationkey AS INT) AS cntry, count(*) AS numcust,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+       CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer c
-WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+WHERE c.c_acctbal > (SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
                             / count(*)
                      FROM customer c2 WHERE c2.c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -2646,11 +2648,11 @@ def q11_high_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit_by_nation",
     """
 SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
                 * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
                 - CAST(p.p_retailprice AS DECIMAL(12,2))
                   * CAST(l.l_quantity AS DECIMAL(12,2))
-                  * CAST(0.1 AS DECIMAL(3,1))) AS DOUBLE) AS profit
+                  * CAST(0.1 AS DECIMAL(3,1))) AS VARCHAR) AS DOUBLE) AS profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2702,7 +2704,7 @@ WHERE s.s_suppkey IN (
     AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   GROUP BY l.l_suppkey
   HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) >
-         (SELECT CAST(sum(qty) AS DOUBLE) / count(*) FROM (
+         (SELECT CAST(CAST(sum(qty) AS VARCHAR) AS DOUBLE) / count(*) FROM (
             SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty
             FROM lineitem l2
             JOIN part p2 ON p2.p_partkey = l2.l_partkey
@@ -2901,7 +2903,7 @@ def diff_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT date_trunc('hour', ts) AS hour_ts, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,

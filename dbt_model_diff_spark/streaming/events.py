@@ -20,6 +20,8 @@ batch twin.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -56,14 +58,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     batch_ts = spark.read.parquet(path).schema["ts"].dataType
-    # the file source wants a directory: stream the sf dir, globbed down to
-    # the events file(s)
-    df = (
-        spark.readStream.schema(_events_schema(batch_ts))
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    reader = spark.readStream.schema(_events_schema(batch_ts)).format("parquet")
+    if Path(path).is_dir():
+        # Spark-written dataset: events.parquet is a DIRECTORY of part
+        # files — stream it directly (a name glob would match nothing)
+        df = reader.load(path)
+    else:
+        # driver-shipped single file: the file source wants a directory,
+        # so stream the sf dir globbed down to the events file
+        df = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     if isinstance(batch_ts, T.LongType):
         # nanos-as-long vintage: integer `div` (float division loses
         # precision above 2^53; epoch-nanos are ~1.7e18)
