@@ -3128,6 +3128,309 @@ def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extensions batch (round 4, second half): corpus-curation operators —
+# declarative quality gates, MERGE-style incremental apply, sequence
+# packing, heavy hitters, per-group volume caps.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_checks_orders",
+    """
+WITH m AS (
+  SELECT count(*) AS n,
+         count(o_custkey) AS c_cust,
+         count(DISTINCT o_orderkey) AS d_key,
+         count(o_orderkey) AS nk,
+         count(o_totalprice) AS c_price,
+         count(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 600000 THEN 1 END) AS in_b,
+         count(o_orderstatus) AS c_status,
+         count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS in_s,
+         count(o_orderpriority) AS c_prio,
+         count(CASE WHEN regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+') THEN 1 END) AS mt
+  FROM orders
+)
+SELECT 'complete:o_custkey' AS check_name,
+       CASE WHEN n = 0 THEN 1.0 ELSE CAST(c_cust AS DOUBLE) / CAST(n AS DOUBLE) END AS metric,
+       CASE WHEN n = 0 THEN 1.0 ELSE CAST(c_cust AS DOUBLE) / CAST(n AS DOUBLE) END >= 1.0 AS passed
+FROM m
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CASE WHEN nk = 0 THEN 1.0 ELSE CAST(d_key AS DOUBLE) / CAST(nk AS DOUBLE) END,
+       CASE WHEN nk = 0 THEN 1.0 ELSE CAST(d_key AS DOUBLE) / CAST(nk AS DOUBLE) END >= 1.0
+FROM m
+UNION ALL
+SELECT 'bounds:o_totalprice',
+       CASE WHEN c_price = 0 THEN 1.0 ELSE CAST(in_b AS DOUBLE) / CAST(c_price AS DOUBLE) END,
+       CASE WHEN c_price = 0 THEN 1.0 ELSE CAST(in_b AS DOUBLE) / CAST(c_price AS DOUBLE) END >= 1.0
+FROM m
+UNION ALL
+SELECT 'in_set:o_orderstatus',
+       CASE WHEN c_status = 0 THEN 1.0 ELSE CAST(in_s AS DOUBLE) / CAST(c_status AS DOUBLE) END,
+       CASE WHEN c_status = 0 THEN 1.0 ELSE CAST(in_s AS DOUBLE) / CAST(c_status AS DOUBLE) END >= 1.0
+FROM m
+UNION ALL
+SELECT 'matches:o_orderpriority',
+       CASE WHEN c_prio = 0 THEN 1.0 ELSE CAST(mt AS DOUBLE) / CAST(c_prio AS DOUBLE) END,
+       CASE WHEN c_prio = 0 THEN 1.0 ELSE CAST(mt AS DOUBLE) / CAST(c_prio AS DOUBLE) END >= 1.0
+FROM m
+UNION ALL
+SELECT 'row_count', CAST(n AS DOUBLE), n >= 1 FROM m
+""",
+)
+def quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative quality gate over orders: 6 constraints
+    (completeness, key uniqueness, bounds, set membership, regex
+    conformity, row count) evaluated in ONE scan via a single fused
+    conditional aggregation (`operators/quality.py`). The reference only
+    *reports* profile numbers for humans (diff_flow.py:137-175); this is
+    the machine-checkable CI-gate form a corpus pipeline needs."""
+    from dbt_model_diff_spark.operators import quality as Q
+
+    orders = read_table(spark, sf_dir, "orders")
+    return Q.run_checks(
+        orders,
+        [
+            Q.complete("o_custkey"),
+            Q.unique("o_orderkey"),
+            Q.bounds("o_totalprice", lo=0, hi=600000),
+            Q.in_set("o_orderstatus", ["F", "O", "P"]),
+            Q.matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+            Q.row_count(1),
+        ],
+    )
+
+
+@register(
+    "merge_apply_changes_orders",
+    """
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice + 10 AS o_totalprice, FALSE AS is_deleted
+  FROM orders WHERE o_orderkey % 13 = 3
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, TRUE FROM orders WHERE o_orderkey % 13 = 7
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, FALSE
+  FROM orders WHERE o_orderkey % 997 = 0
+),
+merged AS (
+  SELECT o.o_orderkey, o.o_totalprice FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM changes WHERE NOT is_deleted
+)
+SELECT count(*) AS n_rows,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+FROM merged
+""",
+)
+def merge_apply_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style incremental apply (`operators/incremental.py`): a
+    derived changeset (updates %13=3 with +10 price, deletes %13=7,
+    inserts at key+1e8 for %997=0) rolls the orders snapshot forward via
+    broadcast anti-join + union — the base table is never shuffled, the
+    100 TB-shaped plan. Surfaced as a one-row audit summary (rowcount,
+    distinct keys, decimal-exact price sum)."""
+    from dbt_model_diff_spark.operators import incremental as inc
+
+    o = read_table(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 13 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10
+    )
+    dele = o.filter(F.col("o_orderkey") % 13 == 7)
+    ins = o.filter(F.col("o_orderkey") % 997 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    changes = (
+        upd.withColumn("is_deleted", F.lit(False))
+        .unionByName(dele.withColumn("is_deleted", F.lit(True)))
+        .unionByName(ins.withColumn("is_deleted", F.lit(False)))
+    )
+    merged = inc.apply_changes(o, changes, keys=["o_orderkey"])
+    return inc.changes_summary(merged, "o_totalprice", "o_orderkey")
+
+
+@register(
+    "pack_sequences_documents",
+    """
+WITH RECURSIVE t0 AS (
+  SELECT doc_id,
+         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+t AS (
+  SELECT doc_id, shard, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM t0
+),
+p AS (
+  SELECT doc_id, shard, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.shard, t.n_tokens, t.rn,
+         CASE WHEN p.acc + t.n_tokens > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.acc + t.n_tokens > 256 THEN t.n_tokens ELSE p.acc + t.n_tokens END
+  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT shard, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS used,
+       CAST(sum(n_tokens) AS DOUBLE) / 256 AS fill
+FROM p GROUP BY shard, pack_id
+""",
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing into 256-token context windows,
+    16 hash shards (`operators/packing.py::pack_next_fit` — the packing
+    itself is an ordered Arrow-batched `applyInPandas` pass per shard;
+    the parallel unit is the shard, so 100 TB packs N-shards-wide). The
+    oracle replays the identical greedy recurrence as a recursive CTE.
+    Surfaced as per-pack utilization (doc count, used tokens, fill)."""
+    from dbt_model_diff_spark.operators import packing
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", textops.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = packing.pack_next_fit(
+        docs, "doc_id", "n_tokens", capacity=256, shards=16
+    )
+    return packing.pack_utilization(packed, "n_tokens", capacity=256)
+
+
+@register(
+    "text_top_terms",
+    """
+WITH terms AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+counted AS (
+  SELECT term, count(*) AS cnt FROM terms WHERE term <> '' GROUP BY term
+),
+ranked AS (
+  SELECT term, CAST(cnt AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM counted
+)
+SELECT term, cnt, rank FROM ranked WHERE rank <= 20
+""",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: top-20 whitespace terms with
+    deterministic (count DESC, term) tie-break. Map-side partial counts
+    before the one shuffle; LIMIT compiles to TakeOrderedAndProject so
+    only per-partition top-k rows travel (`operators/textops.py::top_terms`)."""
+    return textops.top_terms(read_table(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "cap_per_group_documents",
+    """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM r WHERE rn <= 40 GROUP BY lang
+""",
+)
+def cap_per_group_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language volume cap (40 docs/lang) by deterministic md5-of-id
+    order — the corpus-mixing down-weighting step, reproducible across
+    runs and cluster sizes (`operators/sampling.py::cap_per_group`).
+    Surfaced as per-lang kept-count + char/id checksums so the oracle
+    verifies the exact kept subset, not just its size."""
+    from dbt_model_diff_spark.operators.sampling import cap_per_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "lang", "doc_id", cap=40)
+    return capped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register(
+    "quality_fk_orders_customer",
+    """
+WITH c AS (
+  SELECT 'fk:o_custkey->c_custkey' AS check_name,
+         count(o_custkey) AS n_child,
+         count(CASE WHEN o_custkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer
+                                     WHERE c_custkey = o_custkey)
+               THEN 1 END) AS n_orphans
+  FROM orders
+),
+e AS (
+  SELECT 'fk:user_id->c_custkey' AS check_name,
+         count(user_id) AS n_child,
+         count(CASE WHEN user_id IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer
+                                     WHERE c_custkey = user_id)
+               THEN 1 END) AS n_orphans
+  FROM events
+),
+u AS (SELECT * FROM c UNION ALL SELECT * FROM e)
+SELECT check_name, n_child, CAST(n_orphans AS BIGINT) AS n_orphans,
+       CASE WHEN n_child = 0 THEN 1.0
+            ELSE CAST(n_child - n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+       END AS metric,
+       n_orphans = 0 AS passed
+FROM u
+""",
+)
+def quality_fk_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity checks
+    (`operators/quality.py::fk_check`): orders.o_custkey -> customer
+    (clean by construction) and events.user_id -> customer (orphans by
+    construction — the red-row path). Orphans via broadcast LEFT ANTI
+    join: the child/fact table is never shuffled."""
+    from dbt_model_diff_spark.operators.quality import fk_check
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    events = read_table(spark, sf_dir, "events")
+    return fk_check(orders, customer, "o_custkey", "c_custkey").unionByName(
+        fk_check(events, customer, "user_id", "c_custkey")
+    )
+
+
+@register(
+    "events_rolling_features",
+    """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_win,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS sum_win
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour behavioral features per user as of each event
+    (`operators/temporal.py::rolling_event_features`): RANGE frame over
+    integer epoch seconds (value-dependent membership — tie rows are
+    peers on both engines), DECIMAL-exact sliding sum. One shuffle on
+    user_id; WindowExec's sliding frame buffer bounds state by events-
+    per-hour, not events-per-user."""
+    from dbt_model_diff_spark.operators.temporal import rolling_event_features
+
+    e = read_table(spark, sf_dir, "events")
+    return rolling_event_features(
+        e, "user_id", "ts", "value", window_seconds=3600
+    ).select("event_id", "user_id", "n_win", "sum_win")
+
+
+# ---------------------------------------------------------------------------
 # Driver registration order.
 #
 # The driver's correctness harness verifies the first 50 registered
@@ -3138,12 +3441,15 @@ def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-4 rotation (VERDICT r3 item 1): the 50-slot window re-certifies
 # the 31 queries whose newest driver row is from r1/r2 (the r3 window
 # verified a different 50; all 31 were judge-re-verified locally in r3
-# but the driver record itself is stale). They come first, then the two
-# queries NEW this round (streaming bounded-state dedup, salted join),
-# then 17 Sec.2-core anchors from the r3 window fill slot 50. After r4,
-# no query's newest driver row is older than two rounds. The r3-green
-# queries that rotate out (TPC-H q2-q22, streaming twins, multimodal,
-# kmeans/ivf/near-dup, sampling splits) sit at slots 51+.
+# but the driver record itself is stale). They come first, then the
+# ten queries NEW this round (streaming bounded-state dedup, salted
+# join, near-dup components, quality gate + FK checks, MERGE apply,
+# sequence packing, heavy hitters, per-group cap, rolling event
+# features), then 9 Sec.2-core anchors fill slot 50. After r4, no query's newest driver row is older than
+# two rounds. The r3-green queries that rotate out (TPC-H q2-q22,
+# streaming twins, multimodal, kmeans/ivf/near-dup, sampling splits,
+# model_stg/int/case_when, filter_project, approx_profile) sit at
+# slots 51+.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
@@ -3179,26 +3485,26 @@ _DRIVER_PRIORITY = [
     "topk_orders",
     "window_dedup_keep_latest",
     "window_running_total",
-    # new in r4 — first driver row (3)
+    # new in r4 — first driver row (10)
     "stream_dedup_bounded_state",
     "join_salted_skew",
     "dedup_components",
-    # Sec.2-core anchors kept inside every window (16)
+    "quality_checks_orders",
+    "quality_fk_orders_customer",
+    "merge_apply_changes_orders",
+    "pack_sequences_documents",
+    "text_top_terms",
+    "cap_per_group_documents",
+    "events_rolling_features",
+    # Sec.2-core anchors kept inside every window (9)
     "diff_counts_orders",
-    "diff_changed_sample_keys",
     "diff_rowcount_where",
     "diff_profile_orders",
     "diff_schema_drift",
     "diff_counts_lineitem_multikey",
     "diff_partitioned_orders",
-    "diff_counts_embeddings",
-    "model_stg_customers",
-    "model_int_orders",
     "model_order_agg",
-    "model_case_when",
     "pricing_summary",
-    "filter_project_lineitem",
-    "approx_profile_orders",
     "decontaminate_train_docs",
 ]
 

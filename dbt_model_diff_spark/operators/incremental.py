@@ -1,0 +1,80 @@
+"""Incremental snapshot maintenance: MERGE-style change application.
+
+Beyond-reference surface, but the natural complement of the reference's
+diff: `dbt-model-diff` *detects* added/removed/changed rows between two
+snapshots (`dbt-model-diff/dbt_model_diff/core/diff_flow.py:178-256`);
+this module *applies* such a changeset to roll a base snapshot forward —
+the write side of the same contract (upsert rows + delete keys -> new
+snapshot), i.e. ANSI ``MERGE INTO`` semantics expressed as DataFrame ops.
+
+Scale posture — the 100 TB-shaped plan is deliberately NOT a full-outer
+join. A changeset is normally tiny relative to the base, so:
+
+  kept   = base LEFT ANTI JOIN change_keys      (broadcastable!)
+  result = kept UNION ALL (changes WHERE NOT is_deleted)
+
+With ``broadcast_changes=True`` the anti join broadcasts the key set and
+the 100 TB base is never shuffled at all — each base partition streams
+through a hash-probe filter and the union appends the (small) upserts.
+A full-outer-join formulation would shuffle the entire base on the key;
+this one moves only the changeset. For changesets too large to
+broadcast, the same plan degrades to a shuffled anti join — still
+strictly cheaper than full-outer (no null-extension, smaller build side).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    deleted_col: str = "is_deleted",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Roll ``base`` forward by ``changes`` (MERGE semantics).
+
+    ``changes`` carries the base schema plus a boolean ``deleted_col``:
+    - ``deleted_col = false`` rows are upserts (replace-or-insert by key),
+    - ``deleted_col = true`` rows are deletes (payload columns ignored).
+
+    Any key present in ``changes`` (either kind) supersedes the base row
+    with that key. Duplicate keys within ``changes`` are an error caught
+    lazily by the caller's own uniqueness checks — this operator applies
+    them all, which keeps it a pure two-branch plan.
+
+    Returns a DataFrame with exactly the base schema.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("apply_changes requires at least one key column")
+    missing = [c for c in list(base.columns) + [deleted_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+
+    change_keys = changes.select(*keys).distinct()
+    if broadcast_changes:
+        change_keys = F.broadcast(change_keys)
+    kept = base.join(change_keys, on=keys, how="left_anti")
+    upserts = changes.filter(~F.col(deleted_col)).select(*base.columns)
+    return kept.unionByName(upserts)
+
+
+def changes_summary(merged: DataFrame, price_col: str, key_col: str) -> DataFrame:
+    """Small audit aggregate over a merged snapshot (one scan).
+
+    The price sum goes through DECIMAL(18,2): the inputs are exact
+    2-decimal values stored as double, so the cast is exact and the sum
+    is order-independent — portable across engines (the module-wide
+    decimal-first rule, see catalog.py header).
+    """
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(key_col)).alias("n_keys"),
+        F.sum(F.col(price_col).cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )

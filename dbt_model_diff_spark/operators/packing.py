@@ -1,0 +1,105 @@
+"""Sequence packing: assign documents to fixed-capacity context windows.
+
+Beyond-reference surface (the reference has no notion of tokens or
+packing). LLM pre-training consumes fixed-length token windows; packing
+variable-length documents into those windows with minimal padding is a
+standard corpus-preparation step. The operator here implements
+deterministic *greedy next-fit* packing: documents are sharded by id
+hash, ordered by id within each shard, and appended to the current pack
+until the next document would overflow ``capacity``, which starts a new
+pack. A document longer than ``capacity`` occupies a pack alone (the
+caller is expected to have chunked oversized docs upstream).
+
+Next-fit (not first-fit-decreasing) is the streaming-friendly choice: it
+needs only the running remainder as state, never a bin table, so a shard
+of any size packs in one ordered pass.
+
+Scale posture: packing is inherently sequential *within* a pack stream,
+so the parallel unit is the shard — ``shards`` independent greedy
+streams, each an ordered pass over its partition. Spark-side this is
+``repartition(shard) + applyInPandas`` (Arrow-batched, one pass, state =
+two integers per shard). With enough shards the sequential constraint
+costs nothing: 100 TB / 4096 shards packs 4096-way parallel. Shard
+assignment is content-independent (md5 of id), so re-runs and
+incremental extensions see stable pack ids for unchanged shards.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from dbt_model_diff_spark.operators.sampling import hash_bucket
+
+
+def pack_next_fit(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    capacity: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Greedy next-fit packing of rows into capacity-bounded packs.
+
+    Returns (id_col, shard int, pack_id bigint, weight_col) — pack_id is
+    dense per shard starting at 0; (shard, pack_id) is the global pack
+    key. One shuffle (repartition by shard), then a single ordered
+    Arrow-batched pass per shard.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if shards <= 0:
+        raise ValueError("shards must be positive")
+
+    tagged = df.select(
+        F.col(id_col),
+        hash_bucket(F.col(id_col), buckets=shards).cast("int").alias("shard"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+
+    out_schema = StructType(
+        [
+            tagged.schema[id_col],
+            tagged.schema["shard"],
+        ]
+    ).add("pack_id", "long").add(weight_col, "long")
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        pack_ids = []
+        pack, acc = 0, 0
+        first = True
+        for w in pdf["_w"]:
+            w = int(w)
+            if first:
+                acc = w
+                first = False
+            elif acc + w > capacity:
+                pack += 1
+                acc = w
+            else:
+                acc += w
+            pack_ids.append(pack)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "shard": pdf["shard"],
+                "pack_id": pd.Series(pack_ids, dtype="int64"),
+                weight_col: pdf["_w"],
+            }
+        )
+
+    return tagged.groupBy("shard").applyInPandas(pack_shard, schema=out_schema)
+
+
+def pack_utilization(packed: DataFrame, weight_col: str, capacity: int) -> DataFrame:
+    """Per-pack audit: document count, used weight, fill fraction."""
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight_col).alias("used"),
+        (F.sum(weight_col) / F.lit(float(capacity))).alias("fill"),
+    )

@@ -1,0 +1,230 @@
+"""Declarative data-quality constraint suite (single-scan validation).
+
+Beyond-reference surface. The reference validates data only implicitly —
+its column profile reports null/distinct counts for a human to read
+(`dbt-model-diff/dbt_model_diff/core/diff_flow.py:137-175`). A training
+corpus pipeline needs the machine-checkable form: a declared list of
+constraints (completeness, uniqueness, bounds, set membership, pattern
+conformity) evaluated in bulk, producing one (constraint, metric, passed)
+row each, so a CI gate can fail on any red row.
+
+Scale posture: ALL constraints over a table are evaluated in ONE scan —
+each constraint contributes aggregate expressions to a single
+``df.agg(...)``, and the long-form result is exploded from that one-row
+aggregate. No per-constraint jobs, no driver-side loops over data.
+Uniqueness uses ``count_distinct`` by default (exact, oracle-checkable);
+pass ``approx=True`` to switch every distinct count to HLL
+``approx_count_distinct``, which drops the expand-operator cost at
+100 TB scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One named check: aggregate metric + predicate over that metric.
+
+    ``metric`` maps approx-mode flag -> aggregate Column (double-valued);
+    ``passed`` maps the computed metric Column -> boolean Column.
+    """
+
+    name: str
+    metric: Callable[[bool], Column]
+    passed: Callable[[Column], Column]
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    """num/den as double; empty-table (den=0) counts as vacuously 1.0."""
+    return F.when(den == 0, F.lit(1.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+
+
+def complete(col: str, threshold: float = 1.0) -> Constraint:
+    """Fraction of rows with ``col`` non-null is >= threshold."""
+    suffix = "" if threshold == 1.0 else f">={threshold}"
+    return Constraint(
+        name=f"complete:{col}{suffix}",
+        metric=lambda approx: _ratio(F.count(F.col(col)), F.count(F.lit(1))),
+        passed=lambda m: m >= F.lit(threshold),
+    )
+
+
+def unique(*cols: str) -> Constraint:
+    """distinct(cols)/rows == 1.0 — i.e. ``cols`` is a candidate key.
+
+    NULL-bearing rows are excluded from both sides (count_distinct skips
+    NULL tuples), matching SQL ``count(DISTINCT ...)`` semantics so the
+    metric is portable.
+    """
+    name = f"unique:{','.join(cols)}"
+
+    def metric(approx: bool) -> Column:
+        distinct = (
+            F.approx_count_distinct(F.struct(*[F.col(c) for c in cols]))
+            if approx
+            else F.count_distinct(*[F.col(c) for c in cols])
+        )
+        # denominator: rows where every key column is non-null
+        all_set = F.count(
+            F.when(
+                F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c in cols)), 1
+            )
+        )
+        return _ratio(distinct, all_set)
+
+    return Constraint(
+        name=name,
+        metric=metric,
+        passed=lambda m: m >= F.lit(1.0),
+    )
+
+
+def bounds(col: str, lo: float | None = None, hi: float | None = None) -> Constraint:
+    """min(col) >= lo and max(col) <= hi (each side optional).
+
+    Metric is the fraction of non-null values inside [lo, hi], so a red
+    row also says HOW red it is.
+    """
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    return Constraint(
+        name=f"bounds:{col}",
+        metric=lambda approx: _ratio(
+            F.count(F.when(cond, 1)), F.count(F.col(col))
+        ),
+        passed=lambda m: m >= F.lit(1.0),
+    )
+
+
+def in_set(col: str, values: Sequence[str]) -> Constraint:
+    """Every non-null value of ``col`` is in ``values``."""
+    vals = sorted(values)
+    return Constraint(
+        name=f"in_set:{col}",
+        metric=lambda approx: _ratio(
+            F.count(F.when(F.col(col).isin(vals), 1)), F.count(F.col(col))
+        ),
+        passed=lambda m: m >= F.lit(1.0),
+    )
+
+
+def matches(col: str, pattern: str, threshold: float = 1.0) -> Constraint:
+    """Fraction of non-null values fully matching ``pattern`` >= threshold.
+
+    Keep patterns in the portable subset (no lookaround) so the DuckDB
+    (RE2) oracle agrees with Java regex.
+    """
+    suffix = "" if threshold == 1.0 else f">={threshold}"
+    return Constraint(
+        name=f"matches:{col}{suffix}",
+        metric=lambda approx: _ratio(
+            F.count(F.when(F.col(col).rlike(f"^(?:{pattern})$"), 1)),
+            F.count(F.col(col)),
+        ),
+        passed=lambda m: m >= F.lit(threshold),
+    )
+
+
+def row_count(lo: int, hi: int | None = None) -> Constraint:
+    """Table row count within [lo, hi]."""
+    return Constraint(
+        name="row_count",
+        metric=lambda approx: F.count(F.lit(1)).cast("double"),
+        passed=lambda m: (m >= F.lit(float(lo)))
+        & (F.lit(True) if hi is None else m <= F.lit(float(hi))),
+    )
+
+
+def fk_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_col: str,
+    parent_col: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Referential-integrity check: every non-null ``child_col`` value
+    exists in ``parent[parent_col]`` — the cross-table constraint the
+    single-table suite can't express.
+
+    Returns one row (check_name, n_child, n_orphans, metric, passed)
+    where metric is the referenced fraction of non-null child rows.
+
+    Scale posture: orphans are found with a LEFT ANTI join against the
+    distinct parent keys. With ``broadcast_parent=True`` (dimension
+    parents — nation, customer at 100 TB fact scale) the child table is
+    never shuffled; for giant parents the same plan degrades to a
+    shuffled anti join on the key. The counts fold in one aggregate over
+    the anti-join output plus one over the child.
+    """
+    keys = parent.select(F.col(parent_col).alias(child_col)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    orphans = (
+        child.select(child_col)
+        .filter(F.col(child_col).isNotNull())
+        .join(keys, on=child_col, how="left_anti")
+    )
+    n_child = child.select(
+        F.count(F.col(child_col)).alias("n_child")
+    )
+    n_orph = orphans.select(F.count(F.lit(1)).alias("n_orphans"))
+    return (
+        n_child.crossJoin(n_orph)
+        .select(
+            F.lit(f"fk:{child_col}->{parent_col}").alias("check_name"),
+            F.col("n_child"),
+            F.col("n_orphans"),
+            F.when(F.col("n_child") == 0, F.lit(1.0))
+            .otherwise(
+                (F.col("n_child") - F.col("n_orphans")).cast("double")
+                / F.col("n_child").cast("double")
+            )
+            .alias("metric"),
+            (F.col("n_orphans") == 0).alias("passed"),
+        )
+    )
+
+
+def run_checks(
+    df: DataFrame, constraints: Sequence[Constraint], approx: bool = False
+) -> DataFrame:
+    """Evaluate all constraints in one scan.
+
+    Returns (check_name string, metric double, passed boolean), one row
+    per constraint. Implementation: every constraint's aggregate goes
+    into a single ``df.agg`` (one job, one scan; Catalyst fuses the
+    conditional counts into one pass with partial aggregation), then the
+    1-row result is exploded into long form — rows never leave the
+    executors until the final tiny collect by the caller.
+    """
+    if not constraints:
+        raise ValueError("run_checks needs at least one constraint")
+    names = [c.name for c in constraints]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate constraint names: {names}")
+    agg = df.agg(
+        *[c.metric(approx).alias(f"_m{i}") for i, c in enumerate(constraints)]
+    )
+    structs = [
+        F.struct(
+            F.lit(c.name).alias("check_name"),
+            F.col(f"_m{i}").cast("double").alias("metric"),
+            c.passed(F.col(f"_m{i}")).alias("passed"),
+        )
+        for i, c in enumerate(constraints)
+    ]
+    return (
+        agg.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.check_name", "r.metric", "r.passed")
+    )

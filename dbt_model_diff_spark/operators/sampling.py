@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _HEX = "0123456789abcdef"
 
@@ -104,4 +105,31 @@ def reservoir_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
         .orderBy("__r")
         .limit(int(k))
         .drop("__r")
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic hash
+    order (md5 of the id, id as tie-break) — the standard per-domain /
+    per-language volume cap of corpus mixing, made reproducible: the kept
+    subset depends only on row ids, never on partitioning or seeds.
+
+    Hash order (rather than "first N by id") makes the cap an unbiased
+    subsample of each group. One shuffle on the group key; within each
+    group the window ranks by a cheap codegen'd md5. Skew note: a single
+    pathological group (half the corpus) serializes its window into one
+    task — for that shape, pre-thin with ``hash_sample`` to ~cap*K rows
+    per group first, which is shuffle-free, then apply the exact cap.
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
     )

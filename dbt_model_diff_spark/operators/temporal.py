@@ -98,3 +98,50 @@ def range_join_bands(
         df.join(F.broadcast(band_df), cond, "inner")
         .drop("__lo", "__hi")
     )
+
+
+def rolling_event_features(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Trailing event-time features: per entity, the count and exact sum
+    of ``value_col`` over the last ``window_seconds`` (inclusive range
+    frame) as of each event — the standard feature-engineering shape
+    ("activity in the trailing hour/day") for behavioral training data.
+
+    Semantics are a RANGE frame over integer epoch seconds, so frame
+    membership depends only on timestamp VALUES (ties are peers on both
+    engines), never on row order — fully oracle-checkable. The sum goes
+    through DECIMAL(18,4) (exact, order-independent) and back to double,
+    per the portability rule.
+
+    Scale posture: ONE shuffle on the entity key, then a sort-based
+    running frame per entity — Spark's WindowExec keeps only the frame's
+    sliding buffer in memory, so state is bounded by events-per-window,
+    not events-per-entity. A pathologically hot entity serializes into
+    one task; pre-split such keys with a salt + two-level reaggregation
+    (operators/skew.py) if the trailing aggregate is decomposable.
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    # ntz -> ltz is identity in the engine's pinned-UTC session, and ltz
+    # casts to epoch seconds (floor); ntz -> long directly is illegal.
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(epoch)
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return df.select(
+        F.col(entity_col),
+        F.col(ts_col),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_win"),
+        *[c for c in df.columns if c not in (entity_col, ts_col)],
+    )

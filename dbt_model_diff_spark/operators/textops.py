@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword marker lists for the n-gram/stopword
 # language-ID heuristic. Deliberately small + deterministic.
@@ -182,4 +183,35 @@ def shingles(
     return (
         src.filter(F.size(tok) >= n)
         .select("doc_id", F.explode(expr).alias("shingle"))
+    )
+
+
+def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Exact corpus-level heavy hitters: the k most frequent whitespace
+    terms, rank-ordered with a deterministic (count DESC, term ASC)
+    tie-break.
+
+    Scale posture: explode -> groupBy(count) does a map-side partial
+    count before the single shuffle (term cardinality, not token count,
+    crosses the wire), and the final orderBy+limit compiles to
+    TakeOrderedAndProject — each partition forwards only its local top-k.
+    The vocabulary of a 100 TB corpus is millions of terms, which one
+    shuffle of (term, partial_count) handles comfortably; for true
+    stream/sketch needs, pair with ``approx_count_distinct``-style
+    sketches upstream.
+    """
+    terms = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counted = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counted.orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(int(k))
+        .select(
+            "term",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("term")))
+            .alias("rank"),
+        )
     )

@@ -1,0 +1,298 @@
+"""Tests for the corpus-curation operators added in round 4's second
+half: quality gates, MERGE-style apply, sequence packing, heavy hitters,
+per-group caps."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import incremental as inc
+from dbt_model_diff_spark.operators import packing
+from dbt_model_diff_spark.operators import quality as Q
+from dbt_model_diff_spark.operators.sampling import cap_per_group
+from dbt_model_diff_spark.operators.textops import top_terms
+
+
+# ---------------------------------------------------------------------------
+# quality
+# ---------------------------------------------------------------------------
+
+
+def _quality_fixture(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, status="A", price=10.0),
+            Row(id=2, status="B", price=20.0),
+            Row(id=3, status="A", price=None),
+            Row(id=3, status="C", price=-5.0),
+            Row(id=5, status=None, price=30.0),
+        ]
+    )
+
+
+def test_quality_pass_fail_matrix(spark):
+    df = _quality_fixture(spark)
+    out = {
+        r.check_name: r
+        for r in Q.run_checks(
+            df,
+            [
+                Q.complete("id"),                       # 5/5 -> pass
+                Q.complete("price"),                    # 4/5 -> fail
+                Q.complete("price", threshold=0.5),     # 4/5 -> pass
+                Q.unique("id"),                         # dup id=3 -> fail
+                Q.bounds("price", lo=0),                # -5 breaks -> fail
+                Q.in_set("status", ["A", "B", "C"]),    # nulls skipped -> pass
+                Q.matches("status", "[A-B]"),           # C fails -> fail
+                Q.row_count(5, 5),                      # pass
+            ],
+        ).collect()
+    }
+    assert out["complete:id"].passed
+    assert not out["complete:price"].passed
+    assert out["complete:price"].metric == pytest.approx(0.8)
+    assert out["complete:price>=0.5"].passed
+    assert out["unique:id"].metric == pytest.approx(4 / 5)
+    assert not out["unique:id"].passed
+    assert out["bounds:price"].metric == pytest.approx(3 / 4)
+    assert out["in_set:status"].passed
+    assert out["matches:status"].metric == pytest.approx(3 / 4)
+    assert out["row_count"].passed and out["row_count"].metric == 5.0
+
+
+def test_quality_empty_table_vacuous(spark):
+    df = _quality_fixture(spark).filter(F.lit(False))
+    rows = Q.run_checks(
+        df, [Q.complete("id"), Q.unique("id"), Q.bounds("price", lo=0)]
+    ).collect()
+    assert all(r.metric == 1.0 and r.passed for r in rows)
+
+
+def test_quality_one_scan(spark):
+    """All constraints fuse into a single aggregate over one scan — no
+    per-constraint jobs (the operator's core scale claim)."""
+    df = _quality_fixture(spark)
+    plan = Q.run_checks(
+        df, [Q.complete("id"), Q.bounds("price", lo=0), Q.row_count(1)]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
+
+
+def test_quality_approx_mode(spark):
+    df = _quality_fixture(spark)
+    out = {
+        r.check_name: r
+        for r in Q.run_checks(df, [Q.unique("id")], approx=True).collect()
+    }
+    # HLL on 4 distinct ids is exact at this cardinality
+    assert out["unique:id"].metric == pytest.approx(4 / 5)
+
+
+def test_quality_duplicate_names_rejected(spark):
+    df = _quality_fixture(spark)
+    with pytest.raises(ValueError, match="duplicate"):
+        Q.run_checks(df, [Q.complete("id"), Q.complete("id")])
+
+
+# ---------------------------------------------------------------------------
+# incremental merge
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixture(spark):
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=2, v="B", is_deleted=False),   # update
+            Row(k=3, v=None, is_deleted=True),   # delete
+            Row(k=4, v="d", is_deleted=False),   # insert
+        ]
+    )
+    return base, changes
+
+
+def test_apply_changes_semantics(spark):
+    base, changes = _merge_fixture(spark)
+    got = {
+        r.k: r.v
+        for r in inc.apply_changes(base, changes, keys=["k"]).collect()
+    }
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_apply_changes_broadcasts_base_unshuffled(spark):
+    """The 100 TB claim: with broadcast_changes=True the base side joins
+    via BroadcastHashJoin (anti) — no exchange of the base table."""
+    base, changes = _merge_fixture(spark)
+    plan = (
+        inc.apply_changes(base, changes, keys=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_apply_changes_missing_columns_rejected(spark):
+    base, changes = _merge_fixture(spark)
+    with pytest.raises(ValueError, match="missing columns"):
+        inc.apply_changes(base, changes.drop("v"), keys=["k"])
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+def _greedy_next_fit(weights, capacity):
+    packs, pack, acc, first = [], 0, 0, True
+    for w in weights:
+        if first:
+            acc, first = w, False
+        elif acc + w > capacity:
+            pack, acc = pack + 1, w
+        else:
+            acc += w
+        packs.append(pack)
+    return packs
+
+
+def test_pack_next_fit_matches_reference_impl(spark):
+    rows = [Row(doc_id=i, w=(i * 37) % 90 + 10) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    packed = packing.pack_next_fit(df, "doc_id", "w", capacity=128, shards=4)
+    got = packed.orderBy("shard", "doc_id").collect()
+    # replay each shard's greedy stream in plain Python
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        expect = _greedy_next_fit([r.w for r in shard_rows], 128)
+        assert [r.pack_id for r in shard_rows] == expect
+    # every doc assigned exactly once
+    assert len(got) == 200
+    # capacity respected for multi-doc packs
+    util = packing.pack_utilization(packed, "w", 128).collect()
+    for u in util:
+        assert u.n_docs == 1 or u.used <= 128
+
+
+def test_pack_oversize_doc_gets_own_pack(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, w=500), Row(doc_id=2, w=10), Row(doc_id=3, w=10)]
+    )
+    packed = packing.pack_next_fit(df, "doc_id", "w", capacity=100, shards=1)
+    rows = {r.doc_id: r for r in packed.collect()}
+    assert rows[1].pack_id != rows[2].pack_id
+    assert rows[2].pack_id == rows[3].pack_id
+
+
+def test_pack_rejects_bad_args(spark):
+    df = spark.createDataFrame([Row(doc_id=1, w=5)])
+    with pytest.raises(ValueError):
+        packing.pack_next_fit(df, "doc_id", "w", capacity=0)
+    with pytest.raises(ValueError):
+        packing.pack_next_fit(df, "doc_id", "w", capacity=10, shards=0)
+
+
+# ---------------------------------------------------------------------------
+# top terms / per-group cap
+# ---------------------------------------------------------------------------
+
+
+def test_top_terms_ordering_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            Row(text="b b b a a c"),
+            Row(text="a c  d"),   # double space -> empty token dropped
+        ]
+    )
+    got = [(r.term, r.cnt, r.rank) for r in top_terms(df, k=3).collect()]
+    assert got == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
+
+
+def test_cap_per_group_cap_and_determinism(spark, sf_dir):
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "lang", "doc_id", cap=5)
+    sizes = {
+        r.lang: r.n for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes and all(n <= 5 for n in sizes.values())
+    # deterministic: same selection on a rerun
+    ids1 = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in cap_per_group(docs, "lang", "doc_id", cap=5)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
+    with pytest.raises(ValueError):
+        cap_per_group(docs, "lang", "doc_id", cap=0)
+
+
+# ---------------------------------------------------------------------------
+# fk_check / rolling features
+# ---------------------------------------------------------------------------
+
+
+def test_fk_check_orphans_and_clean(spark):
+    child = spark.createDataFrame(
+        [Row(ck=1), Row(ck=2), Row(ck=9), Row(ck=None)]
+    )
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
+    r = Q.fk_check(child, parent, "ck", "pk").collect()[0]
+    assert r.n_child == 3 and r.n_orphans == 1
+    assert r.metric == pytest.approx(2 / 3) and not r.passed
+    clean = Q.fk_check(child.filter("ck < 3"), parent, "ck", "pk").collect()[0]
+    assert clean.passed and clean.metric == 1.0
+
+
+def test_fk_check_broadcasts_parent(spark):
+    child = spark.createDataFrame([Row(ck=1)])
+    parent = spark.createDataFrame([Row(pk=1)])
+    # the anti join in the orphan branch must be broadcast (child never
+    # shuffled) — inspect the counted plan
+    plan = (
+        Q.fk_check(child, parent, "ck", "pk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_rolling_event_features_frame_semantics(spark):
+    from dbt_model_diff_spark.operators.temporal import rolling_event_features
+
+    rows = [
+        # user 1: events at t=0, 30, 3630, 3660 (1h window = 3600s)
+        Row(uid=1, ts="2024-01-01 00:00:00", v=1.0),
+        Row(uid=1, ts="2024-01-01 00:00:30", v=2.0),
+        Row(uid=1, ts="2024-01-01 01:00:30", v=4.0),   # 3630s: 30s evt in, 0s evt out
+        Row(uid=1, ts="2024-01-01 01:01:00", v=8.0),   # 3660s: frame [60,3660]
+        Row(uid=2, ts="2024-01-01 00:00:00", v=100.0),
+        Row(uid=3, ts="2024-01-01 00:00:00", v=5.0),
+        Row(uid=3, ts="2024-01-01 01:00:00", v=7.0),   # 3600s: t=0 exactly at bound -> in
+    ]
+    df = spark.createDataFrame(rows).select(
+        "uid", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    got = {
+        (r.uid, str(r.ts)): (r.n_win, r.sum_win)
+        for r in rolling_event_features(df, "uid", "ts", "v", 3600).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == (1, 1.0)
+    assert got[(1, "2024-01-01 00:00:30")] == (2, 3.0)
+    assert got[(1, "2024-01-01 01:00:30")] == (2, 6.0)   # 30s + 3630s events
+    assert got[(1, "2024-01-01 01:01:00")] == (2, 12.0)  # t=0,30 both out of [60,3660]
+    assert got[(2, "2024-01-01 00:00:00")] == (1, 100.0)
+    assert got[(3, "2024-01-01 01:00:00")] == (2, 12.0)  # t=0 at inclusive bound
+    with pytest.raises(ValueError):
+        rolling_event_features(df, "uid", "ts", "v", 0)
