@@ -60,6 +60,13 @@ def main() -> None:
         "q18_large_volume_customers",
         "q21_sole_problem_supplier",
         "asof_latest_purchase",
+        # round-4 curation headliners: single-scan quality gate, MERGE
+        # apply (broadcast anti-join), sharded applyInPandas packing,
+        # RANGE-frame rolling features
+        "quality_checks_orders",
+        "merge_apply_changes_orders",
+        "pack_sequences_documents",
+        "events_rolling_features",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 

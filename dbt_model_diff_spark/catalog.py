@@ -3147,7 +3147,8 @@ WITH m AS (
          count(o_orderstatus) AS c_status,
          count(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS in_s,
          count(o_orderpriority) AS c_prio,
-         count(CASE WHEN regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+') THEN 1 END) AS mt
+         count(CASE WHEN regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+') THEN 1 END) AS mt,
+         max(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS max_od
   FROM orders
 )
 SELECT 'complete:o_custkey' AS check_name,
@@ -3176,6 +3177,13 @@ SELECT 'matches:o_orderpriority',
 FROM m
 UNION ALL
 SELECT 'row_count', CAST(n AS DOUBLE), n >= 1 FROM m
+UNION ALL
+SELECT 'fresh:o_orderdate@1998-12-31 00:00:00',
+       CASE WHEN max_od IS NULL THEN CAST('infinity' AS DOUBLE)
+            ELSE CAST(915062400 - max_od AS DOUBLE) END,
+       CASE WHEN max_od IS NULL THEN CAST('infinity' AS DOUBLE)
+            ELSE CAST(915062400 - max_od AS DOUBLE) END <= 31536000.0
+FROM m
 """,
 )
 def quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3197,6 +3205,9 @@ def quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.in_set("o_orderstatus", ["F", "O", "P"]),
             Q.matches("o_orderpriority", "[1-5]-[A-Z ]+"),
             Q.row_count(1),
+            Q.freshness(
+                "o_orderdate", "1998-12-31 00:00:00", 365 * 24 * 3600
+            ),
         ],
     )
 
@@ -3358,6 +3369,124 @@ def cap_per_group_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_orders_changelog",
+    """
+WITH changelog AS (
+  SELECT o_orderkey AS k, TIMESTAMP '2024-01-01 00:00:00' AS ts,
+         o_totalprice AS price, o_orderstatus AS status
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, TIMESTAMP '2024-01-02 00:00:00',
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END,
+         o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, TIMESTAMP '2024-01-03 00:00:00',
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+  FROM orders
+),
+flagged AS (
+  SELECT *,
+         row_number() OVER w AS rn,
+         lag(price) OVER w AS p_price,
+         lag(status) OVER w AS p_status
+  FROM changelog
+  WINDOW w AS (PARTITION BY k ORDER BY ts)
+),
+survivors AS (
+  SELECT k, ts, price, status FROM flagged
+  WHERE rn = 1 OR price IS DISTINCT FROM p_price OR status IS DISTINCT FROM p_status
+),
+hist AS (
+  SELECT k, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+  FROM survivors
+)
+SELECT CAST(valid_from AS DATE) AS valid_from_day,
+       valid_to IS NULL AS is_current,
+       count(*) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM hist GROUP BY 1, 2
+""",
+)
+def scd2_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 compaction
+    (`operators/incremental.py::scd2_from_changelog`): a three-version
+    synthetic changelog over orders (price bump for %7 keys on day 2,
+    status flip for %5 keys on day 3, everything else no-op versions)
+    collapses to distinct consecutive states with valid_from/valid_to/
+    is_current. One shuffle; the change-flag lag and valid_to lead share
+    the same partitioning+sort. Surfaced as history-row counts + key
+    checksums per (version day, currency)."""
+    from dbt_model_diff_spark.operators.incremental import scd2_from_changelog
+
+    o = read_table(spark, sf_dir, "orders")
+
+    def version(day: str, price, status):
+        return o.select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(day).cast("timestamp").alias("ts"),
+            price.alias("price"),
+            status.alias("status"),
+        )
+
+    p2 = F.when(
+        F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+    ).otherwise(F.col("o_totalprice"))
+    s3 = F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+        F.col("o_orderstatus")
+    )
+    changelog = (
+        version("2024-01-01 00:00:00", F.col("o_totalprice"), F.col("o_orderstatus"))
+        .unionByName(version("2024-01-02 00:00:00", p2, F.col("o_orderstatus")))
+        .unionByName(version("2024-01-03 00:00:00", p2, s3))
+    )
+    hist = scd2_from_changelog(changelog, keys=["k"], ts_col="ts")
+    return hist.groupBy(
+        F.col("valid_from").cast("date").alias("valid_from_day"),
+        F.col("is_current"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+    )
+
+
+@register(
+    "sample_weighted_documents",
+    """
+WITH w AS (
+  SELECT doc_id, lang,
+         least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS wt,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM w WHERE u < wt GROUP BY lang
+""",
+)
+def sample_weighted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling
+    (`operators/sampling.py::weighted_hash_sample`): keep each document
+    with probability equal to its quality weight (length score capped at
+    1), decided by the id's deterministic md5-uniform — reproducible
+    across runs, partitionings, and cluster sizes; shuffle-free per-row
+    filter fused into the scan. Surfaced per-lang with id checksums so
+    the oracle pins the exact kept subset."""
+    from dbt_model_diff_spark.operators.sampling import weighted_hash_sample
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "wt", F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    )
+    kept = weighted_hash_sample(docs, "doc_id", "wt")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register(
     "quality_fk_orders_customer",
     """
 WITH c AS (
@@ -3442,10 +3571,11 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 31 queries whose newest driver row is from r1/r2 (the r3 window
 # verified a different 50; all 31 were judge-re-verified locally in r3
 # but the driver record itself is stale). They come first, then the
-# ten queries NEW this round (streaming bounded-state dedup, salted
-# join, near-dup components, quality gate + FK checks, MERGE apply,
-# sequence packing, heavy hitters, per-group cap, rolling event
-# features), then 9 Sec.2-core anchors fill slot 50. After r4, no query's newest driver row is older than
+# twelve queries NEW this round (streaming bounded-state dedup, salted
+# join, near-dup components, quality gate + FK checks, MERGE apply +
+# SCD2 history, sequence packing, heavy hitters, per-group cap,
+# rolling event features, weighted sampling), then 7 Sec.2-core
+# anchors fill slot 50. After r4, no query's newest driver row is older than
 # two rounds. The r3-green queries that rotate out (TPC-H q2-q22,
 # streaming twins, multimodal, kmeans/ivf/near-dup, sampling splits,
 # model_stg/int/case_when, filter_project, approx_profile) sit at
@@ -3496,16 +3626,16 @@ _DRIVER_PRIORITY = [
     "text_top_terms",
     "cap_per_group_documents",
     "events_rolling_features",
-    # Sec.2-core anchors kept inside every window (9)
+    "sample_weighted_documents",
+    "scd2_orders_changelog",
+    # Sec.2-core anchors kept inside every window (7)
     "diff_counts_orders",
-    "diff_rowcount_where",
     "diff_profile_orders",
     "diff_schema_drift",
     "diff_counts_lineitem_multikey",
     "diff_partitioned_orders",
     "model_order_agg",
     "pricing_summary",
-    "decontaminate_train_docs",
 ]
 
 

@@ -28,6 +28,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def apply_changes(
@@ -63,6 +64,60 @@ def apply_changes(
     kept = base.join(change_keys, on=keys, how="left_anti")
     upserts = changes.filter(~F.col(deleted_col)).select(*base.columns)
     return kept.unionByName(upserts)
+
+
+def scd2_from_changelog(
+    base: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Compact a row-version changelog into SCD type-2 history.
+
+    Input: one row per (key, version timestamp) carrying the payload as
+    of that version — the shape a periodic full-snapshot export or CDC
+    feed produces, including no-op versions where nothing changed.
+    Output: one row per *distinct consecutive state* with
+    ``valid_from`` / ``valid_to`` (NULL while current) and
+    ``is_current`` — the warehouse time-travel dimension the reference's
+    point-in-time diff cannot reconstruct.
+
+    Change detection is per-column null-safe inequality against the
+    previous version (``IS DISTINCT FROM`` semantics — exact, no hash
+    collision surface); the first version per key always survives.
+
+    Scale posture: ONE shuffle on the keys, then two stacked window
+    passes over the same (partitioning, ordering) — the change-flag lag
+    and, after filtering survivors, the valid_to lead. The filter
+    preserves partitioning AND sort order, so the second window adds no
+    exchange and no re-sort (pinned by the plan test). State per task is
+    one previous row — nothing accumulates.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("scd2_from_changelog requires key columns")
+    if payload_cols is None:
+        payload_cols = [
+            c for c in base.columns if c not in keys and c != ts_col
+        ]
+    payload_cols = list(payload_cols)
+    if not payload_cols:
+        raise ValueError("no payload columns to track")
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    changed = F.row_number().over(w) == 1
+    for c in payload_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    survivors = base.withColumn("__changed", changed).filter("__changed")
+    return (
+        survivors.select(
+            *keys,
+            *payload_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
 
 
 def changes_summary(merged: DataFrame, price_col: str, key_col: str) -> DataFrame:

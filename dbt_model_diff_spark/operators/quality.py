@@ -136,6 +136,34 @@ def matches(col: str, pattern: str, threshold: float = 1.0) -> Constraint:
     )
 
 
+def freshness(col: str, as_of: str, max_lag_seconds: int) -> Constraint:
+    """Data-freshness: lag between ``as_of`` and max(``col``) is at most
+    ``max_lag_seconds``. ``as_of`` is an explicit 'YYYY-MM-DD HH:MM:SS'
+    reference instant rather than now() — a check that depends on the
+    wall clock is not reproducible (or oracle-checkable); callers pass
+    the pipeline run's logical timestamp.
+
+    Metric is the lag in seconds (so a red row says how stale); an empty
+    or all-NULL column surfaces +inf lag and fails.
+    """
+    import datetime as _dt
+
+    as_of_epoch = int(
+        _dt.datetime.strptime(as_of, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+    )
+    return Constraint(
+        name=f"fresh:{col}@{as_of}",
+        metric=lambda approx: F.coalesce(
+            F.lit(as_of_epoch)
+            - F.max(F.col(col).cast("timestamp").cast("long")),
+            F.lit(float("inf")),
+        ).cast("double"),
+        passed=lambda m: m <= F.lit(float(max_lag_seconds)),
+    )
+
+
 def row_count(lo: int, hi: int | None = None) -> Constraint:
     """Table row count within [lo, hi]."""
     return Constraint(

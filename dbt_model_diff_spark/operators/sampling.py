@@ -133,3 +133,27 @@ def cap_per_group(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def hash_uniform(id_col: Column) -> Column:
+    """Deterministic uniform [0,1) from md5 of the id's string form:
+    15 hex digits (60 bits) scaled by 16^-15. Identical arithmetic is
+    expressible in ANSI SQL, so weighted sampling stays oracle-checkable."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(16**15))
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: Column | str
+) -> DataFrame:
+    """Keep each row with probability ``weight_col`` (a per-row value in
+    [0,1], e.g. a quality score), decided by comparing the row's
+    deterministic id-hash uniform against its weight — quality-weighted
+    corpus downsampling with exact reproducibility: membership depends
+    only on (id, weight), never on partitioning, seeds, or run order.
+
+    Shuffle-free: a stateless per-row filter that fuses into the scan.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(hash_uniform(F.col(id_col)) < w)

@@ -296,3 +296,118 @@ def test_rolling_event_features_frame_semantics(spark):
     assert got[(3, "2024-01-01 01:00:00")] == (2, 12.0)  # t=0 at inclusive bound
     with pytest.raises(ValueError):
         rolling_event_features(df, "uid", "ts", "v", 0)
+
+
+def test_freshness_constraint(spark):
+    df = spark.createDataFrame(
+        [Row(ts="2024-01-01 00:00:00"), Row(ts="2024-01-02 00:00:00")]
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    out = Q.run_checks(
+        df,
+        [
+            Q.freshness("ts", "2024-01-02 01:00:00", max_lag_seconds=7200),
+            Q.freshness("ts", "2024-01-05 00:00:00", max_lag_seconds=3600),
+        ],
+    ).collect()
+    by = {r.check_name: r for r in out}
+    ok = by["fresh:ts@2024-01-02 01:00:00"]
+    assert ok.metric == 3600.0 and ok.passed
+    stale = by["fresh:ts@2024-01-05 00:00:00"]
+    assert stale.metric == 3 * 86400.0 and not stale.passed
+    # empty table -> +inf lag, fails
+    empty = Q.run_checks(
+        df.filter(F.lit(False)),
+        [Q.freshness("ts", "2024-01-02 01:00:00", max_lag_seconds=7200)],
+    ).collect()[0]
+    assert empty.metric == float("inf") and not empty.passed
+
+
+def test_weighted_hash_sample_deterministic_and_weighted(spark):
+    from dbt_model_diff_spark.operators.sampling import (
+        hash_uniform,
+        weighted_hash_sample,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.when(F.col("id") < 1000, F.lit(0.0)).otherwise(F.lit(0.5)).alias("w"),
+    )
+    kept = weighted_hash_sample(df, "id", "w")
+    rows = kept.collect()
+    # weight 0 rows never kept
+    assert all(r.id >= 1000 for r in rows)
+    # weight 0.5 keeps roughly half (hash-uniform, so tight-ish bounds)
+    assert 350 <= len(rows) <= 650
+    # reproducible
+    assert sorted(r.id for r in kept.collect()) == sorted(r.id for r in rows)
+    # hash_uniform is in [0, 1)
+    u = df.select(F.min(hash_uniform(F.col("id"))).alias("lo"),
+                  F.max(hash_uniform(F.col("id"))).alias("hi")).collect()[0]
+    assert 0.0 <= u.lo and u.hi < 1.0
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history
+# ---------------------------------------------------------------------------
+
+
+def _changelog_fixture(spark):
+    rows = [
+        # key 1: value changes at v2, no-op v3
+        Row(k=1, ts="2024-01-01", v="a"),
+        Row(k=1, ts="2024-01-02", v="b"),
+        Row(k=1, ts="2024-01-03", v="b"),
+        # key 2: never changes
+        Row(k=2, ts="2024-01-01", v="z"),
+        Row(k=2, ts="2024-01-02", v="z"),
+        # key 3: NULL transitions both ways
+        Row(k=3, ts="2024-01-01", v=None),
+        Row(k=3, ts="2024-01-02", v="x"),
+        Row(k=3, ts="2024-01-03", v=None),
+    ]
+    return spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+
+
+def test_scd2_collapses_noops_and_tracks_nulls(spark):
+    from dbt_model_diff_spark.operators.incremental import scd2_from_changelog
+
+    hist = scd2_from_changelog(_changelog_fixture(spark), ["k"], "ts")
+    got = sorted(
+        (r.k, str(r.valid_from)[:10], None if r.valid_to is None else str(r.valid_to)[:10], r.is_current, r.v)
+        for r in hist.collect()
+    )
+    assert got == [
+        (1, "2024-01-01", "2024-01-02", False, "a"),
+        (1, "2024-01-02", None, True, "b"),
+        (2, "2024-01-01", None, True, "z"),
+        (3, "2024-01-01", "2024-01-02", False, None),
+        (3, "2024-01-02", "2024-01-03", False, "x"),
+        (3, "2024-01-03", None, True, None),
+    ]
+
+
+def test_scd2_single_exchange(spark):
+    """Both window passes share one shuffle+sort (the operator's scale
+    claim): exactly one Exchange and one Sort in the physical plan."""
+    from dbt_model_diff_spark.operators.incremental import scd2_from_changelog
+
+    plan = (
+        scd2_from_changelog(_changelog_fixture(spark), ["k"], "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("+- Sort") == 1, plan
+
+
+def test_scd2_rejects_degenerate_args(spark):
+    from dbt_model_diff_spark.operators.incremental import scd2_from_changelog
+
+    df = _changelog_fixture(spark)
+    with pytest.raises(ValueError):
+        scd2_from_changelog(df, [], "ts")
+    with pytest.raises(ValueError):
+        scd2_from_changelog(df.select("k", "ts"), ["k"], "ts")
