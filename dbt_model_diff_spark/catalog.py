@@ -3368,6 +3368,52 @@ def cap_per_group_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from dbt_model_diff_spark.functions.layout import zvalue_sql
+
+    price_bucket = (
+        "least(greatest(CAST(floor(CAST(o_totalprice AS DOUBLE) / 2343.75) AS BIGINT), 0), 255)"
+    )
+    z = zvalue_sql("o_orderkey % 256", price_bucket, bits=8)
+    return f"""
+WITH z AS (SELECT {z} AS zv, o_orderkey FROM orders)
+SELECT CAST(zv // 1024 AS BIGINT) AS z_range,
+       count(*) AS n_rows,
+       CAST(min(zv) AS BIGINT) AS z_min,
+       CAST(max(zv) AS BIGINT) AS z_max,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_orders_layout", _zorder_oracle())
+def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (`functions/layout.py`): Morton-interleave of
+    (o_orderkey mod 256, price bucket) — pure codegen'd bit arithmetic,
+    the clustering key `cluster_by_zorder` range-partitions by so file
+    min/max footers prune BOTH dimensions at 100 TB. Surfaced as
+    per-z-range counts + min/max/key checksums, verifying every
+    interleaved bit against the SQL twin."""
+    from dbt_model_diff_spark.functions.layout import bucketize, zvalue
+
+    o = read_table(spark, sf_dir, "orders")
+    z = zvalue(
+        F.col("o_orderkey") % 256,
+        bucketize(F.col("o_totalprice"), 0.0, 600000.0, bits=8),
+        bits=8,
+    )
+    return (
+        o.select(z.alias("zv"), "o_orderkey")
+        .groupBy(F.floor(F.col("zv") / 1024).alias("z_range"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zv").alias("z_min"),
+            F.max("zv").alias("z_max"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
 @register(
     "scd2_orders_changelog",
     """
@@ -3571,11 +3617,11 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 31 queries whose newest driver row is from r1/r2 (the r3 window
 # verified a different 50; all 31 were judge-re-verified locally in r3
 # but the driver record itself is stale). They come first, then the
-# twelve queries NEW this round (streaming bounded-state dedup, salted
-# join, near-dup components, quality gate + FK checks, MERGE apply +
-# SCD2 history, sequence packing, heavy hitters, per-group cap,
-# rolling event features, weighted sampling), then 7 Sec.2-core
-# anchors fill slot 50. After r4, no query's newest driver row is older than
+# thirteen queries NEW this round (streaming bounded-state dedup,
+# salted join, near-dup components, quality gate + FK checks, MERGE
+# apply + SCD2 history, sequence packing, heavy hitters, per-group
+# cap, rolling event features, weighted sampling, z-order layout),
+# then 6 Sec.2-core anchors fill slot 50. After r4, no query's newest driver row is older than
 # two rounds. The r3-green queries that rotate out (TPC-H q2-q22,
 # streaming twins, multimodal, kmeans/ivf/near-dup, sampling splits,
 # model_stg/int/case_when, filter_project, approx_profile) sit at
@@ -3628,11 +3674,11 @@ _DRIVER_PRIORITY = [
     "events_rolling_features",
     "sample_weighted_documents",
     "scd2_orders_changelog",
-    # Sec.2-core anchors kept inside every window (7)
+    "zorder_orders_layout",
+    # Sec.2-core anchors kept inside every window (6)
     "diff_counts_orders",
     "diff_profile_orders",
     "diff_schema_drift",
-    "diff_counts_lineitem_multikey",
     "diff_partitioned_orders",
     "model_order_agg",
     "pricing_summary",

@@ -1,0 +1,91 @@
+"""Z-order (Morton) data-layout operators.
+
+Beyond-reference surface. At 100 TB, file layout IS the query plan: a
+table range-partitioned and sorted by a Z-order (bit-interleaved) key
+keeps rows that are close in BOTH dimensions close on disk, so min/max
+footer statistics prune multi-dimensional predicates — the standard
+lakehouse clustering trick (Delta OPTIMIZE ZORDER, Iceberg sort orders)
+expressed with plain Spark primitives.
+
+The Z-value itself is pure integer bit arithmetic (shift/mask/or), which
+folds into whole-stage codegen AND is expressible in ANSI SQL — so the
+layout key, unlike a black-box clustering UDF, is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton interleave of two non-negative ints clamped to ``bits``
+    bits each: result bit 2i is x's bit i, bit 2i+1 is y's bit i.
+
+    Inputs are clamped to [0, 2^bits) (callers bucketize real values
+    first — see ``bucketize``); 2*bits <= 62 keeps everything in a
+    signed 64-bit long on both engines.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    cap = (1 << bits) - 1
+    xc = F.least(F.greatest(x.cast("long"), F.lit(0)), F.lit(cap))
+    yc = F.least(F.greatest(y.cast("long"), F.lit(0)), F.lit(cap))
+    parts = []
+    for i in range(bits):
+        parts.append(
+            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        parts.append(
+            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def zvalue_sql(x_sql: str, y_sql: str, bits: int = 16) -> str:
+    """The ANSI-SQL twin of ``zvalue`` (for oracles and pushdown docs)."""
+    cap = (1 << bits) - 1
+    xc = f"least(greatest(CAST({x_sql} AS BIGINT), 0), {cap})"
+    yc = f"least(greatest(CAST({y_sql} AS BIGINT), 0), {cap})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xc} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yc} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def bucketize(col: Column, lo: float, hi: float, bits: int = 16) -> Column:
+    """Map a numeric column into [0, 2^bits) equal-width buckets of
+    [lo, hi] — the quantization step before interleaving a continuous
+    dimension. Out-of-range values clamp to the edge buckets."""
+    if hi <= lo:
+        raise ValueError("hi must exceed lo")
+    n = 1 << bits
+    scaled = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        / F.lit((hi - lo) / n)
+    ).cast("long")
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit(n - 1))
+
+
+def cluster_by_zorder(
+    df: DataFrame, z: Column, num_partitions: int | None = None
+) -> DataFrame:
+    """Range-partition and sort by the Z-value — the write-side layout
+    pass. `repartitionByRange` samples the key distribution so output
+    files hold contiguous Z-ranges (tight min/max footers on BOTH
+    interleaved dimensions); the per-partition sort makes row groups
+    monotone for page-level pruning.
+
+    One shuffle, as any global re-layout must be; run it once per
+    compaction window, not per query.
+    """
+    tagged = df.withColumn("__z", z)
+    parts = (
+        tagged.repartitionByRange(num_partitions, "__z")
+        if num_partitions
+        else tagged.repartitionByRange("__z")
+    )
+    return parts.sortWithinPartitions("__z").drop("__z")

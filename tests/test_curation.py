@@ -411,3 +411,67 @@ def test_scd2_rejects_degenerate_args(spark):
         scd2_from_changelog(df, [], "ts")
     with pytest.raises(ValueError):
         scd2_from_changelog(df.select("k", "ts"), ["k"], "ts")
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zvalue_interleave_exact(spark):
+    from dbt_model_diff_spark.functions.layout import zvalue
+
+    def morton(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [Row(x=x, y=y) for x in (0, 1, 5, 255) for y in (0, 3, 128, 255)]
+    df = spark.createDataFrame(rows)
+    got = df.select("x", "y", zvalue(F.col("x"), F.col("y"), bits=8).alias("z")).collect()
+    for r in got:
+        assert r.z == morton(r.x, r.y, 8), (r.x, r.y)
+    # clamping: negative -> 0, overflow -> cap
+    clamp = df.limit(1).select(
+        zvalue(F.lit(-7), F.lit(9999), bits=8).alias("z")
+    ).collect()[0]
+    assert clamp.z == morton(0, 255, 8)
+
+
+def test_cluster_by_zorder_contiguous_ranges(spark):
+    from dbt_model_diff_spark.functions.layout import bucketize, cluster_by_zorder, zvalue
+
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") * 7919 % 1000).alias("a"),
+        (F.col("id") * 104729 % 1000).cast("double").alias("b"),
+    )
+    z = zvalue(F.col("a"), bucketize(F.col("b"), 0, 1000, bits=10), bits=10)
+    out = cluster_by_zorder(df, z, num_partitions=8)
+    # recompute z per row with its partition id; ranges must not overlap
+    import pyspark.sql.functions as SF
+
+    zed = out.select(
+        SF.spark_partition_id().alias("pid"),
+        zvalue(F.col("a"), bucketize(F.col("b"), 0, 1000, bits=10), bits=10).alias("z"),
+    )
+    ranges = (
+        zed.groupBy("pid").agg(SF.min("z").alias("lo"), SF.max("z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert sum(1 for _ in ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi <= cur.lo
+    assert out.count() == 4000
+
+
+def test_layout_rejects_bad_args(spark):
+    from dbt_model_diff_spark.functions.layout import bucketize, zvalue
+
+    with pytest.raises(ValueError):
+        zvalue(F.lit(1), F.lit(1), bits=0)
+    with pytest.raises(ValueError):
+        bucketize(F.lit(1.0), 5, 5)
