@@ -67,8 +67,14 @@ def unique(*cols: str) -> Constraint:
     name = f"unique:{','.join(cols)}"
 
     def metric(approx: bool) -> Column:
+        all_non_null = F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c in cols))
         distinct = (
-            F.approx_count_distinct(F.struct(*[F.col(c) for c in cols]))
+            # NULL-bearing tuples must not count: gate the struct behind
+            # the all-non-null condition (NULL input -> skipped by the
+            # HLL), matching count(DISTINCT ...)'s row exclusion
+            F.approx_count_distinct(
+                F.when(all_non_null, F.struct(*[F.col(c) for c in cols]))
+            )
             if approx
             else F.count_distinct(*[F.col(c) for c in cols])
         )

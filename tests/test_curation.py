@@ -88,6 +88,14 @@ def test_quality_approx_mode(spark):
     }
     # HLL on 4 distinct ids is exact at this cardinality
     assert out["unique:id"].metric == pytest.approx(4 / 5)
+    # NULL-bearing tuples are excluded from the HLL exactly like
+    # count(DISTINCT ...) excludes them: a lone id with NULL status must
+    # not inflate the composite-key metric past 1.0
+    df2 = spark.createDataFrame(
+        [Row(id=1, status="A"), Row(id=1, status="A"), Row(id=2, status=None)]
+    )
+    m = Q.run_checks(df2, [Q.unique("id", "status")], approx=True).collect()[0]
+    assert m.metric == pytest.approx(0.5) and not m.passed
 
 
 def test_quality_duplicate_names_rejected(spark):

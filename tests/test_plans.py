@@ -235,3 +235,36 @@ def test_scalar_agg_reuses_fact_shuffle_no_window(spark, sf_dir, name):
     assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
     assert "ReusedExchange" in plan
     assert "Window(" not in plan
+
+
+def test_rolling_features_single_exchange(spark, sf_dir):
+    """The RANGE-frame rolling features shuffle the events exactly once
+    (on the entity key); the window runs in the same stage."""
+    plan = _executed_plan(QUERIES["events_rolling_features"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RangeFrame" in plan
+
+
+def test_pack_sequences_one_data_shuffle(spark, sf_dir):
+    """Packing moves the docs once (repartition by shard into the
+    Arrow-batched greedy pass); the only other exchange carries the
+    already-aggregated per-pack partials."""
+    plan = _executed_plan(QUERIES["pack_sequences_documents"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_weighted_sample_is_scan_fused_filter(spark, sf_dir):
+    """Weighted sampling adds no exchange before the final per-lang agg:
+    the keep-decision is a per-row filter fused into the scan stage."""
+    plan = _executed_plan(QUERIES["sample_weighted_documents"](spark, sf_dir))
+    # exactly the aggregation exchange, nothing for the sampling itself
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cap_per_group_rank_limit_pushdown(spark, sf_dir):
+    """The per-group cap benefits from rank-limit pushdown: a partial
+    WindowGroupLimit prunes to cap rows per group BEFORE the shuffle."""
+    plan = _executed_plan(QUERIES["cap_per_group_documents"](spark, sf_dir))
+    partial = plan.split("Exchange hashpartitioning")[-1]
+    assert "WindowGroupLimit" in partial
