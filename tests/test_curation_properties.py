@@ -1,0 +1,136 @@
+"""Property-based tests for the curation operators (same hypothesis
+conventions as test_diff_properties: small examples, real Spark runs,
+deadlines off):
+
+- packing: the distributed next-fit assignment matches a sequential
+  reference replay for ANY weight sequence; no multi-doc pack exceeds
+  capacity; pack ids are dense per shard.
+- SCD2: survivors reconstruct the changelog's value-at-time for ANY
+  version history; validity intervals tile [first_version, inf) with no
+  gaps or overlaps.
+- quality: complete/bounds metrics match a pandas replay for ANY data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from dbt_model_diff_spark.operators import packing
+from dbt_model_diff_spark.operators import quality as Q
+from dbt_model_diff_spark.operators.incremental import scd2_from_changelog
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+WEIGHTS = st.lists(
+    st.integers(min_value=1, max_value=300), min_size=1, max_size=40
+)
+
+
+@settings(**_SETTINGS)
+@given(weights=WEIGHTS, capacity=st.integers(min_value=16, max_value=200))
+def test_packing_matches_sequential_replay(spark, weights, capacity):
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    packed = packing.pack_next_fit(df, "doc_id", "w", capacity, shards=3)
+    rows = sorted(packed.collect(), key=lambda r: (r.shard, r.doc_id))
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        pack, acc, first = 0, 0, True
+        for r in shard_rows:
+            w = r.w
+            if first:
+                acc, first = w, False
+            elif acc + w > capacity:
+                pack, acc = pack + 1, w
+            else:
+                acc += w
+            assert r.pack_id == pack
+        # dense pack ids starting at 0
+        seen = sorted({r.pack_id for r in shard_rows})
+        assert seen == list(range(len(seen)))
+    assert len(rows) == len(weights)
+
+
+VERSIONS = st.lists(
+    st.lists(st.one_of(st.none(), st.integers(0, 3)), min_size=1, max_size=6),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(**_SETTINGS)
+@given(histories=VERSIONS)
+def test_scd2_intervals_tile_and_replay(spark, histories):
+    # histories[k] = the value sequence of key k at days 1..n
+    rows = [
+        (k, f"2024-01-{day + 1:02d} 00:00:00", v)
+        for k, hist in enumerate(histories)
+        for day, v in enumerate(hist)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, v long").selectExpr(
+        "k", "cast(ts as timestamp) ts", "v"
+    )
+    hist_rows = scd2_from_changelog(df, ["k"], "ts").collect()
+    by_key: dict[int, list] = {}
+    for r in hist_rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, hist in enumerate(histories):
+        got = sorted(by_key[k], key=lambda r: r.valid_from)
+        # intervals tile: first starts at version 1, each valid_to is the
+        # next valid_from, last is open/current
+        assert str(got[0].valid_from)[:10] == "2024-01-01"
+        for a, b in zip(got, got[1:]):
+            assert a.valid_to == b.valid_from and not a.is_current
+        assert got[-1].valid_to is None and got[-1].is_current
+        # replay: value as of each original version day matches the
+        # interval covering that day
+        for day, v in enumerate(hist):
+            ts = f"2024-01-{day + 1:02d}"
+            covering = [
+                r
+                for r in got
+                if str(r.valid_from)[:10] <= ts
+                and (r.valid_to is None or ts < str(r.valid_to)[:10])
+            ]
+            assert len(covering) == 1 and covering[0].v == v
+
+
+DATA = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-50, 50)),
+        st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(**_SETTINGS)
+@given(data=DATA)
+def test_quality_metrics_match_python_replay(spark, data):
+    df = spark.createDataFrame(data, "a int, b double")
+    out = {
+        r.check_name: r
+        for r in Q.run_checks(
+            df,
+            [Q.complete("a"), Q.bounds("b", lo=-5, hi=5), Q.row_count(1)],
+        ).collect()
+    }
+    n = len(data)
+    a_vals = [a for a, _ in data if a is not None]
+    b_vals = [b for _, b in data if b is not None]
+    exp_complete = 1.0 if n == 0 else len(a_vals) / n
+    assert out["complete:a"].metric == pytest.approx(exp_complete)
+    in_b = [b for b in b_vals if -5 <= b <= 5]
+    exp_bounds = 1.0 if not b_vals else len(in_b) / len(b_vals)
+    assert out["bounds:b"].metric == pytest.approx(exp_bounds)
+    assert out["row_count"].passed == (n >= 1)
