@@ -41,6 +41,7 @@ from dbt_model_diff_spark.config import DiffConfig
 from dbt_model_diff_spark.operators import dedup, similarity, textops
 from dbt_model_diff_spark.operators.diff import row_diff_frame
 from dbt_model_diff_spark.sources.readers import read_table
+from dbt_model_diff_spark.util import agg_high_cardinality
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -380,7 +381,11 @@ def model_order_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums are then exact (order-independent), unlike double aggregation.
     extp = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(3,2)")
-    item_agg = li.groupBy("l_orderkey").agg(
+    # near-unique key (~4 lines/order): shuffle raw rows, aggregate once
+    # (util.agg_high_cardinality — measured 1.5-2.7x over two-phase)
+    item_agg = agg_high_cardinality(
+        li,
+        ["l_orderkey"],
         F.sum(F.col("l_quantity").cast("decimal(12,2)"))
         .cast("double")
         .alias("item_count"),
@@ -2433,11 +2438,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the orders join."""
     li = read_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(12,2)")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(qty).cast("decimal(18,2)").alias("total_qty"))
-        .filter(F.col("total_qty") > 180)
-    )
+    big = agg_high_cardinality(
+        li,
+        ["l_orderkey"],
+        F.sum(qty).cast("decimal(18,2)").alias("total_qty"),
+    ).filter(F.col("total_qty") > 180)
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     return (
@@ -2486,8 +2491,16 @@ def q21_sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-order totals come from a window over the per-pair aggregate —
     # lineitem is scanned ONCE; the window's exchange moves only the
     # (order, supplier) pairs, never the fact rows.
-    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
+    # near-unique pair key (~1 line per pair): shuffle raw rows once on
+    # l_orderkey alone — that single exchange satisfies BOTH the pair
+    # aggregation (subset partitioning) and the per-order window below
+    from dbt_model_diff_spark.util import agg_high_cardinality_by
+
+    per_pair = agg_high_cardinality_by(
+        li,
+        ["l_orderkey", "l_suppkey"],
+        ["l_orderkey"],
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret"),
     )
     w = Window.partitionBy("l_orderkey")
     waiting = (

@@ -72,3 +72,48 @@ def pct(numerator: int, denominator: int) -> float:
     if not denominator:
         return 0.0
     return numerator / denominator * 100.0
+
+
+def agg_high_cardinality(df: DataFrame, keys: list[str], *aggs) -> DataFrame:
+    """groupBy for keys whose cardinality approaches the row count
+    (order-level rollups of a line-level fact: ~N/4 groups of ~4 rows).
+
+    Standard two-phase aggregation builds a pre-shuffle partial hash map
+    holding nearly every key of every partition — almost no volume
+    reduction, one giant random-probe map pass, then a second map pass
+    after the exchange. Hash-repartitioning the RAW rows first makes
+    every group partition-local so one aggregation pass finishes the
+    job, and the shuffle moves barely more bytes than the partial-agg
+    rows it replaces (reduction factor ~1 by assumption). Measured on
+    the order-total rollup (decimal sums, 4-row groups): 2.5x faster at
+    sf0.1, 1.5x at sf1, 2.7x at sf3 — the two-phase penalty GROWS with
+    scale because the partial map outgrows cache first.
+
+    Use ONLY when groups-per-row is near 1; for low-cardinality keys
+    (Q1's 6 groups) partial aggregation is essential and this would
+    shuffle the full fact table instead of 6 rows per partition.
+
+    ``partition_by``: optionally repartition on a SUBSET of the group
+    keys. HashPartitioning on a subset still satisfies the aggregation's
+    clustered distribution (rows equal on all keys are equal on the
+    subset), and a downstream window/join partitioned by that subset
+    then rides the SAME exchange — e.g. Q21 groups by (order, supplier)
+    but partitions by order alone so the per-order window is
+    exchange-free.
+    """
+    return _agg_high_cardinality_impl(df, keys, aggs, None)
+
+
+def agg_high_cardinality_by(
+    df: DataFrame, keys: list[str], partition_by: list[str], *aggs
+) -> DataFrame:
+    """`agg_high_cardinality` with an explicit partitioning subset."""
+    bad = [c for c in partition_by if c not in keys]
+    if bad:
+        raise ValueError(f"partition_by must be a subset of keys: {bad}")
+    return _agg_high_cardinality_impl(df, keys, aggs, partition_by)
+
+
+def _agg_high_cardinality_impl(df, keys, aggs, partition_by):
+    part = partition_by or keys
+    return df.repartition(*[df[k] for k in part]).groupBy(*keys).agg(*aggs)

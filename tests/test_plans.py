@@ -268,3 +268,24 @@ def test_cap_per_group_rank_limit_pushdown(spark, sf_dir):
     plan = _executed_plan(QUERIES["cap_per_group_documents"](spark, sf_dir))
     partial = plan.split("Exchange hashpartitioning")[-1]
     assert "WindowGroupLimit" in partial
+
+
+def test_high_cardinality_agg_single_pass(spark, sf_dir):
+    """model_order_agg's near-unique-key rollup shuffles RAW rows first
+    (REPARTITION_BY_COL) and runs both aggregation phases post-shuffle
+    in one stage — the wasted pre-shuffle partial map is gone. In the
+    two-phase shape this guards against, the exchange is
+    ENSURE_REQUIREMENTS and partial_sum sits BELOW it (pre-shuffle)."""
+    plan = _executed_plan(QUERIES["model_order_agg"](spark, sf_dir))
+    ex = plan.index("Exchange hashpartitioning(l_orderkey")
+    assert "REPARTITION_BY_COL" in plan[ex : ex + 120]
+    assert 0 < plan.index("partial_sum") < ex  # partial agg post-shuffle
+
+
+def test_q21_window_rides_agg_exchange(spark, sf_dir):
+    """Q21 partitions the pair aggregate by l_orderkey alone, so the
+    per-order window adds no exchange of its own: exactly one
+    hashpartitioning exchange before the supplier join."""
+    plan = _executed_plan(QUERIES["q21_sole_problem_supplier"](spark, sf_dir))
+    before_join = plan.split("BroadcastHashJoin")[-1]
+    assert before_join.count("Exchange hashpartitioning(l_orderkey") == 1, plan
