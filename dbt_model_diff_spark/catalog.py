@@ -3618,6 +3618,202 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "n_win", "sum_win")
 
 
+@register(
+    "text_repetition_signals",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+per_doc AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct_tokens
+  FROM tok
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS g
+  FROM tok WHERE len(t) >= 2
+),
+bg AS (SELECT doc_id, t[g] || ' ' || t[g + 1] AS bigram FROM pos),
+per_bigram AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+bstats AS (
+  SELECT doc_id, max(cnt) AS top_bigram_cnt, sum(cnt) AS n_bigrams
+  FROM per_bigram GROUP BY doc_id
+)
+SELECT d.doc_id, n_tokens, n_distinct_tokens,
+       CAST(n_tokens - n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS dup_token_frac,
+       COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+       CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         AS top_bigram_share
+FROM per_doc d LEFT JOIN bstats USING (doc_id)
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (`textops.repetition_signals`):
+    duplicate-token fraction + top-bigram share per document. The
+    exploded bigrams are partitioned on doc_id once; the per-(doc,
+    bigram) count, per-doc rollup, and the join to per-doc token stats
+    all ride that single exchange (plan-tested)."""
+    return textops.repetition_signals(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_intra_doc_tokens",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS g FROM tok),
+firsts AS (
+  SELECT doc_id, t[g] AS tok, min(g) AS first_pos
+  FROM pos GROUP BY doc_id, t[g]
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY first_pos) AS dedup_text
+  FROM firsts GROUP BY doc_id
+)
+SELECT tok.doc_id, len(t) AS n_tokens, n_kept, dedup_text
+FROM tok JOIN agg ON tok.doc_id = agg.doc_id
+""",
+)
+def dedup_intra_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document dedup (`textops.intra_doc_dedup`): drop repeated
+    tokens after first occurrence, reassemble. Shuffle-free per-row
+    `array_distinct` on the Spark side; the oracle reconstructs the
+    identical string via min-position + ordered string_agg, pinning the
+    first-occurrence-order contract."""
+    return textops.intra_doc_dedup(read_table(spark, sf_dir, "documents"))
+
+
+_PII_DECORATE_SQL = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call +1 555-01' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END AS text
+  FROM documents
+"""
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+WITH deco AS ({_PII_DECORATE_SQL}),
+scrub AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+', '<EMAIL>', 'g'),
+             '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g'),
+           '\\+?[0-9][0-9 -]{{6,}}[0-9]', '<PHONE>', 'g') AS scrubbed
+  FROM deco
+)
+SELECT doc_id, scrubbed,
+  CAST((len(scrubbed) - len(replace(scrubbed, '<EMAIL>', ''))) / 7 AS INT) AS n_emails,
+  CAST((len(scrubbed) - len(replace(scrubbed, '<IP>', ''))) / 4 AS INT) AS n_ips,
+  CAST((len(scrubbed) - len(replace(scrubbed, '<PHONE>', ''))) / 7 AS INT) AS n_phones,
+  CAST((len(scrubbed) - len(replace(scrubbed, '<EMAIL>', ''))) / 7 AS INT)
+    + CAST((len(scrubbed) - len(replace(scrubbed, '<IP>', ''))) / 4 AS INT)
+    + CAST((len(scrubbed) - len(replace(scrubbed, '<PHONE>', ''))) / 7 AS INT)
+    AS pii_total
+FROM scrub
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (`operators/pii.py::pii_scrub`). The synthetic
+    corpus carries no real PII, so the query deterministically decorates
+    documents with emails / IPv4s / phone numbers derived from doc_id
+    (identically in both engines), then scrubs them — the full
+    regex-replace path and placeholder-count arithmetic are what's
+    under test. Shuffle-free codegen map over the scan."""
+    from dbt_model_diff_spark.operators.pii import pii_scrub
+
+    d = F.col("doc_id")
+    decorated = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" from 10.2."), (d % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" call +1 555-01"), (d % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", decorated.alias("text")
+    )
+    return pii_scrub(docs)
+
+
+@register(
+    "text_chunk_stride",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 4, 1), 12)) AS start
+  FROM tok
+)
+SELECT doc_id,
+       (start - 1) // 12 AS chunk_idx,
+       start,
+       array_to_string(t[start:start + 15], ' ') AS chunk_text,
+       least(16, len(t) - start + 1) AS chunk_len
+FROM st
+""",
+)
+def text_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (`textops.chunk_documents`): 16-token
+    chunks, stride 12 (4-token overlap). Pure generate+slice codegen —
+    no shuffle; chunk ids are deterministic (doc_id, chunk_idx)."""
+    return textops.chunk_documents(
+        read_table(spark, sf_dir, "documents"), chunk_tokens=16, stride=12
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "start",
+        "chunk_text",
+        "chunk_len",
+    )
+
+
+@register(
+    "text_corpus_frequency_score",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+nz AS (SELECT * FROM tok WHERE tok <> ''),
+vocab AS (SELECT tok, count(*) AS corpus_cnt FROM nz GROUP BY tok),
+j AS (SELECT doc_id, corpus_cnt FROM nz JOIN vocab USING (tok))
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(corpus_cnt) AS BIGINT) AS freq_sum,
+       CAST(sum(corpus_cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_corpus_freq,
+       CAST(sum(CASE WHEN corpus_cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN corpus_cnt < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS rare_frac
+FROM j GROUP BY doc_id
+""",
+)
+def text_corpus_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality proxy (`textops.corpus_frequency_score`):
+    mean corpus count of a document's tokens + rare-token fraction —
+    the exact-integer unigram special case of CCNet's LM filter. Vocab
+    counts shuffle only the vocabulary; the token->count join
+    broadcasts the vocab (Heaps' law) so the corpus shuffles once, on
+    doc_id, with 30x map-side reduction."""
+    return textops.corpus_frequency_score(read_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver registration order.
 #
@@ -3688,13 +3884,19 @@ _DRIVER_PRIORITY = [
     "sample_weighted_documents",
     "scd2_orders_changelog",
     "zorder_orders_layout",
-    # Sec.2-core anchors kept inside every window (6)
+    # new in r4, second batch — curation/text ops, first driver row (5)
+    "text_repetition_signals",
+    "dedup_intra_doc_tokens",
+    "text_pii_scrub",
+    "text_chunk_stride",
+    "text_corpus_frequency_score",
+    # Sec.2-core anchor (1). The other five anchors (diff_profile_orders,
+    # diff_schema_drift, diff_partitioned_orders, model_order_agg,
+    # pricing_summary) carry green rows in the NEWEST correctness record
+    # (r3) and rotate to slots 51+ this round to make room for the 18
+    # never-certified queries; the guard test enforces anchors are
+    # either in-window or green in the latest record.
     "diff_counts_orders",
-    "diff_profile_orders",
-    "diff_schema_drift",
-    "diff_partitioned_orders",
-    "model_order_agg",
-    "pricing_summary",
 ]
 
 

@@ -1,0 +1,62 @@
+"""PII detection and redaction for training-data curation.
+
+Regex-based scrubbing of emails / IPv4 addresses / long digit runs
+(phone-ish) — the standard pre-training hygiene pass. Patterns are
+restricted to a lookahead-free, alternation-light subset so Java regex
+(Spark) and RE2 (the DuckDB oracle) match identically: both are
+greedy-leftmost on these shapes.
+
+Everything is `regexp_replace` + length arithmetic inside whole-stage
+codegen: at 100 TB this is a shuffle-free map over the scan, and the
+redacted corpus writes back out with the input's partitioning. Counts
+are derived from the scrubbed text (occurrences of the placeholder),
+not a second regex engine pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Pattern -> placeholder, applied in order. Order matters: emails are
+# scrubbed before digit runs so the local part of user123@... is not
+# half-eaten by the phone pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+", "<EMAIL>"),
+    (r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", "<IP>"),
+    (r"\+?[0-9][0-9 -]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def _count_marker(text: Column, marker: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("int")
+
+
+def scrub_expr(text: Column) -> Column:
+    """The composed redaction expression (email -> IP -> phone)."""
+    out = text
+    for pattern, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII in ``text_col``; emit scrubbed text + per-kind counts.
+
+    Returns (doc_id, scrubbed, n_emails, n_ips, n_phones, pii_total).
+    Counts come from placeholder occurrences in the scrubbed text via
+    replace-length arithmetic (engine-portable, no regex count dialects).
+    """
+    scrubbed = scrub_expr(F.col(text_col))
+    counts = [
+        _count_marker(scrubbed, marker).alias(name)
+        for (_, marker), name in zip(
+            PII_PATTERNS, ["n_emails", "n_ips", "n_phones"]
+        )
+    ]
+    return df.select("doc_id", scrubbed.alias("scrubbed"), *counts).withColumn(
+        "pii_total", F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
+    )

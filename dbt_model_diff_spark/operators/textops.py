@@ -215,3 +215,184 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
             .alias("rank"),
         )
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters: per-document duplicate-token
+    fraction and the share of the most frequent word bigram.
+
+    High values on either signal mark boilerplate / degenerate documents
+    (navigation menus, keyword stuffing, decoding loops) that repetition
+    filters drop before LLM training (Rae et al. 2021 §A1.1 use the same
+    family of duplicate-n-gram fractions).
+
+    Scale posture: the bigram table is exploded once and BOTH
+    aggregation levels ride ONE exchange — the raw (doc_id, bigram) rows
+    are hash-partitioned on doc_id alone, so the per-(doc, bigram)
+    count, the per-doc max/sum rollup, and the join back to the per-doc
+    token stats are all partition-local (`agg_high_cardinality_by`
+    pattern; the per-doc group count ~= row count, so partial
+    aggregation would buy nothing anyway). No all-pairs, no window over
+    the corpus: 100 TB of documents shuffle once as narrow
+    (doc_id, bigram) pairs.
+
+    Ratios are double divisions of exact ints (deterministic IEEE,
+    engine-portable); token/bigram extraction matches the SQL oracle's
+    string_split + generate_series semantics.
+    """
+    from dbt_model_diff_spark.util import agg_high_cardinality_by, spread_for_compute
+
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    base = spread_for_compute(df.select("doc_id", text_col))
+    per_doc = base.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+    bigram_expr = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"g -> concat_ws(' ', slice(split({text_col}, ' '), g, 2)))"
+    )
+    bigrams = base.filter(F.size(toks) >= 2).select(
+        "doc_id", F.explode(bigram_expr).alias("bigram")
+    )
+    per_bigram = agg_high_cardinality_by(
+        bigrams,
+        ["doc_id", "bigram"],
+        ["doc_id"],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    bigram_stats = per_bigram.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_bigram_cnt"),
+        F.sum("cnt").alias("n_bigrams"),
+    )
+    return per_doc.join(bigram_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        (
+            (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_token_frac"),
+        F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).alias("top_bigram_cnt"),
+        (
+            F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("top_bigram_share"),
+    )
+
+
+def intra_doc_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document dedup: drop every repeated token after its first
+    occurrence and reassemble the text (the within-doc counterpart of
+    corpus-level exact dedup — strips boilerplate repetition before
+    token-budget accounting).
+
+    Entirely per-row array built-ins (`array_distinct` preserves first
+    occurrence order), so the pass is shuffle-free whole-stage codegen
+    over the scan — embarrassingly parallel at any scale. The SQL oracle
+    reconstructs the same string via min-position + ordered string_agg,
+    pinning the order-preservation contract.
+    """
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    dedup_toks = F.array_distinct(toks)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(dedup_toks).alias("n_kept"),
+        F.concat_ws(" ", dedup_toks).alias("dedup_text"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard LLM context-window chunking pass (stride < chunk_tokens
+    gives chunk_tokens - stride tokens of overlap for retrieval/training
+    continuity).
+
+    Chunk starts are 1, 1+stride, 1+2*stride, ... and the LAST chunk may
+    be short (slice truncates at the end of the array); a document
+    always yields at least one chunk, so total coverage is exact.
+
+    Scale posture: pure generate+slice codegen over the scan — the only
+    data growth is the deliberate overlap factor (~chunk/stride), and no
+    shuffle happens at all; chunk rows inherit the scan's partitioning
+    for the downstream writer. Per-chunk ids are (doc_id, chunk_idx) —
+    deterministic, join-stable, no monotonically_increasing_id.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.expr(
+        f"sequence(1, greatest(size(split({text_col}, ' ')) - {chunk_tokens - stride}, 1),"
+        f" {stride})"
+    )
+    pos = F.posexplode(starts)
+    return (
+        df.select("doc_id", text_col)
+        .select("doc_id", pos.alias("chunk_idx", "start"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start",
+            F.expr(f"concat_ws(' ', slice(toks, start, {chunk_tokens}))").alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk_tokens), F.size(F.col("toks")) - F.col("start") + 1
+            ).alias("chunk_len"),
+        )
+    )
+
+
+def corpus_frequency_score(
+    df: DataFrame, text_col: str = "text", rare_threshold: int = 5
+) -> DataFrame:
+    """Corpus-grounded quality proxy: per-document mean corpus frequency
+    of its tokens plus the fraction of rare tokens (corpus count <
+    ``rare_threshold``). A cheap, exact stand-in for LM-perplexity
+    filtering: documents whose tokens are mostly corpus-rare are
+    outliers (OCR noise, code dumps, lorem ipsum) — the unigram special
+    case of the CCNet LM filter, kept in integer space so the oracle is
+    bit-exact (doubles appear only in final single-operation divisions).
+
+    Two passes over the exploded tokens, both shuffle-light:
+      1. vocabulary counts — groupBy(token) with map-side partial
+         aggregation (vocab cardinality crosses the wire, not tokens);
+      2. join tokens->counts — the vocabulary is orders of magnitude
+         smaller than the corpus (Heaps' law), so it broadcasts; the
+         per-doc rollup then rides a single doc_id exchange.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from dbt_model_diff_spark.util import spread_for_compute
+
+    src = spread_for_compute(df.select("doc_id", text_col))
+    toks = (
+        src.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("corpus_cnt"))
+    joined = toks.join(broadcast(vocab), "tok")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("corpus_cnt").alias("freq_sum"),
+        (
+            F.sum("corpus_cnt").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_corpus_freq"),
+        F.sum(
+            F.when(F.col("corpus_cnt") < rare_threshold, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_rare"),
+        (
+            F.sum(
+                F.when(F.col("corpus_cnt") < rare_threshold, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("rare_frac"),
+    )

@@ -1,0 +1,154 @@
+"""Tests for the second-batch text curation ops: repetition signals,
+intra-document dedup, stride chunking, corpus-frequency scoring, and PII
+scrubbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import pii, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),          # heavy bigram repetition
+            (2, "one two three four five"),  # no repetition
+            (3, "solo"),                    # 1 token: no bigrams
+            (4, "x x x x"),                 # degenerate
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_repetition_signals(spark, docs):
+    out = {r["doc_id"]: r for r in textops.repetition_signals(docs).collect()}
+    # doc 1: tokens a,b,a,b,a,b,c -> 7 tokens, 3 distinct
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_distinct_tokens"]) == (7, 3)
+    assert r1["dup_token_frac"] == pytest.approx(4 / 7)
+    # bigrams: "a b" x3, "b a" x2, "b c" x1 -> top 3 of 6
+    assert r1["top_bigram_cnt"] == 3
+    assert r1["top_bigram_share"] == pytest.approx(0.5)
+    # doc 2: all unique
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_cnt"] == 1
+    # doc 3: one token -> no bigrams; share NULL, cnt coalesced to 0
+    assert out[3]["top_bigram_cnt"] == 0
+    assert out[3]["top_bigram_share"] is None
+    # doc 4: "x x" x3 -> share 1.0, dup frac 3/4
+    assert out[4]["top_bigram_share"] == pytest.approx(1.0)
+    assert out[4]["dup_token_frac"] == pytest.approx(0.75)
+
+
+def test_repetition_signals_single_exchange(spark, docs):
+    """The bigram branch must ride ONE exchange: raw (doc_id, bigram)
+    rows hash-partitioned on doc_id, then count, rollup, and the join to
+    the per-doc stats stay partition-local... except the per-doc branch
+    itself arrives through its own scan-side path. Assert the full plan
+    holds at most 2 exchanges (one per branch) and that none of them is
+    introduced between the two aggregation levels."""
+    plan = textops.repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_exchanges <= 2, plan
+
+
+def test_intra_doc_dedup_order_preserved(spark, docs):
+    out = {r["doc_id"]: r for r in textops.intra_doc_dedup(docs).collect()}
+    assert out[1]["dedup_text"] == "a b c"
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (7, 3)
+    assert out[2]["dedup_text"] == "one two three four five"
+    assert out[4]["dedup_text"] == "x"
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    # 10 tokens, chunk 4, stride 3 -> starts 1,4,7 (sequence stops at
+    # greatest(10-1,1)=9) -> chunks cover 1-4,4-7,7-10
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")], "doc_id long, text string"
+    )
+    rows = sorted(
+        textops.chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["start"] for r in rows] == [1, 4, 7]
+    assert rows[0]["chunk_text"] == "t1 t2 t3 t4"
+    assert rows[1]["chunk_text"] == "t4 t5 t6 t7"
+    assert rows[2]["chunk_text"] == "t7 t8 t9 t10"
+    assert [r["chunk_len"] for r in rows] == [4, 4, 4]
+    # every token appears in at least one chunk; adjacent chunks share
+    # exactly chunk-stride tokens
+    seen = set()
+    for r in rows:
+        seen |= set(r["chunk_text"].split(" "))
+    assert len(seen) == 10
+
+
+def test_chunk_documents_short_doc_one_chunk(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = textops.chunk_documents(df, chunk_tokens=16, stride=12).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "a b"
+    assert rows[0]["chunk_len"] == 2
+
+
+def test_chunk_documents_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        textops.chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_corpus_frequency_score(spark):
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat emu")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.corpus_frequency_score(df).collect()}
+    # corpus counts: cat=3, dog=1, emu=1
+    assert out[1]["freq_sum"] == 3 + 3 + 1
+    assert out[1]["mean_corpus_freq"] == pytest.approx(7 / 3)
+    assert out[1]["n_rare"] == 3  # all below default threshold 5
+    assert out[2]["rare_frac"] == 1.0
+
+
+def test_pii_scrub_kinds_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@mail.example.org today"),
+            (2, "server 192.168.0.1 and 10.0.0.2 up"),
+            (3, "call +1 555-0134 or 555 123 4567 now"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii.pii_scrub(df).collect()}
+    assert out[1]["scrubbed"] == "mail me at <EMAIL> today"
+    assert (out[1]["n_emails"], out[1]["pii_total"]) == (1, 1)
+    assert out[2]["scrubbed"] == "server <IP> and <IP> up"
+    assert out[2]["n_ips"] == 2
+    assert out[3]["scrubbed"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["scrubbed"] == "clean text only"
+    assert out[4]["pii_total"] == 0
+
+
+def test_pii_scrub_email_before_phone(spark):
+    # digits inside an email local part must not be half-eaten by the
+    # phone pattern (order of PII_PATTERNS)
+    df = spark.createDataFrame(
+        [(1, "x 123456789a@example.com y")], "doc_id long, text string"
+    )
+    row = pii.pii_scrub(df).collect()[0]
+    assert row["scrubbed"] == "x <EMAIL> y"
+    assert row["n_phones"] == 0
+
+
+def test_pii_scrub_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    plan = pii.pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
