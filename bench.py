@@ -67,6 +67,12 @@ def main() -> None:
         "merge_apply_changes_orders",
         "pack_sequences_documents",
         "events_rolling_features",
+        # round-4 text-curation headliners: one-exchange bigram
+        # repetition stats, shuffle-free regex redaction, chunk-hash
+        # cross-doc dedup
+        "text_repetition_signals",
+        "text_pii_scrub",
+        "dedup_cross_doc_chunks",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 

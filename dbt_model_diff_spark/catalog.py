@@ -3814,6 +3814,71 @@ def text_corpus_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.corpus_frequency_score(read_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_cross_doc_chunks",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 16)) AS start
+  FROM tok
+),
+ch AS (
+  SELECT doc_id, (start - 1) // 16 AS chunk_idx,
+         md5(array_to_string(t[start:start + 15], ' ')) AS h
+  FROM st
+),
+fl AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM ch
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_chunk_frac
+FROM fl GROUP BY doc_id
+""",
+)
+def dedup_cross_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level exact dedup
+    (`dedup.cross_doc_chunk_dedup`): RefinedWeb-style exact substring
+    dedup at 16-token chunk granularity — shuffle-free chunk+md5, ONE
+    hash-keyed exchange for first-occurrence detection, one narrow
+    per-doc rollup."""
+    return dedup.cross_doc_chunk_dedup(
+        read_table(spark, sf_dir, "documents"), chunk_tokens=16
+    )
+
+
+@register(
+    "source_mixture_weights",
+    """
+WITH ps AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+         AS token_share,
+       sqrt(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE))
+         AS temp_weight,
+       1.0 / sqrt(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE))
+         AS boost
+FROM ps
+""",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights (`sampling.source_mixture_weights`):
+    per-source token share + sqrt-temperature sampling weight/boost.
+    The share's denominator is an exact-integer window sum; sqrt and the
+    single divisions are per-row IEEE ops, so every surfaced double is
+    engine-portable (no cross-row double summation)."""
+    from dbt_model_diff_spark.operators.sampling import source_mixture_weights as smw
+
+    return smw(read_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver registration order.
 #
@@ -3884,20 +3949,24 @@ _DRIVER_PRIORITY = [
     "sample_weighted_documents",
     "scd2_orders_changelog",
     "zorder_orders_layout",
-    # new in r4, second batch — curation/text ops, first driver row (5)
+    # new in r4, second batch — curation/text ops, first driver row (6)
     "text_repetition_signals",
     "dedup_intra_doc_tokens",
     "text_pii_scrub",
     "text_chunk_stride",
     "text_corpus_frequency_score",
-    # Sec.2-core anchor (1). The other five anchors (diff_profile_orders,
-    # diff_schema_drift, diff_partitioned_orders, model_order_agg,
-    # pricing_summary) carry green rows in the NEWEST correctness record
-    # (r3) and rotate to slots 51+ this round to make room for the 18
-    # never-certified queries; the guard test enforces anchors are
-    # either in-window or green in the latest record.
-    "diff_counts_orders",
+    "dedup_cross_doc_chunks",
 ]
+# The window is SATURATED this round: 31 r1/r2-stale re-certs + 19
+# never-certified queries fill all 50 slots, so (a) the Sec.2-core
+# anchors (diff_counts_orders, diff_profile_orders, diff_schema_drift,
+# diff_partitioned_orders, model_order_agg, pricing_summary) rotate to
+# slots 51+ — all six carry green rows in the NEWEST record (r3), and
+# the guard test enforces in-window-or-green-in-newest for them — and
+# (b) `source_mixture_weights`, registered after the window filled,
+# overflows to the r5 window (the guard allows never-certified overflow
+# only while every window slot is spent on a query with no current-round
+# row; it is oracle-checked locally like everything else).
 
 
 def _reorder_for_driver() -> None:

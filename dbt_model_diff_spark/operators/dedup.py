@@ -375,3 +375,45 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("shingle")).alias("n_leaked_shingles"))
     )
+
+
+def cross_doc_chunk_dedup(
+    df, text_col: str = "text", chunk_tokens: int = 16
+):
+    """Paragraph-granular exact dedup ACROSS documents (the
+    RefinedWeb/Falcon "exact substring dedup" pass at chunk granularity):
+    split every document into non-overlapping ``chunk_tokens`` windows,
+    md5 each chunk, and mark every chunk whose hash already appeared in
+    an earlier (doc_id, chunk_idx) position as a duplicate. Returns a
+    per-document summary (doc_id, n_chunks, n_dup_chunks,
+    dup_chunk_frac) — the curation signal used to drop or trim
+    boilerplate-heavy documents.
+
+    Scale shape: chunking is shuffle-free codegen
+    (`textops.chunk_documents` with stride == chunk size, so no
+    overlap); duplicate detection is ONE shuffle keyed on the md5 chunk
+    hash (uniform by construction — no skew), with the winner chosen by
+    a row_number window INSIDE that exchange's partitioning; the per-doc
+    rollup is a second narrow shuffle of (doc_id, flag) pairs. At
+    100 TB this is the same two-exchange budget as exact document
+    dedup, just on ~tokens/chunk_tokens times more, much smaller, rows.
+    """
+    from pyspark.sql.window import Window
+
+    from dbt_model_diff_spark.operators.textops import chunk_documents
+
+    chunks = chunk_documents(
+        df, text_col=text_col, chunk_tokens=chunk_tokens, stride=chunk_tokens
+    ).select("doc_id", "chunk_idx", F.md5(F.col("chunk_text")).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    flagged = chunks.select(
+        "doc_id",
+        (F.row_number().over(w) > 1).cast("int").alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("is_dup").alias("n_dup_chunks"),
+        (
+            F.sum("is_dup").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("dup_chunk_frac"),
+    )

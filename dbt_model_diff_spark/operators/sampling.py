@@ -157,3 +157,42 @@ def weighted_hash_sample(
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     return df.filter(hash_uniform(F.col(id_col)) < w)
+
+
+def source_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Data-mixing report: per-source token share and temperature-scaled
+    sampling weights (the alpha=0.5 "square-root temperature" rebalance
+    used for multilingual/multi-domain pretraining mixes).
+
+    Emits per source: document count, token count, token_share,
+    temp_weight = sqrt(share) (UNnormalized — sqrt is correctly rounded
+    in IEEE, so each row is engine-portable; the normalizing constant
+    sum_j sqrt(share_j) would be a cross-row double sum whose order
+    differs between engines, so that one trivial division is left to the
+    caller), and boost = temp_weight / share = 1/sqrt(share), the
+    relative oversampling factor for rare sources.
+
+    Scale shape: one scan computing per-doc token counts inside codegen,
+    one partial-aggregated shuffle on source (source cardinality is tiny
+    by definition), and an unpartitioned window over the handful of
+    source rows for the exact-integer total. The corpus itself crosses
+    the wire once as (source, partial counts).
+    """
+    from pyspark.sql.window import Window
+
+    per_source = df.select(
+        "source", F.size(F.split(F.col(text_col), " ")).alias("n_toks")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.col("n_tokens").cast("double") / total.cast("double")
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.sqrt(share).alias("temp_weight"),
+        (F.lit(1.0) / F.sqrt(share)).alias("boost"),
+    )

@@ -152,3 +152,62 @@ def test_pii_scrub_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     plan = pii.pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_cross_doc_chunk_dedup(spark):
+    from dbt_model_diff_spark.operators import dedup
+
+    # chunk size 2, stride 2: doc1 = [a b][c d], doc2 = [a b][x y],
+    # doc3 = [c d] -> doc2 chunk0 and doc3 chunk0 are dups of doc1's
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cross_doc_chunk_dedup(df, chunk_tokens=2).collect()
+    }
+    assert (out[1]["n_chunks"], out[1]["n_dup_chunks"]) == (2, 0)
+    assert (out[2]["n_chunks"], out[2]["n_dup_chunks"]) == (2, 1)
+    assert out[2]["dup_chunk_frac"] == pytest.approx(0.5)
+    assert (out[3]["n_chunks"], out[3]["n_dup_chunks"]) == (1, 1)
+    assert out[3]["dup_chunk_frac"] == pytest.approx(1.0)
+
+
+def test_cross_doc_chunk_dedup_first_occurrence_wins(spark):
+    from dbt_model_diff_spark.operators import dedup
+
+    # identical docs: lower doc_id keeps all chunks
+    df = spark.createDataFrame(
+        [(10, "p q r s"), (5, "p q r s")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cross_doc_chunk_dedup(df, chunk_tokens=2).collect()
+    }
+    assert out[5]["n_dup_chunks"] == 0
+    assert out[10]["n_dup_chunks"] == 2
+
+
+def test_source_mixture_weights(spark):
+    from dbt_model_diff_spark.operators.sampling import source_mixture_weights
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", "big"),    # 8 tokens
+            (2, "a b c d e f g h", "big"),    # 8 tokens
+            (3, "a b c d", "small"),           # 4 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_mixture_weights(df).collect()}
+    assert out["big"]["n_docs"] == 2
+    assert out["big"]["n_tokens"] == 16
+    assert out["big"]["token_share"] == pytest.approx(0.8)
+    assert out["small"]["token_share"] == pytest.approx(0.2)
+    # sqrt temperature flattens: small source boosted ~2x more than big
+    import math
+
+    assert out["small"]["temp_weight"] == pytest.approx(math.sqrt(0.2))
+    assert out["small"]["boost"] == pytest.approx(1 / math.sqrt(0.2))
+    assert out["small"]["boost"] > out["big"]["boost"]

@@ -118,7 +118,14 @@ def test_driver_priority_window():
         newest = set(json.loads(f.read_text()).keys())
         certified |= newest
     never_checked = set(names) - certified
-    assert never_checked <= window, sorted(never_checked - window)
+    overflow = never_checked - window
+    if overflow:
+        # Overflow is legal ONLY while the window is saturated with
+        # queries that need a current-round row: every slot must be
+        # never-certified or absent from the newest record (no slot
+        # wasted on a freshly-certified query while another waits).
+        wasted = [q for q in prio if q in certified and q in newest]
+        assert not wasted, (sorted(overflow), wasted)
 
     # Sec.2-core anchors (the engine's flagship diff surface + canonical
     # model queries) must be either in the current window or green in
