@@ -3879,6 +3879,136 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smw(read_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_prioritized_sources",
+    """
+WITH corpus AS (
+  SELECT doc_id, text, source,
+         CAST(substr(source, 4) AS INTEGER) + 10 AS priority
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text,
+         CASE WHEN doc_id % 6 = 0 THEN 'curated' ELSE 'crawl' END,
+         CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 100 END
+  FROM documents WHERE doc_id % 3 = 0
+),
+h AS (
+  SELECT md5(text) AS text_hash, doc_id, source, priority,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY priority, doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS dup_count
+  FROM corpus
+)
+SELECT text_hash, doc_id, source, priority, dup_count FROM h WHERE rn = 1
+""",
+)
+def dedup_prioritized_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-priority canonical dedup (`dedup.prioritized_dedup`):
+    keep the best-source copy of duplicated content. The corpus is
+    decorated with deterministic cross-source mirror copies in BOTH
+    engines (doc_id%3 docs get a second copy; doc_id%6 mirrors carry a
+    BETTER priority, the rest a worse one — so the oracle exercises the
+    tie-break in both directions). One shuffle on the content md5; the
+    winner rank and group count ride the same exchange."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = d.withColumn(
+        "priority", F.substring("source", 4, 10).cast("int") + F.lit(10)
+    )
+    mirror = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.when(F.col("doc_id") % 6 == 0, F.lit("curated"))
+        .otherwise(F.lit("crawl"))
+        .alias("source"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(0))
+        .otherwise(F.lit(100))
+        .cast("int")
+        .alias("priority"),
+    )
+    corpus = base.unionByName(mirror)
+    return dedup.prioritized_dedup(
+        corpus, text_col="text", id_col="doc_id", priority_col="priority"
+    ).select("text_hash", "doc_id", "source", "priority", "dup_count")
+
+
+@register(
+    "epoch_shuffle_documents",
+    """
+WITH k AS (
+  SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shuffle_key,
+         CAST(CAST('0x' || substr(shuffle_key, 1, 15) AS BIGINT) % 8
+              AS INTEGER) AS shard
+  FROM k
+)
+SELECT doc_id, shuffle_key, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+         AS pos
+FROM s
+""",
+)
+def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle (`sampling.epoch_shard_assignment`):
+    epoch-1 shard (of 8) + in-shard position for every document. Shard
+    membership is a shuffle-free per-row md5 map; ordering exists only
+    within shards (one exchange on `shard`), so no global sort runs —
+    the blocked-shuffle shape training data loaders consume."""
+    from dbt_model_diff_spark.operators.sampling import epoch_shard_assignment
+
+    return epoch_shard_assignment(
+        read_table(spark, sf_dir, "documents"), id_col="doc_id", epoch=1, num_shards=8
+    ).select("doc_id", "shuffle_key", "shard", "pos")
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+  FROM b
+),
+q AS (
+  SELECT vec_id, x, scale,
+         list_transform(x, v -> CAST(
+           CASE WHEN scale = 0 THEN 0 ELSE floor(v / scale + 0.5) END
+           AS INTEGER)) AS codes
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(codes) AS INTEGER) AS n_dims,
+       scale,
+       md5(array_to_string(codes, ',')) AS codes_md5,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       list_min(codes) AS code_min,
+       list_max(codes) AS code_max,
+       list_max(list_transform(x, v -> abs(
+         CAST(CASE WHEN scale = 0 THEN 0 ELSE floor(v / scale + 0.5) END
+              AS DOUBLE) * scale - v))) AS max_abs_err
+FROM q
+""",
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (`similarity.quantize_embeddings`):
+    symmetric per-vector scale, floor(+0.5) rounding for cross-engine
+    bit-reproducibility, order-independent check columns (codes_md5
+    pins every element). Pure higher-order-function codegen — zero
+    shuffles, zero UDFs; the oracle replays the identical math over
+    DuckDB list lambdas."""
+    from dbt_model_diff_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(read_table(spark, sf_dir, "embeddings")).drop(
+        "codes"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver registration order.
 #
@@ -3963,10 +4093,12 @@ _DRIVER_PRIORITY = [
 # diff_partitioned_orders, model_order_agg, pricing_summary) rotate to
 # slots 51+ — all six carry green rows in the NEWEST record (r3), and
 # the guard test enforces in-window-or-green-in-newest for them — and
-# (b) `source_mixture_weights`, registered after the window filled,
-# overflows to the r5 window (the guard allows never-certified overflow
-# only while every window slot is spent on a query with no current-round
-# row; it is oracle-checked locally like everything else).
+# (b) the queries registered after the window filled
+# (`source_mixture_weights`, `dedup_prioritized_sources`,
+# `epoch_shuffle_documents`, `quantize_embeddings_int8`) overflow to the
+# r5 window (the guard allows never-certified overflow only while every
+# window slot is spent on a query with no current-round row; all four
+# are oracle-checked locally like everything else).
 
 
 def _reorder_for_driver() -> None:

@@ -417,3 +417,43 @@ def cross_doc_chunk_dedup(
             F.sum("is_dup").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("dup_chunk_frac"),
     )
+
+
+def prioritized_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Cross-source canonical dedup: one winner per distinct content,
+    chosen by (priority ASC, id ASC) — keep the curated/primary copy of
+    content that also appears in lower-trust sources (the provenance-
+    aware variant of ``exact_dedup``, standard when merging crawl dumps
+    with curated corpora: the same page fetched from Wikipedia and from
+    Common Crawl must survive exactly once, as the Wikipedia copy).
+
+    Returns the winning rows with ``text_hash`` and ``dup_count`` (group
+    size) attached; losers are dropped.
+
+    Scale shape: ONE shuffle keyed on the uniformly-distributed content
+    md5; the winner rank and the group-size count are two window
+    operators over the SAME partitioning, so both ride that single
+    exchange (the count's unordered frame adds no extra sort pass
+    beyond the rank's). No skew by construction — identical content
+    hashes together, and pathological mega-groups are boilerplate the
+    guard patterns in ``lsh_candidate_pairs`` would have flagged
+    upstream.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = df.withColumn("text_hash", F.md5(F.col(text_col).cast("string")))
+    wo = Window.partitionBy("text_hash").orderBy(
+        F.col(priority_col).asc(), F.col(id_col).asc()
+    )
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(wo))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

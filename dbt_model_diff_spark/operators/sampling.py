@@ -196,3 +196,43 @@ def source_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sqrt(share).alias("temp_weight"),
         (F.lit(1.0) / F.sqrt(share)).alias("boost"),
     )
+
+
+def epoch_shard_assignment(
+    df: DataFrame, id_col: str = "doc_id", epoch: int = 0, num_shards: int = 16
+) -> DataFrame:
+    """Reproducible per-epoch shuffle + shard assignment for training-
+    order randomization: each row gets a pseudo-random ``shuffle_key``
+    (md5 of ``epoch:id``), a ``shard`` in [0, num_shards) from that
+    key's top 60 bits, and its ``pos`` within the shard's key-sorted
+    order. Changing ``epoch`` re-derives an independent permutation;
+    the same (epoch, id) always lands at the same (shard, pos) on any
+    cluster size or partitioning — the property data-loader resume
+    checkpoints depend on.
+
+    This is the distributed replacement for "globally sort the corpus
+    by rand() each epoch": shard membership is a shuffle-free per-row
+    map, and ordering is established only WITHIN each shard, so no
+    global sort executes. Reading shards in any interleaved order gives
+    the blocked shuffle that training data loaders actually consume
+    (random 1/N subsets, each internally pseudo-randomly ordered).
+
+    Scale shape: one exchange partitioned on ``shard``; each shard's
+    rank sorts in a single task, so choose num_shards such that a shard
+    (corpus/num_shards rows) fits one task comfortably — at 100 TB that
+    means thousands of shards, which also matches the desired output
+    file granularity. The md5 key is uniform, so shard sizes are
+    balanced within sampling noise.
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(int(epoch))), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("shuffle_key", key)
+    key60 = F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("long")
+    out = out.withColumn(
+        "shard", F.pmod(key60, F.lit(int(num_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w))

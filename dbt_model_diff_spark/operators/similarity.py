@@ -347,3 +347,53 @@ def kmeans(
         cents = new_cents
 
     return assigned_frame(), cents, inertia_history
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column, with
+    per-vector reconstruction-error stats — the storage/bandwidth step
+    of ANN at 100 TB (4x smaller than float32, SIMD-friendly integer
+    dot products; the same code layout IVF-PQ systems start from).
+
+    Per vector: ``scale = max|x| / 127`` and ``q_i = floor(x_i/scale +
+    0.5)`` — floor(+0.5) instead of round() because round-half-on-double
+    semantics differ across engines while floor is IEEE-exact, keeping
+    the codes bit-reproducible anywhere (codes land in [-127, 127] by
+    construction: the max-magnitude element maps to exactly ±127, so no
+    clipping branch is needed). All-zero vectors quantize to all-zero
+    codes via the scale=0 guard.
+
+    Emits ``codes`` (array<int>) plus order-independent check columns —
+    exact-integer ``code_sum``/``code_min``/``code_max``, a ``codes_md5``
+    over the comma-joined codes (pins every element), and ``max_abs_err``
+    (a max over per-element IEEE ops) — so the whole result is
+    oracle-checkable bit-for-bit.
+
+    Scale shape: pure per-row codegen (transform/aggregate/zip_with
+    higher-order functions) — zero shuffles, zero UDFs, fuses into the
+    scan with column pruning to (id, vec).
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs)) / F.lit(127.0)
+    code = lambda v: F.when(scale == 0, F.lit(0)).otherwise(  # noqa: E731
+        F.floor(v / scale + F.lit(0.5))
+    ).cast("int")
+    codes = F.transform(x, code)
+    err = F.zip_with(
+        codes, x, lambda q, v: F.abs(q.cast("double") * scale - v)
+    )
+    return df.select(
+        id_col,
+        codes.alias("codes"),
+        F.size(codes).alias("n_dims"),
+        scale.alias("scale"),
+        F.md5(F.array_join(codes.cast("array<string>"), ",")).alias("codes_md5"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        F.array_max(err).alias("max_abs_err"),
+    )

@@ -1,0 +1,100 @@
+"""Round-4 session additions: prioritized dedup, epoch shuffle/sharding,
+int8 embedding quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import dedup, sampling
+from dbt_model_diff_spark.operators.similarity import quantize_embeddings
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # three contents; "dup" appears in three sources with priorities 2,0,5
+    rows = [
+        (1, "dup text", "crawl", 2),
+        (2, "dup text", "wiki", 0),
+        (3, "dup text", "forum", 5),
+        (4, "unique a", "crawl", 2),
+        (5, "unique b", "wiki", 0),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, priority int"
+    )
+
+
+def test_prioritized_dedup_keeps_best_priority(spark, corpus):
+    out = dedup.prioritized_dedup(corpus).collect()
+    by_text = {r["text"]: r for r in out}
+    assert len(out) == 3
+    win = by_text["dup text"]
+    assert win["doc_id"] == 2 and win["source"] == "wiki"
+    assert win["dup_count"] == 3
+    assert by_text["unique a"]["dup_count"] == 1
+
+
+def test_prioritized_dedup_id_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(7, "t", "a", 1), (3, "t", "b", 1)],
+        "doc_id long, text string, source string, priority int",
+    )
+    (row,) = dedup.prioritized_dedup(df).collect()
+    assert row["doc_id"] == 3  # equal priority -> min id wins
+
+
+def test_epoch_shard_assignment_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = sampling.epoch_shard_assignment(df, epoch=1, num_shards=8)
+    rows = {(r["doc_id"]): (r["shard"], r["pos"]) for r in a.collect()}
+    again = {(r["doc_id"]): (r["shard"], r["pos"]) for r in a.collect()}
+    assert rows == again  # stable across runs
+    assert len(rows) == 300
+    # positions within a shard are dense 1..n
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in rows.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert set(by_shard) <= set(range(8))
+    # md5 keys balance shards within sampling noise
+    assert max(len(v) for v in by_shard.values()) < 3 * (300 // 8)
+
+
+def test_epoch_changes_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    e1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+          sampling.epoch_shard_assignment(df, epoch=1, num_shards=8).collect()}
+    e2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+          sampling.epoch_shard_assignment(df, epoch=2, num_shards=8).collect()}
+    assert e1 != e2  # a new epoch re-derives an independent assignment
+
+
+def test_quantize_embeddings_roundtrip_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [0.5, -1.0, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),  # all-zero guard
+            (2, [2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r0 = out[0]
+    # max-magnitude element maps to exactly +/-127; others scale linearly
+    assert r0["codes"] == [64, -127, 32, 0]
+    assert r0["code_min"] == -127 and r0["code_max"] == 64
+    assert r0["code_sum"] == sum(r0["codes"])
+    assert r0["max_abs_err"] <= r0["scale"] / 2 + 1e-12
+    assert out[1]["codes"] == [0, 0, 0, 0] and out[1]["scale"] == 0.0
+    assert out[2]["codes"] == [127]
+
+
+def test_quantize_embeddings_no_shuffle(spark, sf_dir):
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    plan = quantize_embeddings(
+        read_table(spark, sf_dir, "embeddings")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row codegen
