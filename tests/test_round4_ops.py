@@ -98,3 +98,19 @@ def test_quantize_embeddings_no_shuffle(spark, sf_dir):
         read_table(spark, sf_dir, "embeddings")
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure per-row codegen
+
+
+def test_new_query_plans_single_exchange(spark, sf_dir):
+    """prioritized dedup's two windows (rank + group count) and the epoch
+    shuffle's shard window must ride ONE exchange + ONE sort each."""
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    for name in ("dedup_prioritized_sources", "epoch_shuffle_documents"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert plan.count("Sort ") == 1, (name, plan)
