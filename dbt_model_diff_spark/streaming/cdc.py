@@ -1,0 +1,119 @@
+"""Streaming CDC apply: foreachBatch + MERGE semantics over plain parquet.
+
+The batch half of this contract lives in ``operators/incremental.py``
+(``apply_changes`` rolls a snapshot forward by one changeset — the write
+side of the reference's read-side diff). This module feeds it a *stream*
+of changesets: every micro-batch is compacted to its latest per-key
+change and merged into the current snapshot version, producing the
+standard "CDC stream -> continuously maintained table" pipeline.
+
+Plain parquet has no ACID overwrite, so versions are made explicit the
+way lakehouse formats do it internally:
+
+- each applied batch writes a fresh ``v{batch_id}/`` directory,
+- ``_CURRENT`` (a one-line pointer file) is flipped via atomic rename —
+  readers that resolve the pointer see either the old or the new
+  version, never a half-written directory,
+- replayed batch ids (checkpoint recovery re-delivers the last batch)
+  are detected by their already-committed version directory and skipped,
+  which makes the sink idempotent and the pipeline exactly-once
+  end-to-end.
+
+Scale posture: the per-batch plan is ``apply_changes``'s — the snapshot
+is NEVER shuffled (broadcast anti join on the batch's key set + union of
+the upserts); per-batch key compaction windows only the changeset, which
+is micro-batch-sized by construction. Version directories accumulate
+like any log-structured table and are pruned by retention, exactly as
+Delta/Iceberg snapshots are.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_model_diff_spark.operators.incremental import apply_changes
+
+
+def compact_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    deleted_col: str = "is_deleted",
+) -> DataFrame:
+    """Collapse a changeset to its LATEST change per key (highest
+    ``seq_col``, ties broken toward deletes so a delete+reinsert race at
+    the same sequence number resolves conservatively). This is the
+    standard CDC compaction step that makes ``apply_changes``'s
+    unique-key contract hold for raw change feeds."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(deleted_col).desc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def current_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
+    """Resolve the ``_CURRENT`` pointer to a batch DataFrame, or None if
+    no version has been committed yet."""
+    ptr = Path(snapshot_dir) / "_CURRENT"
+    if not ptr.exists():
+        return None
+    return spark.read.parquet(str(Path(snapshot_dir) / ptr.read_text().strip()))
+
+
+def cdc_apply_stream(
+    changes_stream: DataFrame,
+    snapshot_dir: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    seq_col: str | None = None,
+    deleted_col: str = "is_deleted",
+    query_name: str = "dmds_cdc_apply",
+    available_now: bool = True,
+):
+    """Maintain a parquet snapshot from a stream of change rows.
+
+    ``changes_stream`` carries the snapshot schema plus ``deleted_col``
+    (and ``seq_col`` if per-key compaction is wanted). Returns the
+    started StreamingQuery; with ``available_now`` the caller drains it
+    like any other backfill job.
+    """
+    snap = Path(snapshot_dir)
+    snap.mkdir(parents=True, exist_ok=True)
+    ptr = snap / "_CURRENT"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vdir = snap / f"v{batch_id}"
+        if (vdir / "_SUCCESS").exists():
+            return  # checkpoint replay of an already-committed batch
+        spark = batch_df.sparkSession
+        if seq_col is not None:
+            batch_df = compact_changes(
+                batch_df, keys, seq_col, deleted_col
+            ).drop(seq_col)
+        base = current_snapshot(spark, snapshot_dir)
+        if base is None:
+            base = batch_df.drop(deleted_col).limit(0)
+        merged = apply_changes(base, batch_df, keys, deleted_col=deleted_col)
+        merged.write.mode("overwrite").parquet(str(vdir))
+        tmp = snap / "_CURRENT.tmp"
+        tmp.write_text(f"v{batch_id}\n")
+        os.replace(tmp, ptr)  # atomic pointer flip
+
+    w = (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

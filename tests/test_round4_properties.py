@@ -1,0 +1,121 @@
+"""Property-based tests for the round-4 session operators, replayed
+against pure-Python models (same conventions as the other *_properties
+files: small examples, real Spark runs, deadlines off):
+
+- prioritized_dedup: for ANY (text, priority, id) corpus the surviving
+  set matches a per-content min((priority, id)) replay, and group sizes
+  match.
+- epoch_shard_assignment: the (shard, pos) assignment matches an
+  hashlib.md5 replay exactly — shard from the key's top 60 bits,
+  position by (key, id) sort within shard.
+- quantize_embeddings: codes match a numpy float64 replay elementwise
+  and every reconstruction error is <= scale/2 (floor(+0.5) never errs
+  by more than half a step).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from dbt_model_diff_spark.operators import dedup, sampling
+from dbt_model_diff_spark.operators.similarity import quantize_embeddings
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+CORPUS = st.lists(
+    st.tuples(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),  # few contents -> dup groups
+        st.integers(min_value=0, max_value=5),  # priority
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=CORPUS)
+def test_prioritized_dedup_matches_replay(spark, rows):
+    data = [(i, text, prio) for i, (text, prio) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string, priority int")
+    got = {
+        r["text"]: (r["doc_id"], r["dup_count"])
+        for r in dedup.prioritized_dedup(df).collect()
+    }
+    expect: dict[str, tuple] = {}
+    counts: dict[str, int] = {}
+    for i, text, prio in data:
+        counts[text] = counts.get(text, 0) + 1
+        if text not in expect or (prio, i) < expect[text]:
+            expect[text] = (prio, i)
+    assert got == {t: (i, counts[t]) for t, (_, i) in expect.items()}
+
+
+@settings(**_SETTINGS)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True
+    ),
+    epoch=st.integers(min_value=0, max_value=3),
+    shards=st.integers(min_value=1, max_value=7),
+)
+def test_epoch_shard_matches_md5_replay(spark, ids, epoch, shards):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shuffle_key"], r["shard"], r["pos"])
+        for r in sampling.epoch_shard_assignment(
+            df, epoch=epoch, num_shards=shards
+        ).collect()
+    }
+    keys = {
+        i: hashlib.md5(f"{epoch}:{i}".encode()).hexdigest() for i in ids
+    }
+    by_shard: dict[int, list] = {}
+    for i, k in keys.items():
+        by_shard.setdefault(int(k[:15], 16) % shards, []).append((k, i))
+    expect = {}
+    for shard, members in by_shard.items():
+        for pos, (k, i) in enumerate(sorted(members), start=1):
+            expect[i] = (k, shard, pos)
+    assert got == expect
+
+
+VEC = st.lists(
+    st.floats(
+        min_value=-10.0, max_value=10.0, allow_nan=False, width=32
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(vecs=st.lists(VEC, min_size=1, max_size=6))
+def test_quantize_matches_float64_replay(spark, vecs):
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    import numpy as np
+
+    for vid, vec in enumerate(vecs):
+        x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        scale = float(np.max(np.abs(x))) / 127.0
+        if scale == 0.0:
+            codes = [0] * len(vec)
+        else:
+            codes = [int(math.floor(v / scale + 0.5)) for v in x]
+        r = got[vid]
+        assert r["codes"] == codes
+        assert r["scale"] == scale
+        assert r["code_sum"] == sum(codes)
+        if scale > 0.0:
+            assert all(abs(c) <= 127 for c in codes)
+            assert r["max_abs_err"] <= scale / 2 + 1e-12

@@ -1,0 +1,87 @@
+"""Streaming CDC apply (streaming/cdc.py): a change stream maintains a
+versioned parquet snapshot via foreachBatch + apply_changes."""
+
+from __future__ import annotations
+
+import time
+
+from dbt_model_diff_spark.streaming import cdc
+
+SCHEMA = "k long, v string, seq long, is_deleted boolean"
+
+# three change files -> three micro-batches (maxFilesPerTrigger=1):
+# b0: insert k1=a, k2=b
+# b1: update k1=a2, insert k3=c, delete k2
+# b2: k3 updated twice in-batch (seq 3 then 4 -> compaction keeps c3),
+#     insert k4=d
+BATCHES = [
+    [(1, "a", 1, False), (2, "b", 1, False)],
+    [(1, "a2", 2, False), (3, "c", 2, False), (2, None, 2, True)],
+    [(3, "c2", 3, False), (3, "c3", 4, False), (4, "d", 3, False)],
+]
+
+
+def _write_change_files(spark, src):
+    for batch in BATCHES:
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        time.sleep(0.05)  # distinct mtimes -> stable file order
+
+
+def test_cdc_apply_stream_matches_sequential_replay(spark, tmp_path):
+    src = tmp_path / "changes"
+    _write_change_files(spark, src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = cdc.cdc_apply_stream(
+        stream,
+        str(tmp_path / "snap"),
+        ["k"],
+        checkpoint=str(tmp_path / "ckpt"),
+        seq_col="seq",
+    )
+    assert q.awaitTermination(180), "CDC stream did not drain"
+
+    # one committed version per micro-batch, pointer at the newest
+    assert (tmp_path / "snap" / "_CURRENT").read_text().strip() == "v2"
+    for v in ("v0", "v1", "v2"):
+        assert (tmp_path / "snap" / v / "_SUCCESS").exists()
+
+    final = cdc.current_snapshot(spark, str(tmp_path / "snap"))
+    got = sorted((r["k"], r["v"]) for r in final.collect())
+    # sequential replay: k1 updated, k2 deleted, k3 compacted to c3, k4 new
+    assert got == [(1, "a2"), (3, "c3"), (4, "d")]
+    assert final.columns == ["k", "v"]  # seq/is_deleted never reach the snapshot
+
+    # intermediate versions are real snapshots (time travel)
+    v0 = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.parquet(str(tmp_path / "snap" / "v0")).collect()
+    )
+    assert v0 == [(1, "a"), (2, "b")]
+
+
+def test_cdc_apply_stream_restart_is_noop(spark, tmp_path):
+    src = tmp_path / "changes"
+    _write_change_files(spark, src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    q = cdc.cdc_apply_stream(stream, snap, ["k"], checkpoint=ckpt, seq_col="seq")
+    assert q.awaitTermination(180)
+    before = (tmp_path / "snap" / "_CURRENT").read_text()
+
+    # same checkpoint, no new files: restart commits nothing new
+    q2 = cdc.cdc_apply_stream(stream, snap, ["k"], checkpoint=ckpt, seq_col="seq")
+    assert q2.awaitTermination(180)
+    assert (tmp_path / "snap" / "_CURRENT").read_text() == before
+    got = sorted((r["k"], r["v"]) for r in cdc.current_snapshot(spark, snap).collect())
+    assert got == [(1, "a2"), (3, "c3"), (4, "d")]
