@@ -4009,6 +4009,104 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_cdc_apply_orders",
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(price AS VARCHAR) AS DOUBLE) AS o_totalprice
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice + 2
+              WHEN o_orderkey % 10 = 9 THEN o_totalprice
+              WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 21 = 0 THEN 0
+              WHEN o_orderkey % 10 = 8 THEN 1
+              ELSE 0 END AS deleted
+  FROM orders
+)
+WHERE deleted = 0
+""",
+)
+def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming CDC apply (`streaming/cdc.py`): three
+    deterministic changeset files derived from `orders` stream through
+    `cdc_apply_stream` as three forced micro-batches
+    (maxFilesPerTrigger=1); the surfaced result is the FINAL committed
+    snapshot version.
+
+    Changesets (seq numbers disambiguate in-batch duplicate keys for
+    the latest-per-key compaction; the b1 update/delete tie at seq 2
+    exercises the delete-wins tie-break):
+      b0: upsert every key with o_orderkey%10 < 9 (base load, seq 1)
+      b1: update price+1 for %7==0 (seq 2); delete %10==8 (seq 2)
+      b2: insert %10==9 (seq 3); update price+2 for %21==0 (seq 4)
+    The oracle replays the sequential MERGE outcome in closed form.
+
+    Scale shape: per batch, the snapshot is never shuffled (broadcast
+    anti join on the batch's key set + union of upserts) and versions
+    commit via atomic pointer flip. Scratch dirs live under /tmp like
+    the other streaming queries' temp checkpoints.
+    """
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    from dbt_model_diff_spark.streaming.cdc import cdc_apply_stream, current_snapshot
+
+    k = F.col("o_orderkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def chg(df: DataFrame, price, seq: int, deleted: bool) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            "o_custkey",
+            price.alias("o_totalprice"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(deleted).alias("is_deleted"),
+        )
+
+    p = F.col("o_totalprice")
+    b0 = chg(o.filter(k % 10 < 9), p, 1, False)
+    b1 = chg(o.filter(k % 7 == 0), p + 1, 2, False).unionByName(
+        chg(o.filter(k % 10 == 8), p, 2, True)
+    )
+    b2 = chg(o.filter(k % 10 == 9), p, 3, False).unionByName(
+        chg(o.filter(k % 21 == 0), p + 2, 4, False)
+    )
+
+    work = Path(tempfile.mkdtemp(prefix="dmds_cdc_"))
+    src = work / "changes"
+    for batch in (b0, b1, b2):
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(0.1)  # distinct mtimes -> stable micro-batch order
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = cdc_apply_stream(
+        stream,
+        str(work / "snap"),
+        ["o_orderkey"],
+        checkpoint=str(work / "ckpt"),
+        seq_col="seq",
+        query_name="dmds_cdc_apply_orders",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("CDC apply stream did not drain within 300s")
+    final = current_snapshot(spark, str(work / "snap"))
+    return final.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver registration order.
 #
@@ -4095,10 +4193,11 @@ _DRIVER_PRIORITY = [
 # the guard test enforces in-window-or-green-in-newest for them — and
 # (b) the queries registered after the window filled
 # (`source_mixture_weights`, `dedup_prioritized_sources`,
-# `epoch_shuffle_documents`, `quantize_embeddings_int8`) overflow to the
-# r5 window (the guard allows never-certified overflow only while every
-# window slot is spent on a query with no current-round row; all four
-# are oracle-checked locally like everything else).
+# `epoch_shuffle_documents`, `quantize_embeddings_int8`,
+# `stream_cdc_apply_orders`) overflow to the r5 window (the guard
+# allows never-certified overflow only while every window slot is
+# spent on a query with no current-round row; all five are
+# oracle-checked locally like everything else).
 
 
 def _reorder_for_driver() -> None:
