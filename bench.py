@@ -73,6 +73,11 @@ def main() -> None:
         "text_repetition_signals",
         "text_pii_scrub",
         "dedup_cross_doc_chunks",
+        # round-4 session additions: one-exchange provenance dedup,
+        # windowed-epoch shard assignment, shuffle-free int8 quantization
+        "dedup_prioritized_sources",
+        "epoch_shuffle_documents",
+        "quantize_embeddings_int8",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 
