@@ -371,29 +371,51 @@ def quantize_embeddings(
     (a max over per-element IEEE ops) — so the whole result is
     oracle-checkable bit-for-bit.
 
-    Scale shape: pure per-row codegen (transform/aggregate/zip_with
-    higher-order functions) — zero shuffles, zero UDFs, fuses into the
-    scan with column pruning to (id, vec).
+    Scale shape: per-row higher-order functions (transform/aggregate/
+    zip_with) — zero shuffles, zero UDFs, fuses into the scan with
+    column pruning to (id, vec). The pipeline is deliberately built as
+    STAGED projections (x -> scale -> codes -> stats) rather than one
+    nested expression: HOFs are not whole-stage-codegen'd, and a single
+    projection would re-evaluate the codes array once per stat column
+    (measured 8x slower at sf0.1); staged intermediates survive
+    CollapseProject's expression-cost check, so each array materializes
+    exactly once per row.
     """
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    scale = F.array_max(F.transform(x, F.abs)) / F.lit(127.0)
-    code = lambda v: F.when(scale == 0, F.lit(0)).otherwise(  # noqa: E731
-        F.floor(v / scale + F.lit(0.5))
-    ).cast("int")
-    codes = F.transform(x, code)
-    err = F.zip_with(
-        codes, x, lambda q, v: F.abs(q.cast("double") * scale - v)
-    )
-    return df.select(
+    staged = df.select(
         id_col,
-        codes.alias("codes"),
-        F.size(codes).alias("n_dims"),
-        scale.alias("scale"),
-        F.md5(F.array_join(codes.cast("array<string>"), ",")).alias("codes_md5"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__x"),
+    ).select(
+        id_col,
+        "__x",
+        (F.array_max(F.transform("__x", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    scale = F.col("scale")
+    staged = staged.select(
+        id_col,
+        "__x",
+        "scale",
+        F.transform(
+            "__x",
+            lambda v: F.when(scale == 0, F.lit(0))
+            .otherwise(F.floor(v / scale + F.lit(0.5)))
+            .cast("int"),
+        ).alias("codes"),
+    )
+    err = F.zip_with(
+        "codes", "__x", lambda q, v: F.abs(q.cast("double") * scale - v)
+    )
+    return staged.select(
+        id_col,
+        F.col("codes"),
+        F.size("codes").alias("n_dims"),
+        "scale",
+        F.md5(F.array_join(F.col("codes").cast("array<string>"), ",")).alias(
+            "codes_md5"
+        ),
         F.aggregate(
-            codes, F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+            "codes", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
         ).alias("code_sum"),
-        F.array_min(codes).alias("code_min"),
-        F.array_max(codes).alias("code_max"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
         F.array_max(err).alias("max_abs_err"),
     )
