@@ -447,8 +447,11 @@ def prioritized_dedup(
     from pyspark.sql.window import Window
 
     hashed = df.withColumn("text_hash", F.md5(F.col(text_col).cast("string")))
+    # NULLS LAST explicitly: Spark's ASC default is nulls-first, ANSI
+    # engines' is nulls-last — a NULL priority must mean "worst", and
+    # mean it identically in any SQL twin of this operator
     wo = Window.partitionBy("text_hash").orderBy(
-        F.col(priority_col).asc(), F.col(id_col).asc()
+        F.col(priority_col).asc_nulls_last(), F.col(id_col).asc()
     )
     w = Window.partitionBy("text_hash")
     return (

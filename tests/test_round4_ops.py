@@ -114,3 +114,12 @@ def test_new_query_plans_single_exchange(spark, sf_dir):
         )
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
         assert plan.count("Sort ") == 1, (name, plan)
+
+
+def test_prioritized_dedup_null_priority_loses(spark):
+    df = spark.createDataFrame(
+        [(1, "t", "x", None), (2, "t", "y", 5)],
+        "doc_id long, text string, source string, priority int",
+    )
+    (row,) = dedup.prioritized_dedup(df).collect()
+    assert row["doc_id"] == 2  # NULL priority means worst, not best
