@@ -119,3 +119,52 @@ def test_quantize_matches_float64_replay(spark, vecs):
         if scale > 0.0:
             assert all(abs(c) <= 127 for c in codes)
             assert r["max_abs_err"] <= scale / 2 + 1e-12
+
+
+CHANGES = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.integers(min_value=0, max_value=99),  # value
+            st.booleans(),  # is_deleted
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(**_SETTINGS)
+@given(batches=CHANGES)
+def test_cdc_compact_apply_matches_dict_replay(spark, batches):
+    """compact_changes + apply_changes over ANY changeset sequence equals
+    a dict replay (last change per key wins within a batch by sequence,
+    delete beating upsert on a seq tie at the same key)."""
+    from dbt_model_diff_spark.operators.incremental import apply_changes
+    from dbt_model_diff_spark.streaming.cdc import compact_changes
+
+    snap = spark.createDataFrame([], "k long, v long")
+    state: dict[int, int] = {}
+    for batch in batches:
+        rows = [
+            (k, v, i, deleted) for i, (k, v, deleted) in enumerate(batch)
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, v long, seq long, is_deleted boolean"
+        )
+        compacted = compact_changes(df, ["k"], "seq").drop("seq")
+        snap = apply_changes(snap, compacted, keys=["k"])
+        # dict replay of the same batch: iterate in seq order; at equal
+        # seq the compactor prefers deletes, but seqs here are unique
+        last: dict[int, tuple[int, bool]] = {}
+        for k, v, seq, deleted in rows:
+            last[k] = (v, deleted)
+        for k, (v, deleted) in last.items():
+            if deleted:
+                state.pop(k, None)
+            else:
+                state[k] = v
+        got = {r["k"]: r["v"] for r in snap.collect()}
+        assert got == state
