@@ -4107,6 +4107,51 @@ def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "budget_select_documents",
+    """
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+         least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_toks, quality,
+         sum(n_toks) OVER (ORDER BY quality DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_toks AS INTEGER) AS n_toks, quality,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 8000
+""",
+)
+def budget_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection
+    (`sampling.select_within_token_budget`): keep best-quality documents
+    (length-capped score) until 8000 cumulative tokens. The oracle is
+    the NAIVE single-window global running sum; the engine computes the
+    identical integers via the distributed prefix-sum (quality buckets
+    -> driver offsets -> parallel within-bucket windows) — bucket order
+    refines the global order exactly, so the bit-for-bit match IS the
+    proof the decomposition is sound."""
+    from dbt_model_diff_spark.operators.sampling import select_within_token_budget
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+        F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0)).alias(
+            "quality"
+        ),
+    )
+    return select_within_token_budget(
+        scored, "doc_id", "n_toks", "quality", budget=8000, buckets=64
+    ).select("doc_id", "lang", "n_toks", "quality", "cum_tokens")
+
+
 # ---------------------------------------------------------------------------
 # Driver registration order.
 #
@@ -4194,10 +4239,10 @@ _DRIVER_PRIORITY = [
 # (b) the queries registered after the window filled
 # (`source_mixture_weights`, `dedup_prioritized_sources`,
 # `epoch_shuffle_documents`, `quantize_embeddings_int8`,
-# `stream_cdc_apply_orders`) overflow to the r5 window (the guard
-# allows never-certified overflow only while every window slot is
-# spent on a query with no current-round row; all five are
-# oracle-checked locally like everything else).
+# `stream_cdc_apply_orders`, `budget_select_documents`) overflow to the
+# r5 window (the guard allows never-certified overflow only while every
+# window slot is spent on a query with no current-round row; all six
+# are oracle-checked locally like everything else).
 
 
 def _reorder_for_driver() -> None:

@@ -236,3 +236,74 @@ def epoch_shard_assignment(
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     return out.withColumn("pos", F.row_number().over(w))
+
+
+def select_within_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    quality_col: str,
+    budget: int,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Budget-constrained corpus selection: keep documents in quality
+    order (best first, id tie-break) until the cumulative token count
+    reaches ``budget`` — the SlimPajama-style "top-quality N tokens"
+    selection step.
+
+    The naive formulation is a GLOBAL running sum over the
+    quality-sorted corpus — a single-partition window that serializes
+    100 TB through one task. This implements the distributed prefix-sum
+    instead:
+
+    1. coarse bucket = floor((1 - quality) * buckets) — monotone in
+       quality, so bucket order refines the global order exactly;
+    2. per-bucket token totals (one narrow agg) come to the driver
+       (``buckets`` rows) and prefix-sum into per-bucket offsets;
+    3. a within-bucket running sum (window per bucket, parallel across
+       buckets) plus the broadcast offset gives every row its EXACT
+       global cumulative position — integer arithmetic, so the result
+       is identical to the serial plan, bit for bit.
+
+    ``quality_col`` must lie in [0, 1] (clip upstream); quality
+    granularity bounds parallelism — a corpus where most documents
+    share one quality value degenerates that bucket's window to a
+    single task, the same caveat as ``cap_per_group`` (pre-thin or
+    raise ``buckets`` — it only changes the decomposition, never the
+    result).
+
+    Returns the kept rows with ``cum_tokens`` (inclusive global running
+    total) attached.
+    """
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    q = F.col(quality_col)
+    toks = F.col(token_col)
+    bucketed = df.withColumn(
+        "__qb", F.floor((F.lit(1.0) - q) * F.lit(int(buckets))).cast("long")
+    )
+    totals = {
+        r["__qb"]: r["t"]
+        for r in bucketed.groupBy("__qb")
+        .agg(F.sum(toks).alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += totals[b]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__qb long, __off long")
+    )
+    w = (
+        Window.partitionBy("__qb")
+        .orderBy(q.desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(off_df, on="__qb")
+        .withColumn("cum_tokens", F.col("__off") + F.sum(toks).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__qb", "__off")
+    )

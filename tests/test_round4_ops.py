@@ -123,3 +123,25 @@ def test_prioritized_dedup_null_priority_loses(spark):
     )
     (row,) = dedup.prioritized_dedup(df).collect()
     assert row["doc_id"] == 2  # NULL priority means worst, not best
+
+
+def test_budget_select_edges(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 10, 0.5), (3, 10, 0.7)],
+        "doc_id long, n_toks int, q double",
+    )
+    sel = lambda b, bk=8: sorted(  # noqa: E731
+        r["doc_id"]
+        for r in sampling.select_within_token_budget(
+            df, "doc_id", "n_toks", "q", budget=b, buckets=bk
+        ).collect()
+    )
+    assert sel(0) == []
+    assert sel(25) == [1, 3]  # best-quality prefix: 0.9 then 0.7
+    assert sel(1000) == [1, 2, 3]
+    # decomposition granularity never changes the result
+    assert sel(25, bk=1) == sel(25, bk=4096) == [1, 3]
+    with pytest.raises(ValueError):
+        sampling.select_within_token_budget(
+            df, "doc_id", "n_toks", "q", budget=-1
+        )

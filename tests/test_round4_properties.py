@@ -168,3 +168,35 @@ def test_cdc_compact_apply_matches_dict_replay(spark, batches):
                 state[k] = v
         got = {r["k"]: r["v"] for r in snap.collect()}
         assert got == state
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),  # tokens
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=0, max_value=600),
+    buckets=st.sampled_from([1, 7, 64]),
+)
+def test_budget_select_matches_serial_replay(spark, rows, budget, buckets):
+    from dbt_model_diff_spark.operators.sampling import select_within_token_budget
+
+    data = [(i, t, q) for i, (t, q) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, n_toks int, q double")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_within_token_budget(
+            df, "doc_id", "n_toks", "q", budget=budget, buckets=buckets
+        ).collect()
+    }
+    expect, acc = {}, 0
+    for i, t, q in sorted(data, key=lambda r: (-r[2], r[0])):
+        acc += t
+        if acc <= budget:
+            expect[i] = acc
+    assert got == expect
