@@ -288,6 +288,11 @@ def select_within_token_budget(
         .agg(F.sum(toks).alias("t"))
         .collect()
     }
+    if None in totals:
+        raise ValueError(
+            f"{quality_col!r} contains NULLs — quality must be a non-null"
+            " score in [0, 1]"
+        )
     offsets, acc = [], 0
     for b in sorted(totals):
         offsets.append((b, acc))

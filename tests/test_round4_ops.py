@@ -145,3 +145,11 @@ def test_budget_select_edges(spark):
         sampling.select_within_token_budget(
             df, "doc_id", "n_toks", "q", budget=-1
         )
+
+
+def test_budget_select_null_quality_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 10, None)], "doc_id long, n_toks int, q double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        sampling.select_within_token_budget(df, "doc_id", "n_toks", "q", budget=10)
