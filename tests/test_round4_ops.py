@@ -153,3 +153,19 @@ def test_budget_select_null_quality_rejected(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         sampling.select_within_token_budget(df, "doc_id", "n_toks", "q", budget=10)
+
+
+def test_budget_select_plan_has_no_global_window(spark, sf_dir):
+    """The distributed prefix-sum must never plan the naive global
+    running sum: no single-partition exchange; the offset join is a
+    broadcast."""
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["budget_select_documents"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
