@@ -4152,6 +4152,57 @@ def budget_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_toks", "quality", "cum_tokens")
 
 
+@register(
+    "stats_moments_lineitem",
+    """
+WITH g AS (
+  SELECT l_returnflag, count(*) AS n_rows,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+         sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+),
+dbl AS (
+  SELECT l_returnflag, n_rows,
+         CAST(n_rows AS DOUBLE) AS n,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy
+  FROM g
+)
+SELECT l_returnflag, n_rows,
+       sx / n AS mean_x,
+       sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_x,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+FROM dbl
+""",
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable stddev/correlation (`profile.moment_stats`): per
+    returnflag, sample stddev of quantity and Pearson corr(quantity,
+    extendedprice) derived from EXACT decimal raw moments in one scan —
+    the engine-portable replacement for stddev_samp/corr, whose
+    cross-row double summations are engine- and partitioning-dependent.
+    The oracle replays the identical derivation (decimal sums bridged
+    through VARCHAR for correct double rounding)."""
+    from dbt_model_diff_spark.operators.profile import moment_stats
+
+    return moment_stats(
+        read_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver registration order.
 #
@@ -4239,10 +4290,11 @@ _DRIVER_PRIORITY = [
 # (b) the queries registered after the window filled
 # (`source_mixture_weights`, `dedup_prioritized_sources`,
 # `epoch_shuffle_documents`, `quantize_embeddings_int8`,
-# `stream_cdc_apply_orders`, `budget_select_documents`) overflow to the
-# r5 window (the guard allows never-certified overflow only while every
-# window slot is spent on a query with no current-round row; all six
-# are oracle-checked locally like everything else).
+# `stream_cdc_apply_orders`, `budget_select_documents`,
+# `stats_moments_lineitem`) overflow to the r5 window (the guard allows
+# never-certified overflow only while every window slot is spent on a
+# query with no current-round row; all seven are oracle-checked locally
+# like everything else — at sf0.01 through the generated sf3).
 
 
 def _reorder_for_driver() -> None:

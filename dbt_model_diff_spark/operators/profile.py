@@ -111,3 +111,55 @@ def column_profile(
     if include_rowcount:
         return out, int(rowcount or 0)
     return out
+
+
+def moment_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    decimal_type: str = "decimal(12,2)",
+) -> DataFrame:
+    """Per-group mean/sample-stddev/Pearson-correlation in ONE scan,
+    engine-portable by construction.
+
+    Naive stddev/corr aggregates are cross-row DOUBLE summations whose
+    order differs between engines (and between partitionings of the
+    same engine) — the module-wide portability rule they violate. This
+    computes the five raw moments (sum x, sum y, sum x^2, sum y^2,
+    sum x*y) as EXACT decimal aggregates instead, then derives the
+    statistics with per-row double arithmetic from those exact inputs —
+    identical bits on any engine and any partitioning, which also makes
+    the result a valid diff/oracle subject.
+
+    Inputs must be representable in ``decimal_type`` (money-style
+    2-dp values by default; the squared moments widen to (25,4) and
+    their sums to (35,4), comfortably inside decimal128).
+
+    Scale shape: single scan, map-side partial decimal sums, one narrow
+    shuffle of six numbers per (partition, group) — the textbook
+    distributed-moments pattern."""
+    x = F.col(x_col).cast(decimal_type)
+    y = F.col(y_col).cast(decimal_type)
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    return g.select(
+        *group_cols,
+        "n_rows",
+        (sx / n).alias("mean_x"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("stddev_x"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_xy"),
+    )

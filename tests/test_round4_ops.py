@@ -169,3 +169,23 @@ def test_budget_select_plan_has_no_global_window(spark, sf_dir):
     )
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_moment_stats_matches_numpy(spark):
+    import numpy as np
+
+    from dbt_model_diff_spark.operators.profile import moment_stats
+
+    rows = [("a", float(i % 7 + 1), float((i * 13) % 50 + 2)) for i in range(200)]
+    rows += [("b", float(i % 3 + 1), float(i % 3 + 1)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in moment_stats(df, ["g"], "x", "y").collect()}
+    for g in ("a", "b"):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        assert got[g]["n_rows"] == len(xs)
+        assert abs(got[g]["mean_x"] - xs.mean()) < 1e-9
+        assert abs(got[g]["stddev_x"] - xs.std(ddof=1)) < 1e-9
+        expect_corr = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[g]["corr_xy"] - expect_corr) < 1e-9
+    assert abs(got["b"]["corr_xy"] - 1.0) < 1e-12  # y == x -> perfect corr
