@@ -4203,6 +4203,34 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_orders_metrics",
+    """
+SELECT o_orderkey, metric, value FROM (
+  SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'totalprice', o_totalprice FROM orders
+)
+WHERE o_orderkey % 100 = 0
+""",
+)
+def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of `pivot_status_by_priority`):
+    wide metric columns to (key, metric, value) long form via
+    `DataFrame.unpivot` — compiles to a single Expand over one scan (2
+    output rows per input row, no shuffle, no union-of-scans like the
+    naive SQL formulation the oracle uses)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("double").alias("custkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    ).unpivot(
+        ["o_orderkey"], ["custkey", "totalprice"], "metric", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver registration order.
 #
@@ -4291,9 +4319,9 @@ _DRIVER_PRIORITY = [
 # (`source_mixture_weights`, `dedup_prioritized_sources`,
 # `epoch_shuffle_documents`, `quantize_embeddings_int8`,
 # `stream_cdc_apply_orders`, `budget_select_documents`,
-# `stats_moments_lineitem`) overflow to the r5 window (the guard allows
+# `stats_moments_lineitem`, `unpivot_orders_metrics`) overflow to the r5 window (the guard allows
 # never-certified overflow only while every window slot is spent on a
-# query with no current-round row; all seven are oracle-checked locally
+# query with no current-round row; all eight are oracle-checked locally
 # like everything else — at sf0.01 through the generated sf3).
 
 
