@@ -78,6 +78,9 @@ def main() -> None:
         "dedup_prioritized_sources",
         "epoch_shuffle_documents",
         "quantize_embeddings_int8",
+        # distributed prefix-sum selection and one-scan decimal moments
+        "budget_select_documents",
+        "stats_moments_lineitem",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 
