@@ -189,3 +189,16 @@ def test_moment_stats_matches_numpy(spark):
         expect_corr = np.corrcoef(xs, ys)[0, 1]
         assert abs(got[g]["corr_xy"] - expect_corr) < 1e-9
     assert abs(got["b"]["corr_xy"] - 1.0) < 1e-12  # y == x -> perfect corr
+
+
+def test_moment_stats_single_exchange(spark, sf_dir):
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["stats_moments_lineitem"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one partial+final aggregate pair over one scan: a single exchange
+    assert plan.count("Exchange") == 1, plan
