@@ -4239,90 +4239,78 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registrations 1-50). Source order above groups queries by topic; this
 # explicit priority list controls what the driver actually checks.
 #
-# Round-4 rotation (VERDICT r3 item 1): the 50-slot window re-certifies
-# the 31 queries whose newest driver row is from r1/r2 (the r3 window
-# verified a different 50; all 31 were judge-re-verified locally in r3
-# but the driver record itself is stale). They come first, then the
-# thirteen queries NEW this round (streaming bounded-state dedup,
-# salted join, near-dup components, quality gate + FK checks, MERGE
-# apply + SCD2 history, sequence packing, heavy hitters, per-group
-# cap, rolling event features, weighted sampling, z-order layout),
-# then 6 Sec.2-core anchors fill slot 50. After r4, no query's newest driver row is older than
-# two rounds. The r3-green queries that rotate out (TPC-H q2-q22,
-# streaming twins, multimodal, kmeans/ivf/near-dup, sampling splits,
-# model_stg/int/case_when, filter_project, approx_profile) sit at
-# slots 51+.
+# Round-5 rotation (VERDICT r4 items 1+4): the 8 queries that overflowed
+# the saturated r4 window (never driver-certified) come first, then 42
+# of the 50 queries whose newest driver row is r3, Sec.2-core anchors up
+# front. Window policy is now GREEDY-BY-STALENESS, encoded in
+# tests/test_util_config.py::test_driver_priority_window: every window
+# slot must go to a query at least as stale (older newest-round;
+# never-certified = stalest) as any query left outside, and no query's
+# newest row may fall more than 3 rounds behind the newest record. The
+# 8 r3-certified queries that slip to the r6 window under that bound
+# (q13/q16/q19/q22, pivot_status_by_priority, top_revenue_orders,
+# events_props_typed, diff_counts_embeddings) are low-churn pure-SQL
+# queries untouched since r1 — they are the first 8 slots of r6.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # last driver row r1/r2 — re-certify (31)
-    "agg_cube_orders",
-    "agg_grouping_sets_orders",
-    "agg_rollup_orders",
-    "asof_latest_purchase",
-    "dedup_exact_groups",
-    "dedup_jaccard_verified",
-    "dedup_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_near_pairs",
-    "embedding_stats",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_sessionize",
-    "join_anti_customers",
-    "join_semi_customers",
-    "knn_bruteforce",
-    "median_price_by_priority",
-    "pipeline_training_data",
-    "range_join_value_bands",
-    "setop_except_intersect",
-    "skew_salted_status_totals",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_features",
-    "text_rolling_fingerprint",
-    "text_shingle_stats",
-    "text_token_stats",
-    "topk_orders",
-    "window_dedup_keep_latest",
-    "window_running_total",
-    # new in r4 — first driver row (10)
-    "stream_dedup_bounded_state",
-    "join_salted_skew",
-    "dedup_components",
-    "quality_checks_orders",
-    "quality_fk_orders_customer",
-    "merge_apply_changes_orders",
-    "pack_sequences_documents",
-    "text_top_terms",
-    "cap_per_group_documents",
-    "events_rolling_features",
-    "sample_weighted_documents",
-    "scd2_orders_changelog",
-    "zorder_orders_layout",
-    # new in r4, second batch — curation/text ops, first driver row (6)
-    "text_repetition_signals",
-    "dedup_intra_doc_tokens",
-    "text_pii_scrub",
-    "text_chunk_stride",
-    "text_corpus_frequency_score",
-    "dedup_cross_doc_chunks",
+    # never driver-certified — r4 overflow, certify first (8)
+    "source_mixture_weights",
+    "dedup_prioritized_sources",
+    "epoch_shuffle_documents",
+    "quantize_embeddings_int8",
+    "stream_cdc_apply_orders",
+    "budget_select_documents",
+    "stats_moments_lineitem",
+    "unpivot_orders_metrics",
+    # newest driver row r3 — Sec.2-core anchors (6)
+    "diff_counts_orders",
+    "diff_profile_orders",
+    "diff_schema_drift",
+    "diff_partitioned_orders",
+    "model_order_agg",
+    "pricing_summary",
+    # newest driver row r3 — diff/model/profile surface (9)
+    "diff_changed_sample_keys",
+    "diff_rowcount_where",
+    "diff_counts_lineitem_multikey",
+    "model_stg_customers",
+    "model_int_orders",
+    "model_case_when",
+    "filter_project_lineitem",
+    "approx_profile_orders",
+    "decontaminate_train_docs",
+    # newest driver row r3 — embeddings/multimodal/sampling (7)
+    "kmeans_embedding_clusters",
+    "knn_ivf",
+    "embedding_near_dup",
+    "multimodal_decode_features",
+    "multimodal_resize_frames",
+    "sample_stratified_documents",
+    "split_train_eval_documents",
+    # newest driver row r3 — streaming twins (4)
+    "stream_hourly_rollup",
+    "stream_sessionize",
+    "stream_running_max",
+    "stream_click_attribution",
+    # newest driver row r3 — TPC-H block (16)
+    "q2_min_retail_parts",
+    "q4_priority_with_returns",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q8_share_by_year",
+    "q9_product_profit_by_nation",
+    "q10_returned_revenue_by_customer",
+    "q11_high_value_suppliers",
+    "q12_priority_by_returnflag",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_excess_stock_suppliers",
+    "q21_sole_problem_supplier",
 ]
-# The window is SATURATED this round: 31 r1/r2-stale re-certs + 19
-# never-certified queries fill all 50 slots, so (a) the Sec.2-core
-# anchors (diff_counts_orders, diff_profile_orders, diff_schema_drift,
-# diff_partitioned_orders, model_order_agg, pricing_summary) rotate to
-# slots 51+ — all six carry green rows in the NEWEST record (r3), and
-# the guard test enforces in-window-or-green-in-newest for them — and
-# (b) the queries registered after the window filled
-# (`source_mixture_weights`, `dedup_prioritized_sources`,
-# `epoch_shuffle_documents`, `quantize_embeddings_int8`,
-# `stream_cdc_apply_orders`, `budget_select_documents`,
-# `stats_moments_lineitem`, `unpivot_orders_metrics`) overflow to the r5 window (the guard allows
-# never-certified overflow only while every window slot is spent on a
-# query with no current-round row; all eight are oracle-checked locally
-# like everything else — at sf0.01 through the generated sf3).
 
 
 def _reorder_for_driver() -> None:

@@ -96,11 +96,24 @@ def test_parse_relation_name():
 def test_driver_priority_window():
     """The driver verifies the first 50 registered queries in dict order.
     Guard the window's composition data-driven instead of pinning one
-    round's rotation: every query name resolves, the list is exactly the
-    window size, oracle coverage is total, and any query that has NEVER
-    had a driver correctness row (no CORRECTNESS_r*.json entry) must sit
-    inside the current window so it gets certified this round."""
+    round's rotation. Policy (round 5, VERDICT r4 item 4):
+
+    - GREEDY BY STALENESS: every window slot goes to a query at least as
+      stale as any query left outside. Staleness = the round of a
+      query's newest CORRECTNESS_r*.json row; never-certified counts as
+      stalest of all. Ties (more equally-stale queries than slots) may
+      be split either way. This is the rotation tripwire: the moment the
+      current round's record lands, the window's queries become the
+      FRESHEST and the assertion goes red until the list is rotated.
+    - 3-ROUND BOUND: with records up to round N, any query whose newest
+      row is <= N-2 must be in the window (certifying it this round caps
+      its staleness at 3 rounds). With 108+ queries and 50 slots some
+      queries are necessarily 3 rounds stale; none may be more.
+    - Never-certified queries must all be in the window (they are the
+      stalest tier) as long as they fit.
+    """
     import json
+    import re
     from pathlib import Path
 
     from dbt_model_diff_spark import catalog
@@ -112,20 +125,41 @@ def test_driver_priority_window():
     assert set(catalog.ORACLES) == set(catalog.QUERIES)  # full oracle coverage
     window = set(prio)
 
-    certified: set[str] = set()
+    newest_round: dict[str, int] = {}
+    max_round = 0
     newest: set[str] = set()
     for f in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        max_round = max(max_round, rnd)
         newest = set(json.loads(f.read_text()).keys())
-        certified |= newest
-    never_checked = set(names) - certified
-    overflow = never_checked - window
-    if overflow:
-        # Overflow is legal ONLY while the window is saturated with
-        # queries that need a current-round row: every slot must be
-        # never-certified or absent from the newest record (no slot
-        # wasted on a freshly-certified query while another waits).
-        wasted = [q for q in prio if q in certified and q in newest]
-        assert not wasted, (sorted(overflow), wasted)
+        for q in newest:
+            newest_round[q] = max(rnd, newest_round.get(q, 0))
+
+    # never-certified = round 0 = stalest
+    staleness = {q: newest_round.get(q, 0) for q in names}
+
+    never_checked = [q for q in names if staleness[q] == 0]
+    if len(never_checked) <= len(prio):
+        missing = [q for q in never_checked if q not in window]
+        assert not missing, f"never-certified outside window: {missing}"
+
+    # greedy: max staleness-round inside <= min outside
+    inside_max = max(staleness[q] for q in prio)
+    outside = [q for q in names if q not in window]
+    if outside:
+        outside_min = min(staleness[q] for q in outside)
+        stale_in = [q for q in prio if staleness[q] > outside_min]
+        assert inside_max <= outside_min, (
+            f"window slot(s) spent on fresher queries {stale_in} while "
+            f"stalier queries wait outside — rotate _DRIVER_PRIORITY"
+        )
+
+    # hard bound: nothing may go 4+ rounds without a driver row
+    overdue = [
+        q for q in names
+        if staleness[q] != 0 and staleness[q] <= max_round - 2 and q not in window
+    ]
+    assert not overdue, f"queries exceeding the 3-round staleness bound: {overdue}"
 
     # Sec.2-core anchors (the engine's flagship diff surface + canonical
     # model queries) must be either in the current window or green in
