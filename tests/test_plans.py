@@ -289,3 +289,38 @@ def test_q21_window_rides_agg_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["q21_sole_problem_supplier"](spark, sf_dir))
     before_join = plan.split("BroadcastHashJoin")[-1]
     assert before_join.count("Exchange hashpartitioning(l_orderkey") == 1, plan
+
+
+def test_prioritized_dedup_partial_agg_single_exchange(spark, sf_dir):
+    """Provenance dedup must be the skew-immune min_by AGGREGATION shape
+    (VERDICT r4 item 3): a partial min_by/count runs BELOW the single
+    content-hash exchange (map-side combine collapses a 10^7-row
+    boilerplate group to one candidate per map task), and no window
+    operator — whose rank sort would pile the group on one reducer —
+    appears anywhere in the plan."""
+    plan = _executed_plan(QUERIES["dedup_prioritized_sources"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    ex = plan.index("Exchange hashpartitioning(text_hash")
+    assert plan.index("partial_min_by") > ex  # partial BELOW the exchange
+
+
+def test_cross_doc_chunk_dedup_reused_exchange_no_window(spark, sf_dir):
+    """Chunk-level cross-doc dedup must be the two-stage min-propagation
+    shape (VERDICT r4 item 3): no window rank over the chunk hash; a
+    SHUFFLE_HASH join of chunks to per-hash winners; and at runtime the
+    chunk pipeline's hash exchange is planned once and REUSED by the
+    winners branch, so the split+md5 work is never duplicated."""
+    df = QUERIES["dedup_cross_doc_chunks"](spark, sf_dir)
+    static = _executed_plan(df)
+    assert "Window" not in static
+    assert "ShuffledHashJoin" in static
+    df.collect()  # materialize so AQE finalizes stage reuse
+    final = _executed_plan(df).split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
+    # unique data exchanges: chunk-hash + per-doc rollup, nothing else
+    # (the ReusedExchange line repeats the reused exchange's description,
+    # so it contributes one spurious substring match)
+    reused = final.count("ReusedExchange")
+    assert final.count("Exchange hashpartitioning") - reused == 2, final

@@ -101,11 +101,13 @@ def test_quantize_embeddings_no_shuffle(spark, sf_dir):
 
 
 def test_new_query_plans_single_exchange(spark, sf_dir):
-    """prioritized dedup's two windows (rank + group count) and the epoch
-    shuffle's shard window must ride ONE exchange + ONE sort each."""
+    """The epoch shuffle's shard window must ride ONE exchange + ONE
+    sort. (Prioritized dedup left this family in round 5: it is now a
+    skew-immune min_by aggregation, pinned by
+    test_plans.py::test_prioritized_dedup_partial_agg_single_exchange.)"""
     from dbt_model_diff_spark.catalog import QUERIES
 
-    for name in ("dedup_prioritized_sources", "epoch_shuffle_documents"):
+    for name in ("epoch_shuffle_documents",):
         plan = (
             QUERIES[name](spark, sf_dir)
             ._jdf.queryExecution()
