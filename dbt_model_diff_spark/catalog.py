@@ -4048,8 +4048,8 @@ def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit via atomic pointer flip. Scratch dirs live under /tmp like
     the other streaming queries' temp checkpoints.
     """
+    import os as _os
     import tempfile
-    import time as _time
     from pathlib import Path
 
     from dbt_model_diff_spark.streaming.cdc import cdc_apply_stream, current_snapshot
@@ -4079,9 +4079,16 @@ def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = Path(tempfile.mkdtemp(prefix="dmds_cdc_"))
     src = work / "changes"
-    for batch in (b0, b1, b2):
+    # Micro-batch order is semantically significant (b1's update must land
+    # after b0's base load), and FileStreamSource orders files by mtime —
+    # so pin explicit, strictly-increasing mtimes instead of sleeping and
+    # hoping the filesystem's mtime granularity is finer than the gap.
+    for i, batch in enumerate((b0, b1, b2)):
         batch.coalesce(1).write.mode("append").parquet(str(src))
-        _time.sleep(0.1)  # distinct mtimes -> stable micro-batch order
+        stamp = 1_700_000_000 + i * 60
+        for f in src.glob("*.parquet"):
+            if f.stat().st_mtime > stamp - 30:
+                _os.utime(f, (stamp, stamp))
 
     stream = (
         spark.readStream.schema(b0.schema)

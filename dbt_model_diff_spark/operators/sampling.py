@@ -279,19 +279,39 @@ def select_within_token_budget(
         raise ValueError("budget must be non-negative")
     q = F.col(quality_col)
     toks = F.col(token_col)
+    # Persisted because the plan is evaluated TWICE — once for the bucket
+    # totals, once for the returned selection. Without the pin, a
+    # nondeterministic upstream (sampled input, rand-derived quality)
+    # would hand the two passes different rows and silently corrupt
+    # cum_tokens. MEMORY_AND_DISK: an evicted block recomputes (falling
+    # back to the determinism requirement), never fails the job; the
+    # cache is released when the caller's action finishes with it (LRU),
+    # or explicitly via spark.catalog.clearCache() in long pipelines.
+    from pyspark import StorageLevel
+
     bucketed = df.withColumn(
         "__qb", F.floor((F.lit(1.0) - q) * F.lit(int(buckets))).cast("long")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = bucketed.groupBy("__qb").agg(
+        F.sum(toks).alias("t"),
+        F.sum(toks.isNull().cast("long")).alias("null_toks"),
     )
-    totals = {
-        r["__qb"]: r["t"]
-        for r in bucketed.groupBy("__qb")
-        .agg(F.sum(toks).alias("t"))
-        .collect()
-    }
+    totals: dict = {}
+    null_toks = 0
+    for r in stats.collect():
+        totals[r["__qb"]] = r["t"]
+        null_toks += r["null_toks"]
     if None in totals:
         raise ValueError(
             f"{quality_col!r} contains NULLs — quality must be a non-null"
             " score in [0, 1]"
+        )
+    if null_toks:
+        # a NULL token count would vanish from both running sums and
+        # admit the row for free — reject it like a NULL quality
+        raise ValueError(
+            f"{token_col!r} contains {null_toks} NULLs — token counts"
+            " must be non-null"
         )
     offsets, acc = [], 0
     for b in sorted(totals):

@@ -15,9 +15,12 @@ way lakehouse formats do it internally:
   readers that resolve the pointer see either the old or the new
   version, never a half-written directory,
 - replayed batch ids (checkpoint recovery re-delivers the last batch)
-  are detected by their already-committed version directory and skipped,
-  which makes the sink idempotent and the pipeline exactly-once
-  end-to-end.
+  are detected by their already-committed version directory and skipped
+  — repairing the pointer if the crash landed between the version write
+  and the flip — which makes the sink idempotent and the pipeline
+  exactly-once end-to-end,
+- the merge BASE is always the highest committed version directory, not
+  the pointer, so a committed-but-unpointed batch is never lost.
 
 Scale posture: the per-batch plan is ``apply_changes``'s — the snapshot
 is NEVER shuffled (broadcast anti join on the batch's key set + union of
@@ -50,9 +53,17 @@ def compact_changes(
     ``seq_col``, ties broken toward deletes so a delete+reinsert race at
     the same sequence number resolves conservatively). This is the
     standard CDC compaction step that makes ``apply_changes``'s
-    unique-key contract hold for raw change feeds."""
+    unique-key contract hold for raw change feeds.
+
+    The window order ends in a content hash over every column, so two
+    upserts to the same key at the same sequence number with different
+    payloads resolve to the SAME winner on every run — without it the
+    committed snapshot could differ run-to-run on such feeds (the
+    seq/delete keys only decide the delete-vs-upsert race)."""
     w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), F.col(deleted_col).desc()
+        F.col(seq_col).desc(),
+        F.col(deleted_col).desc(),
+        F.xxhash64(*[F.col(c) for c in changes.columns]).asc(),
     )
     return (
         changes.withColumn("__rn", F.row_number().over(w))
@@ -61,9 +72,31 @@ def compact_changes(
     )
 
 
+def _latest_committed_version(snapshot_dir: str) -> str | None:
+    """Name of the highest COMMITTED version directory (``v{N}`` with a
+    ``_SUCCESS`` marker), or None. This — not the ``_CURRENT`` pointer —
+    is the source of truth for the merge base: a crash between the
+    version write and the pointer flip leaves the pointer one version
+    behind, and basing the next merge on the pointer would silently drop
+    the committed-but-unpointed batch."""
+    best: tuple[int, str] | None = None
+    for d in Path(snapshot_dir).glob("v*"):
+        if not (d / "_SUCCESS").exists():
+            continue
+        try:
+            n = int(d.name[1:])
+        except ValueError:
+            continue
+        if best is None or n > best[0]:
+            best = (n, d.name)
+    return best[1] if best else None
+
+
 def current_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
     """Resolve the ``_CURRENT`` pointer to a batch DataFrame, or None if
-    no version has been committed yet."""
+    no version has been committed yet. Readers use the pointer (atomic
+    flip: they see old or new, never half-written); the WRITE path uses
+    ``_latest_committed_version`` instead."""
     ptr = Path(snapshot_dir) / "_CURRENT"
     if not ptr.exists():
         return None
@@ -91,23 +124,41 @@ def cdc_apply_stream(
     snap.mkdir(parents=True, exist_ok=True)
     ptr = snap / "_CURRENT"
 
+    def flip_pointer(version: str) -> None:
+        tmp = snap / "_CURRENT.tmp"
+        tmp.write_text(f"{version}\n")
+        os.replace(tmp, ptr)  # atomic pointer flip
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         vdir = snap / f"v{batch_id}"
+        # The merge base is the highest COMMITTED version, never the
+        # pointer: a crash after the v{N} write but before the pointer
+        # flip re-delivers batch N with _CURRENT still at v{N-1}; the
+        # pointer is repaired here instead of trusted, so batch N's
+        # changes can never be lost from later versions.
+        latest = _latest_committed_version(snapshot_dir)
         if (vdir / "_SUCCESS").exists():
-            return  # checkpoint replay of an already-committed batch
+            # checkpoint replay of an already-committed batch: repair
+            # the pointer if the crash preempted the flip, then skip
+            if ptr.exists():
+                pointed = ptr.read_text().strip()
+            else:
+                pointed = None
+            if latest is not None and pointed != latest:
+                flip_pointer(latest)
+            return
         spark = batch_df.sparkSession
         if seq_col is not None:
             batch_df = compact_changes(
                 batch_df, keys, seq_col, deleted_col
             ).drop(seq_col)
-        base = current_snapshot(spark, snapshot_dir)
-        if base is None:
+        if latest is None:
             base = batch_df.drop(deleted_col).limit(0)
+        else:
+            base = spark.read.parquet(str(snap / latest))
         merged = apply_changes(base, batch_df, keys, deleted_col=deleted_col)
         merged.write.mode("overwrite").parquet(str(vdir))
-        tmp = snap / "_CURRENT.tmp"
-        tmp.write_text(f"v{batch_id}\n")
-        os.replace(tmp, ptr)  # atomic pointer flip
+        flip_pointer(f"v{batch_id}")
 
     w = (
         changes_stream.writeStream.foreachBatch(apply_batch)

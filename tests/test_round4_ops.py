@@ -204,3 +204,15 @@ def test_moment_stats_single_exchange(spark, sf_dir):
     )
     # one partial+final aggregate pair over one scan: a single exchange
     assert plan.count("Exchange") == 1, plan
+
+
+def test_budget_select_rejects_null_tokens(spark):
+    import pytest as _pytest
+
+    from dbt_model_diff_spark.operators.sampling import select_within_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.9), (2, None, 0.5)], "doc_id long, n_toks int, q double"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        select_within_token_budget(df, "doc_id", "n_toks", "q", 100).collect()

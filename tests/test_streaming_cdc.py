@@ -85,3 +85,68 @@ def test_cdc_apply_stream_restart_is_noop(spark, tmp_path):
     assert (tmp_path / "snap" / "_CURRENT").read_text() == before
     got = sorted((r["k"], r["v"]) for r in cdc.current_snapshot(spark, snap).collect())
     assert got == [(1, "a2"), (3, "c3"), (4, "d")]
+
+
+def test_cdc_crash_between_commit_and_flip_recovers(spark, tmp_path):
+    """Crash simulation for the exactly-once guarantee: batch 0 commits
+    its v0 directory but the process dies BEFORE the pointer flip. On
+    recovery the source re-delivers batch 0 (fresh checkpoint ==
+    checkpoint that never recorded the batch as done): the sink must
+    repair the pointer from the committed directory and, crucially, must
+    base the NEXT merge on the highest committed version — basing it on
+    the stale pointer would silently drop every batch-0 change from all
+    later versions."""
+    import os
+
+    src = tmp_path / "changes"
+    snap = str(tmp_path / "snap")
+
+    def write_file(batch, mtime):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        # pin strictly increasing mtimes so FileStreamSource ordering is
+        # deterministic even on coarse-mtime filesystems
+        newest = max(src.glob("*.parquet"), key=lambda p: p.stat().st_mtime)
+        os.utime(newest, (mtime, mtime))
+
+    write_file(BATCHES[0], 1_000_000_000)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = cdc.cdc_apply_stream(
+        stream, snap, ["k"], checkpoint=str(tmp_path / "ckpt1"), seq_col="seq"
+    )
+    assert q.awaitTermination(180)
+    assert (tmp_path / "snap" / "v0" / "_SUCCESS").exists()
+
+    # the crash: v0 committed, pointer flip never happened
+    (tmp_path / "snap" / "_CURRENT").unlink()
+
+    write_file(BATCHES[1], 1_000_000_100)
+    q2 = cdc.cdc_apply_stream(
+        stream, snap, ["k"], checkpoint=str(tmp_path / "ckpt2"), seq_col="seq"
+    )
+    assert q2.awaitTermination(180)
+
+    assert (tmp_path / "snap" / "_CURRENT").read_text().strip() == "v1"
+    got = sorted(
+        (r["k"], r["v"]) for r in cdc.current_snapshot(spark, snap).collect()
+    )
+    # batch 0's k1 insert survived (as updated a2); k2 was deleted; k3 new
+    assert got == [(1, "a2"), (3, "c")]
+
+
+def test_compact_changes_equal_seq_deterministic(spark):
+    """Two upserts to one key at the SAME seq with different payloads
+    must resolve to one stable winner (content-hash tie-break), not a
+    partition-layout-dependent row_number coin flip."""
+    rows = [(1, "x", 5, False), (1, "y", 5, False)]
+    outs = set()
+    for n_parts in (1, 2, 7):
+        df = spark.createDataFrame(rows, SCHEMA).repartition(n_parts)
+        (r,) = cdc.compact_changes(df, ["k"], "seq").collect()
+        outs.add(r["v"])
+    assert len(outs) == 1
