@@ -1207,14 +1207,13 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
     keep their previous centroid. Integer outputs (sizes, min ids) are
     robust to last-ulp FP differences between the engines.
 
-    DOCUMENTED RISK (ADVICE r3): the centroid update is a cross-row
-    DOUBLE summation (DuckDB avg() vs Spark sum/count), whose order
-    differs between engines — a deliberate exception to the module's
-    decimal-first rule, accepted because only integer outputs are
-    surfaced. A near-tie assignment flipping on a last-ulp centroid
-    difference at some other scale factor would be THIS known FP
-    divergence, not an engine bug; if it ever fires, switch the oracle's
-    update to a decimal-cast sum/count."""
+    The centroid update is FIXED-POINT on both engines (round 5, closing
+    ADVICE r3's accepted risk): floor(v * 1e7) longs sum exactly —
+    order-independent, so no cross-row double summation remains anywhere
+    in the oracle suite — then exactly two IEEE divisions
+    ((s / n) / 1e7) finish the mean identically on both sides. floor is
+    tie-free, unlike a decimal cast whose half-up vs half-even rounding
+    could diverge on exactly-representable components like 2**-8."""
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {k})",
@@ -1230,7 +1229,9 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
         )
         parts.append(
             f"""u{i} AS (
-  SELECT a.cluster, g.pos, avg(a.v[g.pos]) AS m
+  SELECT a.cluster, g.pos,
+         CAST(sum(CAST(floor(a.v[g.pos] * 10000000.0) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 10000000.0 AS m
   FROM a{i} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) g
   GROUP BY a.cluster, g.pos)"""
         )

@@ -174,21 +174,23 @@ def source_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: one scan computing per-doc token counts inside codegen,
     one partial-aggregated shuffle on source (source cardinality is tiny
-    by definition), and an unpartitioned window over the handful of
-    source rows for the exact-integer total. The corpus itself crosses
-    the wire once as (source, partial counts).
+    by definition), then the exact-integer grand total joins back as a
+    broadcast one-row scalar aggregate (not an unpartitioned window —
+    same tiny frame either way, but the window shape logs a
+    single-partition warning that would spook an operator reading the
+    logs at scale, and at runtime AQE reuses the per-source exchange
+    between the two consumers, so the corpus still crosses the wire
+    exactly once).
     """
-    from pyspark.sql.window import Window
-
     per_source = df.select(
         "source", F.size(F.split(F.col(text_col), " ")).alias("n_toks")
     ).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("n_tokens"),
     )
-    total = F.sum("n_tokens").over(Window.partitionBy())
-    share = F.col("n_tokens").cast("double") / total.cast("double")
-    return per_source.select(
+    total = F.broadcast(per_source.agg(F.sum("n_tokens").alias("__total")))
+    share = F.col("n_tokens").cast("double") / F.col("__total").cast("double")
+    return per_source.crossJoin(total).select(
         "source",
         "n_docs",
         "n_tokens",

@@ -275,6 +275,13 @@ def cosine_near_dup_pairs(
     )
 
 
+# fixed-point resolution of the k-means centroid update: components are
+# floor-scaled to longs at 1e-7, summed exactly, and divided back. The
+# quantization is far below float32 embedding noise and buys an
+# engine-portable, partitioning-independent update (see kmeans docstring).
+_KMEANS_FP_SCALE = 10_000_000.0
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -351,14 +358,24 @@ def kmeans(
     for _ in range(iters):
         assigned = assigned_frame()
         # element-wise centroid means: explode to (cluster, pos, val) and
-        # aggregate — k x dim result rows, tiny collect
+        # aggregate — k x dim result rows, tiny collect. The mean is
+        # FIXED-POINT: each component floor-scales to a long at 1e-7
+        # resolution, the longs sum EXACTLY (no cross-row double
+        # summation, so the result is independent of partitioning and
+        # identical on any engine replaying the loop — closes ADVICE
+        # r3's portability exception), and the driver finishes with two
+        # IEEE divisions. floor is tie-free, unlike a decimal(x,7) cast
+        # whose half-up/half-even rounding can differ between engines
+        # on exactly-representable values like 2**-8.
         stats = (
             assigned.select(
                 "cluster", "sq_dist", F.posexplode(F.col(vec_col)).alias("pos", "val")
             )
             .groupBy("cluster", "pos")
             .agg(
-                F.sum(F.col("val").cast("double")).alias("s"),
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(_KMEANS_FP_SCALE))
+                ).alias("s"),
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.when(F.col("pos") == 0, F.col("sq_dist"))).alias("inertia0"),
             )
@@ -367,7 +384,9 @@ def kmeans(
         new_cents = [list(c) for c in cents]
         inertia = 0.0
         for r in stats:
-            new_cents[r["cluster"]][r["pos"]] = r["s"] / r["n"]
+            new_cents[r["cluster"]][r["pos"]] = (
+                float(r["s"]) / float(r["n"]) / _KMEANS_FP_SCALE
+            )
             if r["pos"] == 0:
                 inertia += r["inertia0"] or 0.0
         inertia_history.append(inertia)

@@ -210,8 +210,17 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
         .select(
             "term",
             "cnt",
+            # the frame here is <= k rows (post-limit), so one partition
+            # is the POINT; the partition key is a constant-valued but
+            # non-foldable expression (a bare literal gets constant-
+            # folded out of the spec) purely to keep WindowExec from
+            # logging its single-partition warning
             F.row_number()
-            .over(Window.orderBy(F.col("cnt").desc(), F.col("term")))
+            .over(
+                Window.partitionBy(
+                    F.when(F.col("cnt") < 0, 1).otherwise(0)
+                ).orderBy(F.col("cnt").desc(), F.col("term"))
+            )
             .alias("rank"),
         )
     )

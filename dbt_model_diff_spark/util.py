@@ -23,11 +23,23 @@ def spread_for_compute(df: DataFrame, min_rows: int = 0) -> DataFrame:
     narrow input rows, and it is a NO-OP whenever the source is already
     well-partitioned (the normal case at scale), so operators can call it
     unconditionally ahead of compute-bound stages.
+
+    The probe is ``df.inputFiles()`` (leaf-scan file count), NOT
+    ``df.rdd.getNumPartitions()``: converting to an RDD forces a full
+    non-AQE physical-plan materialization on every call, which taxed
+    every shingle/packing/kmeans entry point (VERDICT r4 item 8). A
+    source spread over >= parallelism files is already parallel; a
+    frame with no file leaves at all (in-memory test data, streaming
+    micro-batches) stays on the repartition path, which is what the
+    old probe chose for those inputs anyway.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # no resolvable file leaves -> treat as under-partitioned
     return df.repartition(target)
 
 _IDENT_BAD = re.compile(r"[^a-zA-Z0-9_]")
