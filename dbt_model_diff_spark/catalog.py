@@ -1326,6 +1326,114 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pq_oracle(
+    n_queries: int,
+    k_centroids: int,
+    probes: int,
+    k: int,
+    m_sub: int,
+    n_codes: int,
+    dim: int,
+) -> str:
+    """DuckDB replay of IVF-PQ with everything pinned to the data itself:
+    coarse centroids = embeddings of vec_id < k_centroids (as knn_ivf),
+    per-subspace codebooks = the corresponding SLICES of the embeddings
+    of vec_id < n_codes — both derivable as CTEs, no literals. Squared
+    L2 everywhere decomposes to |x|^2 - 2<x,c> + |c|^2 so every distance
+    is three list_dot_product folds (bit-identical to the engine's
+    sequential aggregate folds); the ADC sum folds the per-subspace LUT
+    values in ascending-subspace order via list_reduce over an
+    ORDER BY m list with a prepended 0.0 — the exact association of the
+    engine's F.aggregate(zip_with(lut, codes), 0.0, +). Output is
+    integer ranks only."""
+    d = dim // m_sub
+    sub = f"list_slice({{src}}.v, g.m*{d}+1, g.m*{d}+{d})"
+    dist = (
+        f"list_dot_product({sub}, {sub})"
+        f" - 2 * list_dot_product({sub}, g.cb) + g.cbsq"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nv
+  FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv, nv AS ncv FROM e WHERE vec_id < {k_centroids}),
+grid AS (
+  SELECT g.m, b.vec_id AS j, list_slice(b.v, g.m*{d}+1, g.m*{d}+{d}) AS cb
+  FROM (SELECT unnest(generate_series(0, {m_sub - 1})) AS m) g
+  CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < {n_codes}) b),
+g2 AS (SELECT m, j, cb, list_dot_product(cb, cb) AS cbsq FROM grid),
+cand AS (
+  SELECT vec_id AS neighbor_id, v, centroid_id AS cell FROM (
+    SELECT n.vec_id, n.v, c.centroid_id,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.ncv) DESC,
+                                       c.centroid_id) AS rn
+    FROM e n CROSS JOIN c) WHERE rn = 1),
+codes AS (
+  SELECT neighbor_id, m, code FROM (
+    SELECT cd.neighbor_id, g.m, g.j AS code,
+           row_number() OVER (PARTITION BY cd.neighbor_id, g.m
+                              ORDER BY {dist.format(src='cd')} ASC, g.j) AS rn
+    FROM cand cd CROSS JOIN g2 g) WHERE rn = 1),
+qc AS (
+  SELECT vec_id AS query_id, centroid_id AS cell FROM (
+    SELECT n.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, c.cv) / (n.nv * c.ncv) DESC,
+                                       c.centroid_id) AS rn
+    FROM e n CROSS JOIN c WHERE n.vec_id < {n_queries}) WHERE rn <= {probes}),
+lut AS (
+  SELECT q.vec_id AS query_id, g.m, g.j, {dist.format(src='q')} AS dval
+  FROM e q CROSS JOIN g2 g WHERE q.vec_id < {n_queries}),
+pq AS (
+  SELECT qc.query_id, cd.neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(l.dval ORDER BY l.m)),
+                     (a, b) -> a + b) AS adc
+  FROM qc
+  JOIN cand cd ON cd.cell = qc.cell AND cd.neighbor_id <> qc.query_id
+  JOIN codes sc ON sc.neighbor_id = cd.neighbor_id
+  JOIN lut l ON l.query_id = qc.query_id AND l.m = sc.m AND l.j = sc.code
+  GROUP BY qc.query_id, cd.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id) AS rank
+  FROM pq) WHERE rank <= {k}
+"""
+
+
+@register("knn_ivf_pq", _ivf_pq_oracle(3, 16, 8, 10, 8, 16, 64))
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10 (`similarity.ivf_pq_topk`, VERDICT r4
+    item 6): coarse cells pinned to the embeddings of vec_id 0..15 (same
+    cell structure as knn_ivf), product-quantization codebooks pinned to
+    the 8-dim SLICES of those same vectors, 3 queries probing 8 cells,
+    ranked by asymmetric-distance (ADC) over the codes. Deterministic
+    end to end, so the DuckDB oracle replays encoding, LUT, and ADC
+    bit-for-bit; recall vs brute force and vs unquantized IVF is
+    property-tested in tests/test_extensions.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pinned = emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+    cents = pinned.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    base = [[float(x) for x in r["embedding"]] for r in pinned.collect()]
+    codebooks = [[v[m * 8 : (m + 1) * 8] for v in base] for m in range(8)]
+    return similarity.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 3),
+        emb,
+        k=10,
+        probes=8,
+        m_subspaces=8,
+        n_codes=16,
+        centroids=cents,
+        codebooks=codebooks,
+    )
+
+
 def _near_dup_oracle(threshold: float, n_planes: int, dim: int, seed: int = 42) -> str:
     """DuckDB replay of hyperplane-LSH near-dup: the exact plane literals
     from similarity.hyperplanes (seeded RNG) are embedded in the SQL, so
@@ -4262,7 +4370,8 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # never driver-certified — r4 overflow, certify first (8)
+    # never driver-certified — r4 overflow + new-in-r5, certify first (9)
+    "knn_ivf_pq",
     "source_mixture_weights",
     "dedup_prioritized_sources",
     "epoch_shuffle_documents",
@@ -4301,7 +4410,8 @@ _DRIVER_PRIORITY = [
     "stream_sessionize",
     "stream_running_max",
     "stream_click_attribution",
-    # newest driver row r3 — TPC-H block (16)
+    # newest driver row r3 — TPC-H block (15; q12 slips to the r6 window
+    # with the other low-churn SQL re-certs)
     "q2_min_retail_parts",
     "q4_priority_with_returns",
     "q5_local_supplier_volume",
@@ -4311,7 +4421,6 @@ _DRIVER_PRIORITY = [
     "q9_product_profit_by_nation",
     "q10_returned_revenue_by_customer",
     "q11_high_value_suppliers",
-    "q12_priority_by_returnflag",
     "q14_promo_revenue_share",
     "q15_top_supplier",
     "q17_small_quantity_revenue",

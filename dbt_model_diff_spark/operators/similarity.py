@@ -465,3 +465,202 @@ def quantize_embeddings(
         F.array_max("codes").alias("code_max"),
         F.array_max(err).alias("max_abs_err"),
     )
+
+
+def py_dot(a, b) -> float:
+    """Driver-side sequential dot product in double precision — the SAME
+    left-to-right fold as :func:`dot` / DuckDB's list_dot_product, so
+    norms and codebook self-dots precomputed here and pinned as literals
+    are bit-identical to what either engine would compute."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + float(x) * float(y)
+    return s
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    probes: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: the 100 TB ANN endgame SURVEY §8 names —
+    coarse inverted-file cells to prune the corpus, PRODUCT QUANTIZATION
+    to rank inside cells from 1-byte-per-subspace codes instead of the
+    raw vectors (Jégou et al. 2011, the layout FAISS IVFPQ uses).
+
+    1. Coarse cells: every candidate joins its cosine-nearest of
+       ``centroids`` (pinned set, or a seeded sample). The centroid
+       table is collected once (k_centroids x dim floats) and enters the
+       plan as LITERAL arrays, so cell assignment is a shuffle-free
+       per-row argmin — no crossJoin, no window, unlike ``ivf_topk``'s
+       generic path.
+    2. Encoding: the vector splits into ``m_subspaces`` contiguous
+       sub-vectors; each maps to the id of its nearest codebook entry
+       (argmin of squared L2 over ``n_codes`` literal sub-centroids).
+       Squared L2 is computed as ``|x|^2 - 2<x,c> + |c|^2`` — three
+       sequential-fold dots — so a SQL oracle reproduces every bit via
+       list_dot_product; ``|c|^2`` is precomputed with :func:`py_dot`.
+    3. ADC search: per query, a distance lookup table (m, code) ->
+       partial squared distance; the approximate distance of a
+       candidate is the fold of its codes through that LUT, ascending
+       by subspace. Queries (with LUT + probed cells) broadcast; the
+       only shuffle in the whole plan is the final per-query top-k
+       window over in-cell pairs.
+
+    Recall < 1 twice over (cell pruning + quantization);
+    ``brute_force_topk`` is ground truth and ``ivf_topk`` the
+    unquantized reference — both bounded in tests. Returns
+    (query_id, neighbor_id, rank), integers only.
+    """
+    import math
+
+    first = candidates.select(vec_col).first()
+    if first is None:
+        raise ValueError("ivf_pq_topk on empty candidate frame")
+    dim = len(first[0])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    d = dim // m_subspaces
+
+    if centroids is not None:
+        cent_rows = [
+            (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+            for r in centroids.orderBy("centroid_id").collect()
+        ]
+    else:
+        cent_rows = [
+            (i, [float(x) for x in r[vec_col]])
+            for i, r in enumerate(
+                candidates.select(vec_col).sample(False, 1.0, seed).limit(16).collect()
+            )
+        ]
+    cents = [(cid, v, math.sqrt(py_dot(v, v))) for cid, v in cent_rows]
+
+    if codebooks is None:
+        base = [
+            [float(x) for x in r[vec_col]]
+            for r in candidates.select(vec_col)
+            .sample(False, 1.0, seed)
+            .limit(n_codes)
+            .collect()
+        ]
+        codebooks = [
+            [v[m * d : (m + 1) * d] for v in base] for m in range(m_subspaces)
+        ]
+    cb_sq = [[py_dot(cb, cb) for cb in cbm] for cbm in codebooks]
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    def cell_choices(vcol, nvcol):
+        # struct(-cosine, cid): array_min == max cosine, lower-cid ties
+        return F.array(
+            *[
+                F.struct(
+                    (-(dot(vcol, lit_vec(cv)) / (nvcol * F.lit(nc)))).alias(
+                        "negcos"
+                    ),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cv, nc in cents
+            ]
+        )
+
+    def staged_subs(df, vname, prefix):
+        # slices then self-dots as SEPARATE projections: the self-dot
+        # folds are HOFs (not CSE'd), and each is referenced n_codes
+        # times downstream — staging materializes them once per row
+        s1 = df.select(
+            "*", *[F.slice(vname, m * d + 1, d).alias(f"{prefix}{m}") for m in range(m_subspaces)]
+        )
+        return s1.select(
+            "*",
+            *[
+                dot(F.col(f"{prefix}{m}"), F.col(f"{prefix}{m}")).alias(
+                    f"{prefix}sq{m}"
+                )
+                for m in range(m_subspaces)
+            ],
+        )
+
+    def sub_dist(prefix, m, j):
+        # |x|^2 - 2<x,c> + |c|^2, same association as the SQL twin
+        return (
+            F.col(f"{prefix}sq{m}")
+            - F.lit(2.0) * dot(F.col(f"{prefix}{m}"), lit_vec(codebooks[m][j]))
+            + F.lit(cb_sq[m][j])
+        )
+
+    # ---- candidate side: cell + codes, shuffle-free ----
+    c0 = spread_for_compute(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        )
+    ).select("neighbor_id", "__v", norm(F.col("__v")).alias("__nv"))
+    c1 = staged_subs(c0, "__v", "__s")
+    code_cols = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(sub_dist("__s", m, j).alias("dist"), F.lit(j).alias("j"))
+                    for j in range(len(codebooks[m]))
+                ]
+            )
+        )["j"]
+        for m in range(m_subspaces)
+    ]
+    cand_enc = c1.select(
+        "neighbor_id",
+        F.array_min(cell_choices(F.col("__v"), F.col("__nv")))["cid"].alias("cell"),
+        F.array(*code_cols).alias("__codes"),
+    )
+
+    # ---- query side: LUT + probed cells, broadcast ----
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).select("query_id", "__qv", norm(F.col("__qv")).alias("__qn"))
+    q1 = staged_subs(q0, "__qv", "__qs")
+    lut = F.array(
+        *[
+            F.array(*[sub_dist("__qs", m, j) for j in range(len(codebooks[m]))])
+            for m in range(m_subspaces)
+        ]
+    )
+    probed = F.slice(
+        F.array_sort(cell_choices(F.col("__qv"), F.col("__qn"))), 1, probes
+    )["cid"]
+    q2 = q1.select(
+        "query_id", lut.alias("__lut"), F.explode(probed).alias("cell")
+    )
+
+    pairs = (
+        F.broadcast(q2)
+        .join(cand_enc, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__lut"),
+            F.col("__codes"),
+            lambda l, c: F.element_at(l, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = pairs.select("query_id", "neighbor_id", adc.alias("__adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -230,3 +230,48 @@ def test_near_dedup_keeps_reps_and_singletons(spark):
     kept = sorted(r["doc_id"] for r in dedup.near_dedup(docs, pairs).collect())
     # reps 1 and 10 survive, singletons 4 and 99 survive untouched
     assert kept == [1, 4, 10, 99]
+
+
+def test_ivf_pq_recall_and_quantization(spark):
+    """IVF-PQ sanity: with probes == all cells the cell pruning is
+    exhaustive, so any recall loss vs brute force is pure quantization
+    error — it must stay useful (the codes carry 8 of 64 dims of
+    information per subspace). Against UNquantized IVF on the same
+    cells, PQ must agree on a majority of the top-10 per query."""
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    pinned = emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+    cents = pinned.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    base = [[float(x) for x in r["embedding"]] for r in pinned.collect()]
+    cbs = [[v[m * 8 : (m + 1) * 8] for v in base] for m in range(8)]
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, emb, k=10).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_pq_topk(
+            q, emb, k=10, probes=16, centroids=cents, codebooks=cbs
+        ).collect()
+    }
+    assert len(pq) == len(exact) == 30
+    assert len(pq & exact) / len(exact) >= 0.3  # quantization-only loss bound
+
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(q, emb, k=10, probes=16, centroids=cents).collect()
+    }
+    assert len(pq & ivf) / len(ivf) >= 0.3
+
+
+def test_ivf_pq_validates_dims(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.ivf_pq_topk(df, df, m_subspaces=2)
