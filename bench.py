@@ -81,6 +81,9 @@ def main() -> None:
         # distributed prefix-sum selection and one-scan decimal moments
         "budget_select_documents",
         "stats_moments_lineitem",
+        # round-5 addition: product-quantized ANN (literal codebooks,
+        # shuffle-free encode, broadcast LUTs)
+        "knn_ivf_pq",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 

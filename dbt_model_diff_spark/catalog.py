@@ -4224,6 +4224,49 @@ def stream_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_roundtrip_orders",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+       CAST(o_orderdate AS DATE) AS o_date,
+       o_orderpriority,
+       md5(o_orderstatus || '|' || o_orderpriority) AS row_md5
+FROM orders
+""",
+)
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (`sources/sinks.py::write_orc/read_orc`):
+    orders is written to ORC and read back; the surfaced projection
+    (keys, status strings, exact price cents via floor(x*100), the
+    order date, and a string-only row md5) comes ENTIRELY from the
+    ORC copy while the oracle reads the original parquet — a green row
+    is a bit-fidelity proof of the format hop. Decimal/binary/null ORC
+    fidelity is covered type-by-type in tests/test_sinks.py."""
+    import tempfile
+    from pathlib import Path
+
+    from dbt_model_diff_spark.sources.sinks import read_orc, write_orc
+
+    o = read_table(spark, sf_dir, "orders")
+    path = str(Path(tempfile.mkdtemp(prefix="dmds_orc_")) / "orders_orc")
+    write_orc(o, path, num_files=4)
+    back = read_orc(spark, path)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("bigint").alias(
+            "price_cents"
+        ),
+        F.col("o_orderdate").cast("date").alias("o_date"),
+        "o_orderpriority",
+        F.md5(
+            F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority"))
+        ).alias("row_md5"),
+    )
+
+
+@register(
     "budget_select_documents",
     """
 WITH t AS (
@@ -4370,8 +4413,9 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # never driver-certified — r4 overflow + new-in-r5, certify first (9)
+    # never driver-certified — r4 overflow + new-in-r5, certify first (10)
     "knn_ivf_pq",
+    "orc_roundtrip_orders",
     "source_mixture_weights",
     "dedup_prioritized_sources",
     "epoch_shuffle_documents",
@@ -4410,8 +4454,8 @@ _DRIVER_PRIORITY = [
     "stream_sessionize",
     "stream_running_max",
     "stream_click_attribution",
-    # newest driver row r3 — TPC-H block (15; q12 slips to the r6 window
-    # with the other low-churn SQL re-certs)
+    # newest driver row r3 — TPC-H block (14; q11+q12 slip to the r6
+    # window with the other low-churn SQL re-certs)
     "q2_min_retail_parts",
     "q4_priority_with_returns",
     "q5_local_supplier_volume",
@@ -4420,7 +4464,6 @@ _DRIVER_PRIORITY = [
     "q8_share_by_year",
     "q9_product_profit_by_nation",
     "q10_returned_revenue_by_customer",
-    "q11_high_value_suppliers",
     "q14_promo_revenue_share",
     "q15_top_supplier",
     "q17_small_quantity_revenue",

@@ -15,6 +15,10 @@ downstream, so sinks are first-class here:
   reference's "snapshot once, compare many times" (CTAS) economics.
 - ``write_jsonl`` / ``read_jsonl``: line-delimited JSON interchange for
   document pipelines (schema_hint avoids a full inference pass at scale).
+- ``write_orc`` / ``read_orc``: ORC interchange for Hive/Trino-adjacent
+  estates — columnar like parquet, with its own bloom-filter and
+  dictionary options; type fidelity (decimal/date/binary round-trip) is
+  oracle-proven by ``orc_roundtrip_orders``.
 
 All writers accept repartitioning hints so output file counts stay sane:
 the #1 operational failure of naive Spark pipelines is a million tiny
@@ -77,3 +81,27 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Write ORC (native Spark source, zstd-compressed like the parquet
+    defaults). ``num_files`` coalesces narrow outputs — same
+    tiny-file-count hygiene as the other writers."""
+    out = df.coalesce(num_files) if num_files else df
+    out.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Read ORC. ORC scans support the same predicate pushdown and column
+    pruning as parquet (`PushedFilters` in the scan node)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

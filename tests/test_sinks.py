@@ -98,3 +98,47 @@ def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     a = {r["doc_id"]: (r["text"], r["lang"]) for r in d.collect()}
     b = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
     assert a == b
+
+
+def test_orc_roundtrip_type_fidelity(spark, tmp_path):
+    """ORC must round-trip every type the engine's tables carry —
+    decimal (exact unscaled value), date, timestamp, binary, arrays,
+    and NULLs — byte-for-byte."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    rows = [
+        (
+            1,
+            Decimal("12345.67"),
+            date(2024, 2, 29),
+            datetime(2024, 2, 29, 23, 59, 59),
+            bytearray(b"\x00\xffbin"),
+            [1.5, -2.5],
+            "text",
+        ),
+        (2, None, None, None, None, None, None),
+    ]
+    schema = (
+        "id long, dec decimal(12,2), d date, ts timestamp,"
+        " bin binary, arr array<double>, s string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "typed_orc")
+    sinks.write_orc(df, path, num_files=1)
+    back = sinks.read_orc(spark, path)
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r["id"])
+    b = sorted(back.collect(), key=lambda r: r["id"])
+    assert a == b
+
+
+def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_orc")
+    o = read_table(spark, sf_dir, "orders")
+    sinks.write_orc(o.select("o_orderkey", "o_totalprice"), path)
+    plan = _executed(
+        sinks.read_orc(spark, path).filter(F.col("o_totalprice") > 100000.0)
+    )
+    # ORC scans get the same predicate pushdown + pruning as parquet
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
