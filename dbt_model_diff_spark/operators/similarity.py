@@ -557,88 +557,120 @@ def ivf_pq_topk(
         ]
     cb_sq = [[py_dot(cb, cb) for cb in cbm] for cbm in codebooks]
 
-    def lit_vec(vals):
-        return F.array(*[F.lit(float(x)) for x in vals])
+    # ------------------------------------------------------------------
+    # Encoding and LUT build run as an Arrow-batched numpy kernel
+    # (mapInPandas), NOT as Catalyst expressions. Two failed cuts first:
+    # dot()/aggregate HOF folds (144 interpreted lambdas/row, 16.9 s at
+    # sf0.1 — HOFs never enter whole-stage codegen) and fully unrolled
+    # element_at chains (expression trees past the codegen method limit
+    # fall back to interpreted eval WITHOUT subexpression elimination,
+    # 47 s). The kernel is vectorized ACROSS ROWS but accumulates
+    # SEQUENTIALLY OVER DIMENSIONS — `acc = acc + V[:,i] * c[i]`, one
+    # elementwise float64 op per dimension — so every per-row sum has
+    # the exact ((0+t1)+t2)+... association of the engine's dot() fold
+    # and DuckDB's list_dot_product, and np.argmin's first-occurrence
+    # rule matches the (value ASC, index ASC) tie-break. Bit-for-bit
+    # oracle-equal, ~100x less interpreter overhead.
+    # ------------------------------------------------------------------
+    import numpy as np
+    import pandas as pd
 
-    def cell_choices(vcol, nvcol):
-        # struct(-cosine, cid): array_min == max cosine, lower-cid ties
-        return F.array(
-            *[
-                F.struct(
-                    (-(dot(vcol, lit_vec(cv)) / (nvcol * F.lit(nc)))).alias(
-                        "negcos"
-                    ),
-                    F.lit(int(cid)).alias("cid"),
-                )
-                for cid, cv, nc in cents
-            ]
-        )
+    cent_ids = [int(cid) for cid, _, _ in cents]
+    cent_mat = np.array([cv for _, cv, _ in cents], dtype=np.float64)
+    cent_norms = np.array([nc for _, _, nc in cents], dtype=np.float64)
+    cb_mats = [np.array(cbm, dtype=np.float64) for cbm in codebooks]
+    cb_sq_arr = [np.array(s, dtype=np.float64) for s in cb_sq]
+    n_cells = len(cent_ids)
+    cent_id_arr = np.array(cent_ids, dtype=np.int64)
 
-    def staged_subs(df, vname, prefix):
-        # slices then self-dots as SEPARATE projections: the self-dot
-        # folds are HOFs (not CSE'd), and each is referenced n_codes
-        # times downstream — staging materializes them once per row
-        s1 = df.select(
-            "*", *[F.slice(vname, m * d + 1, d).alias(f"{prefix}{m}") for m in range(m_subspaces)]
-        )
-        return s1.select(
-            "*",
-            *[
-                dot(F.col(f"{prefix}{m}"), F.col(f"{prefix}{m}")).alias(
-                    f"{prefix}sq{m}"
-                )
-                for m in range(m_subspaces)
-            ],
-        )
+    def _rows_mat(series) -> "np.ndarray":
+        return np.stack([np.asarray(x, dtype=np.float64) for x in series])
 
-    def sub_dist(prefix, m, j):
-        # |x|^2 - 2<x,c> + |c|^2, same association as the SQL twin
-        return (
-            F.col(f"{prefix}sq{m}")
-            - F.lit(2.0) * dot(F.col(f"{prefix}{m}"), lit_vec(codebooks[m][j]))
-            + F.lit(cb_sq[m][j])
-        )
+    def _seq_dot(V, col) -> "np.ndarray":
+        acc = np.zeros(V.shape[0], dtype=np.float64)
+        for i in range(V.shape[1]):
+            acc = acc + V[:, i] * col[i]
+        return acc
 
-    # ---- candidate side: cell + codes, shuffle-free ----
-    c0 = spread_for_compute(
+    def _seq_self_dot(V) -> "np.ndarray":
+        acc = np.zeros(V.shape[0], dtype=np.float64)
+        for i in range(V.shape[1]):
+            acc = acc + V[:, i] * V[:, i]
+        return acc
+
+    def _negcos(V) -> "np.ndarray":
+        nv = np.sqrt(_seq_self_dot(V))
+        out = np.empty((V.shape[0], n_cells), dtype=np.float64)
+        for c in range(n_cells):
+            out[:, c] = -(_seq_dot(V, cent_mat[c]) / (nv * cent_norms[c]))
+        return out
+
+    def _pq_dists(V, m) -> "np.ndarray":
+        sub = V[:, m * d : (m + 1) * d]
+        ssq = _seq_self_dot(sub)
+        out = np.empty((V.shape[0], cb_mats[m].shape[0]), dtype=np.float64)
+        for j in range(cb_mats[m].shape[0]):
+            out[:, j] = ssq - 2.0 * _seq_dot(sub, cb_mats[m][j]) + cb_sq_arr[m][j]
+        return out
+
+    def encode_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _rows_mat(pdf["__v"])
+            cell = cent_id_arr[np.argmin(_negcos(V), axis=1)]
+            codes = np.column_stack(
+                [np.argmin(_pq_dists(V, m), axis=1) for m in range(m_subspaces)]
+            ).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "cell": cell.astype(np.int32),
+                    "__codes": list(codes),
+                }
+            )
+
+    def lut_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _rows_mat(pdf["__qv"])
+            negcos = _negcos(V)
+            # stable argsort == (negcos ASC, cid ASC): probe cells
+            probe_idx = np.argsort(negcos, axis=1, kind="stable")[:, :probes]
+            luts = np.stack(
+                [_pq_dists(V, m) for m in range(m_subspaces)], axis=1
+            )  # n x M x n_codes
+            out_q, out_cell, out_lut = [], [], []
+            for r in range(V.shape[0]):
+                lut_r = list(luts[r])
+                for cidx in probe_idx[r]:
+                    out_q.append(pdf["query_id"].values[r])
+                    out_cell.append(int(cent_id_arr[cidx]))
+                    out_lut.append(lut_r)
+            yield pd.DataFrame(
+                {"query_id": out_q, "cell": out_cell, "__lut": out_lut}
+            )
+
+    id_field = candidates.select(F.col(id_col)).schema.fields[0]
+    id_type = id_field.dataType.simpleString()
+
+    # ---- candidate side: cell + codes, shuffle-free Arrow kernel ----
+    cand_enc = spread_for_compute(
         candidates.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
         )
-    ).select("neighbor_id", "__v", norm(F.col("__v")).alias("__nv"))
-    c1 = staged_subs(c0, "__v", "__s")
-    code_cols = [
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(sub_dist("__s", m, j).alias("dist"), F.lit(j).alias("j"))
-                    for j in range(len(codebooks[m]))
-                ]
-            )
-        )["j"]
-        for m in range(m_subspaces)
-    ]
-    cand_enc = c1.select(
-        "neighbor_id",
-        F.array_min(cell_choices(F.col("__v"), F.col("__nv")))["cid"].alias("cell"),
-        F.array(*code_cols).alias("__codes"),
+    ).mapInPandas(
+        encode_batches,
+        schema=f"neighbor_id {id_type}, cell int, __codes array<int>",
     )
 
     # ---- query side: LUT + probed cells, broadcast ----
-    q0 = queries.select(
+    q2 = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).select("query_id", "__qv", norm(F.col("__qv")).alias("__qn"))
-    q1 = staged_subs(q0, "__qv", "__qs")
-    lut = F.array(
-        *[
-            F.array(*[sub_dist("__qs", m, j) for j in range(len(codebooks[m]))])
-            for m in range(m_subspaces)
-        ]
-    )
-    probed = F.slice(
-        F.array_sort(cell_choices(F.col("__qv"), F.col("__qn"))), 1, probes
-    )["cid"]
-    q2 = q1.select(
-        "query_id", lut.alias("__lut"), F.explode(probed).alias("cell")
+    ).mapInPandas(
+        lut_batches,
+        schema=f"query_id {id_type}, cell int, __lut array<array<double>>",
     )
 
     pairs = (
@@ -646,15 +678,13 @@ def ivf_pq_topk(
         .join(cand_enc, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("__lut"),
-            F.col("__codes"),
-            lambda l, c: F.element_at(l, c + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # ADC: same ascending-m chain as the oracle's list_reduce fold
+    adc = F.lit(0.0)
+    for m in range(m_subspaces):
+        adc = adc + F.element_at(
+            F.element_at(F.col("__lut"), m + 1),
+            F.element_at(F.col("__codes"), m + 1) + F.lit(1),
+        )
     scored = pairs.select("query_id", "neighbor_id", adc.alias("__adc"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("__adc").asc(), F.col("neighbor_id")
