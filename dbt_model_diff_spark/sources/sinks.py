@@ -83,6 +83,58 @@ def read_jsonl(
     return reader.json(path)
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    target_rows_per_file: int | None = None,
+    order_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ``target_files`` files (or
+    ``ceil(rows / target_rows_per_file)``) — the small-file compaction
+    every long-running ingest needs: streaming sinks and fine-grained
+    partitioned writes accumulate thousands of KB-sized files whose
+    open/footer cost eventually dominates scans.
+
+    With ``order_by`` the rewrite is range-partitioned + sorted on those
+    columns (``repartitionByRange`` + ``sortWithinPartitions``), giving
+    each output file a tight min/max zone on the sort keys — scans
+    filtering on them then skip whole files via parquet row-group stats,
+    the same data-skipping economics as ``functions/layout.py``'s
+    Z-order but for a single sort dimension.
+
+    The rewrite goes through a temp sibling directory + atomic rename,
+    so a crash mid-compaction leaves the original intact. Returns
+    (files_before, files_after).
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    if (target_files is None) == (target_rows_per_file is None):
+        raise ValueError("pass exactly one of target_files / target_rows_per_file")
+    src = Path(path)
+    before = len(list(src.rglob("*.parquet")))
+    df = spark.read.parquet(path)
+    if target_files is None:
+        n_rows = df.count()
+        target_files = max(1, -(-n_rows // int(target_rows_per_file)))
+    if order_by:
+        out = df.repartitionByRange(target_files, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        out = df.repartition(target_files)
+    tmp = Path(tempfile.mkdtemp(prefix=f".{src.name}_compact_", dir=src.parent))
+    out.write.mode("overwrite").parquet(str(tmp))
+    old = src.parent / f".{src.name}_precompact"
+    src.rename(old)
+    tmp.rename(src)
+    shutil.rmtree(old)
+    after = len(list(src.rglob("*.parquet")))
+    return before, after
+
+
 def write_orc(
     df: DataFrame,
     path: str,

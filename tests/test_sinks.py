@@ -142,3 +142,45 @@ def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
     )
     # ORC scans get the same predicate pushdown + pruning as parquet
     assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_compact_files_reduces_and_preserves(spark, sf_dir, tmp_path):
+    """Small-file compaction: 40 tiny files -> 4, rows byte-identical,
+    and the sorted variant gives each output file a disjoint key range
+    (the file-skipping precondition)."""
+    path = str(tmp_path / "shredded")
+    e = read_table(spark, sf_dir, "events").select("event_id", "value")
+    e.repartition(40).write.parquet(path)
+
+    before, after = sinks.compact_files(spark, path, target_files=4)
+    assert before == 40 and after == 4
+    back = spark.read.parquet(path)
+    assert back.count() == e.count()
+    assert back.agg(F.sum("event_id")).first()[0] == e.agg(F.sum("event_id")).first()[0]
+
+    # sorted compaction: per-file event_id ranges must not overlap
+    sinks.compact_files(spark, path, target_files=4, order_by=["event_id"])
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        stats = spark.read.parquet(f).agg(
+            F.min("event_id"), F.max("event_id")
+        ).first()
+        ranges.append((stats[0], stats[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+
+def test_compact_files_rows_per_file_and_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    spark.range(1000).write.parquet(path)
+    _, after = sinks.compact_files(spark, path, target_rows_per_file=300)
+    assert after == 4  # ceil(1000/300)
+    with _pytest.raises(ValueError):
+        sinks.compact_files(spark, path)
+    with _pytest.raises(ValueError):
+        sinks.compact_files(spark, path, target_files=2, target_rows_per_file=10)
