@@ -116,12 +116,25 @@ def ivf_topk(
        given — an explicit centroid set makes the whole result a
        deterministic function of the input, which is what the DuckDB
        oracle for ``knn_ivf`` replays.
-    2. Assign every candidate to its nearest centroid (broadcast pass —
-       at 100 TB this is the only full scan, and it's shuffle-free).
-    3. For each query, compute its ``probes`` nearest centroids, search
-       only those cells.
+    2. Assign every candidate to its nearest centroid. Round 5: this is
+       an Arrow numpy kernel (mapInPandas), not the
+       crossJoin-times-k_centroids + per-row window it used to be — the
+       old shape shuffled the WHOLE corpus on the row id for a rank-1
+       window and evaluated interpreted HOF folds per (row, centroid)
+       pair (8.9 s at sf0.1 vs brute force's 0.6 s). The kernel is
+       row-vectorized, dimension-sequential (fold-order-preserving, see
+       the _np_* helpers), shuffle-free, and bit-identical to the
+       window formulation — the knn_ivf oracle is unchanged.
+    3. For each query, compute its ``probes`` nearest centroids (the
+       window path is fine there — queries are few), search only those
+       cells.
     Recall < 1.0 by construction; brute_force_topk is the ground truth.
     """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     if centroids is not None:
         cent_df = centroids.select("centroid_id", "cvec")
     else:
@@ -160,15 +173,37 @@ def ivf_topk(
             .select(*df.columns, F.col("centroid_id").alias(out))
         )
 
-    cand_cells = nearest(
-        spread_for_compute(
-            candidates.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    cent_rows = cent_df.orderBy("centroid_id").collect()
+    cent_id_arr = np.array([int(r["centroid_id"]) for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array(
+        [[float(x) for x in r["cvec"]] for r in cent_rows], dtype=np.float64
+    )
+    cent_norms = np.array(
+        [math.sqrt(py_dot(r["cvec"], r["cvec"])) for r in cent_rows],
+        dtype=np.float64,
+    )
+
+    def cell_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_rows(pdf["__cv"])
+            cell = cent_id_arr[np.argmin(_np_negcos(V, cent_mat, cent_norms), axis=1)]
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "__cv": pdf["__cv"].values,
+                    "cell": cell,
+                }
             )
-        ),
-        "__cv",
-        "cell",
-        1,
+
+    cand_in = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    id_type = cand_in.schema["neighbor_id"].dataType.simpleString()
+    vec_type = cand_in.schema["__cv"].dataType.simpleString()
+    cand_cells = spread_for_compute(cand_in).mapInPandas(
+        cell_batches, schema=f"neighbor_id {id_type}, __cv {vec_type}, cell long"
     )
     query_cells = nearest(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
@@ -476,6 +511,53 @@ def py_dot(a, b) -> float:
     for x, y in zip(a, b):
         s = s + float(x) * float(y)
     return s
+
+
+# ---------------------------------------------------------------------------
+# Arrow-kernel helpers shared by ivf_topk / ivf_pq_topk: numpy, vectorized
+# ACROSS ROWS but accumulated SEQUENTIALLY OVER DIMENSIONS — one elementwise
+# float64 op per dimension — so every per-row sum keeps the exact
+# ((0+t1)+t2)+... association of dot()'s fold and DuckDB's list_dot_product,
+# and np.argmin's first-occurrence rule matches (value ASC, index ASC)
+# tie-breaks. Bit-for-bit oracle-equal at ~100x less overhead than
+# interpreted higher-order functions (which never enter codegen).
+# ---------------------------------------------------------------------------
+
+
+def _np_rows(series):
+    import numpy as np
+
+    return np.stack([np.asarray(x, dtype=np.float64) for x in series])
+
+
+def _np_seq_dot(V, col):
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for i in range(V.shape[1]):
+        acc = acc + V[:, i] * col[i]
+    return acc
+
+
+def _np_seq_self_dot(V):
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for i in range(V.shape[1]):
+        acc = acc + V[:, i] * V[:, i]
+    return acc
+
+
+def _np_negcos(V, cent_mat, cent_norms):
+    """-cosine(row, centroid c) for every (row, c); argmin along axis 1
+    is then argmax-cosine with the lower-centroid tie-break."""
+    import numpy as np
+
+    nv = np.sqrt(_np_seq_self_dot(V))
+    out = np.empty((V.shape[0], cent_mat.shape[0]), dtype=np.float64)
+    for c in range(cent_mat.shape[0]):
+        out[:, c] = -(_np_seq_dot(V, cent_mat[c]) / (nv * cent_norms[c]))
+    return out
 
 
 def ivf_pq_topk(

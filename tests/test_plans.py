@@ -324,3 +324,13 @@ def test_cross_doc_chunk_dedup_reused_exchange_no_window(spark, sf_dir):
     # so it contributes one spurious substring match)
     reused = final.count("ReusedExchange")
     assert final.count("Exchange hashpartitioning") - reused == 2, final
+
+
+def test_ivf_candidate_assignment_shuffle_free(spark, sf_dir):
+    """ivf_topk's candidate->cell assignment must be the Arrow kernel
+    (MapInPandas), never the crossJoin + rank-1 window that exchanged
+    the whole corpus on the row id: the only exchanges left are the
+    tiny query-side probe window and the final per-query top-k."""
+    plan = _executed_plan(QUERIES["knn_ivf"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
