@@ -1752,17 +1752,32 @@ def approx_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     1% of the exact median — deterministic booleans, since Spark's HLL++
     and t-digest are hash-seeded, not random. The exact aggregates here
     exist only to bound the sketch error for the oracle; the scale path
-    is the approx-only profile in operators/profile.py."""
+    is the approx-only profile in operators/profile.py.
+
+    Plan note (round-5 sweep finding): mixing DISTINCT aggregates with
+    percentile_approx in ONE agg routes the quantile sketch through the
+    multi-distinct Expand and took 8-11 s at sf0.1; as distinct-free
+    branches cross-joined as one-row frames it's ~2 s. The approx
+    branch alone (count + HLLs + quantile sketch, one scan, no Expand)
+    is the actual 100 TB shape; the exact branches exist only for the
+    oracle bound."""
     o = read_table(spark, sf_dir, "orders")
-    a = o.agg(
+    approx = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("and_ck"),
         F.approx_count_distinct("o_totalprice", rsd=0.02).alias("and_tp"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("amed"),
-        F.countDistinct("o_custkey").alias("nd_ck"),
-        F.countDistinct("o_totalprice").alias("nd_tp"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
     )
+    nd_ck = (
+        o.select("o_custkey").distinct().agg(F.count(F.lit(1)).alias("nd_ck"))
+    )
+    nd_tp = (
+        o.select("o_totalprice")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("nd_tp"))
+    )
+    med = o.agg(F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+    a = approx.crossJoin(nd_ck).crossJoin(nd_tp).crossJoin(med)
     return a.select(
         "n_rows",
         (F.abs(F.col("and_ck") - F.col("nd_ck")) <= 0.05 * F.col("nd_ck")).alias(

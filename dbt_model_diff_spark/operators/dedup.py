@@ -293,9 +293,17 @@ def connected_components(
     (GraphX's connectedComponents does the same under the hood). Exceeding
     ``max_iters`` raises — fail-loud like the streaming drain guard.
     """
-    edges = pairs.select(
-        F.col(left).alias("src"), F.col(right).alias("dst")
-    ).union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))).distinct()
+    # Materialize the edge set ONCE: every iteration joins against it,
+    # and without the pin each join (plus the convergence count) would
+    # re-derive the whole upstream candidate pipeline — shingles ->
+    # minhash -> LSH -> verify — per iteration. The graph is pair-scale
+    # (<< corpus), so the checkpoint is small by construction.
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -309,21 +317,20 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("dst", "node")
         )
+        # the convergence flag rides the SAME checkpointed frame — the
+        # old shape re-joined new labels against old ones per iteration
+        # (an extra shuffle + job each round) just to count changes
         new_labels = (
             labels.join(nbr_min, on="node", how="left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             return labels
     raise RuntimeError(
