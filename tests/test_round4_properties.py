@@ -200,3 +200,64 @@ def test_budget_select_matches_serial_replay(spark, rows, budget, buckets):
         if acc <= budget:
             expect[i] = acc
     assert got == expect
+
+
+VEC_CORPUS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-4.0, max_value=4.0, allow_nan=False, width=32
+        ),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=3,
+    max_size=12,
+    unique_by=tuple,
+)
+
+
+@settings(**_SETTINGS)
+@given(vecs=VEC_CORPUS)
+def test_ivf_pq_exact_when_codebook_saturated(spark, vecs):
+    """PQ exactness property: when the per-subspace codebooks contain
+    EVERY candidate sub-vector (codebooks built from all candidates) and
+    all cells are probed, each candidate encodes to a codeword equal to
+    itself, so the ADC distance IS the exact squared L2 distance and
+    IVF-PQ must return exactly the exact-L2 top-k ranking."""
+    from dbt_model_diff_spark.operators.similarity import ivf_pq_topk, py_dot
+
+    # non-zero vectors only (cosine cell assignment divides by the norm)
+    vecs = [v for v in vecs if any(x != 0.0 for x in v)]
+    if len(vecs) < 2:
+        return
+    data = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in data[:2]], ["centroid_id", "cvec"]
+    )
+    # saturated codebooks: every candidate's sub-vector, both subspaces
+    cbs = [[list(map(float, v[m * 2 : (m + 1) * 2])) for _, v in data] for m in range(2)]
+
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            df.filter("vec_id = 0"),
+            df,
+            k=len(data),
+            probes=2,
+            m_subspaces=2,
+            centroids=cents,
+            codebooks=cbs,
+        ).collect()
+    ]
+    q = [float(x) for x in vecs[0]]
+    exact = sorted(
+        (
+            sum((a - b) * (a - b) for a, b in zip(q, [float(x) for x in v])),
+            i,
+        )
+        for i, v in data
+        if i != 0
+    )
+    expect = [(0, rank + 1, i) for rank, (_, i) in enumerate(exact)]
+    assert sorted(got) == sorted(expect)
