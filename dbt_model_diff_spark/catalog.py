@@ -1923,6 +1923,41 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bloom_pruned_lineitem",
+    """
+SELECT l.l_returnflag, count(*) AS n_items,
+       CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY l.l_returnflag
+""",
+)
+def join_bloom_pruned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact join (`operators/bloom.py`): lineitem rows are
+    pre-filtered by a 2^20-bit/5-hash Bloom bitset of the high-value
+    order keys BEFORE the join's exchange — the explicit form of
+    Spark's runtime row-level filters, for the 100 TB case where the
+    key side outgrows broadcast but its bitset doesn't. False positives
+    only make the pruning conservative (the exact join removes them),
+    so the result is bit-identical to the plain join and the oracle
+    needs no bloom model. Pruning effectiveness and the all-builtin
+    probe plan are pytest-asserted (tests/test_skew.py)."""
+    from dbt_model_diff_spark.operators.bloom import bloom_pruned_join
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    out = bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions batch 4: TPC-H query shapes Q4/Q5/Q12/Q14/Q17 adapted to the
 # driver's column subset — correlated EXISTS, 6-table join, conditional
@@ -4428,9 +4463,10 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # never driver-certified — r4 overflow + new-in-r5, certify first (10)
+    # never driver-certified — r4 overflow + new-in-r5, certify first (11)
     "knn_ivf_pq",
     "orc_roundtrip_orders",
+    "join_bloom_pruned_lineitem",
     "source_mixture_weights",
     "dedup_prioritized_sources",
     "epoch_shuffle_documents",
@@ -4469,8 +4505,8 @@ _DRIVER_PRIORITY = [
     "stream_sessionize",
     "stream_running_max",
     "stream_click_attribution",
-    # newest driver row r3 — TPC-H block (14; q11+q12 slip to the r6
-    # window with the other low-churn SQL re-certs)
+    # newest driver row r3 — TPC-H block (13; q11+q12+q20 slip to the
+    # r6 window with the other low-churn SQL re-certs)
     "q2_min_retail_parts",
     "q4_priority_with_returns",
     "q5_local_supplier_volume",
@@ -4483,7 +4519,6 @@ _DRIVER_PRIORITY = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q20_excess_stock_suppliers",
     "q21_sole_problem_supplier",
 ]
 

@@ -68,3 +68,58 @@ def test_salted_join_left_outer(spark):
     out = skew.salted_join(left, right, on=["k"], salt=4, how="left")
     rows = sorted(tuple(r) for r in out.collect())
     assert rows == [(1, "a", 10.0), (1, "a", 11.0), (2, "b", None), (3, "c", None)]
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Bloom invariants: every true member passes the probe (no false
+    negatives, ever), non-members are overwhelmingly pruned at the
+    design density, and the pruned join equals the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators import bloom
+
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    fact = spark.range(0, 100_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 7).alias("v")
+    )
+    b = F.broadcast(bloom.build_bloom(keys, "k"))
+    probed = fact.crossJoin(b).filter(
+        bloom.bloom_might_contain(F.col("fk"), F.col("__bloom"))
+    )
+    n_members = probed.filter(F.col("fk") < 2000).count()
+    assert n_members == 2000  # zero false negatives
+    survivors = probed.count()
+    # 2k keys x 5 hashes in 2^20 bits -> ~1e-5 FP rate; allow slack
+    assert survivors - 2000 < 100
+
+    got = sorted(
+        (r["fk"], r["v"])
+        for r in bloom.bloom_pruned_join(fact, keys, "fk", "k").select("fk", "v").collect()
+    )
+    assert got == [(i, i % 7) for i in range(2000)]
+
+
+def test_bloom_probe_is_builtin_scan_filter(spark):
+    """The probe must stay pure codegen (no UDF, no extra exchange): a
+    broadcast of the one-row bitset and a Filter over the fact scan."""
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators import bloom
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    fact = spark.range(0, 1000).select(F.col("id").alias("fk"))
+    b = F.broadcast(bloom.build_bloom(keys, "k"))
+    probed = fact.crossJoin(b).filter(
+        bloom.bloom_might_contain(F.col("fk"), F.col("__bloom"))
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitset broadcast
+    # the only data exchange belongs to the bitset BUILD (word-level
+    # bit_or over <= n_bits/64 rows); the fact side itself never shuffles
+    exchanges = [
+        seg.splitlines()[0]
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert all(seg.startswith("w#") for seg in exchanges), plan
+    for bad in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
