@@ -81,9 +81,15 @@ def main() -> None:
         # distributed prefix-sum selection and one-scan decimal moments
         "budget_select_documents",
         "stats_moments_lineitem",
-        # round-5 addition: product-quantized ANN (literal codebooks,
-        # shuffle-free encode, broadcast LUTs)
+        # round-5 additions: product-quantized ANN, kernel-assigned IVF,
+        # the Expand-free approx profile, checkpoint-pinned components,
+        # Bloom-pruned fact join, ORC round-trip
         "knn_ivf_pq",
+        "knn_ivf",
+        "approx_profile_orders",
+        "dedup_components",
+        "join_bloom_pruned_lineitem",
+        "orc_roundtrip_orders",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 
