@@ -4010,6 +4010,77 @@ def dedup_cross_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_normalize_documents",
+    r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           lower(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+           '[ \t\r\n]+', ' ', 'g')) AS text_norm,
+         text
+  FROM documents
+)
+SELECT doc_id, md5(text_norm) AS norm_md5,
+       CAST(length(text_norm) AS BIGINT) AS norm_len,
+       text_norm <> text AS norm_changed
+FROM n
+""",
+)
+def text_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text normalization (`textops.normalize_text`):
+    control-char strip -> lowercase -> whitespace collapse + trim, all
+    codegen'd regex/string built-ins (Spark regexp_replace is global by
+    default; the oracle passes the 'g' flag). Surfaced as the md5 and
+    length of the normalized text plus the changed flag, so the row
+    compare is rendering-proof."""
+    out = textops.normalize_text(read_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_norm")).alias("norm_md5"),
+        F.length("text_norm").cast("bigint").alias("norm_len"),
+        "norm_changed",
+    )
+
+
+@register(
+    "dedup_impact_report",
+    """
+WITH h AS (
+  SELECT source, doc_id, md5(text) AS h,
+         len(string_split(text, ' ')) AS toks
+  FROM documents
+),
+w AS (SELECT h, min(doc_id) AS doc_id FROM h GROUP BY h),
+kept AS (SELECT a.* FROM h a JOIN w ON w.h = a.h AND w.doc_id = a.doc_id),
+b AS (
+  SELECT source, count(*) AS docs_before,
+         CAST(sum(toks) AS BIGINT) AS tokens_before
+  FROM h GROUP BY source
+),
+a2 AS (
+  SELECT source, count(*) AS docs_after,
+         CAST(sum(toks) AS BIGINT) AS tokens_after
+  FROM kept GROUP BY source
+)
+SELECT b.source, docs_before,
+       coalesce(docs_after, 0) AS docs_after,
+       tokens_before,
+       coalesce(tokens_after, 0) AS tokens_after,
+       CAST(docs_before - coalesce(docs_after, 0) AS DOUBLE)
+         / CAST(docs_before AS DOUBLE) AS removed_doc_frac
+FROM b LEFT JOIN a2 ON a2.source = b.source
+""",
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup audit (`textops.dedup_impact_report`): docs and
+    tokens before/after exact content dedup with cross-source duplicates
+    charged to the losing sources — the report that re-balances mixture
+    weights after collapse. Exact-integer counts + one final double
+    division per row, engine-portable."""
+    return textops.dedup_impact_report(read_table(spark, sf_dir, "documents"))
+
+
+@register(
     "source_mixture_weights",
     """
 WITH ps AS (
@@ -4463,10 +4534,12 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # never driver-certified — r4 overflow + new-in-r5, certify first (11)
+    # never driver-certified — r4 overflow + new-in-r5, certify first (13)
     "knn_ivf_pq",
     "orc_roundtrip_orders",
     "join_bloom_pruned_lineitem",
+    "text_normalize_documents",
+    "dedup_impact_report",
     "source_mixture_weights",
     "dedup_prioritized_sources",
     "epoch_shuffle_documents",
@@ -4505,9 +4578,8 @@ _DRIVER_PRIORITY = [
     "stream_sessionize",
     "stream_running_max",
     "stream_click_attribution",
-    # newest driver row r3 — TPC-H block (13; q11+q12+q20 slip to the
-    # r6 window with the other low-churn SQL re-certs)
-    "q2_min_retail_parts",
+    # newest driver row r3 — TPC-H block (11; q2+q11+q12+q15+q20 slip
+    # to the r6 window with the other low-churn SQL re-certs)
     "q4_priority_with_returns",
     "q5_local_supplier_volume",
     "q6_revenue_delta",
@@ -4516,7 +4588,6 @@ _DRIVER_PRIORITY = [
     "q9_product_profit_by_nation",
     "q10_returned_revenue_by_customer",
     "q14_promo_revenue_share",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q21_sole_problem_supplier",

@@ -405,3 +405,92 @@ def corpus_frequency_score(
             / F.count(F.lit(1)).cast("double")
         ).alias("rare_frac"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Deterministic text normalization — the first pass of every
+    curation pipeline (before dedup hashing, so trivially-different
+    copies of the same content collide): lowercase, strip C0/C1 control
+    characters, collapse whitespace runs to single spaces, and trim.
+
+    Deliberately ASCII-transparent and regex-only: Unicode NFC/NFKC
+    folding needs ICU (a Python UDF here), and half its value is
+    codec-dependent — pipelines that need it should normalize at ingest.
+    Everything below is codegen'd regexp_replace/lower/trim — zero
+    shuffles, zero UDFs, and each rule is expressible verbatim in any
+    RE2/PCRE SQL twin.
+
+    Emits the original frame plus ``out_col`` and ``norm_changed`` (did
+    normalization alter the text — the curation report signal).
+    """
+    c = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    if lowercase:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, "[ \\t\\r\\n]+", " "))
+    return df.withColumn(out_col, c).withColumn(
+        "norm_changed", F.col(out_col) != F.col(text_col)
+    )
+
+
+def dedup_impact_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source dedup audit: documents and whitespace tokens before
+    and after exact (content-hash) dedup, plus the removed fraction —
+    the report every corpus-curation run ships so mixture weights can
+    be re-balanced after collapse.
+
+    "After" counts a document toward its group only if it is the
+    group-agnostic canonical copy (min doc_id per distinct text,
+    matching ``dedup.exact_dedup``), so cross-source duplicates are
+    charged to the losing sources. Scale shape: one md5 window-free
+    min_by aggregation per distinct text (same skew-immune shape as
+    ``prioritized_dedup``) joined back as a semi-filter, then one
+    per-group rollup — two narrow shuffles total.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))
+    hashed = df.select(
+        group_col,
+        F.col(text_col),
+        toks.alias("__toks"),
+        F.md5(F.col(text_col).cast("string")).alias("__h"),
+        F.col("doc_id"),
+    )
+    winners = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    kept = hashed.join(winners, on=["__h", "doc_id"], how="left_semi")
+    before = hashed.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("__toks").alias("tokens_before"),
+    )
+    after = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("docs_after"),
+        F.sum("__toks").alias("tokens_after"),
+    )
+    return (
+        before.join(after, on=group_col, how="left")
+        .select(
+            group_col,
+            "docs_before",
+            F.coalesce("docs_after", F.lit(0)).alias("docs_after"),
+            "tokens_before",
+            F.coalesce("tokens_after", F.lit(0)).alias("tokens_after"),
+            (
+                (F.col("docs_before") - F.coalesce("docs_after", F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("docs_before").cast("double")
+            ).alias("removed_doc_frac"),
+        )
+    )

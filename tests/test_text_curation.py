@@ -211,3 +211,44 @@ def test_source_mixture_weights(spark):
     assert out["small"]["temp_weight"] == pytest.approx(math.sqrt(0.2))
     assert out["small"]["boost"] == pytest.approx(1 / math.sqrt(0.2))
     assert out["small"]["boost"] > out["big"]["boost"]
+
+
+def test_normalize_text_rules(spark):
+    from dbt_model_diff_spark.operators.textops import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\t\tWORLD \n line\x07two  "),
+            (2, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text_norm"] == "hello world linetwo"
+    assert out[1]["norm_changed"] is True
+    assert out[2]["text_norm"] == "already clean"
+    assert out[2]["norm_changed"] is False
+    # opt-outs
+    keep = normalize_text(df, lowercase=False, collapse_whitespace=False,
+                          strip_control=False).collect()
+    assert all(r["text_norm"] == r["text"] for r in keep)
+
+
+def test_dedup_impact_report_charges_losers(spark):
+    from dbt_model_diff_spark.operators.textops import dedup_impact_report
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "wiki"),     # canonical (min doc_id)
+            (1, "a b c", "crawl"),    # loser: charged to crawl
+            (2, "d e", "crawl"),
+            (3, "a b c", "crawl"),    # loser
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in dedup_impact_report(df).collect()}
+    assert out["wiki"]["docs_before"] == 1 and out["wiki"]["docs_after"] == 1
+    assert out["crawl"]["docs_before"] == 3 and out["crawl"]["docs_after"] == 1
+    assert out["crawl"]["tokens_before"] == 8 and out["crawl"]["tokens_after"] == 2
+    assert abs(out["crawl"]["removed_doc_frac"] - 2 / 3) < 1e-12
+    assert out["wiki"]["removed_doc_frac"] == 0.0
