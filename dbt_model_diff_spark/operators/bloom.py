@@ -8,8 +8,8 @@ threshold, so Spark plans a shuffle join of everything. A Bloom filter of
 the key set, however, is a few MB regardless of key count (16 bits/key
 at ~0.04% false-positive for k=8), and CAN ship to every fact task. The
 fact scan then drops non-matching rows BEFORE the exchange; only
-survivors (true matches + the tiny false-positive remainder) shuffle, and the
-exact join finishes the job — false positives make the pruning
+survivors (true matches + the tiny false-positive remainder) shuffle, and
+the exact join finishes the job — false positives make the pruning
 conservative, never wrong, so the result is bit-identical to the plain
 join and a SQL oracle needs no bloom model at all.
 
@@ -19,37 +19,47 @@ planner heuristics and with no API surface in PySpark (`might_contain`
 is not a public function); this operator makes the pattern explicit,
 deterministic, and available to any pipeline stage.
 
-Everything is built-in expressions — no UDFs:
+Shapes that were tried and REJECTED (measured at sf0.1, 600k fact rows):
 
-- build: per key, ``n_hashes`` bit positions ``pmod(xxhash64(key, i),
-  n_bits)``; explode to (word, mask) pairs and ``bit_or`` them into
-  ``n_bits/64`` longs (a shuffle of at most ``words`` rows after
-  map-side combine).
-- ship: the word array travels as DATA in a one-row broadcast frame
-  (never as a 16k-literal expression tree — see the IVF-PQ unrolled-
-  chain lesson in SURVEY §9).
-- probe: per fact row, AND together ``element_at(bitset, word+1) &
-  mask != 0`` over the ``n_hashes`` positions — pure codegen.
+- one-row crossJoin ship of an array<long> bitset: the join copies the
+  131 KB array into every fact row's output buffer — 16.6 s.
+- `F.lit(list_of_16k_longs)`: builds a 16k-child CreateArray the
+  optimizer crawls rule-by-rule — planning-dominated, just as slow.
+- densifying the bitset with map_from_entries + 16k element_at lookups:
+  Spark map literals are UNSORTED arrays, so each lookup is a linear
+  scan — the build alone took 15.9 s.
+
+The shipped shape: the distributed part aggregates bit positions into
+at most ``n_bits/64`` (word, bit_or) rows — the only thing bounded by
+key count is map-side combine input, never driver traffic — which the
+driver packs into a single BINARY literal (one Literal node, 128 KB at
+2^20 bits, shared by codegen, never copied per row). The probe extracts
+one byte per hash (substring -> hex -> conv) and tests the bit with
+``bit_get`` — pure built-in expressions, fused into the fact scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import struct
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def build_bloom(
     keys: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 5
-) -> DataFrame:
-    """Aggregate a key column into a one-row Bloom bitset frame
-    (``__bloom``: array<long> of ``n_bits/64`` words, missing words
-    zero-filled). ``n_bits`` must be a multiple of 64."""
+) -> bytes:
+    """Aggregate a key column into a packed little-endian Bloom bitset
+    (``n_bits/8`` bytes; bit ``p`` lives at ``byte[p // 8] & (1 << (p %
+    8))``). The driver receives at most ``n_bits/64`` sparse words —
+    bounded by the bitset size, never by the key count."""
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
-    words = n_bits // 64
     k = F.col(key_col)
     pos = F.explode(
-        F.array(*[F.pmod(F.xxhash64(k, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)])
+        F.array(
+            *[F.pmod(F.xxhash64(k, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)]
+        )
     ).alias("p")
     word_masks = (
         keys.select(pos)
@@ -62,31 +72,27 @@ def build_bloom(
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("m"))
     )
-    # dense word array: scatter the (word, mask) rows into position via
-    # map_from_entries + element_at over a full index range — one tiny
-    # aggregation (<= `words` rows reach the driver side of the plan,
-    # never the keys themselves)
-    return word_masks.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("__m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(words - 1)),
-            lambda i: F.coalesce(F.element_at("__m", i), F.lit(0).cast("long")),
-        ).alias("__bloom")
-    )
+    buf = bytearray(n_bits // 8)
+    for r in word_masks.collect():
+        struct.pack_into("<q", buf, r["w"] * 8, r["m"])
+    return bytes(buf)
 
 
 def bloom_might_contain(
-    col, bloom_col, n_bits: int = 1 << 20, n_hashes: int = 5
-):
+    col: Column, bitset: bytes, n_bits: int = 1 << 20, n_hashes: int = 5
+) -> Column:
     """Probe predicate: True if ``col`` is possibly in the set (always
     True for real members; false positives at the bitset's design rate).
-    Pure built-in expressions — fuses into the scan stage."""
+    The bitset enters the plan as ONE binary literal; per hash the probe
+    reads a single byte and tests one bit — pure built-in expressions
+    that fuse into the scan stage."""
+    lit_bits = F.lit(bytearray(bitset))
     tests = []
     for i in range(n_hashes):
         p = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
-        word = F.element_at(bloom_col, (p / 64).cast("int") + 1)
-        tests.append(F.bit_get(word, (p % 64).cast("int")) == 1)
+        byte = F.substring(lit_bits, (p / 8).cast("int") + 1, 1)
+        val = F.conv(F.hex(byte), 16, 10).cast("int")
+        tests.append(F.bit_get(val, (p % 8).cast("int")) == 1)
     out = tests[0]
     for t in tests[1:]:
         out = out & t
@@ -106,8 +112,8 @@ def bloom_pruned_join(
     exchange. Result is exactly the plain inner join (the exact join
     removes false positives), so oracles/compare against the plain join
     directly."""
-    bloom = F.broadcast(build_bloom(keys, key_col, n_bits, n_hashes))
-    pruned = fact.crossJoin(bloom).filter(
-        bloom_might_contain(F.col(fact_key), F.col("__bloom"), n_bits, n_hashes)
-    ).drop("__bloom")
+    bitset = build_bloom(keys, key_col, n_bits, n_hashes)
+    pruned = fact.filter(
+        bloom_might_contain(F.col(fact_key), bitset, n_bits, n_hashes)
+    )
     return pruned.join(keys, pruned[fact_key] == keys[key_col])
