@@ -296,14 +296,30 @@ def connected_components(
     # Materialize the edge set ONCE: every iteration joins against it,
     # and without the pin each join (plus the convergence count) would
     # re-derive the whole upstream candidate pipeline — shingles ->
-    # minhash -> LSH -> verify — per iteration. The graph is pair-scale
-    # (<< corpus), so the checkpoint is small by construction.
+    # minhash -> LSH -> verify — per iteration, multiplying the
+    # pipeline's cost (the dominant cost of the whole operator at
+    # scale: ~20 s of hashing at a 30x probe vs ~1 s for the label
+    # loop) by 2 x iterations. persist+count rather than
+    # localCheckpoint so the materialization keeps the AQE planning
+    # path (checkpointing routes through non-AQE df.rdd; measured
+    # equal here, but the cache also lets equivalent downstream frames
+    # cache-hit). The graph is pair-scale (<< corpus), so the cache is
+    # small by construction; callers get label frames whose lineage is
+    # cut from it (see below), and the cache is dropped before
+    # returning.
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
         .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    edges.count()  # materialize under AQE
+    # labels DO use localCheckpoint: each iteration's frame derives from
+    # the previous one, so without truncation the plan deepens every
+    # round; their lineage above the cut is just cached-edges + one
+    # join, so the non-AQE materialization penalty doesn't apply.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -332,7 +348,11 @@ def connected_components(
         changed = new_labels.filter(F.col("__chg")).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
+            # safe to drop: labels is a checkpointed RDD, independent
+            # of the edge cache
+            edges.unpersist()
             return labels
+    edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} iterations"
     )
