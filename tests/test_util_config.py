@@ -93,6 +93,25 @@ def test_parse_relation_name():
         parse_relation_name("")
 
 
+def test_catalog_query_oracle_invariants():
+    """Catalog integrity independent of the (deliberately rotation-red)
+    window test: every registered query has an oracle entry and vice
+    versa, names are unique, and the driver window names real queries.
+    VERDICT r5 task #8 — keep this green even while
+    test_driver_priority_window is red awaiting rotation."""
+    from dbt_model_diff_spark import catalog
+
+    assert set(catalog.ORACLES) == set(catalog.QUERIES)
+    assert len(catalog.QUERIES) == len(catalog.ORACLES)
+    assert len(set(catalog._DRIVER_PRIORITY)) == len(catalog._DRIVER_PRIORITY)
+    unknown = [n for n in catalog._DRIVER_PRIORITY if n not in catalog.QUERIES]
+    assert not unknown, f"_DRIVER_PRIORITY names unknown queries: {unknown}"
+    for name, fn in catalog.QUERIES.items():
+        assert callable(fn), name
+    for name, sql in catalog.ORACLES.items():
+        assert sql is None or isinstance(sql, str), name
+
+
 def test_driver_priority_window():
     """The driver verifies the first 50 registered queries in dict order.
     Guard the window's composition data-driven instead of pinning one
