@@ -1477,6 +1477,102 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle(k: int, iters: int, dim: int, threshold: float) -> str:
+    """DuckDB replay of similarity.semantic_dedup: the pinned-init k-means
+    iteration replay (same CTE chain as _kmeans_oracle), then intra-cluster
+    cosine pairs, recursive-CTE component closure, and the min-id keep rule.
+    Cosine uses list_dot_product == the engine's sequential fold, so the
+    >= threshold comparison is bit-identical on both sides."""
+    parts = [
+        "WITH RECURSIVE e AS "
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.cv), c.cluster) AS rn
+    FROM e CROSS JOIN c{i} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""u{i} AS (
+  SELECT a.cluster, g.pos,
+         CAST(sum(CAST(floor(a.v[g.pos] * 10000000.0) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 10000000.0 AS m
+  FROM a{i} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) g
+  GROUP BY a.cluster, g.pos)"""
+        )
+        parts.append(
+            f"n{i} AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM u{i} GROUP BY cluster)"
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+  SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
+  FROM c{i} p LEFT JOIN n{i} n ON n.cluster = p.cluster)"""
+        )
+    parts.append(
+        f"""fin AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.cv), c.cluster) AS rn
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1)"""
+    )
+    parts.append(
+        "nrm AS (SELECT vec_id, v, cluster,"
+        " sqrt(list_dot_product(v, v)) AS nv FROM fin)"
+    )
+    parts.append(
+        f"""p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM nrm a JOIN nrm b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= {threshold})"""
+    )
+    parts.append(
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p"
+        " UNION SELECT id_b, id_a FROM p)"
+    )
+    parts.append(
+        """reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT re.a, ed.b FROM reach re JOIN edges ed ON ed.a = re.r)"""
+    )
+    parts.append(
+        "losers AS (SELECT a AS vec_id FROM"
+        " (SELECT a, min(r) AS mr FROM reach GROUP BY a) WHERE mr <> a)"
+    )
+    final = """SELECT f.vec_id, CAST(f.cluster AS INT) AS cluster
+FROM fin f LEFT JOIN losers l ON l.vec_id = f.vec_id
+WHERE l.vec_id IS NULL"""
+    return ",\n".join(parts) + "\n" + final
+
+
+@register("semantic_dedup_embeddings", _semantic_dedup_oracle(8, 2, 64, 0.35))
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup as ONE operator (VERDICT r5 task #2):
+    pinned-init k-means (2 iterations, embeddings of vec_id 0..7) ->
+    intra-cluster cosine pairs >= 0.35 (the synthetic embeddings top out
+    near 0.44 — same calibration as embedding_near_dup) -> connected
+    components -> keep each component's min id plus all singletons.
+    Output is the surviving corpus as (vec_id, cluster). The oracle
+    replays the k-means loop iteration-by-iteration (kmeans_embedding_
+    clusters machinery) and closes the pair graph with a recursive CTE
+    (dedup_components machinery)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    init = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return similarity.semantic_dedup(emb, iters=2, threshold=0.35, init=init)
+
+
 # ---------------------------------------------------------------------------
 # Extensions batch 3: token counting + rolling-hash fingerprints, multi-level
 # aggregation (ROLLUP / CUBE / GROUPING SETS), semi/anti joins, exact
@@ -4535,6 +4631,8 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # ROUND-6 WINDOW (greedy-by-staleness, policy in
     # tests/test_util_config.py::test_driver_priority_window).
+    # Tier 0: never driver-certified (new in r6) — stalest tier.
+    "semantic_dedup_embeddings",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -4590,7 +4688,6 @@ _DRIVER_PRIORITY = [
     "stream_dedup_bounded_state",
     "quality_checks_orders",
     "merge_apply_changes_orders",
-    "pack_sequences_documents",
 ]
 
 

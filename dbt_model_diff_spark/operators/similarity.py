@@ -825,3 +825,112 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: list[list[float]] | None = None,
+    seed: int = 42,
+    n_planes: int = 0,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, find intra-cluster
+    pairs above a cosine threshold, collapse each connected component to
+    its min-id representative. Composes :func:`kmeans` with
+    ``dedup.connected_components`` as ONE operator (VERDICT r5 task #2) —
+    the standard model-based near-dup pass that shingle/minhash dedup
+    cannot express (paraphrases share no n-grams but sit close in
+    embedding space).
+
+    Returns the surviving corpus as (id, cluster): every vector that is
+    either in no near-dup pair or is its component's minimum id.
+
+    Scale shape (100 TB):
+    - Clustering is the :func:`kmeans` kernel — one shuffle-free Arrow
+      pass per iteration, driver state = k x dim floats.
+    - Pair candidates join ON THE CLUSTER KEY, never all-pairs over the
+      corpus: with k sized so clusters hold ~1/k of the data (SemDeDup
+      uses k ~ 0.01 x N at scale), the self-join's per-cluster work is
+      bounded. Both join sides share one exchange via AQE ReusedExchange
+      (identical subplans), so the assignment kernel runs once for the
+      pair stage.
+    - ``n_planes`` > 0 adds hyperplane-sign sub-buckets INSIDE each
+      cluster (join key becomes (cluster, bucket)) for corpora where even
+      1/k of the data is too wide to self-join — the same seeded family
+      as :func:`cosine_near_dup_pairs`, at the cost of cross-bucket
+      recall (pairs straddling a hyperplane). Requires ``dim``.
+    - Components run on the PAIR graph only (orders of magnitude smaller
+      than the corpus; edges persisted once inside
+      ``connected_components``); losers come back as a broadcast
+      anti-join, so the corpus is scanned, never shuffled, for the final
+      keep pass. Total corpus passes: 2 kernel scans (pairs, output) —
+      nothing corpus-sized is cached or windowed.
+
+    Determinism: pin ``init`` (like ``kmeans_embedding_clusters``) and
+    both the assignment and the pair set are exact functions of the
+    input; cosine uses the sequential-fold :func:`dot`, bit-identical to
+    DuckDB's ``list_dot_product``, so the catalog oracle replays the
+    whole operator.
+    """
+    from dbt_model_diff_spark.operators.dedup import connected_components
+
+    assigned, _, _ = kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed, init=init
+    )
+    assigned = assigned.drop("sq_dist")
+
+    join_keys = ["cluster"]
+    if n_planes > 0:
+        if dim is None:
+            raise ValueError("n_planes sub-bucketing requires dim")
+        planes = hyperplanes(seed, n_planes, dim)
+        bucket = F.lit(0).cast("long")
+        v = F.col(vec_col)
+        for p, plane in enumerate(planes):
+            d = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(d > 0, F.lit(2**p).cast("long")).otherwise(
+                F.lit(0)
+            )
+        assigned = assigned.withColumn("__bucket", bucket)
+        join_keys = ["cluster", "__bucket"]
+
+    # stage the norm in its own projection so the HOF fold materializes
+    # once per row (HOFs are not CSE'd — module docstring)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), *join_keys
+    ).withColumn("__na", norm(F.col("__va")))
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), *join_keys
+    ).withColumn("__nb", norm(F.col("__vb")))
+    pairs = (
+        a.join(b, on=join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__cos",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return assigned.select(id_col, "cluster").join(
+        F.broadcast(losers), on=id_col, how="left_anti"
+    )

@@ -275,3 +275,56 @@ def test_ivf_pq_validates_dims(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         similarity.ivf_pq_topk(df, df, m_subspaces=2)
+
+
+def test_semantic_dedup_collapses_clusters_keeps_singletons(spark):
+    """Two tight semantic families + one singleton: each family collapses
+    to its min id regardless of cluster assignment; the singleton and
+    all family reps survive with their cluster id."""
+    from dbt_model_diff_spark.operators.similarity import semantic_dedup
+
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    lone = [0.0, 0.0, 1.0, 0.0]
+    rows = [
+        (0, base_a),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, base_b),
+        (3, [0.01, 0.999, 0.0, 0.0]),   # near-dup of 2
+        (4, [0.02, 0.998, 0.0, 0.0]),   # near-dup of 2 and 3 (one component)
+        (5, lone),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(
+        df, iters=2, threshold=0.95, init=[base_a, base_b, lone]
+    )
+    out = {r["vec_id"]: r["cluster"] for r in kept.collect()}
+    assert set(out) == {0, 2, 5}
+    assert out[0] == 0 and out[2] == 1 and out[5] == 2
+
+
+def test_semantic_dedup_subbucket_guard_and_recall(spark):
+    """n_planes sub-bucketing requires dim; with buckets on, same-bucket
+    near-dups still collapse."""
+    import pytest as _pytest
+
+    from dbt_model_diff_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        semantic_dedup(df, n_planes=4, init=[[1.0, 0.0, 0.0, 0.0]])
+    kept = semantic_dedup(
+        df,
+        iters=1,
+        threshold=0.95,
+        init=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        n_planes=2,
+        dim=4,
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert 1 not in ids and {0, 2} <= ids

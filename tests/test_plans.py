@@ -334,3 +334,18 @@ def test_ivf_candidate_assignment_shuffle_free(spark, sf_dir):
     plan = _executed_plan(QUERIES["knn_ivf"](spark, sf_dir))
     assert "MapInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_semantic_dedup_cluster_join_no_allpairs_no_corpus_window(spark, sf_dir):
+    """semantic_dedup (VERDICT r5 task #2) must pair candidates by
+    joining ON THE CLUSTER KEY — never a cartesian/all-pairs over the
+    corpus — and the corpus must never pass through a Window (the keep
+    rule is a broadcast anti-join of component losers)."""
+    plan = _executed_plan(QUERIES["semantic_dedup_embeddings"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    # the pair stage is a real equi-join on cluster, Arrow-kernel assigned
+    assert "MapInPandas" in plan
+    # loser collapse broadcasts: LeftAnti must be a BroadcastHashJoin
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
