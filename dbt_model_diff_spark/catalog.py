@@ -1583,6 +1583,62 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
 
 
+def _bpe_oracle() -> str:
+    """DuckDB replay of textops.bpe_tokenize: pre-tokenize with the shared
+    regex, then a RECURSIVE CTE runs the true BPE loop — each level applies
+    the min-rank applicable merge via leftmost non-overlapping replace over
+    the SEP/TERM symbol encoding (textops.BPE_SEP docs: the in-pattern TERM
+    is the trailing boundary, so adjacent matches never share a separator).
+    Rows leave the recursion exactly when no listed pair remains."""
+    from dbt_model_diff_spark.operators.textops import BPE_TOY_MERGES
+
+    vals = ", ".join(f"({i + 1}, '{a}', '{b}')" for i, (a, b) in enumerate(BPE_TOY_MERGES))
+    return f"""
+WITH RECURSIVE m0(rank, a, b) AS (VALUES {vals}),
+merges AS (
+  SELECT rank,
+         chr(1) || a || chr(2) || chr(1) || b || chr(2) AS pat,
+         chr(1) || a || b || chr(2) AS rep
+  FROM m0),
+pt AS (
+  SELECT doc_id,
+         unnest(l) AS tok,
+         unnest(generate_series(1, len(l))) AS idx
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT}') AS l FROM documents)),
+enc AS (
+  SELECT doc_id, idx,
+         regexp_replace(tok, '([\\s\\S])', chr(1) || '\\1' || chr(2), 'g') AS s
+  FROM pt),
+bpe(doc_id, idx, s) AS (
+  SELECT doc_id, idx, s FROM enc
+  UNION ALL
+  SELECT b.doc_id, b.idx, replace(b.s, m.pat, m.rep) AS s
+  FROM bpe b
+  JOIN merges m
+    ON m.rank = (SELECT min(m2.rank) FROM merges m2 WHERE contains(b.s, m2.pat))),
+fin AS (
+  SELECT * FROM bpe b
+  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(b.s, m.pat)))
+SELECT doc_id,
+       CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS INT)
+         AS n_bpe_merged_tokens,
+       md5(string_agg(s, '' ORDER BY idx)) AS tok_fp
+FROM fin GROUP BY doc_id
+"""
+
+
+@register("text_bpe_tokenize", _bpe_oracle())
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True BPE tokenization (VERDICT r5 task #4): the classic merge loop
+    (min-rank applicable pair, merge all occurrences, repeat) over the
+    pinned toy merge table, as a shuffle-free Arrow kernel
+    (textops.bpe_tokenize). Output checks every token boundary: the
+    tok_fp md5 covers the full encoded token sequence in pre-token
+    order, which the oracle reproduces with a recursive-CTE replay of
+    the same loop."""
+    return textops.bpe_tokenize(read_table(spark, sf_dir, "documents"))
+
+
 @register(
     "text_token_stats",
     f"""
@@ -4633,6 +4689,7 @@ _DRIVER_PRIORITY = [
     # tests/test_util_config.py::test_driver_priority_window).
     # Tier 0: never driver-certified (new in r6) — stalest tier.
     "semantic_dedup_embeddings",
+    "text_bpe_tokenize",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -4687,7 +4744,6 @@ _DRIVER_PRIORITY = [
     "join_salted_skew",
     "stream_dedup_bounded_state",
     "quality_checks_orders",
-    "merge_apply_changes_orders",
 ]
 
 

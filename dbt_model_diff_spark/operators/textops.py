@@ -54,6 +54,143 @@ def bpe_tokens(text: Column, pattern: str = BPE_ISH_PATTERN) -> Column:
     return F.regexp_extract_all(text, F.lit(pattern), 0)
 
 
+# ---------------------------------------------------------------------------
+# True BPE (VERDICT r5 task #4): a real merge-loop tokenizer over a pinned
+# toy merge table — the GPT-2 `bpe()` algorithm (repeat: find the
+# lowest-rank adjacent pair present, merge ALL its occurrences left to
+# right, until no listed pair remains), not the regex approximation above.
+# The merge table is pinned so both the Spark kernel and the DuckDB
+# oracle (recursive-CTE replay, catalog.py) compute identical tokens.
+# Ranks are learn-order: multi-char symbols only appear in later merges.
+# ---------------------------------------------------------------------------
+
+BPE_TOY_MERGES: list[tuple[str, str]] = [
+    ("t", "a"), ("b", "l"), ("ta", "bl"), ("tabl", "e"), (" ", "table"),
+    ("v", "a"), ("l", "u"), ("va", "lu"), ("valu", "e"), (" ", "value"),
+    ("s", "c"), ("a", "n"), ("sc", "an"),
+    ("f", "a"), ("s", "t"), ("fa", "st"),
+    ("r", "o"), ("ro", "w"),
+    ("k", "e"), ("ke", "y"),
+    ("a", "g"), ("ag", "g"),
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "u"),
+]
+
+# Symbol-sequence encoding shared with the SQL oracle: each symbol is
+# SEP+symbol+TERM, so `replace(seq, SEP+a+TERM+SEP+b+TERM, SEP+ab+TERM)`
+# merges every left-to-right non-overlapping (a,b) adjacency — the TERM
+# inside the pattern is the trailing boundary AND part of the symbol, so
+# adjacent matches never fight over a shared separator (the failure mode
+# of space-delimited encodings). Control chars keep the encoding
+# collision-free for any printable text.
+BPE_SEP = "\x01"
+BPE_TERM = "\x02"
+
+
+def bpe_merge_word(word: str, merges: list[tuple[str, str]] | None = None) -> list[str]:
+    """Pure-Python reference BPE: the classic loop over one pre-token.
+    Used by the Spark kernel and by the property tests."""
+    if merges is None:
+        merges = BPE_TOY_MERGES
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        a, b = merges[best_rank]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    pattern: str = BPE_ISH_PATTERN,
+) -> DataFrame:
+    """Exact BPE token stats per document: pre-tokenize with the shared
+    regex, run the true merge loop per pre-token, return
+    (doc_id, n_bpe_merged_tokens, tok_fp).
+
+    ``tok_fp`` is the md5 of the SEP/TERM-encoded token sequence in
+    pre-token order — an exact fingerprint of the full tokenization that
+    the DuckDB oracle reproduces, so correctness is checked on every
+    token boundary, not just counts.
+
+    Scale shape: the merge loop is row-local, so this is ``mapInPandas``
+    with ZERO shuffles — one Arrow pass over the corpus scan (the
+    packing kernel precedent, but without packing's ordered-shard
+    repartition because BPE has no cross-row state). A per-batch word
+    memo exploits Zipf: each distinct pre-token is merged once per
+    batch, so throughput tracks the distinct-token rate, not the token
+    rate. Docs with zero pre-tokens (empty text / NULL) are absent from
+    the output, matching the oracle's inner unnest.
+    """
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    if merges is None:
+        merges = BPE_TOY_MERGES
+    merges_t = tuple(merges)
+    rx = _re.compile(pattern)  # leftmost-first alternation == Java/RE2
+    id_type = df.schema["doc_id"].dataType.simpleString()
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            memo: dict[str, str] = {}
+            ids, counts, fps = [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf[text_col].values):
+                if text is None:
+                    continue
+                parts = rx.findall(text)
+                if not parts:
+                    continue
+                n = 0
+                h = hashlib.md5()
+                for w in parts:
+                    enc = memo.get(w)
+                    if enc is None:
+                        toks = bpe_merge_word(w, list(merges_t))
+                        enc = "".join(BPE_SEP + s + BPE_TERM for s in toks)
+                        memo[w] = enc
+                    n += enc.count(BPE_SEP)
+                    h.update(enc.encode("utf-8"))
+                ids.append(doc_id)
+                counts.append(n)
+                fps.append(h.hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="object"),
+                    "n_bpe_merged_tokens": pd.Series(counts, dtype="int32"),
+                    "tok_fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    from dbt_model_diff_spark.util import spread_for_compute
+
+    return spread_for_compute(df.select("doc_id", text_col)).mapInPandas(
+        batches,
+        schema=f"doc_id {id_type}, n_bpe_merged_tokens int, tok_fp string",
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish tokens, and distinct
     BPE-ish tokens per document — all array built-ins, no Python."""

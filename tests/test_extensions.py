@@ -328,3 +328,80 @@ def test_semantic_dedup_subbucket_guard_and_recall(spark):
     )
     ids = {r["vec_id"] for r in kept.collect()}
     assert 1 not in ids and {0, 2} <= ids
+
+
+def _bpe_by_string_replace(word, merges):
+    """Independent BPE implementation for the property test: the
+    string-replace formulation over the SEP/TERM encoding (what the SQL
+    oracle executes), decoded back to a symbol list."""
+    from dbt_model_diff_spark.operators.textops import BPE_SEP, BPE_TERM
+
+    s = "".join(BPE_SEP + c + BPE_TERM for c in word)
+    while True:
+        best = None
+        for rank, (a, b) in enumerate(merges):
+            pat = BPE_SEP + a + BPE_TERM + BPE_SEP + b + BPE_TERM
+            if pat in s and best is None:
+                best = (rank, a, b)
+        if best is None:
+            break
+        _, a, b = best
+        s = s.replace(
+            BPE_SEP + a + BPE_TERM + BPE_SEP + b + BPE_TERM,
+            BPE_SEP + a + b + BPE_TERM,
+        )
+    return [t[:-1] for t in s.split(BPE_SEP) if t]
+
+
+def test_bpe_merge_word_matches_string_replace_formulation():
+    import random
+
+    from dbt_model_diff_spark.operators.textops import (
+        BPE_TOY_MERGES,
+        bpe_merge_word,
+    )
+
+    rng = random.Random(7)
+    alpha = "tablevaluscanfstrowkeyagg inoqu"
+    for _ in range(500):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+        assert bpe_merge_word(w, BPE_TOY_MERGES) == _bpe_by_string_replace(
+            w, BPE_TOY_MERGES
+        ), w
+    # hand-checked classics
+    assert bpe_merge_word("table") == ["table"]
+    assert bpe_merge_word(" table") == [" table"]
+    assert bpe_merge_word("agg") == ["agg"]
+    assert bpe_merge_word("fast") == ["fast"]
+    assert bpe_merge_word("scan") == ["scan"]
+    # merge-all-occurrences, leftmost non-overlapping: t a t a -> ta ta
+    assert bpe_merge_word("tata") == ["ta", "ta"]
+    # [l,l] has no (l,l) merge; lu merges
+    assert bpe_merge_word("lu") == ["lu"]
+
+
+def test_bpe_tokenize_counts_and_fp(spark):
+    from dbt_model_diff_spark.operators.textops import (
+        BPE_SEP,
+        BPE_TERM,
+        bpe_merge_word,
+        bpe_tokenize,
+    )
+    import hashlib
+    import re
+
+    rows = [(1, "table value fast"), (2, ""), (3, None), (4, "zzz qqq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe_tokenize(df).collect()}
+    assert set(out) == {1, 4}  # empty/NULL docs absent, like the oracle
+    # doc 1: pre-tokens ['table', ' value', ' fast']
+    pts = re.findall(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +", "table value fast")
+    toks = [t for p in pts for t in bpe_merge_word(p)]
+    # ' value' merges to [' value'] (rank-10 space merge); ' fast' has no
+    # space merge so it stays [' ', 'fast'] -> 4 tokens total
+    assert toks == ["table", " value", " ", "fast"]
+    assert out[1]["n_bpe_merged_tokens"] == len(toks)
+    enc = "".join(
+        BPE_SEP + s + BPE_TERM for p in pts for s in bpe_merge_word(p)
+    )
+    assert out[1]["tok_fp"] == hashlib.md5(enc.encode()).hexdigest()
