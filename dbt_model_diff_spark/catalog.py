@@ -1627,6 +1627,49 @@ FROM fin GROUP BY doc_id
 """
 
 
+def _classifier_oracle(threshold: float = 0.0) -> str:
+    """DuckDB replay of textops.classifier_score: same pinned integer
+    weights (embedded as a list literal), same md5-bucket formula, and an
+    integer sum over unnested features — order-independent, so it equals
+    the engine's sequential fold exactly."""
+    from dbt_model_diff_spark.operators.textops import classifier_weights
+
+    w = classifier_weights()
+    nb = len(w)
+    lits = ", ".join(str(x) for x in w)
+    return f"""
+WITH wv(l) AS (SELECT [{lits}]),
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+u AS (SELECT doc_id, 'u|' || unnest(toks) AS f FROM t),
+b AS (
+  SELECT doc_id, 'b|' || toks[i] || ' ' || toks[i + 1] AS f
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)),
+feats AS (SELECT doc_id, f FROM u UNION ALL SELECT doc_id, f FROM b),
+scored AS (
+  SELECT doc_id, count(*) AS n,
+         sum((SELECT l FROM wv)[
+           (CAST('0x' || substr(md5(f), 2, 15) AS BIGINT) % {nb}) + 1])
+           AS dot_w
+  FROM feats GROUP BY doc_id)
+SELECT doc_id, CAST(n AS INT) AS n_feats, CAST(dot_w AS BIGINT) AS dot_w,
+       CAST(dot_w AS DOUBLE) / CAST(n AS DOUBLE) AS score,
+       CAST(dot_w AS DOUBLE) / CAST(n AS DOUBLE) >= {threshold} AS keep
+FROM scored
+"""
+
+
+@register("text_classifier_score", _classifier_oracle())
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram linear quality scorer (VERDICT r5 task #5):
+    fastText-shaped unigram+bigram feature hashing with pinned integer
+    weights, dot product as an exact bigint fold — zero shuffles, zero
+    UDFs, the whole plan is codegen over the scan
+    (textops.classifier_score)."""
+    return textops.classifier_score(read_table(spark, sf_dir, "documents"))
+
+
 @register("text_bpe_tokenize", _bpe_oracle())
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE tokenization (VERDICT r5 task #4): the classic merge loop
@@ -4690,6 +4733,7 @@ _DRIVER_PRIORITY = [
     # Tier 0: never driver-certified (new in r6) — stalest tier.
     "semantic_dedup_embeddings",
     "text_bpe_tokenize",
+    "text_classifier_score",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -4743,7 +4787,6 @@ _DRIVER_PRIORITY = [
     "skew_salted_status_totals",
     "join_salted_skew",
     "stream_dedup_bounded_state",
-    "quality_checks_orders",
 ]
 
 

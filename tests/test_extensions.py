@@ -405,3 +405,45 @@ def test_bpe_tokenize_counts_and_fp(spark):
         BPE_SEP + s + BPE_TERM for p in pts for s in bpe_merge_word(p)
     )
     assert out[1]["tok_fp"] == hashlib.md5(enc.encode()).hexdigest()
+
+
+def test_classifier_score_exact_integer_dot_and_calibration(spark):
+    """The engine's fold must equal a pure-Python replay of the pinned
+    hashed-linear model exactly (integer dot, single-division mean), and
+    the keep flag must calibrate monotonically with the threshold."""
+    import hashlib
+
+    from dbt_model_diff_spark.operators.textops import (
+        classifier_score,
+        classifier_weights,
+    )
+
+    w = classifier_weights()
+    nb = len(w)
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[1:16], 16) % nb
+
+    rows = [(1, "table scan fast"), (2, "a"), (3, None), (4, "x y x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in classifier_score(df).collect()}
+    assert set(out) == {1, 2, 4}  # NULL text dropped
+
+    for doc_id, text in [(1, "table scan fast"), (2, "a"), (4, "x y x y")]:
+        toks = text.split(" ")
+        feats = [f"u|{t}" for t in toks] + [
+            f"b|{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        dot = sum(w[bucket(f)] for f in feats)
+        r = out[doc_id]
+        assert r["n_feats"] == len(feats)
+        assert r["dot_w"] == dot
+        assert r["score"] == dot / len(feats)
+        assert r["keep"] == (r["score"] >= 0.0)
+
+    # calibration: raising the threshold never keeps more docs
+    kept0 = classifier_score(df, threshold=-2000.0).filter("keep").count()
+    kept1 = classifier_score(df, threshold=0.0).filter("keep").count()
+    kept2 = classifier_score(df, threshold=2000.0).filter("keep").count()
+    assert kept0 >= kept1 >= kept2
+    assert kept0 == 3 and kept2 == 0  # weights are in [-1001, 1001]

@@ -349,3 +349,13 @@ def test_semantic_dedup_cluster_join_no_allpairs_no_corpus_window(spark, sf_dir)
     assert "MapInPandas" in plan
     # loser collapse broadcasts: LeftAnti must be a BroadcastHashJoin
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_classifier_score_zero_exchange_codegen(spark, sf_dir):
+    """classifier_score must be a pure map over the scan: the weight
+    vector is a plan literal (no join/broadcast), features fold in place
+    (no explode+groupBy), so the executed plan has NO exchange at all."""
+    plan = _executed_plan(QUERIES["text_classifier_score"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "Join" not in plan
