@@ -4217,7 +4217,7 @@ WITH n AS (
 )
 SELECT doc_id, md5(text_norm) AS norm_md5,
        CAST(length(text_norm) AS BIGINT) AS norm_len,
-       text_norm <> text AS norm_changed
+       text_norm IS DISTINCT FROM text AS norm_changed
 FROM n
 """,
 )

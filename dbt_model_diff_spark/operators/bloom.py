@@ -6,7 +6,8 @@ The 100 TB problem this solves: joining a petabyte fact table to a
 percent of rows survive the join — the key set is far past the broadcast
 threshold, so Spark plans a shuffle join of everything. A Bloom filter of
 the key set, however, is a few MB regardless of key count (16 bits/key
-at ~0.04% false-positive for k=8), and CAN ship to every fact task. The
+at ~0.1% false-positive for the default k=5 probes), and CAN ship to
+every fact task. The
 fact scan then drops non-matching rows BEFORE the exchange; only
 survivors (true matches + the tiny false-positive remainder) shuffle, and
 the exact join finishes the job — false positives make the pruning
@@ -41,9 +42,34 @@ one byte per hash (substring -> hex -> conv) and tests the bit with
 from __future__ import annotations
 
 import struct
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# xxhash64 is TYPE-SENSITIVE: IntegerType(7) and LongType(7) hash to
+# different values. Build and probe sides must therefore hash the SAME
+# dataType or equal keys diverge and the "bit-identical to the plain
+# join" contract silently breaks with FALSE NEGATIVES (ADVICE r5).
+# Integral key columns are normalized to long on BOTH sides; any other
+# cross-type pairing is rejected loudly in bloom_pruned_join.
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _normalize_key(c: Column, dt: T.DataType) -> Column:
+    return c.cast("long") if isinstance(dt, _INTEGRAL) else c
+
+
+def bloom_bits_for(n_keys: int, bits_per_key: int = 16) -> int:
+    """Size a bitset from an (approx) key count: ``bits_per_key`` x keys,
+    rounded up to a multiple of 64. 16 bits/key with the default k=5
+    probes gives ~0.1% false positives; use with
+    ``approx_count_distinct`` upstream when the exact count is unknown."""
+    if n_keys <= 0:
+        raise ValueError("n_keys must be positive")
+    raw = n_keys * bits_per_key
+    return (raw + 63) // 64 * 64
 
 
 def build_bloom(
@@ -52,10 +78,16 @@ def build_bloom(
     """Aggregate a key column into a packed little-endian Bloom bitset
     (``n_bits/8`` bytes; bit ``p`` lives at ``byte[p // 8] & (1 << (p %
     8))``). The driver receives at most ``n_bits/64`` sparse words —
-    bounded by the bitset size, never by the key count."""
+    bounded by the bitset size, never by the key count.
+
+    Integral key columns are hashed as long (see ``_normalize_key``).
+    Warns when the built bitset's set-bit density exceeds 50% — past
+    that the filter is saturating toward always-true (correct but
+    pruning nothing); size ``n_bits`` with :func:`bloom_bits_for`.
+    """
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
-    k = F.col(key_col)
+    k = _normalize_key(F.col(key_col), keys.schema[key_col].dataType)
     pos = F.explode(
         F.array(
             *[F.pmod(F.xxhash64(k, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)]
@@ -73,8 +105,17 @@ def build_bloom(
         .agg(F.expr("bit_or(m)").alias("m"))
     )
     buf = bytearray(n_bits // 8)
+    set_bits = 0
     for r in word_masks.collect():
         struct.pack_into("<q", buf, r["w"] * 8, r["m"])
+        set_bits += int(r["m"] & ((1 << 64) - 1)).bit_count()
+    if set_bits * 2 > n_bits:
+        warnings.warn(
+            f"bloom bitset density {set_bits / n_bits:.0%} > 50% — the"
+            f" filter is saturating and will prune little; size n_bits"
+            f" from the key count (bloom_bits_for)",
+            stacklevel=2,
+        )
     return bytes(buf)
 
 
@@ -85,7 +126,11 @@ def bloom_might_contain(
     True for real members; false positives at the bitset's design rate).
     The bitset enters the plan as ONE binary literal; per hash the probe
     reads a single byte and tests one bit — pure built-in expressions
-    that fuse into the scan stage."""
+    that fuse into the scan stage.
+
+    ``col`` must already be hash-normalized to the same dataType the
+    build side hashed (``bloom_pruned_join`` handles this; direct
+    callers with integral keys should pass ``col.cast("long")``)."""
     lit_bits = F.lit(bytearray(bitset))
     tests = []
     for i in range(n_hashes):
@@ -111,9 +156,25 @@ def bloom_pruned_join(
     fact side: only rows whose key passes the bitset reach the join's
     exchange. Result is exactly the plain inner join (the exact join
     removes false positives), so oracles/compare against the plain join
-    directly."""
+    directly.
+
+    Integral fact/key columns may differ in width (int vs long — both
+    hash as long); any other type mismatch raises, because xxhash64
+    would hash the two sides differently and silently DROP matching
+    rows (ADVICE r5)."""
+    fact_dt = fact.schema[fact_key].dataType
+    key_dt = keys.schema[key_col].dataType
+    both_integral = isinstance(fact_dt, _INTEGRAL) and isinstance(key_dt, _INTEGRAL)
+    if fact_dt != key_dt and not both_integral:
+        raise TypeError(
+            f"bloom_pruned_join key dtype mismatch: {fact_key}:"
+            f" {fact_dt.simpleString()} vs {key_col}: {key_dt.simpleString()}"
+            " — xxhash64 is type-sensitive, cast one side first"
+        )
     bitset = build_bloom(keys, key_col, n_bits, n_hashes)
     pruned = fact.filter(
-        bloom_might_contain(F.col(fact_key), bitset, n_bits, n_hashes)
+        bloom_might_contain(
+            _normalize_key(F.col(fact_key), fact_dt), bitset, n_bits, n_hashes
+        )
     )
     return pruned.join(keys, pruned[fact_key] == keys[key_col])

@@ -240,6 +240,22 @@ def epoch_shard_assignment(
     return out.withColumn("pos", F.row_number().over(w))
 
 
+# Frames pinned by select_within_token_budget, released by
+# release_budget_caches — a SCOPED unpersist (session-wide clearCache
+# would drop every cache in the session, ADVICE r5).
+_BUDGET_CACHES: list[DataFrame] = []
+
+
+def release_budget_caches(blocking: bool = False) -> int:
+    """Unpersist every frame select_within_token_budget has pinned in
+    this process. Call after the returned selection is materialized.
+    Returns the number of frames released."""
+    n = len(_BUDGET_CACHES)
+    while _BUDGET_CACHES:
+        _BUDGET_CACHES.pop().unpersist(blocking=blocking)
+    return n
+
+
 def select_within_token_budget(
     df: DataFrame,
     id_col: str,
@@ -275,7 +291,13 @@ def select_within_token_budget(
     result).
 
     Returns the kept rows with ``cum_tokens`` (inclusive global running
-    total) attached.
+    total) attached. The input is persisted for the duration (see the
+    comment below); once the caller has MATERIALIZED the selection,
+    release the pin with :func:`release_budget_caches` — scoped to this
+    operator's frames, unlike ``spark.catalog.clearCache()`` which nukes
+    every cache in the session (ADVICE r5). Unreleased pins are bounded:
+    each call registers its frame here, and LRU eviction degrades them
+    to recompute, never job failure.
     """
     if budget < 0:
         raise ValueError("budget must be non-negative")
@@ -286,14 +308,13 @@ def select_within_token_budget(
     # nondeterministic upstream (sampled input, rand-derived quality)
     # would hand the two passes different rows and silently corrupt
     # cum_tokens. MEMORY_AND_DISK: an evicted block recomputes (falling
-    # back to the determinism requirement), never fails the job; the
-    # cache is released when the caller's action finishes with it (LRU),
-    # or explicitly via spark.catalog.clearCache() in long pipelines.
+    # back to the determinism requirement), never fails the job.
     from pyspark import StorageLevel
 
     bucketed = df.withColumn(
         "__qb", F.floor((F.lit(1.0) - q) * F.lit(int(buckets))).cast("long")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _BUDGET_CACHES.append(bucketed)
     stats = bucketed.groupBy("__qb").agg(
         F.sum(toks).alias("t"),
         F.sum(toks.isNull().cast("long")).alias("null_toks"),

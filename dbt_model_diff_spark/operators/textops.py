@@ -668,6 +668,10 @@ def normalize_text(
 
     Emits the original frame plus ``out_col`` and ``norm_changed`` (did
     normalization alter the text — the curation report signal).
+    ``norm_changed`` is NULL-SAFE (ADVICE r5): a NULL input normalizes to
+    NULL, which is "not changed" -> False, never NULL — so reports that
+    filter or sum the flag count every row instead of silently dropping
+    null-text docs (the null-propagating ``!=`` did exactly that).
     """
     c = F.col(text_col)
     if strip_control:
@@ -677,7 +681,7 @@ def normalize_text(
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, "[ \\t\\r\\n]+", " "))
     return df.withColumn(out_col, c).withColumn(
-        "norm_changed", F.col(out_col) != F.col(text_col)
+        "norm_changed", ~F.col(out_col).eqNullSafe(F.col(text_col))
     )
 
 

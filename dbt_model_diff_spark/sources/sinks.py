@@ -103,8 +103,16 @@ def compact_files(
     the same data-skipping economics as ``functions/layout.py``'s
     Z-order but for a single sort dimension.
 
-    The rewrite goes through a temp sibling directory + atomic rename,
-    so a crash mid-compaction leaves the original intact. Returns
+    Crash contract (ADVICE r5 — the rename pair is NOT one atomic step):
+    the rewrite lands in a hidden temp sibling, then ``src`` is renamed
+    to ``.<name>_precompact`` and the temp is renamed to ``src``. A crash
+    between those two renames leaves the data INTACT BUT RELOCATED at
+    the ``_precompact`` path; the next invocation's pre-flight detects
+    that (``src`` missing + ``_precompact`` present) and renames it back
+    before compacting, and also clears stale ``_precompact``/temp dirs
+    left beside a surviving ``src`` (without the sweep, a leftover dir
+    would make the rename pair raise). If the second rename itself
+    fails, the original is restored in-line. Returns
     (files_before, files_after).
     """
     import shutil
@@ -114,6 +122,14 @@ def compact_files(
     if (target_files is None) == (target_rows_per_file is None):
         raise ValueError("pass exactly one of target_files / target_rows_per_file")
     src = Path(path)
+    old = src.parent / f".{src.name}_precompact"
+    # pre-flight recovery from a previous crashed run
+    if not src.exists() and old.exists():
+        old.rename(src)
+    elif src.exists() and old.exists():
+        shutil.rmtree(old)  # stale: the data at src is authoritative
+    for stale_tmp in src.parent.glob(f".{src.name}_compact_*"):
+        shutil.rmtree(stale_tmp, ignore_errors=True)
     before = len(list(src.rglob("*.parquet")))
     df = spark.read.parquet(path)
     if target_files is None:
@@ -127,9 +143,13 @@ def compact_files(
         out = df.repartition(target_files)
     tmp = Path(tempfile.mkdtemp(prefix=f".{src.name}_compact_", dir=src.parent))
     out.write.mode("overwrite").parquet(str(tmp))
-    old = src.parent / f".{src.name}_precompact"
     src.rename(old)
-    tmp.rename(src)
+    try:
+        tmp.rename(src)
+    except OSError:
+        old.rename(src)  # restore the original before surfacing
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old)
     after = len(list(src.rglob("*.parquet")))
     return before, after

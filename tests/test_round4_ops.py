@@ -268,3 +268,20 @@ def test_cross_doc_chunk_dedup_mega_group(spark):
     # both chunks identical across (and within) docs: only ONE chunk in
     # the whole corpus is a first occurrence
     assert agg["dups"] == 2 * n - 1
+
+
+def test_budget_select_scoped_cache_release(spark):
+    from dbt_model_diff_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, 10, 0.5) for i in range(20)], "doc_id long, toks long, q double"
+    )
+    sampling.release_budget_caches()  # clean slate
+    out = sampling.select_within_token_budget(df, "doc_id", "toks", "q", 100)
+    assert out.count() == 10
+    assert len(sampling._BUDGET_CACHES) == 1
+    assert sampling._BUDGET_CACHES[0].is_cached
+    frame = sampling._BUDGET_CACHES[0]
+    released = sampling.release_budget_caches()
+    assert released == 1 and not sampling._BUDGET_CACHES
+    assert not frame.is_cached

@@ -184,3 +184,35 @@ def test_compact_files_rows_per_file_and_validation(spark, tmp_path):
         sinks.compact_files(spark, path)
     with _pytest.raises(ValueError):
         sinks.compact_files(spark, path, target_files=2, target_rows_per_file=10)
+
+
+def test_compact_files_crash_recovery(spark, tmp_path):
+    """ADVICE r5: a crash between the two renames strands the data at
+    .<name>_precompact; the pre-flight must restore it, and stale
+    leftover dirs beside a surviving src must be cleared, not crash the
+    next run."""
+    from pathlib import Path
+
+    from dbt_model_diff_spark.sources.sinks import compact_files
+
+    path = tmp_path / "ds"
+    spark.range(100).repartition(8).write.parquet(str(path))
+
+    # simulate the crash window: src renamed away, temp not promoted
+    old = tmp_path / ".ds_precompact"
+    path.rename(old)
+    stale_tmp = tmp_path / ".ds_compact_stale"
+    stale_tmp.mkdir()
+    (stale_tmp / "junk").write_text("x")
+    before, after = compact_files(spark, str(path), target_files=2)
+    assert after == 2
+    assert spark.read.parquet(str(path)).count() == 100
+    assert not old.exists() and not stale_tmp.exists()
+
+    # stale precompact NEXT TO a surviving src: src wins, stale removed
+    old.mkdir()
+    (old / "junk").write_text("x")
+    before, after = compact_files(spark, str(path), target_files=1)
+    assert after == 1
+    assert spark.read.parquet(str(path)).count() == 100
+    assert not old.exists()

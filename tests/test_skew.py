@@ -115,3 +115,50 @@ def test_bloom_probe_is_builtin_scan_filter(spark):
     assert "Exchange" not in plan
     for bad in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_bloom_integral_width_mismatch_is_safe(spark):
+    """ADVICE r5: xxhash64 is type-sensitive, so an int fact key probed
+    against a long-built bitset used to drop matching rows. Both sides
+    now hash as long, so the pruned join equals the plain join exactly."""
+    from dbt_model_diff_spark.operators.bloom import bloom_pruned_join
+
+    fact = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(200)], "k int, payload string"
+    )
+    keys = spark.createDataFrame([(i * 7,) for i in range(20)], "key long")
+    got = bloom_pruned_join(fact, keys, "k", "key", n_bits=1 << 12)
+    plain = fact.join(keys, fact["k"] == keys["key"])
+    assert got.count() == plain.count() == len([i for i in range(200) if i % 7 == 0 and i // 7 < 20])
+    assert got.exceptAll(plain).count() == 0 and plain.exceptAll(got).count() == 0
+
+
+def test_bloom_non_integral_mismatch_raises(spark):
+    from dbt_model_diff_spark.operators.bloom import bloom_pruned_join
+
+    fact = spark.createDataFrame([("1", "a")], "k string, payload string")
+    keys = spark.createDataFrame([(1,)], "key long")
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="type-sensitive"):
+        bloom_pruned_join(fact, keys, "k", "key")
+
+
+def test_bloom_density_warning_and_sizing(spark):
+    import warnings as _w
+
+    from dbt_model_diff_spark.operators.bloom import bloom_bits_for, build_bloom
+
+    # 2000 keys x 5 hashes into 512 bits saturates way past 50%
+    keys = spark.createDataFrame([(i,) for i in range(2000)], "key long")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        build_bloom(keys, "key", n_bits=512)
+    assert any("density" in str(r.message) for r in rec)
+    # a rightly-sized bitset stays quiet
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        build_bloom(keys, "key", n_bits=bloom_bits_for(2000))
+    assert not [r for r in rec2 if "density" in str(r.message)]
+    assert bloom_bits_for(2000) == 32000
+    assert bloom_bits_for(1) == 64

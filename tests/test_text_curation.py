@@ -252,3 +252,19 @@ def test_dedup_impact_report_charges_losers(spark):
     assert out["crawl"]["tokens_before"] == 8 and out["crawl"]["tokens_after"] == 2
     assert abs(out["crawl"]["removed_doc_frac"] - 2 / 3) < 1e-12
     assert out["wiki"]["removed_doc_frac"] == 0.0
+
+
+def test_normalize_text_null_safe_changed_flag(spark):
+    """ADVICE r5: norm_changed must be False (not NULL) for NULL text so
+    curation reports that sum/filter the flag count every row."""
+    from dbt_model_diff_spark.operators.textops import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "A  B"), (2, None), (3, "ok")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["norm_changed"] for r in normalize_text(df).collect()}
+    assert out[1] is True
+    assert out[2] is False  # was NULL before the fix
+    assert out[3] is False
+    n = normalize_text(df).filter(~F.col("norm_changed")).count()
+    assert n == 2
