@@ -838,6 +838,7 @@ def semantic_dedup(
     seed: int = 42,
     n_planes: int = 0,
     dim: int | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with k-means, find intra-cluster
@@ -865,6 +866,15 @@ def semantic_dedup(
       1/k of the data is too wide to self-join — the same seeded family
       as :func:`cosine_near_dup_pairs`, at the cost of cross-bucket
       recall (pairs straddling a hyperplane). Requires ``dim``.
+    - ``max_cluster_size`` guards the degenerate case the sf10 probe
+      demonstrated (k=8 over 200k vectors -> 25k-wide clusters -> a
+      2.5-billion-pair self-join): join cells larger than the cap are
+      EXCLUDED from pair generation (their members are all kept) — the
+      same drop-the-degenerate-bucket policy as
+      ``lsh_candidate_pairs(max_bucket_size=...)``, and like there the
+      guard is a count over the SAME key the join shuffles on, so it
+      rides the join's own exchange. Default None = off (the pinned
+      small-k oracle replay needs every pair).
     - Components run on the PAIR graph only (orders of magnitude smaller
       than the corpus; edges persisted once inside
       ``connected_components``); losers come back as a broadcast
@@ -908,12 +918,22 @@ def semantic_dedup(
         assigned = assigned.withColumn("__bucket", bucket)
         join_keys = ["cluster", "__bucket"]
 
+    if max_cluster_size is not None:
+        guard = Window.partitionBy(*join_keys)
+        assigned_for_pairs = (
+            assigned.withColumn("__n", F.count(F.lit(1)).over(guard))
+            .filter(F.col("__n") <= max_cluster_size)
+            .drop("__n")
+        )
+    else:
+        assigned_for_pairs = assigned
+
     # stage the norm in its own projection so the HOF fold materializes
     # once per row (HOFs are not CSE'd — module docstring)
-    a = assigned.select(
+    a = assigned_for_pairs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), *join_keys
     ).withColumn("__na", norm(F.col("__va")))
-    b = assigned.select(
+    b = assigned_for_pairs.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), *join_keys
     ).withColumn("__nb", norm(F.col("__vb")))
     pairs = (

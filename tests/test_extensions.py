@@ -447,3 +447,22 @@ def test_classifier_score_exact_integer_dot_and_calibration(spark):
     kept2 = classifier_score(df, threshold=2000.0).filter("keep").count()
     assert kept0 >= kept1 >= kept2
     assert kept0 == 3 and kept2 == 0  # weights are in [-1001, 1001]
+
+
+def test_semantic_dedup_max_cluster_size_guard(spark):
+    """Oversized clusters are excluded from pair generation (members all
+    kept) — the degenerate-blowup guard."""
+    from dbt_model_diff_spark.operators.similarity import semantic_dedup
+
+    # 5 near-identical vectors form one 5-wide cluster; one outlier
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(5)] + [
+        (9, [0.0, 1.0, 0.0, 0.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    collapsed = semantic_dedup(df, iters=1, threshold=0.99, init=init)
+    assert {r["vec_id"] for r in collapsed.collect()} == {0, 9}
+    guarded = semantic_dedup(
+        df, iters=1, threshold=0.99, init=init, max_cluster_size=3
+    )
+    assert {r["vec_id"] for r in guarded.collect()} == {0, 1, 2, 3, 4, 9}
