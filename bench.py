@@ -90,6 +90,12 @@ def main() -> None:
         "dedup_components",
         "join_bloom_pruned_lineitem",
         "orc_roundtrip_orders",
+        # round-6 additions: true-BPE merge-loop kernel, hashed-linear
+        # quality scorer (semantic_dedup_embeddings is deliberately NOT a
+        # headliner: its oracle-pinned k=8 is sized for the sf0.01
+        # correctness gate; the scale posture is measured in SURVEY §9)
+        "text_bpe_tokenize",
+        "text_classifier_score",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 
