@@ -1670,6 +1670,66 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.classifier_score(read_table(spark, sf_dir, "documents"))
 
 
+def _bpe_train_oracle(n_merges: int) -> str:
+    """DuckDB replay of textops.bpe_train: one word-count CTE (the single
+    corpus pass), then ``n_merges`` UNROLLED training stages — pair
+    counting with overlap over the SEP/TERM symbol encoding, max with the
+    (count DESC, a, b) tie-break, leftmost non-overlapping merge — the
+    same unrolled-iteration oracle pattern as _kmeans_oracle."""
+    parts = [
+        f"""WITH w AS MATERIALIZED (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(text, '{_BPE_PAT}')) AS word
+    FROM documents WHERE text IS NOT NULL) GROUP BY word)""",
+        "s0 AS (SELECT word, cnt,"
+        " regexp_replace(word, '([\\s\\S])', chr(1) || '\\1' || chr(2), 'g') AS s"
+        " FROM w)",
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""sy{i} AS MATERIALIZED (
+  SELECT cnt, list_transform(string_split(s, chr(1))[2:],
+                             x -> substr(x, 1, length(x) - 1)) AS syms
+  FROM s{i})"""
+        )
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT syms[g.i] AS a, syms[g.i + 1] AS b, sum(cnt) AS total
+    FROM sy{i}, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+    WHERE len(syms) >= 2 GROUP BY 1, 2)
+  ORDER BY total DESC, a, b LIMIT 1)"""
+        )
+        parts.append(
+            f"""s{i + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s,
+           chr(1) || (SELECT a FROM b{i}) || chr(2)
+             || chr(1) || (SELECT b FROM b{i}) || chr(2),
+           chr(1) || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || chr(2)) AS s
+  FROM s{i})"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS INT) AS rank, a, b FROM b{i}"
+        for i in range(n_merges)
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@register("bpe_train_merges", _bpe_train_oracle(8))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary TRAINING (textops.bpe_train): learn the
+    8 highest-gain merges from the documents corpus — one corpus pass
+    for word counts, then vocab-scale pair-count iterations with a
+    deterministic tie-break. The oracle unrolls the full training loop
+    stage by stage, so every learned (rank, a, b) row is checked."""
+    merges = textops.bpe_train(read_table(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+
+
 @register("text_bpe_tokenize", _bpe_oracle())
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE tokenization (VERDICT r5 task #4): the classic merge loop
@@ -4734,6 +4794,7 @@ _DRIVER_PRIORITY = [
     "semantic_dedup_embeddings",
     "text_bpe_tokenize",
     "text_classifier_score",
+    "bpe_train_merges",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -4786,7 +4847,6 @@ _DRIVER_PRIORITY = [
     "range_join_value_bands",
     "skew_salted_status_totals",
     "join_salted_skew",
-    "stream_dedup_bounded_state",
 ]
 
 

@@ -115,6 +115,104 @@ def bpe_merge_word(word: str, merges: list[tuple[str, str]] | None = None) -> li
     return syms
 
 
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    pattern: str = BPE_ISH_PATTERN,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table FROM the corpus (Sennrich et al. 2016) —
+    the training counterpart of :func:`bpe_tokenize`.
+
+    Algorithm: pre-tokenize, count distinct words (ONE corpus pass —
+    after that everything operates on the VOCAB, which is Zipf-tiny
+    relative to the corpus); then ``n_merges`` times: count adjacent
+    symbol pairs weighted by word frequency (overlapping occurrences
+    count, per Sennrich), pick the max with a deterministic
+    (count DESC, a ASC, b ASC) tie-break, and merge all leftmost
+    non-overlapping occurrences in every word.
+
+    Scale shape: the corpus is scanned exactly once (word count with
+    map-side combine); each training iteration is one vocab-scale
+    shuffle (pairs grouped by (a, b)) plus a 1-row driver collect. At
+    100 TB the vocab of distinct pre-tokens is millions of rows — the
+    loop never touches the corpus again, which is what makes BPE
+    training distributable at all. The vocab frame is persisted for the
+    loop and unpersisted before returning.
+
+    Returns the learned merges in rank order. Stops early if no pair
+    remains. Deterministic given the corpus, so the catalog oracle
+    replays the full training loop stage by stage
+    (``bpe_train_merges``).
+    """
+    from pyspark import StorageLevel
+
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias(
+                "__word"
+            )
+        )
+        .groupBy("__word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__s",
+            F.regexp_replace(
+                F.col("__word"), "([\\s\\S])", BPE_SEP + "$1" + BPE_TERM
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    words.count()
+
+    state = words
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(int(n_merges)):
+            toks = F.split(F.col("__s"), BPE_SEP)
+            syms = F.transform(
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda x: x.substr(F.lit(1), F.length(x) - 1),
+            )
+            pairs = (
+                state.select("__cnt", syms.alias("__syms"))
+                .filter(F.size("__syms") >= 2)
+                .select(
+                    "__cnt",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("__syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("__syms"), i).alias("a"),
+                                F.element_at(F.col("__syms"), i + 1).alias("b"),
+                            ),
+                        )
+                    ).alias("__p"),
+                )
+                .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+                .agg(F.sum("__cnt").alias("total"))
+                .orderBy(F.col("total").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            a, b = pairs[0]["a"], pairs[0]["b"]
+            merges.append((a, b))
+            state = state.withColumn(
+                "__s",
+                F.replace(
+                    F.col("__s"),
+                    F.lit(BPE_SEP + a + BPE_TERM + BPE_SEP + b + BPE_TERM),
+                    F.lit(BPE_SEP + a + b + BPE_TERM),
+                ),
+            )
+    finally:
+        words.unpersist()
+    return merges
+
+
 def bpe_tokenize(
     df: DataFrame,
     text_col: str = "text",

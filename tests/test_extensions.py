@@ -466,3 +466,72 @@ def test_semantic_dedup_max_cluster_size_guard(spark):
         df, iters=1, threshold=0.99, init=init, max_cluster_size=3
     )
     assert {r["vec_id"] for r in guarded.collect()} == {0, 1, 2, 3, 4, 9}
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Distributed BPE training vs an independent in-memory Sennrich
+    loop: same word counts, same overlap-counting, same tie-break."""
+    import re
+    from collections import Counter
+
+    from dbt_model_diff_spark.operators.textops import (
+        BPE_ISH_PATTERN,
+        bpe_train,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wider wide new",
+    ]
+
+    def reference(texts, n):
+        words = Counter(
+            w for t in texts for w in re.findall(BPE_ISH_PATTERN, t)
+        )
+        state = {w: tuple(w) for w in words}
+        merges = []
+        for _ in range(n):
+            pc = Counter()
+            for w, syms in state.items():
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += words[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            a, b = best
+            for w, syms in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                state[w] = tuple(out)
+        return merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(df, n_merges=6)
+    assert got == reference(texts, 6)
+    # learned merges drive the tokenizer: 'low' should be one token
+    from dbt_model_diff_spark.operators.textops import bpe_merge_word
+
+    full = bpe_train(df, n_merges=12)
+    assert bpe_merge_word("low", full) == ["low"]
+
+
+def test_bpe_train_early_stop_and_empty(spark):
+    from dbt_model_diff_spark.operators.textops import bpe_train
+
+    # single-char words: no adjacent pairs ever -> no merges
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # words are ['a', ' b', ' c'] -> ' b' has a pair (space, b)
+    got = bpe_train(df, n_merges=50)
+    assert 0 < len(got) < 50  # early stop before the cap
+    empty = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert bpe_train(empty, n_merges=3) == []
