@@ -317,9 +317,25 @@ def connected_components(
     # returning.
     from pyspark import StorageLevel
 
+    # both edge orientations from ONE pass over the pair pipeline: the
+    # old union-of-two-projections re-ran everything upstream of the
+    # pairs (for kernel-produced pair sets ReusedExchange shares only
+    # the exchange below the kernel, not the kernel itself) — an explode
+    # of the two orientations reads the pipeline once
     edges = (
-        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(left).alias("src"), F.col(right).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(right).alias("src"), F.col(left).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
