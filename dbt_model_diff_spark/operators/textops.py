@@ -289,17 +289,36 @@ def bpe_tokenize(
     )
 
 
-def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    exact_merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish tokens, and distinct
-    BPE-ish tokens per document — all array built-ins, no Python."""
+    BPE-ish tokens per document — all array built-ins, no Python.
+
+    ``exact_merges`` (VERDICT r5 task #4) adds ``n_bpe_merged_tokens``
+    from the TRUE merge-loop tokenizer (:func:`bpe_tokenize`) over that
+    merge table — the pre-token regex count above over-counts relative
+    to a real vocab because it never merges across character groups.
+    The exact column joins back on doc_id (one co-partitioned shuffle of
+    two narrow int frames); pipelines that only need the exact count
+    should call :func:`bpe_tokenize` directly, which is shuffle-free.
+    """
     t = F.col(text_col)
     toks = bpe_tokens(t)
-    return df.select(
+    base = df.select(
         "doc_id",
         token_count(t).alias("n_ws_tokens"),
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
     )
+    if exact_merges is None:
+        return base
+    exact = bpe_tokenize(df, text_col=text_col, merges=exact_merges).select(
+        "doc_id", "n_bpe_merged_tokens"
+    )
+    return base.join(exact, on="doc_id", how="left")
 
 
 # ---------------------------------------------------------------------------

@@ -535,3 +535,21 @@ def test_bpe_train_early_stop_and_empty(spark):
     assert 0 < len(got) < 50  # early stop before the cap
     empty = spark.createDataFrame([(1, None)], "doc_id long, text string")
     assert bpe_train(empty, n_merges=3) == []
+
+
+def test_token_stats_exact_bpe_mode(spark):
+    from dbt_model_diff_spark.operators.textops import (
+        BPE_TOY_MERGES,
+        token_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "table value"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in token_stats(df, exact_merges=BPE_TOY_MERGES).collect()}
+    # 'table value' -> regex pre-tokens ['table', ' value'] but merged
+    # tokens collapse each to one symbol -> 2 exact tokens
+    assert out[1]["n_bpe_tokens"] == 2 and out[1]["n_bpe_merged_tokens"] == 2
+    assert out[2]["n_bpe_merged_tokens"] is None  # NULL text: left join
+    # default mode unchanged
+    assert "n_bpe_merged_tokens" not in token_stats(df).columns
