@@ -287,26 +287,24 @@ def cosine_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket by hyperplane signs, verify
-    candidates with exact cosine inside buckets only."""
+    candidates with exact cosine inside buckets only.
+
+    Round-6 shape: the verify stage is the grouped Arrow kernel
+    (:func:`semantic_pair_candidates` with ``emit_cos``) — one exchange
+    on the bucket key, blocked numpy pairwise cosine bit-identical to
+    the HOF fold, only qualifying pairs leave the kernel. The old
+    self-join materialized every in-bucket candidate pair JVM-side and
+    evaluated an interpreted fold per pair, then paid a distinct
+    exchange that was a no-op by construction (each vector lives in
+    exactly ONE bucket, so no pair can repeat). Output is unchanged
+    (exceptAll-verified) and the r5-certified oracle replays it as
+    before."""
     b = random_hyperplane_buckets(
         spread_for_compute(df), n_planes, dim, id_col, vec_col, seed
     )
-    a = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
-    ).withColumn("__na", norm(F.col("__va")))
-    c = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
-    ).withColumn("__nb", norm(F.col("__vb")))
-    return (
-        a.join(c, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-        .distinct()
+    return semantic_pair_candidates(
+        b, ["bucket"], threshold=threshold, id_col=id_col, vec_col=vec_col,
+        emit_cos=True,
     )
 
 
@@ -834,6 +832,7 @@ def semantic_pair_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    emit_cos: bool = False,
 ) -> DataFrame:
     """Intra-group cosine pairs >= ``threshold`` as ONE grouped Arrow
     kernel: one exchange on ``group_keys``, blocked numpy pairwise
@@ -851,9 +850,13 @@ def semantic_pair_candidates(
     cap = max_cluster_size
 
     def pair_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
-        )
+        cols_spec: dict = {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+        }
+        if emit_cos:
+            cols_spec["cos_sim"] = pd.Series(dtype="float64")
+        empty = pd.DataFrame(cols_spec)
         n = len(pdf)
         if n < 2 or (cap is not None and n > cap):
             return empty
@@ -868,6 +871,7 @@ def semantic_pair_candidates(
         norms = np.sqrt(acc)
         out_a: list = []
         out_b: list = []
+        out_c: list = []
         # block the row side so the accumulator stays ~32 MB even for
         # wide groups (the cap bounds it anyway when set)
         block = max(1, (1 << 22) // n)
@@ -884,14 +888,22 @@ def semantic_pair_candidates(
                 if len(cols):
                     out_a.extend([ids[s + r]] * len(cols))
                     out_b.extend(ids[cols])
+                    if emit_cos:
+                        out_c.extend(cos[r, cols])
         if not out_a:
             return empty
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        data = {"id_a": out_a, "id_b": out_b}
+        if emit_cos:
+            data["cos_sim"] = out_c
+        return pd.DataFrame(data)
 
+    schema = f"id_a {id_type}, id_b {id_type}"
+    if emit_cos:
+        schema += ", cos_sim double"
     return (
         assigned.select(id_col, vec_col, *group_keys)
         .groupBy(*group_keys)
-        .applyInPandas(pair_group, schema=f"id_a {id_type}, id_b {id_type}")
+        .applyInPandas(pair_group, schema=schema)
     )
 
 
