@@ -890,6 +890,41 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_batch",
+    _SIGS_SQL
+    + f""",
+hh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+ex AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 2 = 1 AND md5(text) IN (SELECT h FROM hh)),
+nr AS (
+  SELECT DISTINCT a.doc_id
+  FROM sigs a JOIN sigs b
+    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND ({_BANDS_PRED}))
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM ex) AS is_exact_dup,
+       d.doc_id IN (SELECT doc_id FROM nr) AS is_near_candidate,
+       NOT (d.doc_id IN (SELECT doc_id FROM ex)
+            OR d.doc_id IN (SELECT doc_id FROM nr)) AS kept
+FROM documents d WHERE d.doc_id % 2 = 1
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest incremental dedup (dedup.incremental_dedup): odd
+    doc_ids play the NEW batch, even ids the HISTORICAL corpus; each new
+    doc is flagged exact (md5 seen) and near (shares an LSH band bucket
+    with history). The history text is only hashed, never pair-joined —
+    the rolling-corpus pattern where history is a stored
+    fingerprint/signature table."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        max_history_bucket_size=10**9,
+    )
+
+
 def _simhash_oracle() -> str:
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -1668,6 +1703,35 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDFs, the whole plan is codegen over the scan
     (textops.classifier_score)."""
     return textops.classifier_score(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lm_bigram_score",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+bi AS (
+  SELECT doc_id, toks[g.i] AS p, toks[g.i + 1] AS w
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2),
+cb AS (SELECT p, w, count(*) AS c_big FROM bi GROUP BY p, w),
+cp AS (SELECT p, sum(c_big) AS c_prev FROM cb GROUP BY p)
+SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       CAST(sum((c_big * 1000000) // c_prev) AS BIGINT) AS fluency_sum,
+       CAST(sum((c_big * 1000000) // c_prev) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS fluency
+FROM bi JOIN cb USING (p, w) JOIN cp USING (p)
+GROUP BY doc_id
+""",
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM fluency score (textops.lm_bigram_score):
+    corpus bigram MLE trained and applied in one job, scored with
+    log-free integer-rational arithmetic (exact ``div`` + bigint sums —
+    order-independent, so both engines agree bit-for-bit where a
+    log-prob float fold would hinge on libm ulps)."""
+    return textops.lm_bigram_score(read_table(spark, sf_dir, "documents"))
 
 
 def _bpe_train_oracle(n_merges: int) -> str:
@@ -4795,6 +4859,8 @@ _DRIVER_PRIORITY = [
     "text_bpe_tokenize",
     "text_classifier_score",
     "bpe_train_merges",
+    "text_lm_bigram_score",
+    "dedup_incremental_batch",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -4845,8 +4911,6 @@ _DRIVER_PRIORITY = [
     "median_price_by_priority",
     "asof_latest_purchase",
     "range_join_value_bands",
-    "skew_salted_status_totals",
-    "join_salted_skew",
 ]
 
 

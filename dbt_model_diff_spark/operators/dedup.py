@@ -120,22 +120,9 @@ def lsh_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
-    banded = signatures.select(id_col, *band_cols)
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band_id", "bb.bucket")
+    stacked = band_buckets(
+        signatures, bands=bands, rows_per_band=rows_per_band, id_col=id_col
+    )
 
     guard = Window.partitionBy("band_id", "bucket")
     stacked = (
@@ -151,6 +138,121 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def band_buckets(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band_id, bucket) rows from a MinHash signature frame — the
+    banding stage of LSH, shared by :func:`lsh_candidate_pairs` and
+    :func:`incremental_dedup`. Bucket = md5 of the band's joined mh
+    values (equality of the hex == equality of the band)."""
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    banded = signatures.select(id_col, *band_cols)
+    return banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.bucket")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    max_history_bucket_size: int = 1000,
+) -> DataFrame:
+    """Daily-ingest dedup: flag each NEW document against the HISTORICAL
+    corpus — exact (content md5 seen before) and near (shares any LSH
+    band bucket with a historical doc). The pattern every rolling 100 TB
+    pipeline runs: the history side is a stored fingerprint/signature
+    table that only APPENDS; the new batch (orders of magnitude smaller)
+    is hashed once and joined against it — the historical TEXT is never
+    re-read, only its hashes/signatures.
+
+    Returns one row per new doc: (id, is_exact_dup, is_near_candidate,
+    kept) with kept = not (exact or near). Near is LSH-candidate-level
+    (conservative — no Jaccard verify against history, since verifying
+    would need historical shingles; callers that store shingle sets can
+    chain ``ngram_jaccard_pairs`` on the flagged subset).
+
+    Scale shape: exact pass = one semi-joinable hash join on uniform
+    md5 keys; near pass = band-bucket join keyed on (band_id, bucket),
+    never all-pairs; history buckets wider than
+    ``max_history_bucket_size`` are dropped by a window over the SAME
+    key the join shuffles on (boilerplate-bucket guard, rides the join
+    exchange like ``lsh_candidate_pairs``).
+    """
+    from pyspark.sql import Window
+
+    from dbt_model_diff_spark.operators.textops import shingles
+
+    new_hashed = new_df.select(
+        id_col, F.col(text_col).alias("__text")
+    ).withColumn("__h", F.md5(F.col("__text")))
+    hist_hashes = history_df.select(
+        F.md5(F.col(text_col)).alias("__h")
+    ).distinct()
+    exact_hits = (
+        new_hashed.join(hist_hashes, on="__h", how="left_semi")
+        .select(id_col)
+        .withColumn("__ex", F.lit(True))
+    )
+
+    def side_buckets(df: DataFrame) -> DataFrame:
+        sh = shingles(df, text_col=text_col, n=shingle_n)
+        sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
+        return band_buckets(sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col)
+
+    hist_b = side_buckets(history_df).select("band_id", "bucket")
+    guard = Window.partitionBy("band_id", "bucket")
+    hist_b = (
+        hist_b.withColumn("__n", F.count(F.lit(1)).over(guard))
+        .filter(F.col("__n") <= max_history_bucket_size)
+        .drop("__n")
+        .distinct()
+    )
+    near_hits = (
+        side_buckets(new_df)
+        .join(hist_b, on=["band_id", "bucket"], how="left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__nr", F.lit(True))
+    )
+
+    return (
+        new_df.select(id_col)
+        .join(exact_hits, on=id_col, how="left")
+        .join(near_hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("__ex", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("__nr", F.lit(False)).alias("is_near_candidate"),
+            (
+                ~F.coalesce("__ex", F.lit(False))
+                & ~F.coalesce("__nr", F.lit(False))
+            ).alias("kept"),
+        )
     )
 
 

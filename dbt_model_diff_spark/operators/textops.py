@@ -419,6 +419,64 @@ def classifier_score(
     return scored
 
 
+def lm_bigram_score(
+    df: DataFrame, text_col: str = "text", scale: int = 1_000_000
+) -> DataFrame:
+    """Self-trained bigram-LM fluency score per document — the KenLM-role
+    model-based filter (CCNet scores documents by LM perplexity; here the
+    LM is the corpus's own bigram MLE, trained and applied in one job).
+
+    Per bigram (p, w): P(w|p) = c(p,w) / sum_w' c(p,w') — proper MLE
+    over history counts, with the denominator DERIVED from the bigram
+    counts (no extra corpus pass). Per document:
+    ``fluency_sum = sum(c_big * scale div c_prev)`` over its bigram
+    positions and ``fluency`` = the mean. Deliberately LOG-FREE: a
+    log-prob sum is a float fold whose cross-engine reproducibility
+    hinges on libm's last-ulp behavior, while integer ``div`` and an
+    exact bigint sum are order-independent and replay bit-for-bit in
+    any engine — same portability rule as the classifier's integer dot.
+    Ranking is monotone-equivalent for filtering purposes.
+
+    Scale shape: one corpus pass explodes bigrams; counts are
+    vocab^2-scale (still orders of magnitude below the corpus);
+    scoring joins the bigram stream to the count tables on the bigram /
+    history keys — linear shuffles, no window, no driver data. Docs
+    with < 2 tokens (or NULL text) have no bigrams and are absent,
+    matching the oracle's inner unnest.
+    """
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select("doc_id", F.split(F.col(text_col), " ").alias("__t"))
+        .filter(F.size("__t") >= 2)
+    )
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1),"
+                " i -> struct(element_at(__t, i) AS p,"
+                " element_at(__t, i + 1) AS w))"
+            )
+        ).alias("__b"),
+    ).select("doc_id", "__b.p", "__b.w")
+    cb = bi.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c_big"))
+    cp = cb.groupBy("p").agg(F.sum("c_big").alias("c_prev"))
+    return (
+        bi.join(cb, on=["p", "w"])
+        .join(cp, on="p")
+        .withColumn("__contrib", F.expr(f"(c_big * {int(scale)}) div c_prev"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum("__contrib").alias("fluency_sum"),
+        )
+        .withColumn(
+            "fluency",
+            F.col("fluency_sum").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
 # Polynomial rolling-hash parameters (Rabin-Karp): base 31, Mersenne-ish
 # modulus. Intermediate values stay < 3.6e10 << 2^63, so the fold is exact
 # bigint arithmetic in every engine (no overflow wraparound relied upon).

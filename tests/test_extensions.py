@@ -553,3 +553,73 @@ def test_token_stats_exact_bpe_mode(spark):
     assert out[2]["n_bpe_merged_tokens"] is None  # NULL text: left join
     # default mode unchanged
     assert "n_bpe_merged_tokens" not in token_stats(df).columns
+
+
+def test_lm_bigram_score_exact_rational_replay(spark):
+    """Engine vs pure-Python bigram-MLE replay: exact integer-rational
+    contributions, proper history-count denominator."""
+    from collections import Counter
+
+    from dbt_model_diff_spark.operators.textops import lm_bigram_score
+
+    texts = {1: "a b a b c", 2: "a b", 3: "c c c", 4: None, 5: "solo"}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_bigram_score(df).collect()}
+    assert set(out) == {1, 2, 3}  # NULL and <2-token docs absent
+
+    cb = Counter()
+    for t in texts.values():
+        if t:
+            toks = t.split(" ")
+            for p, w in zip(toks, toks[1:]):
+                cb[(p, w)] += 1
+    cp = Counter()
+    for (p, _), c in cb.items():
+        cp[p] += c
+    for doc_id, t in texts.items():
+        if not t or len(t.split(" ")) < 2:
+            continue
+        toks = t.split(" ")
+        contribs = [
+            (cb[(p, w)] * 1_000_000) // cp[p] for p, w in zip(toks, toks[1:])
+        ]
+        r = out[doc_id]
+        assert r["n_bigrams"] == len(contribs)
+        assert r["fluency_sum"] == sum(contribs)
+        assert r["fluency"] == sum(contribs) / len(contribs)
+    # 'c c c' has P(c|c)=1 everywhere -> max fluency
+    assert out[3]["fluency"] == 1_000_000.0
+
+
+def test_incremental_dedup_flags_and_guard(spark):
+    from dbt_model_diff_spark.operators.dedup import incremental_dedup
+
+    hist = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different historical content here"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+            (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+            (5, "utterly unrelated brand new material entirely"), # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(new, hist).collect()}
+    assert out[1]["is_exact_dup"] and not out[1]["kept"]
+    assert out[3]["is_near_candidate"] and not out[3]["kept"]
+    assert not out[3]["is_exact_dup"]
+    assert out[5]["kept"] and not out[5]["is_exact_dup"] and not out[5]["is_near_candidate"]
+    # degenerate-history-bucket guard: cap of 0 disables near flagging
+    guarded = {
+        r["doc_id"]: r
+        for r in incremental_dedup(new, hist, max_history_bucket_size=0).collect()
+    }
+    assert not guarded[3]["is_near_candidate"]
+    assert guarded[1]["is_exact_dup"]  # exact pass unaffected
