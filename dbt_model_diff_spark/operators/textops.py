@@ -346,6 +346,7 @@ def classifier_score(
     weights: list[int] | None = None,
     text_col: str = "text",
     threshold: float = 0.0,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Linear text-classifier score per doc, zero shuffles, zero UDFs.
 
@@ -377,9 +378,12 @@ def classifier_score(
             f" 16, 10) as bigint) % {nb} + 1 as int))"
         )
 
+    passthrough = list(extra_cols or [])
     staged = (
         df.filter(F.col(text_col).isNotNull())
-        .select("doc_id", F.split(F.col(text_col), " ").alias("__toks"))
+        .select(
+            "doc_id", *passthrough, F.split(F.col(text_col), " ").alias("__toks")
+        )
         .withColumn("__w", warr)
         .withColumn(
             "__bigrams",
@@ -408,6 +412,7 @@ def classifier_score(
         .withColumn("__bs", bi_sum)
         .select(
             "doc_id",
+            *passthrough,
             (F.size("__toks") + F.size("__bigrams")).alias("n_feats"),
             (F.col("__us") + F.col("__bs")).alias("dot_w"),
         )
