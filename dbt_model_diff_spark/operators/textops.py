@@ -180,13 +180,12 @@ def bpe_train(
                 .filter(F.size("__syms") >= 2)
                 .select(
                     "__cnt",
+                    # zip_with over slices — see classifier_score.__bigrams
                     F.explode(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size("__syms") - 1),
-                            lambda i: F.struct(
-                                F.element_at(F.col("__syms"), i).alias("a"),
-                                F.element_at(F.col("__syms"), i + 1).alias("b"),
-                            ),
+                        F.zip_with(
+                            F.slice(F.col("__syms"), 1, F.size("__syms") - 1),
+                            F.slice(F.col("__syms"), 2, F.size("__syms") - 1),
+                            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
                         )
                     ).alias("__p"),
                 )
@@ -386,15 +385,18 @@ def classifier_score(
         )
         .withColumn("__w", warr)
         .withColumn(
+            # zip_with over two slices, NOT transform(sequence)+element_at:
+            # an array-valued expression inside a lambda body is re-
+            # evaluated PER ELEMENT when projections collapse (the
+            # upstream split/regex chain inlines into the lambda), which
+            # made a composed normalize->classify pipeline QUADRATIC per
+            # row (34 s at sf0.1). HOF *arguments* evaluate once.
             "__bigrams",
-            F.when(
-                F.size("__toks") > 1,
-                F.expr(
-                    "transform(sequence(1, size(__toks) - 1),"
-                    " i -> concat(element_at(__toks, i), ' ',"
-                    " element_at(__toks, i + 1)))"
-                ),
-            ).otherwise(F.array().cast("array<string>")),
+            F.zip_with(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
         )
     )
     uni_sum = F.expr(
@@ -454,13 +456,16 @@ def lm_bigram_score(
         .select("doc_id", F.split(F.col(text_col), " ").alias("__t"))
         .filter(F.size("__t") >= 2)
     )
+    # zip_with over slices (not transform(sequence)+element_at): array
+    # exprs inside a lambda body re-evaluate per element after projection
+    # collapse — see classifier_score.__bigrams
     bi = base.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(__t) - 1),"
-                " i -> struct(element_at(__t, i) AS p,"
-                " element_at(__t, i + 1) AS w))"
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda x, y: F.struct(x.alias("p"), y.alias("w")),
             )
         ).alias("__b"),
     ).select("doc_id", "__b.p", "__b.w")
@@ -590,14 +595,21 @@ def shingles(
         from dbt_model_diff_spark.util import spread_for_compute
 
         src = spread_for_compute(src)
-    # stage the split ONCE: split() inside a HOF is not CSE'd (module
-    # pitfall list), so the old inline form re-tokenized each row three
-    # times (filter + sequence-size + slice) — ~15% of explode wall at a
-    # 30x probe for zero semantic change
-    expr = F.expr(
-        f"transform(sequence(1, size(__toks) - {n - 1}), "
-        f"g -> concat_ws(' ', slice(__toks, g, {n})))"
-    )
+    # n-way zip_with over offset slices, with the split staged once: a
+    # transform(sequence)+slice form keeps the token array inside the
+    # lambda BODY, and after projection collapse the upstream split()
+    # inlines there and re-evaluates PER ELEMENT (quadratic per row —
+    # the classifier_score.__bigrams lesson). HOF *arguments* evaluate
+    # once, so fold the n-gram as zip_with chains over slices.
+    toks_col = F.col("__toks")
+    m = F.size(toks_col) - (n - 1)
+    expr = F.slice(toks_col, 1, m)
+    for j in range(2, n + 1):
+        expr = F.zip_with(
+            expr,
+            F.slice(toks_col, j, m),
+            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
+        )
     return (
         src.select("doc_id", F.split(F.col(text_col), " ").alias("__toks"))
         .filter(F.size("__toks") >= n)
@@ -678,9 +690,11 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
     )
-    bigram_expr = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-        f"g -> concat_ws(' ', slice(split({text_col}, ' '), g, 2)))"
+    # zip_with over slices — see classifier_score.__bigrams / shingles
+    bigram_expr = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
     )
     bigrams = base.filter(F.size(toks) >= 2).select(
         "doc_id", F.explode(bigram_expr).alias("bigram")
