@@ -925,6 +925,45 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_leakage_safe_documents",
+    _VERIFIED_PAIRS_SQL.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + """,
+edges AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT re.a, e.b FROM reach re JOIN edges e ON e.a = re.r
+),
+lab AS (SELECT a AS doc_id, min(r) AS label FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(l.label, d.doc_id) AS group_label,
+       CASE WHEN strpos('0123456789abcdef',
+                 substr(md5(CAST(coalesce(l.label, d.doc_id) AS VARCHAR)), 1, 1))
+                 - 1 < 2
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+""",
+)
+def split_leakage_safe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware holdout (`sampling.leakage_safe_split`): split by
+    the connected-component label of the verified near-dup graph
+    (LSH -> Jaccard >= 0.6, the dedup_components pair set), so no two
+    near-duplicates straddle train/eval. The oracle replays the closure
+    with the recursive CTE and the same md5-bucket split rule."""
+    from dbt_model_diff_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = textops.shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+    )
+    ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
+    out = sampling.leakage_safe_split(docs, ver, eval_sixteenths=2)
+    return out.select("doc_id", "group_label", "split")
+
+
 def _simhash_oracle() -> str:
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -4399,6 +4438,43 @@ def dedup_cross_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rebuild_dedup_chunks",
+    """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 16)) AS start
+  FROM tok
+),
+ch AS (
+  SELECT doc_id, (start - 1) // 16 AS chunk_idx,
+         array_to_string(t[start:start + 15], ' ') AS ctext
+  FROM st
+),
+kept AS (
+  SELECT doc_id, chunk_idx, ctext FROM (
+    SELECT doc_id, chunk_idx, ctext,
+           row_number() OVER (PARTITION BY md5(ctext)
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM ch) WHERE rn = 1
+)
+SELECT doc_id,
+       string_agg(ctext, ' ' ORDER BY chunk_idx) AS text_rebuilt,
+       CAST(count(*) AS INT) AS n_chunks_kept
+FROM kept GROUP BY doc_id
+""",
+)
+def text_rebuild_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive chunk dedup (`dedup.rebuild_without_dup_chunks`):
+    drop every non-first chunk occurrence corpus-wide and reassemble
+    each document from its surviving 16-token chunks in order. The
+    min-(doc_id, chunk_idx) winner rule equals the oracle's
+    row_number()=1 over the same ordering."""
+    return dedup.rebuild_without_dup_chunks(
+        read_table(spark, sf_dir, "documents"), chunk_tokens=16
+    )
+
+
+@register(
     "text_normalize_documents",
     r"""
 WITH n AS (
@@ -4932,6 +5008,8 @@ _DRIVER_PRIORITY = [
     "text_lm_bigram_score",
     "dedup_incremental_batch",
     "pipeline_curation_report",
+    "text_rebuild_dedup_chunks",
+    "split_leakage_safe_documents",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -4979,8 +5057,6 @@ _DRIVER_PRIORITY = [
     "agg_grouping_sets_orders",
     "join_semi_customers",
     "join_anti_customers",
-    "median_price_by_priority",
-    "asof_latest_purchase",
 ]
 
 

@@ -598,6 +598,59 @@ def cross_doc_chunk_dedup(
     )
 
 
+def rebuild_without_dup_chunks(
+    df: DataFrame, text_col: str = "text", chunk_tokens: int = 16
+) -> DataFrame:
+    """Cross-document chunk dedup that REBUILDS the corpus: every
+    non-first occurrence of a chunk (same md5, later (doc_id,
+    chunk_idx)) is removed and each document is reassembled from its
+    surviving chunks in order — the destructive half of RefinedWeb
+    exact-substring dedup (``cross_doc_chunk_dedup`` is the reporting
+    half; this one emits the cleaned text).
+
+    Returns (doc_id, text_rebuilt, n_chunks_kept). Documents whose every
+    chunk is a duplicate have nothing left and are absent (drop-the-doc
+    semantics, matching the oracle's inner aggregation).
+
+    Scale shape: same exchange budget as ``cross_doc_chunk_dedup`` —
+    shuffle-free chunk+md5, ONE explicit hash exchange shared by the
+    winners aggregation and the probe join (AQE ReusedExchange), then
+    one per-doc rollup where the ordered reassembly is
+    ``array_sort(collect_list(struct(idx, text)))`` + a lambda that only
+    touches its own variable (the round-6 lambda-body rule) — no
+    window over the chunk hash, no sort of a mega-group.
+    """
+    from dbt_model_diff_spark.operators.textops import chunk_documents
+
+    chunks = (
+        chunk_documents(
+            df, text_col=text_col, chunk_tokens=chunk_tokens, stride=chunk_tokens
+        )
+        .select(
+            "doc_id", "chunk_idx", "chunk_text", F.md5(F.col("chunk_text")).alias("h")
+        )
+        .repartition("h")
+    )
+    winners = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("__w")
+    )
+    kept = (
+        chunks.join(winners.hint("shuffle_hash"), on="h")
+        .filter(
+            (F.col("doc_id") == F.col("__w.doc_id"))
+            & (F.col("chunk_idx") == F.col("__w.chunk_idx"))
+        )
+        .select("doc_id", "chunk_idx", "chunk_text")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text")))
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(ordered, lambda x: x["chunk_text"])
+        ).alias("text_rebuilt"),
+        F.count(F.lit(1)).cast("int").alias("n_chunks_kept"),
+    )
+
+
 def prioritized_dedup(
     df: DataFrame,
     text_col: str = "text",

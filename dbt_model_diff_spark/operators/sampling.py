@@ -90,6 +90,52 @@ def train_eval_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "id_a",
+    right: str = "id_b",
+    eval_sixteenths: int = 2,
+) -> DataFrame:
+    """Near-dup-aware train/eval split: hash the CONNECTED COMPONENT
+    label, not the document id, so no two near-duplicates ever straddle
+    the split — the leakage mode a plain id-hash holdout cannot prevent
+    (a paraphrase of an eval doc lands in train and the eval score is
+    contaminated). ``pairs`` is any verified near-dup pair set (LSH +
+    Jaccard, SemDeDup cosine, ...).
+
+    Adds ``group_label`` (component representative; singletons label
+    themselves) and ``split``. Same-hash-rule as
+    :func:`train_eval_split`, so singleton docs land exactly where the
+    plain split would put them.
+
+    Scale shape: components run on the pair graph only; the label frame
+    (nodes that appear in ANY pair) is orders of magnitude smaller than
+    the corpus and broadcasts — the corpus is scanned once, never
+    shuffled.
+    """
+    from dbt_model_diff_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, left=left, right=right)
+    lbl = F.coalesce(F.col("label"), F.col(id_col))
+    return (
+        df.join(
+            F.broadcast(comp.withColumnRenamed("node", id_col)),
+            on=id_col,
+            how="left",
+        )
+        .withColumn("group_label", lbl)
+        .withColumn(
+            "split",
+            F.when(
+                hash_bucket(F.col("group_label")) < eval_sixteenths, F.lit("eval")
+            ).otherwise(F.lit("train")),
+        )
+        .drop("label")
+    )
+
+
 def reservoir_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
     """Uniform k-row sample without replacement: rank by seeded pseudo-
     random key, keep the global top-k.

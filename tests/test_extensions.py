@@ -623,3 +623,46 @@ def test_incremental_dedup_flags_and_guard(spark):
     }
     assert not guarded[3]["is_near_candidate"]
     assert guarded[1]["is_exact_dup"]  # exact pass unaffected
+
+
+def test_rebuild_without_dup_chunks(spark):
+    from dbt_model_diff_spark.operators.dedup import rebuild_without_dup_chunks
+
+    # chunk size 2: doc 1 = [a b][c d]; doc 2 repeats [a b] then fresh
+    # [x y]; doc 3 is entirely doc 1's chunks -> fully removed
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rebuild_without_dup_chunks(df, chunk_tokens=2).collect()}
+    assert out[1]["text_rebuilt"] == "a b c d" and out[1]["n_chunks_kept"] == 2
+    assert out[2]["text_rebuilt"] == "x y" and out[2]["n_chunks_kept"] == 1
+    assert 3 not in out  # nothing survived
+
+
+def test_leakage_safe_split_components_never_straddle(spark):
+    from dbt_model_diff_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # components: {0,1,2}, {10,11}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, eval_sixteenths=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 40
+    for comp in ([0, 1, 2], [10, 11]):
+        splits = {by_id[i]["split"] for i in comp}
+        labels = {by_id[i]["group_label"] for i in comp}
+        assert len(splits) == 1 and labels == {comp[0]}
+    # singletons keep the plain id-hash split rule
+    from dbt_model_diff_spark.operators.sampling import train_eval_split
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in train_eval_split(docs, "doc_id", eval_sixteenths=4).collect()
+    }
+    for i in range(3, 10):
+        assert by_id[i]["split"] == plain[i]
