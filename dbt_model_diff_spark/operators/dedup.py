@@ -612,13 +612,18 @@ def rebuild_without_dup_chunks(
     chunk is a duplicate have nothing left and are absent (drop-the-doc
     semantics, matching the oracle's inner aggregation).
 
-    Scale shape: same exchange budget as ``cross_doc_chunk_dedup`` —
-    shuffle-free chunk+md5, ONE explicit hash exchange shared by the
-    winners aggregation and the probe join (AQE ReusedExchange), then
-    one per-doc rollup where the ordered reassembly is
+    Scale shape: shuffle-free chunk+md5, then TWO hash-keyed exchanges —
+    unlike ``cross_doc_chunk_dedup`` (whose branches are identical and
+    share one exchange via ReusedExchange), the rebuild's probe side
+    must carry ``chunk_text`` while the winners aggregation prunes to
+    (h, doc_id, chunk_idx), so column pruning splits the branches into
+    one NARROW and one wide exchange (pinned by the plan test; sharing
+    would mean shuffling the text twice instead of once + once-narrow).
+    The winner join is SHUFFLE_HASH (AQE-splittable on skew), and the
+    per-doc rollup reassembles with
     ``array_sort(collect_list(struct(idx, text)))`` + a lambda that only
-    touches its own variable (the round-6 lambda-body rule) — no
-    window over the chunk hash, no sort of a mega-group.
+    touches its own variable (the round-6 lambda-body rule) — no window
+    over the chunk hash, no sort of a mega-group.
     """
     from dbt_model_diff_spark.operators.textops import chunk_documents
 

@@ -376,3 +376,56 @@ def test_classifier_score_zero_exchange_codegen(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode
     assert "Join" not in plan
+
+
+def test_lm_bigram_score_no_window_linear_shuffles(spark, sf_dir):
+    """lm_bigram_score: bigram explode + two count aggs + two keyed
+    joins — no window, no cartesian, no broadcast of the corpus side."""
+    plan = _executed_plan(QUERIES["text_lm_bigram_score"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classifier_and_curation_no_quadratic_lambda(spark, sf_dir):
+    """The round-6 lambda-body rule: no element_at-over-sequence bigram
+    constructors anywhere in the classifier or the composed curation
+    pipeline (the quadratic re-evaluation shape), and the curation
+    pipeline never windows the corpus."""
+    for name in ("text_classifier_score", "pipeline_curation_report"):
+        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+        assert "sequence(1" not in plan, name
+        assert "Window" not in plan, name
+
+
+def test_incremental_dedup_semi_joins_never_pair_corpus(spark, sf_dir):
+    """Incremental dedup must flag via LEFT SEMI joins (exact-hash and
+    band-bucket) — never materialize new x history pairs, never window
+    the new batch."""
+    plan = _executed_plan(QUERIES["dedup_incremental_batch"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rebuild_dedup_chunks_exchange_budget_no_window(spark, sf_dir):
+    """The destructive chunk rebuild: no window over the chunk hash;
+    SHUFFLE_HASH winner join; exactly THREE hash exchanges — the
+    winners branch (pruned to h/doc/idx, narrow), the text-carrying
+    probe branch, and the per-doc rollup. (cross_doc_chunk_dedup shares
+    one exchange via ReusedExchange because its branches are identical;
+    here pruning deliberately splits them so the text shuffles once,
+    not twice.)"""
+    df = QUERIES["text_rebuild_dedup_chunks"](spark, sf_dir)
+    static = _executed_plan(df)
+    assert "Window" not in static
+    assert "ShuffledHashJoin" in static
+    assert static.count("Exchange hashpartitioning") == 3, static
+
+
+def test_leakage_safe_split_broadcasts_labels(spark, sf_dir):
+    """The component-label frame is pair-scale and must broadcast; the
+    corpus is scanned once, never shuffled, and never windowed."""
+    plan = _executed_plan(QUERIES["split_leakage_safe_documents"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan.split("BroadcastExchange")[0]  # corpus side
