@@ -612,13 +612,16 @@ def rebuild_without_dup_chunks(
     chunk is a duplicate have nothing left and are absent (drop-the-doc
     semantics, matching the oracle's inner aggregation).
 
-    Scale shape: shuffle-free chunk+md5, then TWO hash-keyed exchanges —
-    unlike ``cross_doc_chunk_dedup`` (whose branches are identical and
-    share one exchange via ReusedExchange), the rebuild's probe side
-    must carry ``chunk_text`` while the winners aggregation prunes to
-    (h, doc_id, chunk_idx), so column pruning splits the branches into
-    one NARROW and one wide exchange (pinned by the plan test; sharing
-    would mean shuffling the text twice instead of once + once-narrow).
+    Scale shape: shuffle-free chunk+md5; the chunk text crosses the
+    wire exactly twice — ALL chunks into the winner join (which
+    co-partitions on (h, doc, idx) directly because the winner-equality
+    filter merges into the join condition; no separate repartition) and
+    only the SURVIVORS into the per-doc rollup. Unlike
+    ``cross_doc_chunk_dedup`` (identical branches sharing one exchange
+    via ReusedExchange), the winners branch prunes away ``chunk_text``
+    and takes its own NARROW exchange on h plus a one-row-per-hash
+    exchange into the join. Budget pinned by the plan test: 4 hash
+    exchanges, two text-carrying (full, then survivors-only).
     The winner join is SHUFFLE_HASH (AQE-splittable on skew), and the
     per-doc rollup reassembles with
     ``array_sort(collect_list(struct(idx, text)))`` + a lambda that only
@@ -627,14 +630,10 @@ def rebuild_without_dup_chunks(
     """
     from dbt_model_diff_spark.operators.textops import chunk_documents
 
-    chunks = (
-        chunk_documents(
-            df, text_col=text_col, chunk_tokens=chunk_tokens, stride=chunk_tokens
-        )
-        .select(
-            "doc_id", "chunk_idx", "chunk_text", F.md5(F.col("chunk_text")).alias("h")
-        )
-        .repartition("h")
+    chunks = chunk_documents(
+        df, text_col=text_col, chunk_tokens=chunk_tokens, stride=chunk_tokens
+    ).select(
+        "doc_id", "chunk_idx", "chunk_text", F.md5(F.col("chunk_text")).alias("h")
     )
     winners = chunks.groupBy("h").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("__w")

@@ -410,17 +410,26 @@ def test_incremental_dedup_semi_joins_never_pair_corpus(spark, sf_dir):
 
 def test_rebuild_dedup_chunks_exchange_budget_no_window(spark, sf_dir):
     """The destructive chunk rebuild: no window over the chunk hash;
-    SHUFFLE_HASH winner join; exactly THREE hash exchanges — the
-    winners branch (pruned to h/doc/idx, narrow), the text-carrying
-    probe branch, and the per-doc rollup. (cross_doc_chunk_dedup shares
-    one exchange via ReusedExchange because its branches are identical;
-    here pruning deliberately splits them so the text shuffles once,
-    not twice.)"""
+    SHUFFLE_HASH winner join; exactly FOUR hash exchanges of which only
+    ONE is text-sized — the probe branch co-partitioned by the join on
+    (h, doc, idx), the winners branch's narrow agg exchange on h, its
+    one-row-per-hash join exchange, and the per-doc rollup.
+    (cross_doc_chunk_dedup shares one exchange via ReusedExchange
+    because its branches are identical; here pruning deliberately
+    splits them so the text shuffles once, not twice.)"""
     df = QUERIES["text_rebuild_dedup_chunks"](spark, sf_dir)
     static = _executed_plan(df)
     assert "Window" not in static
     assert "ShuffledHashJoin" in static
-    assert static.count("Exchange hashpartitioning") == 3, static
+    assert static.count("Exchange hashpartitioning") == 4, static
+    # text crosses the wire exactly twice and no more: all chunks into
+    # the winner join, then only the SURVIVORS into the per-doc rollup
+    text_carrying = sum(
+        1
+        for seg in static.split("Exchange hashpartitioning(")[1:]
+        if "chunk_text" in seg.split("Exchange")[0]
+    )
+    assert text_carrying == 2, static
 
 
 def test_leakage_safe_split_broadcasts_labels(spark, sf_dir):
