@@ -926,6 +926,42 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_mixture_temperature",
+    """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n,
+             sqrt(CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS w
+      FROM c),
+m AS (SELECT max(w) AS wmax FROM w)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN
+         CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) AS DOUBLE) / 281474976710656.0
+           < w.w / (SELECT wmax FROM m)
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN w USING (source)
+GROUP BY d.source
+""",
+)
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-2 mixture re-balancing (`sampling.mixture_resample`):
+    per-source acceptance n^(1/2)/n normalized to the rarest source,
+    applied as a deterministic md5-uniform filter. sqrt is IEEE
+    correctly-rounded in both engines, the 48-bit uniform is exact in a
+    double, and both sides run the identical division chain, so the
+    keep decision replays bit-for-bit."""
+    from dbt_model_diff_spark.operators import sampling
+
+    out = sampling.mixture_resample(
+        read_table(spark, sf_dir, "documents"), temperature=2.0
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
     "split_leakage_safe_documents",
     _VERIFIED_PAIRS_SQL.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
     + """,
@@ -5010,6 +5046,7 @@ _DRIVER_PRIORITY = [
     "pipeline_curation_report",
     "text_rebuild_dedup_chunks",
     "split_leakage_safe_documents",
+    "sample_mixture_temperature",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -5056,7 +5093,6 @@ _DRIVER_PRIORITY = [
     "agg_cube_orders",
     "agg_grouping_sets_orders",
     "join_semi_customers",
-    "join_anti_customers",
 ]
 
 

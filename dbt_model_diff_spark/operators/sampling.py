@@ -136,6 +136,57 @@ def leakage_safe_split(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    group_col: str = "source",
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture re-balancing: downsample dominant
+    sources so group shares follow n^(1/T) instead of n (T=1 keeps the
+    natural mixture, T->inf approaches uniform) — the multilingual/
+    multi-source re-balancing rule from the XLM-R / mC4 recipes, as a
+    deterministic per-row filter.
+
+    Acceptance rate per group: r_g = w_g / max(w) with w_g =
+    n_g^(1/T) / n_g, so the smallest group keeps everything and larger
+    groups thin toward the tempered share. A doc is kept iff its
+    md5-derived 48-bit uniform < r_g — repeatable across runs, no RNG
+    state.
+
+    Portability: T=2 uses ``sqrt`` (IEEE correctly-rounded in every
+    engine — the catalog oracle replays it bit-for-bit); other T go
+    through ``pow``, whose last-ulp behavior is libm-specific —
+    rankings are stable but an exact cross-engine replay is only
+    guaranteed at T=2. The 48-bit uniform is exact in a double.
+
+    Scale shape: one narrow count agg (group cardinality is tiny), the
+    per-group rate broadcast back, then a shuffle-free per-row filter.
+    Returns the input plus (``mix_rate`` double, ``keep`` boolean).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_d = F.col("__n").cast("double")
+    if temperature == 2.0:
+        w = F.sqrt(n_d) / n_d
+    else:
+        w = F.pow(n_d, 1.0 / float(temperature)) / n_d
+    weighted = counts.withColumn("__w", w)
+    wmax = weighted.agg(F.max("__w")).collect()[0][0]
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return (
+        df.join(F.broadcast(weighted.select(group_col, "__w")), on=group_col)
+        .withColumn("mix_rate", F.col("__w") / F.lit(float(wmax)))
+        .withColumn("keep", u < F.col("mix_rate"))
+        .drop("__w")
+    )
+
+
 def reservoir_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
     """Uniform k-row sample without replacement: rank by seeded pseudo-
     random key, keep the global top-k.

@@ -666,3 +666,43 @@ def test_leakage_safe_split_components_never_straddle(spark):
     }
     for i in range(3, 10):
         assert by_id[i]["split"] == plain[i]
+
+
+def test_mixture_resample_temperature_properties(spark):
+    from dbt_model_diff_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_resample(df, temperature=2.0)
+    rates = {
+        r["source"]: r["mix_rate"]
+        for r in out.select("source", "mix_rate").distinct().collect()
+    }
+    # smallest group keeps everything; big group thins by sqrt ratio
+    assert rates["small"] == 1.0
+    import math
+
+    expected = (math.sqrt(900.0) / 900.0) / (math.sqrt(100.0) / 100.0)
+    assert abs(rates["big"] - expected) < 1e-12
+    kept = {
+        r["source"]: r["n"]
+        for r in out.filter("keep").groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert kept["small"] == 100
+    # ~900 * 1/3 with md5-uniform noise
+    assert 200 < kept["big"] < 400
+    # determinism: same input -> identical keep set
+    k1 = {r["doc_id"] for r in out.filter("keep").select("doc_id").collect()}
+    k2 = {
+        r["doc_id"]
+        for r in mixture_resample(df, temperature=2.0)
+        .filter("keep").select("doc_id").collect()
+    }
+    assert k1 == k2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_resample(df, temperature=0.0)
