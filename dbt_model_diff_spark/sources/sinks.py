@@ -177,3 +177,84 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Export a curated corpus as hash-sharded parquet plus a
+    self-validating MANIFEST — the hand-off artifact between a curation
+    pipeline and a training job (each trainer rank reads its shard
+    directories; the manifest lets ingestion verify integrity without
+    rescanning content).
+
+    Shard = md5-bucket of the id (``sampling.hash_bucket``) — stable
+    across runs, so incremental re-exports only rewrite shards whose
+    membership changed. The manifest (written beside the data at
+    ``<path>_manifest``) has one row per shard: doc count, whitespace
+    token count, and an ORDER-INDEPENDENT content fingerprint
+    (bit_xor of xxhash64(id, text)) that :func:`validate_shards` can
+    recompute from the files. Returns the manifest DataFrame.
+
+    Scale shape: one pass tags + writes (partitionBy gives one
+    directory per shard), one narrow agg builds the manifest.
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators.sampling import hash_bucket
+
+    if shards <= 0:
+        raise ValueError("shards must be positive")
+    tagged = df.withColumn(
+        "shard", hash_bucket(F.col(id_col), buckets=shards).cast("int")
+    )
+    tagged.write.partitionBy("shard").mode(mode).parquet(path)
+    manifest = tagged.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        ).alias("n_tokens"),
+        F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("content_fp"),
+    )
+    manifest.coalesce(1).write.mode(mode).parquet(f"{path}_manifest")
+    return manifest
+
+
+def validate_shards(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integrity check for a :func:`write_training_shards` export:
+    recompute each shard's manifest row from the parquet files and
+    anti-diff it against the stored manifest. Returns the discrepancy
+    frame (empty == intact): one row per (shard, which-side) where the
+    recomputed stats and the manifest disagree, including shards
+    missing entirely from either side."""
+    from pyspark.sql import functions as F
+
+    data = spark.read.parquet(path)
+    recomputed = data.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        ).alias("n_tokens"),
+        F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("content_fp"),
+    )
+    stored = spark.read.parquet(f"{path}_manifest")
+    cols = ["shard", "n_docs", "n_tokens", "content_fp"]
+    return (
+        recomputed.select(cols)
+        .withColumn("side", F.lit("recomputed"))
+        .unionByName(stored.select(cols).withColumn("side", F.lit("manifest")))
+        .groupBy(cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") != 2)
+        .drop("__n")
+    )

@@ -216,3 +216,46 @@ def test_compact_files_crash_recovery(spark, tmp_path):
     assert after == 1
     assert spark.read.parquet(str(path)).count() == 100
     assert not old.exists()
+
+
+def test_write_training_shards_manifest_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.sources.sinks import (
+        validate_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} words") for i in range(200)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, shards=4)
+    rows = manifest.collect()
+    assert {r["shard"] for r in rows} <= set(range(4))
+    assert sum(r["n_docs"] for r in rows) == 200
+    assert sum(r["n_tokens"] for r in rows) == 200 * 4
+
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert back.select("shard").distinct().count() == len(rows)
+
+    # intact export validates clean
+    assert validate_shards(spark, path).count() == 0
+
+    # corrupt one shard (drop a row) -> discrepancy rows for that shard
+    some_shard = rows[0]["shard"]
+    corrupted = back.filter(
+        ~((F.col("shard") == some_shard) & (F.col("doc_id") == back.filter(
+            F.col("shard") == some_shard).select(F.min("doc_id")).collect()[0][0]))
+    )
+    path2 = str(tmp_path / "shards2")
+    corrupted.write.partitionBy("shard").parquet(path2)
+    spark.read.parquet(f"{path}_manifest").write.parquet(f"{path2}_manifest")
+    bad = validate_shards(spark, path2).collect()
+    assert bad and all(r["shard"] == some_shard for r in bad)
+
+    # shard assignment is stable across exports
+    m2 = write_training_shards(df, str(tmp_path / "shards3"), shards=4)
+    assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, rows))
