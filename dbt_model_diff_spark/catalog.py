@@ -926,6 +926,32 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_length_deciles",
+    """
+WITH v AS (
+  SELECT CAST(len(string_split(text, ' ')) AS INT) AS v
+  FROM documents WHERE text IS NOT NULL),
+h AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS n
+  FROM h)
+SELECT CAST(d.d AS INT) AS decile, min(v) AS boundary_tokens
+FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d) d
+WHERE cum * 10 >= d.d * n
+GROUP BY d.d
+""",
+)
+def text_token_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact doc-length deciles via a value-domain histogram
+    (textops.token_length_deciles): the corpus collapses map-side into a
+    tiny (n_tokens, count) table and the cumulative window runs over
+    THAT — exact type-1 quantiles with integer math, no corpus sort, no
+    approx sketch."""
+    return textops.token_length_deciles(read_table(spark, sf_dir, "documents"))
+
+
+@register(
     "sample_mixture_temperature",
     """
 WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
@@ -5047,6 +5073,7 @@ _DRIVER_PRIORITY = [
     "text_rebuild_dedup_chunks",
     "split_leakage_safe_documents",
     "sample_mixture_temperature",
+    "text_token_length_deciles",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -5092,7 +5119,6 @@ _DRIVER_PRIORITY = [
     "agg_rollup_orders",
     "agg_cube_orders",
     "agg_grouping_sets_orders",
-    "join_semi_customers",
 ]
 
 

@@ -487,6 +487,48 @@ def lm_bigram_score(
     )
 
 
+def token_length_deciles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """EXACT doc-length deciles (type-1 quantiles: smallest value whose
+    cumulative count reaches ceil(d*N/10)) — the "know your corpus"
+    report before choosing context length / packing capacity.
+
+    Scale shape: percentiles over 100 TB cannot sort the corpus
+    (single-partition global window) and approx sketches
+    (percentile_approx) are neither exact nor engine-portable. Token
+    counts live in a TINY value domain, so the exact answer is a
+    VALUE-DOMAIN HISTOGRAM: one narrow groupBy(n_tokens) agg collapses
+    the corpus map-side, and the cumulative window runs over the
+    histogram (thousands of rows at most — its single partition is the
+    point, with the non-foldable constant partition key muting the
+    WindowExec warning, same trick as top_terms). Integer arithmetic
+    end to end.
+    """
+    hist = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.size(F.split(F.col(text_col), " ")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tiny = Window.partitionBy(
+        F.when(F.col("v") < 0, 1).otherwise(0)
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            tiny.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.sum("c").over(tiny))
+    deciles = df.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    return (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(F.col("cum") * 10 >= F.col("decile") * F.col("n"))
+        .groupBy("decile")
+        .agg(F.min("v").alias("boundary_tokens"))
+    )
+
+
 # Polynomial rolling-hash parameters (Rabin-Karp): base 31, Mersenne-ish
 # modulus. Intermediate values stay < 3.6e10 << 2^63, so the fold is exact
 # bigint arithmetic in every engine (no overflow wraparound relied upon).

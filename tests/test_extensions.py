@@ -706,3 +706,18 @@ def test_mixture_resample_temperature_properties(spark):
 
     with _pytest.raises(ValueError):
         mixture_resample(df, temperature=0.0)
+
+
+def test_token_length_deciles_exact_type1_quantiles(spark):
+    from dbt_model_diff_spark.operators.textops import token_length_deciles
+
+    # 10 docs with 1..10 tokens: decile d boundary is exactly d tokens
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 11)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["decile"]: r["boundary_tokens"] for r in token_length_deciles(df).collect()}
+    assert out == {d: d for d in range(1, 11)}
+    # skewed corpus: 9 docs of 5 tokens + 1 of 100 -> p90 = 5, p100 = 100
+    rows2 = [(i, "a b c d e") for i in range(9)] + [(9, " ".join(["w"] * 100))]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {r["decile"]: r["boundary_tokens"] for r in token_length_deciles(df2).collect()}
+    assert out2[9] == 5 and out2[10] == 100
