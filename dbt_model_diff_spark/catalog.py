@@ -3789,6 +3789,37 @@ def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type").distinct()
 
 
+@register(
+    "stream_incremental_dedup",
+    """
+WITH hh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0)
+SELECT doc_id, md5(text) IN (SELECT h FROM hh) AS is_exact_dup
+FROM documents WHERE doc_id % 2 = 1
+""",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (streaming/events.incremental_dedup_stream):
+    odd doc_ids arrive as a file stream and are flagged against the
+    static even-id history hash set via a stateless stream-static LEFT
+    join, drained AvailableNow in append mode. Batch-count-independent
+    (no state store), so the oracle is the plain batch IN-subquery."""
+    from dbt_model_diff_spark.streaming import events as se
+
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("text")).alias("__h")
+    )
+    stream = se.read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    flagged = se.incremental_dedup_stream(stream, hist)
+    return se.run_stream_to_memory(
+        flagged,
+        query_name=f"stream_incdedup_{abs(hash(sf_dir)) % 10_000}",
+        output_mode="append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions batch (round 4, second half): corpus-curation operators —
 # declarative quality gates, MERGE-style incremental apply, sequence
@@ -5074,6 +5105,7 @@ _DRIVER_PRIORITY = [
     "split_leakage_safe_documents",
     "sample_mixture_temperature",
     "text_token_length_deciles",
+    "stream_incremental_dedup",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -5118,7 +5150,6 @@ _DRIVER_PRIORITY = [
     "text_rolling_fingerprint",
     "agg_rollup_orders",
     "agg_cube_orders",
-    "agg_grouping_sets_orders",
 ]
 
 

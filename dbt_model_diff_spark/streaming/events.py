@@ -283,3 +283,36 @@ def run_stream_to_memory(
             f"streaming query {query_name!r} did not drain within {timeout_sec}s"
         )
     return stream_df.sparkSession.table(query_name)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over documents.parquet (schema from a batch
+    footer read — file streams require an explicit schema). The
+    arriving-corpus side of streaming ingest dedup."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if Path(path).is_dir():
+        return reader.load(path)
+    return reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
+
+
+def incremental_dedup_stream(
+    arriving: DataFrame, history_hashes: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Streaming ingest dedup against a STATIC historical hash set: each
+    arriving document is flagged ``is_exact_dup`` via a stream-static
+    LEFT join on the content md5 — the streaming twin of
+    ``dedup.incremental_dedup``'s exact pass. Stream-static equi-joins
+    are stateless (no watermark, no state store): the static side is a
+    broadcast-able lookup rebuilt per micro-batch, so the flag is
+    batch-count-independent by construction. ``history_hashes`` must be
+    a static frame with a ``__h`` md5 column."""
+    marked = history_hashes.select("__h").distinct().withColumn("__m", F.lit(True))
+    return (
+        arriving.withColumn("__h", F.md5(F.col(text_col)))
+        .join(marked, on="__h", how="left")
+        .select(
+            "doc_id", F.coalesce(F.col("__m"), F.lit(False)).alias("is_exact_dup")
+        )
+    )
