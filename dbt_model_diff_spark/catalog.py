@@ -3790,6 +3790,42 @@ def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_roundtrip_documents",
+    """
+SELECT doc_id, lang, source, n_chars,
+       md5(text) AS text_md5,
+       CAST(length(text) AS INT) AS text_len
+FROM documents
+""",
+)
+def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip (`sources/sinks.py::write_jsonl/
+    read_jsonl`): documents is written as line-delimited JSON and read
+    back WITH an explicit schema (the production path — inference costs
+    a second scan); the surfaced projection comes entirely from the
+    JSONL copy while the oracle reads the original parquet, so a green
+    row proves string/long fidelity through the JSON hop (escaping,
+    unicode, nulls)."""
+    import tempfile
+    from pathlib import Path
+
+    from dbt_model_diff_spark.sources.sinks import read_jsonl, write_jsonl
+
+    d = read_table(spark, sf_dir, "documents")
+    path = str(Path(tempfile.mkdtemp(prefix="dmds_jsonl_")) / "documents_jsonl")
+    write_jsonl(d, path)
+    back = read_jsonl(spark, path, schema=d.schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").cast("int").alias("text_len"),
+    )
+
+
+@register(
     "stream_incremental_dedup",
     """
 WITH hh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0)
@@ -5106,6 +5142,7 @@ _DRIVER_PRIORITY = [
     "sample_mixture_temperature",
     "text_token_length_deciles",
     "stream_incremental_dedup",
+    "jsonl_roundtrip_documents",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -5149,7 +5186,6 @@ _DRIVER_PRIORITY = [
     "text_token_stats",
     "text_rolling_fingerprint",
     "agg_rollup_orders",
-    "agg_cube_orders",
 ]
 
 
