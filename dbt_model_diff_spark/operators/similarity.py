@@ -850,9 +850,12 @@ def semantic_pair_candidates(
     cap = max_cluster_size
 
     def pair_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # object dtype so Arrow casts the EMPTY frame to whatever the
+        # declared id type is (an empty int64 series would fail against
+        # a string id column)
         cols_spec: dict = {
-            "id_a": pd.Series(dtype="int64"),
-            "id_b": pd.Series(dtype="int64"),
+            "id_a": pd.Series(dtype="object"),
+            "id_b": pd.Series(dtype="object"),
         }
         if emit_cos:
             cols_spec["cos_sim"] = pd.Series(dtype="float64")
