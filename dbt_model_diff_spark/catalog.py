@@ -965,7 +965,7 @@ SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
               AS BIGINT) AS DOUBLE) / 281474976710656.0
            < w.w / (SELECT wmax FROM m)
          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM documents d JOIN w USING (source)
+FROM documents d JOIN w ON d.source IS NOT DISTINCT FROM w.source
 GROUP BY d.source
 """,
 )
@@ -3812,7 +3812,13 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_model_diff_spark.sources.sinks import read_jsonl, write_jsonl
 
     d = read_table(spark, sf_dir, "documents")
-    path = str(Path(tempfile.mkdtemp(prefix="dmds_jsonl_")) / "documents_jsonl")
+    # FIXED per-sf path, overwritten each invocation: the driver/bench
+    # call query builders repeatedly, and a fresh mkdtemp per call would
+    # accumulate a corpus copy per sweep (code-review r6 fix)
+    path = str(
+        Path(tempfile.gettempdir())
+        / f"dmds_jsonl_roundtrip_{abs(hash(sf_dir)) % 10_000}"
+    )
     write_jsonl(d, path)
     back = read_jsonl(spark, path, schema=d.schema)
     return back.select(
@@ -4963,7 +4969,12 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_model_diff_spark.sources.sinks import read_orc, write_orc
 
     o = read_table(spark, sf_dir, "orders")
-    path = str(Path(tempfile.mkdtemp(prefix="dmds_orc_")) / "orders_orc")
+    # fixed per-sf path, overwritten each invocation — see
+    # jsonl_roundtrip_documents (code-review r6 fix)
+    path = str(
+        Path(tempfile.gettempdir())
+        / f"dmds_orc_roundtrip_{abs(hash(sf_dir)) % 10_000}"
+    )
     write_orc(o, path, num_files=4)
     back = read_orc(spark, path)
     return back.select(
@@ -5159,9 +5170,11 @@ _DRIVER_PRIORITY = [
     "top_revenue_orders",
     "events_props_typed",
     "diff_counts_embeddings",
-    # Tier 2: 37 of the 50 r4-certified queries, catalog source order.
-    # The 13 r4 queries left outside (text_top_terms .. dedup_cross_doc_chunks)
-    # become round 7's mandatory slots under the 3-round bound.
+    # Tier 2: the oldest r4-certified queries in catalog source order —
+    # 24 remain after the 13 round-6 additions displaced one each from
+    # the tail. The 26 r4 queries left outside become round 7's
+    # mandatory slots under the 3-round bound (plus whatever r5-newest
+    # queries the r6/r7 records leave stale).
     "topk_orders",
     "events_json_extract",
     "events_hourly_rollup",

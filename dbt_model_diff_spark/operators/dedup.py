@@ -173,7 +173,7 @@ def band_buckets(
 
 def incremental_dedup(
     new_df: DataFrame,
-    history_df: DataFrame,
+    history_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
@@ -181,14 +181,26 @@ def incremental_dedup(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     max_history_bucket_size: int = 1000,
+    history_hashes: DataFrame | None = None,
+    history_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-ingest dedup: flag each NEW document against the HISTORICAL
     corpus — exact (content md5 seen before) and near (shares any LSH
-    band bucket with a historical doc). The pattern every rolling 100 TB
-    pipeline runs: the history side is a stored fingerprint/signature
-    table that only APPENDS; the new batch (orders of magnitude smaller)
-    is hashed once and joined against it — the historical TEXT is never
-    re-read, only its hashes/signatures.
+    band bucket with a historical doc).
+
+    Two ways to supply the history side:
+
+    - ``history_df`` (raw text): hashes/signatures are DERIVED here —
+      convenient, but the full history is re-scanned and re-shingled on
+      every batch.
+    - ``history_hashes`` (one ``__h`` md5 column) and/or
+      ``history_buckets`` ((band_id, bucket) rows, e.g. persisted
+      ``band_buckets`` output): the stored-fingerprint-table pattern a
+      rolling 100 TB pipeline actually runs — the tables only APPEND,
+      the historical text is never re-read, and each ingest batch costs
+      one hash of the (orders-of-magnitude smaller) new side plus two
+      keyed joins (code-review r6 fix: the previous API only accepted
+      raw text, contradicting this documented shape).
 
     Returns one row per new doc: (id, is_exact_dup, is_near_candidate,
     kept) with kept = not (exact or near). Near is LSH-candidate-level
@@ -207,12 +219,15 @@ def incremental_dedup(
 
     from dbt_model_diff_spark.operators.textops import shingles
 
+    if history_hashes is None:
+        if history_df is None:
+            raise ValueError("pass history_df or history_hashes")
+        history_hashes = history_df.select(F.md5(F.col(text_col)).alias("__h"))
+
     new_hashed = new_df.select(
         id_col, F.col(text_col).alias("__text")
     ).withColumn("__h", F.md5(F.col("__text")))
-    hist_hashes = history_df.select(
-        F.md5(F.col(text_col)).alias("__h")
-    ).distinct()
+    hist_hashes = history_hashes.select("__h").distinct()
     exact_hits = (
         new_hashed.join(hist_hashes, on="__h", how="left_semi")
         .select(id_col)
@@ -224,7 +239,11 @@ def incremental_dedup(
         sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
         return band_buckets(sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col)
 
-    hist_b = side_buckets(history_df).select("band_id", "bucket")
+    if history_buckets is None:
+        if history_df is None:
+            raise ValueError("pass history_df or history_buckets")
+        history_buckets = side_buckets(history_df)
+    hist_b = history_buckets.select("band_id", "bucket")
     guard = Window.partitionBy("band_id", "bucket")
     hist_b = (
         hist_b.withColumn("__n", F.count(F.lit(1)).over(guard))

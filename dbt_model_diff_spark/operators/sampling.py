@@ -117,14 +117,15 @@ def leakage_safe_split(
     """
     from dbt_model_diff_spark.operators.dedup import connected_components
 
-    comp = connected_components(pairs, left=left, right=right)
-    lbl = F.coalesce(F.col("label"), F.col(id_col))
+    # collision-safe internal name: a caller's own "label" column (the
+    # standard supervised-ML shape) must survive untouched (code-review
+    # r6 fix: the bare name made the coalesce ambiguous)
+    comp = connected_components(pairs, left=left, right=right).select(
+        F.col("node").alias(id_col), F.col("label").alias("__cc_label")
+    )
+    lbl = F.coalesce(F.col("__cc_label"), F.col(id_col))
     return (
-        df.join(
-            F.broadcast(comp.withColumnRenamed("node", id_col)),
-            on=id_col,
-            how="left",
-        )
+        df.join(F.broadcast(comp), on=id_col, how="left")
         .withColumn("group_label", lbl)
         .withColumn(
             "split",
@@ -132,7 +133,7 @@ def leakage_safe_split(
                 hash_bucket(F.col("group_label")) < eval_sixteenths, F.lit("eval")
             ).otherwise(F.lit("train")),
         )
-        .drop("label")
+        .drop("__cc_label")
     )
 
 
@@ -162,7 +163,11 @@ def mixture_resample(
 
     Scale shape: one narrow count agg (group cardinality is tiny), the
     per-group rate broadcast back, then a shuffle-free per-row filter.
-    Returns the input plus (``mix_rate`` double, ``keep`` boolean).
+    Returns the input plus (``mix_rate`` double, ``keep`` boolean) — ALL
+    rows, including a NULL group (it forms its own group, joined back
+    null-safely — code-review r6 fix: a plain equi-join silently DROPPED
+    null-group docs). An empty input returns empty with the two columns
+    attached.
     """
     if temperature <= 0:
         raise ValueError("temperature must be positive")
@@ -174,13 +179,23 @@ def mixture_resample(
         w = F.pow(n_d, 1.0 / float(temperature)) / n_d
     weighted = counts.withColumn("__w", w)
     wmax = weighted.agg(F.max("__w")).collect()[0][0]
+    if wmax is None:  # empty input: no groups at all
+        return df.withColumn("mix_rate", F.lit(1.0)).withColumn(
+            "keep", F.lit(False)
+        )
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
         .cast("double")
         / F.lit(float(1 << 48))
     )
+    wsel = weighted.select(
+        F.col(group_col).alias("__g"), F.col("__w")
+    )
     return (
-        df.join(F.broadcast(weighted.select(group_col, "__w")), on=group_col)
+        df.join(
+            F.broadcast(wsel), on=df[group_col].eqNullSafe(wsel["__g"])
+        )
+        .drop("__g")
         .withColumn("mix_rate", F.col("__w") / F.lit(float(wmax)))
         .withColumn("keep", u < F.col("mix_rate"))
         .drop("__w")
@@ -339,8 +354,13 @@ def epoch_shard_assignment(
 
 # Frames pinned by select_within_token_budget, released by
 # release_budget_caches — a SCOPED unpersist (session-wide clearCache
-# would drop every cache in the session, ADVICE r5).
+# would drop every cache in the session, ADVICE r5). Bounded: past
+# _BUDGET_CACHE_CAP entries the oldest pin is auto-released (safe —
+# an evicted/unpersisted block recomputes), so a long-lived service
+# that never calls release_budget_caches leaks neither driver
+# references nor cache registry entries without bound (code-review r6).
 _BUDGET_CACHES: list[DataFrame] = []
+_BUDGET_CACHE_CAP = 8
 
 
 def release_budget_caches(blocking: bool = False) -> int:
@@ -412,6 +432,8 @@ def select_within_token_budget(
         "__qb", F.floor((F.lit(1.0) - q) * F.lit(int(buckets))).cast("long")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _BUDGET_CACHES.append(bucketed)
+    while len(_BUDGET_CACHES) > _BUDGET_CACHE_CAP:
+        _BUDGET_CACHES.pop(0).unpersist(blocking=False)
     stats = bucketed.groupBy("__qb").agg(
         F.sum(toks).alias("t"),
         F.sum(toks.isNull().cast("long")).alias("null_toks"),

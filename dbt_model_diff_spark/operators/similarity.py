@@ -872,6 +872,15 @@ def semantic_pair_candidates(
         for i in range(V.shape[1]):
             acc = acc + V[:, i] * V[:, i]
         norms = np.sqrt(acc)
+        if np.any(norms == 0.0):
+            # fail loud like the JVM formulation did (ANSI DIVIDE_BY_ZERO)
+            # instead of silently skipping the doc via NaN comparisons —
+            # a zero-norm embedding is a broken embedder output the
+            # pipeline must surface (code-review r6 fix)
+            bad = ids[np.nonzero(norms == 0.0)[0][:3]]
+            raise ValueError(
+                f"zero-norm embedding(s) in cosine pair group, e.g. ids {list(bad)}"
+            )
         out_a: list = []
         out_b: list = []
         out_c: list = []

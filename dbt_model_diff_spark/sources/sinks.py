@@ -202,7 +202,11 @@ def write_training_shards(
     recompute from the files. Returns the manifest DataFrame.
 
     Scale shape: one pass tags + writes (partitionBy gives one
-    directory per shard), one narrow agg builds the manifest.
+    directory per shard); the manifest aggregates the FILES JUST
+    WRITTEN, not the input pipeline (code-review r6 fix: re-executing
+    the input would both cost a second corpus pass and — for any
+    nondeterministic upstream — certify a different realization than
+    the one exported).
     """
     from pyspark.sql import functions as F
 
@@ -214,7 +218,9 @@ def write_training_shards(
         "shard", hash_bucket(F.col(id_col), buckets=shards).cast("int")
     )
     tagged.write.partitionBy("shard").mode(mode).parquet(path)
-    manifest = tagged.groupBy("shard").agg(
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    manifest = written.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
             F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
@@ -222,7 +228,7 @@ def write_training_shards(
         F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("content_fp"),
     )
     manifest.coalesce(1).write.mode(mode).parquet(f"{path}_manifest")
-    return manifest
+    return spark.read.parquet(f"{path}_manifest")
 
 
 def validate_shards(

@@ -721,3 +721,84 @@ def test_token_length_deciles_exact_type1_quantiles(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, text string")
     out2 = {r["decile"]: r["boundary_tokens"] for r in token_length_deciles(df2).collect()}
     assert out2[9] == 5 and out2[10] == 100
+
+
+def test_mixture_resample_null_group_and_empty(spark):
+    """Code-review r6: NULL-group rows must survive with their own rate;
+    empty input returns empty with the columns attached."""
+    from dbt_model_diff_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")],
+        "doc_id long, source string",
+    )
+    out = {r["doc_id"]: r for r in mixture_resample(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3]["mix_rate"] == 1.0  # singleton null group keeps all
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    res = mixture_resample(empty)
+    assert res.count() == 0
+    assert {"mix_rate", "keep"} <= set(res.columns)
+
+
+def test_leakage_safe_split_preserves_caller_label_column(spark):
+    from dbt_model_diff_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", i % 3) for i in range(10)],
+        "doc_id long, text string, label int",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs)
+    assert "label" in out.columns
+    got = {r["doc_id"]: r["label"] for r in out.collect()}
+    assert got == {i: i % 3 for i in range(10)}
+
+
+def test_incremental_dedup_stored_fingerprint_tables(spark):
+    """The stored-signature path must equal the derive-from-text path."""
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators import dedup
+    from dbt_model_diff_spark.operators.textops import shingles
+
+    hist = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (5, "utterly unrelated brand new material entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    derived = dedup.incremental_dedup(new, hist)
+    hashes = hist.select(F.md5("text").alias("__h"))
+    buckets = dedup.band_buckets(
+        dedup.minhash_signatures(shingles(hist, n=3), num_hashes=8)
+    )
+    stored = dedup.incremental_dedup(
+        new, history_hashes=hashes, history_buckets=buckets
+    )
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.incremental_dedup(new)
+
+
+def test_semantic_pair_kernel_zero_norm_fails_loud(spark):
+    import pytest as _pytest
+
+    from dbt_model_diff_spark.operators.similarity import semantic_pair_candidates
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, cluster int",
+    )
+    with _pytest.raises(Exception, match="zero-norm"):
+        semantic_pair_candidates(df, ["cluster"], threshold=0.5).collect()
