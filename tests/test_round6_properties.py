@@ -1,0 +1,184 @@
+"""Property-based tests for the round-6 operators, replayed against
+pure-Python models (same conventions as the other *_properties files:
+small examples, real Spark runs, deadlines off):
+
+- bpe_merge_word: for ANY word over the toy alphabet the classic loop
+  equals the SEP/TERM string-replace formulation (what the SQL oracle
+  executes) — exercised far beyond the fixed-seed cases in
+  test_extensions.
+- ngram_jaccard_pairs: for ANY corpus/pair set the set-fold +
+  array_intersect rewrite matches a brute-force Python set Jaccard.
+- connected_components: for ANY pair graph the min-label propagation
+  equals a union-find replay (component partition AND min-id labels).
+- leakage_safe_split: for ANY graph, no component straddles the split,
+  and singletons match the plain id-hash split exactly.
+- token_length_deciles: for ANY corpus the boundaries equal the type-1
+  quantile definition replayed over the sorted counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from dbt_model_diff_spark.operators import dedup, sampling, textops
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+WORD = st.text(alphabet="tablevurskcfowing ", min_size=0, max_size=16)
+
+
+@given(word=WORD)
+@settings(max_examples=200, deadline=None)
+def test_bpe_merge_word_equals_string_replace(word):
+    merges = textops.BPE_TOY_MERGES
+    got = textops.bpe_merge_word(word, merges)
+    # independent formulation: iterated leftmost non-overlapping replace
+    # over the SEP/TERM encoding, min-rank applicable merge each step
+    s = "".join(textops.BPE_SEP + c + textops.BPE_TERM for c in word)
+    while True:
+        best = None
+        for rank, (a, b) in enumerate(merges):
+            pat = (
+                textops.BPE_SEP + a + textops.BPE_TERM
+                + textops.BPE_SEP + b + textops.BPE_TERM
+            )
+            if pat in s:
+                best = (rank, a, b)
+                break
+        if best is None:
+            break
+        _, a, b = best
+        s = s.replace(
+            textops.BPE_SEP + a + textops.BPE_TERM
+            + textops.BPE_SEP + b + textops.BPE_TERM,
+            textops.BPE_SEP + a + b + textops.BPE_TERM,
+        )
+    ref = [t[:-1] for t in s.split(textops.BPE_SEP) if t]
+    assert got == ref
+    assert "".join(got) == word  # merging never loses characters
+
+
+DOCS = st.lists(
+    st.sampled_from(
+        [
+            "a b c d e",
+            "a b c d f",
+            "x y z w v",
+            "a b x y q",
+            "p q r s t",
+        ]
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=DOCS)
+@settings(**_SETTINGS)
+def test_jaccard_set_fold_matches_python_sets(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = textops.shingles(df, n=2)
+    pairs = [(a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))]
+    cand = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(sh, cand).collect()
+    }
+
+    def shingle_set(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    for a, b in pairs:
+        sa, sb = shingle_set(texts[a]), shingle_set(texts[b])
+        expect = len(sa & sb) / len(sa | sb)
+        assert got[(a, b)] == expect
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _union_find_labels(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comps.values() for n in members}
+
+
+@given(edges=EDGES)
+@settings(**_SETTINGS)
+def test_connected_components_equals_union_find(spark, edges):
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    pairs = spark.createDataFrame(norm, "id_a long, id_b long")
+    got = {
+        r["node"]: r["label"] for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == _union_find_labels(edges)
+
+
+@given(edges=EDGES)
+@settings(**_SETTINGS)
+def test_leakage_safe_split_never_straddles(spark, edges):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "doc_id long, text string"
+    )
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    pairs = spark.createDataFrame(norm, "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in sampling.leakage_safe_split(docs, pairs).collect()}
+    labels = _union_find_labels(edges)
+    for i in range(10):
+        expect_label = labels.get(i, i)
+        assert out[i]["group_label"] == expect_label
+        bucket = int(
+            "0123456789abcdef".index(
+                hashlib.md5(str(expect_label).encode()).hexdigest()[0]
+            )
+        )
+        assert out[i]["split"] == ("eval" if bucket < 2 else "train")
+
+
+LENGTHS = st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=25)
+
+
+@given(lengths=LENGTHS)
+@settings(**_SETTINGS)
+def test_token_length_deciles_match_type1_quantiles(spark, lengths):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["decile"]: r["boundary_tokens"]
+        for r in textops.token_length_deciles(df).collect()
+    }
+    srt = sorted(lengths)
+    n = len(srt)
+    for d in range(1, 11):
+        # type-1 quantile: smallest value at cumulative rank ceil(d*n/10)
+        rank = -(-d * n // 10)  # ceil
+        assert got[d] == srt[rank - 1], (d, srt)
