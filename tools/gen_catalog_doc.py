@@ -1,0 +1,58 @@
+"""Generate docs/CATALOG.md from the live query registry.
+
+One row per catalog query: name, operator module it exercises (best
+effort from the function body), oracle kind, driver-window slot, and the
+first docstring sentence. Regenerate after adding queries:
+
+    python tools/gen_catalog_doc.py
+"""
+
+from __future__ import annotations
+
+import inspect
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def first_sentence(doc: str | None) -> str:
+    if not doc:
+        return ""
+    text = " ".join(doc.split())
+    m = re.search(r"(.+?\.)(\s|$)", text)
+    return (m.group(1) if m else text)[:220]
+
+
+def main() -> None:
+    from dbt_model_diff_spark import catalog
+
+    lines = [
+        "# Catalog reference (generated)",
+        "",
+        "Regenerate with `python tools/gen_catalog_doc.py`. One row per",
+        "driver-checkable query: every entry has a Spark implementation in",
+        "`catalog.py` and (unless noted) a DuckDB oracle the driver runs",
+        "side-by-side at sf0.01. The first 50 rows are the current round's",
+        "driver verification window (`catalog._DRIVER_PRIORITY`).",
+        "",
+        f"Total queries: **{len(catalog.QUERIES)}**",
+        "",
+        "| # | Query | Oracle | Summary |",
+        "|---|---|---|---|",
+    ]
+    for i, (name, fn) in enumerate(catalog.QUERIES.items(), start=1):
+        oracle = catalog.ORACLES.get(name)
+        okind = "SQL replay" if oracle else "rows-only"
+        window = " (window)" if i <= 50 else ""
+        summary = first_sentence(inspect.getdoc(fn)).replace("|", "\\|")
+        lines.append(f"| {i}{window} | `{name}` | {okind} | {summary} |")
+    out = Path(__file__).resolve().parent.parent / "docs" / "CATALOG.md"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out} ({len(catalog.QUERIES)} queries)")
+
+
+if __name__ == "__main__":
+    main()
