@@ -182,3 +182,35 @@ def test_token_length_deciles_match_type1_quantiles(spark, lengths):
         # type-1 quantile: smallest value at cumulative rank ceil(d*n/10)
         rank = -(-d * n // 10)  # ceil
         assert got[d] == srt[rank - 1], (d, srt)
+
+
+@given(texts=DOCS)
+@settings(**_SETTINGS)
+def test_oph_signatures_match_python_replay(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = textops.shingles(df, n=2)
+    got = {r["doc_id"]: [r[f"oph{k}"] for k in range(8)]
+           for r in dedup.oph_signatures(sh, num_bins=8).collect()}
+
+    def replay(t):
+        toks = t.split(" ")
+        shingles_ = {" ".join(toks[i: i + 2]) for i in range(len(toks) - 1)}
+        hs = [int(hashlib.md5(x.encode()).hexdigest()[1:16], 16) for x in shingles_]
+        raw = [None] * 8
+        for h in hs:
+            b = h % 8
+            if raw[b] is None or h < raw[b]:
+                raw[b] = h
+        out = []
+        for k in range(8):
+            for j in range(8):
+                v = raw[(k + j) % 8]
+                if v is not None:
+                    out.append(v + j * (1 << 60))
+                    break
+        return out
+
+    for i, t in enumerate(texts):
+        if len(t.split(" ")) >= 2:
+            assert got[i] == replay(t), t
