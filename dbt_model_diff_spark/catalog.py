@@ -961,6 +961,58 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_count_min_terms",
+    """
+WITH tt AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (SELECT term FROM tt WHERE term <> ''),
+cnts AS (SELECT term, count(*) AS cnt FROM tf GROUP BY term),
+top AS (SELECT term, cnt FROM cnts ORDER BY cnt DESC, term LIMIT 10),
+rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+rb AS (
+  SELECT term, r,
+         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || term), 2, 15)
+              AS BIGINT) % 128 AS bucket
+  FROM tf CROSS JOIN rws),
+sk AS (SELECT r, bucket, count(*) AS c FROM rb GROUP BY r, bucket),
+probe AS (
+  SELECT t.term, w.r,
+         CAST('0x' || substr(md5(CAST(w.r AS VARCHAR) || '|' || t.term), 2, 15)
+              AS BIGINT) % 128 AS bucket
+  FROM top t CROSS JOIN rws w),
+est AS (
+  SELECT p.term, min(coalesce(s.c, 0)) AS cms_estimate
+  FROM probe p LEFT JOIN sk s ON s.r = p.r AND s.bucket = p.bucket
+  GROUP BY p.term)
+SELECT t.term, t.cnt AS true_cnt, e.cms_estimate,
+       e.cms_estimate >= t.cnt AS is_overestimate
+FROM top t JOIN est e ON e.term = t.term
+""",
+)
+def sketch_count_min_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (textops.count_min_sketch / cms_estimate): 4x128
+    pinned-hash counters over the whitespace terms, probed for the TRUE
+    top-10 heavy hitters — every estimate must dominate its true count
+    (collisions only ADD), and for Zipf heads it is near-exact. The
+    sketch is depth*width rows regardless of corpus size: the
+    bounded-memory frequency structure for when even the vocab table is
+    too wide. Exact integer counters, so the oracle replays the whole
+    build + probe."""
+    docs = read_table(spark, sf_dir, "documents")
+    sketch = textops.count_min_sketch(docs, depth=4, width=128)
+    top10 = textops.top_terms(docs, k=10).select(
+        "term", F.col("cnt").alias("true_cnt")
+    )
+    est = textops.cms_estimate(sketch, top10.select("term"), depth=4, width=128)
+    return top10.join(est, on="term").select(
+        "term",
+        "true_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_cnt")).alias("is_overestimate"),
+    )
+
+
+@register(
     "text_token_length_deciles",
     """
 WITH v AS (
@@ -5190,6 +5242,7 @@ _DRIVER_PRIORITY = [
     "stream_incremental_dedup",
     "jsonl_roundtrip_documents",
     "dedup_oph_signatures",
+    "sketch_count_min_terms",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -5233,7 +5286,6 @@ _DRIVER_PRIORITY = [
     "pipeline_training_data",
     "embedding_stats",
     "text_token_stats",
-    "text_rolling_fingerprint",
 ]
 
 

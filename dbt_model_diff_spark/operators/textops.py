@@ -973,3 +973,92 @@ def dedup_impact_report(
             ).alias("removed_doc_frac"),
         )
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 128,
+) -> DataFrame:
+    """Build a count-min sketch of whitespace term frequencies: ``depth``
+    pinned hash rows (md5 of ``"{row}|" + term``, 60 bits mod ``width``)
+    x ``width`` counters — the mergeable bounded-memory frequency
+    structure (Cormode & Muthukrishnan) for when the exact vocab table
+    (``top_terms``) is itself too wide to keep per partition / per
+    window.
+
+    Returns the sketch as (row, bucket, cnt) — depth x width rows
+    regardless of corpus size. Counters are exact integer sums, so two
+    sketches merge by adding counters, and the whole build is one
+    map-side-combined aggregation over the exploded terms (the only
+    shuffle is depth*width-bounded).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    term = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    terms = df.select(term).filter(F.col("term") != "")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{r}|"), F.col("term"))), 2, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        terms.select(F.explode(buckets).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 128,
+) -> DataFrame:
+    """Point-estimate term frequencies from a :func:`count_min_sketch`:
+    min over the sketch's depth rows of the counter each row hashes the
+    term into. Overestimates only (collisions add, never subtract) —
+    the caller's terms frame is typically small (candidate heavy
+    hitters), so the sketch side broadcasts."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{r}|"), F.col(term_col))), 2, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probed = terms.select(term_col, F.explode(probes).alias("rb")).select(
+        term_col, "rb.row", "rb.bucket"
+    )
+    return (
+        probed.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )

@@ -802,3 +802,27 @@ def test_semantic_pair_kernel_zero_norm_fails_loud(spark):
     )
     with _pytest.raises(Exception, match="zero-norm"):
         semantic_pair_candidates(df, ["cluster"], threshold=0.5).collect()
+
+
+def test_count_min_sketch_overestimate_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators.textops import cms_estimate, count_min_sketch
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "a b b d e f")], "doc_id long, text string"
+    )
+    sk = count_min_sketch(df, depth=4, width=16)
+    assert sk.count() <= 4 * 16
+    terms = spark.createDataFrame([("a",), ("b",), ("zz",)], "term string")
+    est = {r["term"]: r["cms_estimate"] for r in cms_estimate(sk, terms, width=16).collect()}
+    assert est["a"] >= 4 and est["b"] >= 3  # never underestimates
+    # mergeability: sketch(d1) + sketch(d2) == sketch(d1 union d2)
+    d1, d2 = df.filter("doc_id = 1"), df.filter("doc_id = 2")
+    merged = (
+        count_min_sketch(d1, depth=4, width=16)
+        .unionByName(count_min_sketch(d2, depth=4, width=16))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
