@@ -438,3 +438,20 @@ def test_leakage_safe_split_broadcasts_labels(spark, sf_dir):
     plan = _executed_plan(QUERIES["split_leakage_safe_documents"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan.split("BroadcastExchange")[0]  # corpus side
+
+
+def test_oph_signatures_single_narrow_shuffle(spark, sf_dir):
+    """OPH must keep minhash_signatures' exchange budget: ONE hash
+    exchange of (doc, K longs) partials — the densification coalesce is
+    a projection above the aggregate, not extra movement."""
+    plan = _executed_plan(QUERIES["dedup_oph_signatures"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min" in plan  # map-side combine before the exchange
+
+
+def test_count_min_sketch_probe_broadcasts_sketch(spark, sf_dir):
+    """The CMS query: sketch side (depth x width rows) must broadcast
+    into the probe join; no corpus-sized join anywhere."""
+    plan = _executed_plan(QUERIES["sketch_count_min_terms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
