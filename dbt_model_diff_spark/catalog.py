@@ -109,6 +109,7 @@ FROM j
 )
 def diff_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5/B6/B8: added/removed/changed in ONE full-outer join + one agg.
+    (drift companion: diff_distribution_drift_orders.)
 
     The md5 row-hash equality used here is equivalent to column-wise
     IS DISTINCT FROM (the oracle form): NULLs hash to a sentinel on both
@@ -126,6 +127,54 @@ def diff_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(bh.isNull(), 1)).alias("added"),
         F.count(F.when(bh.isNotNull() & hh.isNotNull() & (bh != hh), 1)).alias("changed"),
         F.count(F.when(hh.isNull(), 1)).alias("removed"),
+    )
+
+
+_DRIFT_COLS = ["o_orderstatus", "o_orderpriority"]
+_DRIFT_UNPIVOT = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value,"
+    f" {b} AS b FROM {side}"
+    for b, side in ((1, "base"), (0, "head"))
+    for c in _DRIFT_COLS
+)
+
+
+@register(
+    "diff_distribution_drift_orders",
+    f"""
+WITH base AS ({_BASE_SQL}),
+head AS ({_HEAD_SQL}),
+u AS ({_DRIFT_UNPIVOT}),
+a AS (
+  SELECT col_name, value, sum(b) AS n_base, sum(1 - b) AS n_head
+  FROM u GROUP BY col_name, value)
+SELECT col_name, value,
+       CAST(n_base AS BIGINT) AS n_base, CAST(n_head AS BIGINT) AS n_head,
+       CAST(n_base AS DOUBLE)
+         / CAST(sum(n_base) OVER (PARTITION BY col_name) AS DOUBLE)
+         AS base_share,
+       CAST(n_head AS DOUBLE)
+         / CAST(sum(n_head) OVER (PARTITION BY col_name) AS DOUBLE)
+         AS head_share,
+       CAST(n_base AS DOUBLE)
+         / CAST(sum(n_base) OVER (PARTITION BY col_name) AS DOUBLE)
+       - CAST(n_head AS DOUBLE)
+         / CAST(sum(n_head) OVER (PARTITION BY col_name) AS DOUBLE)
+         AS share_delta
+FROM a
+""",
+)
+def diff_distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-mix drift between the base/head order variants
+    (operators/diff.distribution_drift): per (column, value) counts and
+    shares on each side plus the share delta — the
+    schema-stable-but-content-shifted signal the count diff can't see.
+    One map-side-combined (col, value) aggregation collapses both scans
+    to vocabulary scale before any window."""
+    from dbt_model_diff_spark.operators.diff import distribution_drift
+
+    return distribution_drift(
+        _orders_base(spark, sf_dir), _orders_head(spark, sf_dir), _DRIFT_COLS
     )
 
 
@@ -5243,6 +5292,7 @@ _DRIVER_PRIORITY = [
     "jsonl_roundtrip_documents",
     "dedup_oph_signatures",
     "sketch_count_min_terms",
+    "diff_distribution_drift_orders",
     # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
     # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
     # judge re-verified green at sf0.01 during the r5 review).
@@ -5285,7 +5335,6 @@ _DRIVER_PRIORITY = [
     "events_sessionize",
     "pipeline_training_data",
     "embedding_stats",
-    "text_token_stats",
 ]
 
 

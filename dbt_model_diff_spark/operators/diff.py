@@ -309,3 +309,64 @@ def diff_frames(
             except Exception:
                 pass
         snap.cleanup(keep=keep_snapshots)
+
+
+def distribution_drift(
+    base: DataFrame, head: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Per-value categorical drift between two table versions — the
+    distribution-level complement of the count/row diff (the reference
+    reports HOW MANY rows changed; this reports WHERE the value mix
+    moved, the signal schema-stable-but-content-shifted regressions hide
+    in).
+
+    Output per (col_name, value): counts and shares on each side plus
+    ``share_delta`` = base_share - head_share. NULL values form their
+    own row (cast-to-string keeps typed columns comparable).
+
+    Scale shape: both sides unpivot the listed columns in-row (explode
+    of a |cols|-element struct array — no joins), ONE map-side-combined
+    groupBy on (col, value) collapses the corpus to vocabulary scale,
+    and the share windows run over that tiny aggregated frame. Shares
+    are single IEEE divisions of exact longs, so the whole report is
+    engine-portable.
+    """
+    from pyspark.sql import Window
+
+    def unpivot(df: DataFrame, flag: int) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in cols
+            ]
+        )
+        return (
+            df.select(F.explode(arr).alias("cv"))
+            .select("cv.col_name", "cv.value")
+            .withColumn("__b", F.lit(flag))
+        )
+
+    u = unpivot(base, 1).unionByName(unpivot(head, 0))
+    agg = u.groupBy("col_name", "value").agg(
+        F.sum("__b").alias("n_base"),
+        F.sum(F.lit(1) - F.col("__b")).alias("n_head"),
+    )
+    w = Window.partitionBy("col_name")
+    base_share = F.col("n_base").cast("double") / F.sum("n_base").over(w).cast(
+        "double"
+    )
+    head_share = F.col("n_head").cast("double") / F.sum("n_head").over(w).cast(
+        "double"
+    )
+    return agg.select(
+        "col_name",
+        "value",
+        "n_base",
+        "n_head",
+        base_share.alias("base_share"),
+        head_share.alias("head_share"),
+        (base_share - head_share).alias("share_delta"),
+    )

@@ -245,3 +245,28 @@ def test_array_columns_diff(spark):
     head = spark.createDataFrame([(1, [1.0, 2.5]), (2, [3.0, 4.0])], "id long, vec array<double>")
     res = diff_frames(base, head, ["id"], col_stats=False)
     assert res["row_diff"]["changed"] == 1
+
+
+def test_distribution_drift_shares_and_nulls(spark):
+    from pyspark.sql import Row
+
+    from dbt_model_diff_spark.operators.diff import distribution_drift
+
+    base = spark.createDataFrame(
+        [Row(k=i, s="A" if i < 6 else "B") for i in range(10)]
+    )
+    head = spark.createDataFrame(
+        [Row(k=i, s="A" if i < 3 else ("B" if i < 9 else None)) for i in range(10)]
+    )
+    out = {
+        (r["col_name"], r["value"]): r
+        for r in distribution_drift(base, head, ["s"]).collect()
+    }
+    assert out[("s", "A")]["n_base"] == 6 and out[("s", "A")]["n_head"] == 3
+    assert out[("s", "A")]["base_share"] == 0.6
+    assert abs(out[("s", "A")]["share_delta"] - 0.3) < 1e-12
+    assert out[("s", None)]["n_base"] == 0 and out[("s", None)]["n_head"] == 1
+    # shares sum to 1 per column per side
+    tot_b = sum(r["base_share"] for r in out.values())
+    tot_h = sum(r["head_share"] for r in out.values())
+    assert abs(tot_b - 1.0) < 1e-12 and abs(tot_h - 1.0) < 1e-12
