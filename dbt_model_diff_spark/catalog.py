@@ -5266,75 +5266,73 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never-certified = stalest) as any query left outside, and no query's
 # newest row may fall more than 3 rounds behind the newest record.
 #
-# Round-6 rotation (VERDICT r5 task #1): never-certified new-in-r6
-# queries first (stalest tier), then the 13 queries stuck at r3 (they
-# hit the 3-round bound this round), then the oldest r4-certified
-# queries in catalog source order. All six Sec.2-core anchors are green
-# in CORRECTNESS_r05.json, satisfying the in-window-or-newest clause.
+# Round-7 rotation (VERDICT r6 task #1): never-certified new-in-r7
+# queries first (stalest tier), then the 29 queries whose newest green
+# row is r4 — they hit the 3-round staleness bound this round — then
+# the six Sec.2-core anchors (r5-certified, not in the r6 record, so
+# the in-window-or-newest clause requires them here), then the oldest
+# remaining r5-certified queries in catalog source order. The 29 r5
+# queries left outside become round 8's mandatory slots under the
+# 3-round bound (the data-driven window test recomputes the exact set
+# from the CORRECTNESS records).
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ROUND-6 WINDOW (greedy-by-staleness, policy in
-    # tests/test_util_config.py::test_driver_priority_window).
-    # Tier 0: never driver-certified (new in r6) — stalest tier.
-    "semantic_dedup_embeddings",
-    "text_bpe_tokenize",
-    "text_classifier_score",
-    "bpe_train_merges",
-    "text_lm_bigram_score",
-    "dedup_incremental_batch",
-    "pipeline_curation_report",
-    "text_rebuild_dedup_chunks",
-    "split_leakage_safe_documents",
-    "sample_mixture_temperature",
-    "text_token_length_deciles",
-    "stream_incremental_dedup",
-    "jsonl_roundtrip_documents",
-    "dedup_oph_signatures",
-    "sketch_count_min_terms",
-    "diff_distribution_drift_orders",
-    # Tier 1: the 13 queries whose newest driver row is r3 — they hit the
-    # 3-round staleness bound this round (VERDICT r5 task #1; all 13 were
-    # judge re-verified green at sf0.01 during the r5 review).
-    "q2_min_retail_parts",
-    "q11_high_value_suppliers",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_predicates",
-    "q20_excess_stock_suppliers",
-    "q22_rich_idle_customers",
-    "pivot_status_by_priority",
-    "top_revenue_orders",
-    "events_props_typed",
-    "diff_counts_embeddings",
-    # Tier 2: the oldest r4-certified queries in catalog source order —
-    # 24 remain after the 13 round-6 additions displaced one each from
-    # the tail. The 26 r4 queries left outside become round 7's
-    # mandatory slots under the 3-round bound (plus whatever r5-newest
-    # queries the r6/r7 records leave stale).
-    "topk_orders",
-    "events_json_extract",
-    "events_hourly_rollup",
-    "dedup_exact_groups",
-    "text_shingle_stats",
-    "dedup_minhash_signatures",
-    "text_quality_features",
-    "text_language_id",
-    "text_fingerprint",
-    "knn_bruteforce",
-    "dedup_lsh_pairs",
-    "dedup_jaccard_verified",
-    "dedup_components",
-    "dedup_simhash",
-    "dedup_simhash_near_pairs",
-    "window_running_total",
-    "window_dedup_keep_latest",
-    "setop_except_intersect",
-    "events_sessionize",
-    "pipeline_training_data",
-    "embedding_stats",
+    # Tier 1: the 29 r4-stale queries (3-round bound).
+    "agg_cube_orders",
+    "agg_grouping_sets_orders",
+    "agg_rollup_orders",
+    "asof_latest_purchase",
+    "cap_per_group_documents",
+    "dedup_cross_doc_chunks",
+    "dedup_intra_doc_tokens",
+    "events_rolling_features",
+    "join_anti_customers",
+    "join_salted_skew",
+    "join_semi_customers",
+    "median_price_by_priority",
+    "merge_apply_changes_orders",
+    "pack_sequences_documents",
+    "quality_checks_orders",
+    "quality_fk_orders_customer",
+    "range_join_value_bands",
+    "sample_weighted_documents",
+    "scd2_orders_changelog",
+    "skew_salted_status_totals",
+    "stream_dedup_bounded_state",
+    "text_chunk_stride",
+    "text_corpus_frequency_score",
+    "text_pii_scrub",
+    "text_repetition_signals",
+    "text_rolling_fingerprint",
+    "text_token_stats",
+    "text_top_terms",
+    "zorder_orders_layout",
+    # Tier 2: the six Sec.2-core anchors (in-window-or-newest clause).
+    "diff_counts_orders",
+    "diff_profile_orders",
+    "diff_schema_drift",
+    "diff_partitioned_orders",
+    "model_order_agg",
+    "pricing_summary",
+    # Tier 3: oldest remaining r5-certified queries, catalog source
+    # order. New never-certified queries added during round 7 displace
+    # from this tail (never-certified is the stalest tier).
+    "diff_changed_sample_keys",
+    "diff_rowcount_where",
+    "diff_counts_lineitem_multikey",
+    "model_stg_customers",
+    "model_int_orders",
+    "model_case_when",
+    "filter_project_lineitem",
+    "multimodal_decode_features",
+    "kmeans_embedding_clusters",
+    "knn_ivf",
+    "knn_ivf_pq",
+    "embedding_near_dup",
+    "approx_profile_orders",
+    "multimodal_resize_frames",
+    "join_bloom_pruned_lineitem",
 ]
 
 
