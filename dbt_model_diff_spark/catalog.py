@@ -49,6 +49,20 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _stable_suffix(sf_dir: str) -> str:
+    """Process-independent suffix for per-sf scratch paths / query names.
+
+    Python's str hash is salted per process (PYTHONHASHSEED), so
+    ``abs(hash(sf_dir)) % 10_000`` only dedupes within one run — scratch
+    copies would accumulate across runs, and two sf_dirs could collide
+    mod 10_000. An md5 prefix is stable across processes and 32 bits of
+    it make cross-sf collisions negligible.
+    """
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -3721,7 +3735,7 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.read_events_stream(spark, sf_dir)
     rolled = se.hourly_rollup_stream(stream)
     out = se.run_stream_to_memory(
-        rolled, query_name=f"stream_hourly_rollup_{abs(hash(sf_dir)) % 10_000}"
+        rolled, query_name=f"stream_hourly_rollup_{_stable_suffix(sf_dir)}"
     )
     # the stream's event-time column is LTZ (watermarks need it); surface
     # naive wall-clock like the batch twin so the oracle types line up
@@ -3817,7 +3831,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.read_events_stream(spark, sf_dir)
     sess = se.sessionize_stream(stream, gap="30 minutes")
     out = se.run_stream_to_memory(
-        sess, query_name=f"stream_sessionize_{abs(hash(sf_dir)) % 10_000}"
+        sess, query_name=f"stream_sessionize_{_stable_suffix(sf_dir)}"
     )
     # LTZ event time inside the stream, naive wall-clock at the surface
     # (matches the batch twin and the oracle's TIMESTAMP type)
@@ -3854,7 +3868,7 @@ def stream_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = se.read_events_stream(spark, sf_dir)
     out = se.run_stream_to_memory(
         se.stateful_running_max(stream),
-        query_name=f"stream_running_max_{abs(hash(sf_dir)) % 10_000}",
+        query_name=f"stream_running_max_{_stable_suffix(sf_dir)}",
         output_mode="update",
     )
     return out.groupBy("user_id").agg(
@@ -3889,7 +3903,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = se.purchase_click_attribution_stream(stream, window="1 hour")
     out = se.run_stream_to_memory(
         joined,
-        query_name=f"stream_click_attr_{abs(hash(sf_dir)) % 10_000}",
+        query_name=f"stream_click_attr_{_stable_suffix(sf_dir)}",
         output_mode="append",
     )
     return out.select("purchase_id", "click_id", "user_id")
@@ -3919,7 +3933,7 @@ def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = se.dedup_stream(stream, keys=["user_id", "event_type"])
     out = se.run_stream_to_memory(
         deduped,
-        query_name=f"stream_dedup_{abs(hash(sf_dir)) % 10_000}",
+        query_name=f"stream_dedup_{_stable_suffix(sf_dir)}",
         output_mode="append",
     )
     return out.select("user_id", "event_type").distinct()
@@ -3953,7 +3967,7 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulate a corpus copy per sweep (code-review r6 fix)
     path = str(
         Path(tempfile.gettempdir())
-        / f"dmds_jsonl_roundtrip_{abs(hash(sf_dir)) % 10_000}"
+        / f"dmds_jsonl_roundtrip_{_stable_suffix(sf_dir)}"
     )
     write_jsonl(d, path)
     back = read_jsonl(spark, path, schema=d.schema)
@@ -3993,7 +4007,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = se.incremental_dedup_stream(stream, hist)
     return se.run_stream_to_memory(
         flagged,
-        query_name=f"stream_incdedup_{abs(hash(sf_dir)) % 10_000}",
+        query_name=f"stream_incdedup_{_stable_suffix(sf_dir)}",
         output_mode="append",
     )
 
@@ -5109,7 +5123,7 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jsonl_roundtrip_documents (code-review r6 fix)
     path = str(
         Path(tempfile.gettempdir())
-        / f"dmds_orc_roundtrip_{abs(hash(sf_dir)) % 10_000}"
+        / f"dmds_orc_roundtrip_{_stable_suffix(sf_dir)}"
     )
     write_orc(o, path, num_files=4)
     back = read_orc(spark, path)

@@ -230,6 +230,70 @@ def band_buckets(
     ).select(id_col, "bb.band_id", "bb.bucket")
 
 
+_BUCKET_PARAM_COLS = ("num_hashes", "bands", "rows_per_band", "shingle_n")
+
+
+def stamp_bucket_params(
+    buckets: DataFrame,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Stamp a :func:`band_buckets` frame with the fingerprinting
+    parameters that produced it, as literal columns — persist THIS shape
+    as the rolling history-bucket table so :func:`incremental_dedup` can
+    assert parameter compatibility at join time instead of silently
+    returning all-false near flags (ADVICE r6: band md5s from a
+    different (num_hashes, bands, rows_per_band, shingle_n) tuple never
+    match, which looks exactly like \"no near-dups today\")."""
+    return (
+        buckets.withColumn("num_hashes", F.lit(int(num_hashes)))
+        .withColumn("bands", F.lit(int(bands)))
+        .withColumn("rows_per_band", F.lit(int(rows_per_band)))
+        .withColumn("shingle_n", F.lit(int(shingle_n)))
+    )
+
+
+def _assert_bucket_params(
+    buckets: DataFrame,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    shingle_n: int,
+) -> None:
+    """If ``buckets`` carries stamped parameter columns, verify they
+    match this call's parameters (tiny collect: the stamp columns are
+    literals, so distinct() is at most a handful of rows)."""
+    present = [c for c in _BUCKET_PARAM_COLS if c in buckets.columns]
+    if not present:
+        return
+    expected = {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "rows_per_band": int(rows_per_band),
+        "shingle_n": int(shingle_n),
+    }
+    stamped = buckets.select(*present).distinct().limit(3).collect()
+    if len(stamped) > 1:
+        raise ValueError(
+            "history_buckets mixes rows stamped with different "
+            "fingerprinting parameters — rebuild the history table with "
+            "one consistent (num_hashes, bands, rows_per_band, shingle_n)"
+        )
+    for row in stamped:
+        mismatches = {
+            c: (row[c], expected[c]) for c in present if row[c] != expected[c]
+        }
+        if mismatches:
+            raise ValueError(
+                "history_buckets were fingerprinted with different "
+                f"parameters than this call: {mismatches} "
+                "(stored, expected) — band buckets from mismatched "
+                "parameters never join, silently flagging zero near-dups"
+            )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     history_df: DataFrame | None = None,
@@ -260,6 +324,16 @@ def incremental_dedup(
       one hash of the (orders-of-magnitude smaller) new side plus two
       keyed joins (code-review r6 fix: the previous API only accepted
       raw text, contradicting this documented shape).
+
+    PARAMETER-COUPLING CONTRACT: ``history_buckets`` MUST have been
+    produced with the SAME ``num_hashes``/``bands``/``rows_per_band``/
+    ``shingle_n`` as this call — band md5s from different parameters
+    never match, which silently turns every near flag false. Persist
+    the history table through :func:`stamp_bucket_params` (adds the
+    four parameters as literal columns); when the stamp columns are
+    present this function asserts they match and raises on mismatch
+    (ADVICE r6 fix). Unstamped frames are accepted for backward
+    compatibility but get no protection.
 
     Returns one row per new doc: (id, is_exact_dup, is_near_candidate,
     kept) with kept = not (exact or near). Near is LSH-candidate-level
@@ -302,6 +376,10 @@ def incremental_dedup(
         if history_df is None:
             raise ValueError("pass history_df or history_buckets")
         history_buckets = side_buckets(history_df)
+    else:
+        _assert_bucket_params(
+            history_buckets, num_hashes, bands, rows_per_band, shingle_n
+        )
     hist_b = history_buckets.select("band_id", "bucket")
     guard = Window.partitionBy("band_id", "bucket")
     hist_b = (

@@ -298,7 +298,16 @@ def cosine_near_dup_pairs(
     exchange that was a no-op by construction (each vector lives in
     exactly ONE bucket, so no pair can repeat). Output is unchanged
     (exceptAll-verified) and the r5-certified oracle replays it as
-    before."""
+    before.
+
+    BEHAVIOR CHANGE vs the pre-r6 join shape: zero-norm embeddings now
+    RAISE ``ValueError`` at runtime instead of silently dropping out of
+    the pair set via NaN comparisons (a zero vector is a broken-embedder
+    signal, not a legitimate \"similar to nothing\"). Callers with
+    degenerate embeddings should filter them out explicitly — e.g.
+    ``F.aggregate(vec, lit(0.0), lambda a, x: a + x * x) > 0`` — before
+    calling, and will otherwise see new job failures, not quiet
+    skips."""
     b = random_hyperplane_buckets(
         spread_for_compute(df), n_planes, dim, id_col, vec_col, seed
     )
@@ -873,10 +882,13 @@ def semantic_pair_candidates(
             acc = acc + V[:, i] * V[:, i]
         norms = np.sqrt(acc)
         if np.any(norms == 0.0):
-            # fail loud like the JVM formulation did (ANSI DIVIDE_BY_ZERO)
-            # instead of silently skipping the doc via NaN comparisons —
-            # a zero-norm embedding is a broken embedder output the
-            # pipeline must surface (code-review r6 fix)
+            # DELIBERATE TIGHTENING (not JVM parity): Spark double
+            # division by zero yields NaN/Infinity even in ANSI mode
+            # (DIVIDE_BY_ZERO covers integral/decimal only), so the old
+            # JVM formulation silently DROPPED zero-norm docs via NaN
+            # comparisons. A zero-norm embedding is a broken embedder
+            # output the pipeline must surface, so this kernel raises
+            # instead (code-review r6; comment corrected per ADVICE r6)
             bad = ids[np.nonzero(norms == 0.0)[0][:3]]
             raise ValueError(
                 f"zero-norm embedding(s) in cosine pair group, e.g. ids {list(bad)}"

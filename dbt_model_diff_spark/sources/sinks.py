@@ -227,7 +227,12 @@ def write_training_shards(
         ).alias("n_tokens"),
         F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("content_fp"),
     )
-    manifest.coalesce(1).write.mode(mode).parquet(f"{path}_manifest")
+    # The manifest is ALWAYS overwritten: it is recomputed from the full
+    # data directory above, so with mode='append' an appending export
+    # would otherwise stack one complete manifest per run on top of the
+    # previous ones and validate_shards' stored-vs-recomputed anti-diff
+    # would flag an intact export (ADVICE r6 fix).
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}_manifest")
     return spark.read.parquet(f"{path}_manifest")
 
 

@@ -790,6 +790,32 @@ def test_incremental_dedup_stored_fingerprint_tables(spark):
     with _pytest.raises(ValueError):
         dedup.incremental_dedup(new)
 
+    # Parameter-coupling guard (ADVICE r6): stamped bucket tables are
+    # validated at join time; matching params pass unchanged, mismatched
+    # params raise instead of silently flagging zero near-dups.
+    stamped = dedup.stamp_bucket_params(
+        buckets, num_hashes=8, bands=4, rows_per_band=2, shingle_n=3
+    )
+    stamped_out = dedup.incremental_dedup(
+        new, history_hashes=hashes, history_buckets=stamped
+    )
+    assert sorted(map(tuple, stamped_out.collect())) == sorted(
+        map(tuple, derived.collect())
+    )
+    with _pytest.raises(ValueError, match="different.*parameters"):
+        dedup.incremental_dedup(
+            new, history_hashes=hashes, history_buckets=stamped, shingle_n=5
+        )
+    mixed = stamped.union(
+        dedup.stamp_bucket_params(
+            buckets, num_hashes=8, bands=4, rows_per_band=2, shingle_n=5
+        )
+    )
+    with _pytest.raises(ValueError, match="mixes rows"):
+        dedup.incremental_dedup(
+            new, history_hashes=hashes, history_buckets=mixed
+        )
+
 
 def test_semantic_pair_kernel_zero_norm_fails_loud(spark):
     import pytest as _pytest

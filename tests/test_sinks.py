@@ -259,3 +259,11 @@ def test_write_training_shards_manifest_roundtrip(spark, tmp_path):
     # shard assignment is stable across exports
     m2 = write_training_shards(df, str(tmp_path / "shards3"), shards=4)
     assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, rows))
+
+    # appending export: the manifest is recomputed from the full data
+    # directory and OVERWRITTEN (never appended), so an intact append
+    # still validates clean with exactly one row per shard (ADVICE r6)
+    m3 = write_training_shards(df, path, shards=4, mode="append")
+    assert m3.count() == len(rows)
+    assert sum(r["n_docs"] for r in m3.collect()) == 400
+    assert validate_shards(spark, path).count() == 0
