@@ -102,6 +102,27 @@ def main() -> None:
     # warm the JVM + parquet footer caches with a cheap scan
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
+    def calibration() -> None:
+        # Fixed pure-codegen workload of PINNED size (no IO, no sf
+        # dependence): a 200M-row range scan -> multiply-hash -> hash
+        # aggregate, entirely inside WholeStageCodegen. Its wall time
+        # measures THIS BOX's compute speed at bench time, so
+        # round-over-round driver records can be normalized
+        # (queries_total / calibration) to separate plan regressions
+        # from host drift (VERDICT r6 task #4: r6 read 1.24x r5 with
+        # zero plan changes — pure box signature).
+        from pyspark.sql import functions as F
+
+        (
+            spark.range(200_000_000)
+            .select(((F.col("id") * 2654435761) % 8192).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     # best-of-N (default 5): the first pass pays JIT/codegen warmup, the
     # best of the rest approximates steady-state throughput (what a
     # long-running cluster job sees); sub-second timings at this scale
@@ -119,6 +140,12 @@ def main() -> None:
             out[name] = round(best, 3)
         return out
 
+    cal_best = float("inf")
+    for _ in range(max(2, min(runs, 3))):
+        t0 = time.perf_counter()
+        calibration()
+        cal_best = min(cal_best, time.perf_counter() - t0)
+
     timings = time_all(runs)
     total = round(sum(timings.values()), 3)
     result = {
@@ -128,6 +155,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "calibration": round(cal_best, 3),
     }
 
     # Scaling pass: if a generated sf1 dataset exists (tools/gen_scale_data.py,
@@ -170,7 +198,10 @@ def main() -> None:
         pass
     if "sf1" in result:
         print(json.dumps({"sf1": result["sf1"]}), file=sys.stderr)
-    compact = {k: result[k] for k in ("metric", "value", "unit", "queries", "sf", "cpus")}
+    compact = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "queries", "sf", "cpus", "calibration")
+    }
     print(json.dumps(compact))
     spark.stop()
 

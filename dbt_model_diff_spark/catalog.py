@@ -932,10 +932,11 @@ GROUP BY component_id
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster collapse: LSH candidates -> exact-Jaccard verify
-    (>= 0.6) -> connected components by min-label propagation
-    (operators/dedup.py connected_components) -> one summary row per
-    component. The oracle computes the same closure with a recursive CTE
-    (min reachable id == propagated min label on a connected graph).
+    (>= 0.6) -> connected components by size-gated union-find /
+    large-star-small-star contraction (operators/dedup.py
+    connected_components) -> one summary row per component. The oracle
+    computes the same closure with a recursive CTE (min reachable id ==
+    the component label either path produces).
 
     Integer-only output: the 0.6 threshold compares a ratio of exact
     shingle-set counts — a single double division of integers, identical

@@ -218,8 +218,10 @@ def test_connected_components_chain_blob_and_convergence(spark):
 
 def test_connected_components_max_iters_raises(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    # driver_threshold=0 forces the distributed star-contraction path
+    # (the driver union-find path has no iteration budget to exceed)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iters=1)
+        dedup.connected_components(pairs, max_iters=1, driver_threshold=0)
 
 
 def test_near_dedup_keeps_reps_and_singletons(spark):

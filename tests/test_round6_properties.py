@@ -135,12 +135,35 @@ def _union_find_labels(edges):
 @given(edges=EDGES)
 @settings(**_SETTINGS)
 def test_connected_components_equals_union_find(spark, edges):
+    # driver_threshold=0 pins the DISTRIBUTED star-contraction path
+    # against the pure-Python union-find replay (the driver path is
+    # itself union-find and is property-covered at the default gate by
+    # tests/test_diff_properties.py)
     norm = [(min(a, b), max(a, b)) for a, b in edges]
     pairs = spark.createDataFrame(norm, "id_a long, id_b long")
     got = {
-        r["node"]: r["label"] for r in dedup.connected_components(pairs).collect()
+        r["node"]: r["label"]
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
     }
     assert got == _union_find_labels(edges)
+
+
+def test_connected_components_long_chain_converges(spark):
+    # VERDICT r6 task #3's failure mode: a path graph with diameter > 25.
+    # Min-label propagation moved the minimum one hop per iteration, so
+    # this raised RuntimeError under the default max_iters=25; star
+    # contraction converges in O(log diameter) rounds (~7 here).
+    n = 60  # diameter 59 — well past the old per-hop budget
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    # driver_threshold=0 forces the distributed path — the point of the
+    # test; the default size gate would solve this on the driver
+    got = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
 
 
 @given(edges=EDGES)
