@@ -954,7 +954,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oph_oracle(num_bins: int) -> str:
+def _oph_sigs_cte(num_bins: int) -> str:
+    """Shingles -> one-permutation-MinHash signatures as a CTE chain
+    ending in ``osigs(doc_id, oph0..oph{K-1})`` — shared by the
+    signature oracle and the end-to-end OPH dedup chain oracle."""
     mins = ", ".join(
         f"min(CASE WHEN h % {num_bins} = {k} THEN h END) AS r{k}"
         for k in range(num_bins)
@@ -971,10 +974,13 @@ def _oph_oracle(num_bins: int) -> str:
 hashed AS (
   SELECT doc_id, CAST('0x' || substr(md5(shingle), 2, 15) AS BIGINT) AS h
   FROM sh),
-raw AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
-SELECT doc_id, {", ".join(outs)} FROM raw
-"""
+raw AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+osigs AS (SELECT doc_id, {", ".join(outs)} FROM raw)"""
     )
+
+
+def _oph_oracle(num_bins: int) -> str:
+    return _oph_sigs_cte(num_bins) + "\nSELECT * FROM osigs\n"
 
 
 @register("dedup_oph_signatures", _oph_oracle(8))
@@ -987,6 +993,59 @@ def dedup_oph_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     every signature value."""
     sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
     return dedup.oph_signatures(sh, num_bins=8)
+
+
+_OPH_BANDS_PRED = " OR ".join(
+    f"(a.oph{2*b} = b.oph{2*b} AND a.oph{2*b+1} = b.oph{2*b+1})" for b in range(4)
+)
+
+
+@register(
+    "dedup_oph_components",
+    _oph_sigs_cte(8).replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + f""",
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM osigs a, osigs b
+  WHERE a.doc_id < b.doc_id AND ({_OPH_BANDS_PRED})
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT re.a, e.b FROM reach re JOIN edges e ON e.a = re.r
+)
+SELECT component_id, count(*) AS n_members, max(node) AS max_member
+FROM (SELECT a AS node, min(r) AS component_id FROM reach GROUP BY a)
+GROUP BY component_id
+""",
+)
+def dedup_oph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end OPH dedup chain (VERDICT r6 task #5): one-permutation
+    MinHash signatures -> banded LSH buckets (``sig_prefix='oph'``, no
+    renaming hop) -> candidate pairs -> connected components -> one
+    summary row per component. Against the classic chain
+    (dedup_components) this spends ONE md5 per shingle instead of one
+    md5 plus an 8-way multiply-mod family — the signature stage at
+    corpus scale is the dominant hashing cost, so this is the scale
+    path. Densified OPH values are exact integers, so the oracle
+    replays the full chain: same signature math, band equality as a
+    join predicate (band-hash equality == band value equality), and
+    the recursive-CTE closure for components."""
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
+    sigs = dedup.oph_signatures(sh, num_bins=8)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs,
+        bands=4,
+        rows_per_band=2,
+        max_bucket_size=1_000_000_000,
+        sig_prefix="oph",
+    )
+    comp = dedup.connected_components(pairs)
+    return comp.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
 
 
 @register(
@@ -5293,6 +5352,8 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # Tier 0: never-certified new-in-r7 queries (stalest tier).
+    "dedup_oph_components",
     # Tier 1: the 29 r4-stale queries (3-round bound).
     "agg_cube_orders",
     "agg_grouping_sets_orders",
@@ -5347,7 +5408,6 @@ _DRIVER_PRIORITY = [
     "embedding_near_dup",
     "approx_profile_orders",
     "multimodal_resize_frames",
-    "join_bloom_pruned_lineitem",
 ]
 
 

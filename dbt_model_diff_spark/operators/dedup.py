@@ -159,6 +159,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     id_col: str = "doc_id",
     max_bucket_size: int = 1000,
+    sig_prefix: str = "mh",
 ) -> DataFrame:
     """Banded LSH: docs sharing ANY band bucket become a candidate pair.
 
@@ -181,7 +182,11 @@ def lsh_candidate_pairs(
     from pyspark.sql import Window
 
     stacked = band_buckets(
-        signatures, bands=bands, rows_per_band=rows_per_band, id_col=id_col
+        signatures,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        id_col=id_col,
+        sig_prefix=sig_prefix,
     )
 
     guard = Window.partitionBy("band_id", "bucket")
@@ -206,14 +211,21 @@ def band_buckets(
     bands: int = 4,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
+    sig_prefix: str = "mh",
 ) -> DataFrame:
     """(id, band_id, bucket) rows from a MinHash signature frame — the
     banding stage of LSH, shared by :func:`lsh_candidate_pairs` and
     :func:`incremental_dedup`. Bucket = md5 of the band's joined mh
-    values (equality of the hex == equality of the band)."""
+    values (equality of the hex == equality of the band).
+    ``sig_prefix='oph'`` consumes :func:`oph_signatures` frames
+    unchanged — the two signature families are band-compatible by
+    construction."""
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts = [
+            F.col(f"{sig_prefix}{b * rows_per_band + r}")
+            for r in range(rows_per_band)
+        ]
         band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
     banded = signatures.select(id_col, *band_cols)
     return banded.select(
