@@ -2175,6 +2175,30 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_train_merges_batched", _bpe_train_oracle(8))
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched DISTRIBUTED BPE training (VERDICT r6 task #6): same 8
+    merges as bpe_train_merges but selected up to 8 per round — the
+    batch is the longest pairwise-disjoint prefix of the pair rank
+    order, trimmed to counts strictly above the first excluded pair's
+    (textops.bpe_train docstring proves batch-size independence).
+    driver_threshold=0 pins the distributed batched loop (the default
+    gate would route this vocab to the driver trainer, which
+    bpe_train_merges certifies). The oracle is therefore the UNCHANGED
+    sequential stage-by-stage unroll: a batched run that diverged from
+    sequential semantics anywhere would fail it."""
+    merges = textops.bpe_train(
+        read_table(spark, sf_dir, "documents"),
+        n_merges=8,
+        batch_size=8,
+        driver_threshold=0,
+    )
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+
+
 @register("text_bpe_tokenize", _bpe_oracle())
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE tokenization (VERDICT r5 task #4): the classic merge loop
@@ -5354,6 +5378,7 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # Tier 0: never-certified new-in-r7 queries (stalest tier).
     "dedup_oph_components",
+    "bpe_train_merges_batched",
     # Tier 1: the 29 r4-stale queries (3-round bound).
     "agg_cube_orders",
     "agg_grouping_sets_orders",
@@ -5407,7 +5432,6 @@ _DRIVER_PRIORITY = [
     "knn_ivf_pq",
     "embedding_near_dup",
     "approx_profile_orders",
-    "multimodal_resize_frames",
 ]
 
 

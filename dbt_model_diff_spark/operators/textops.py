@@ -115,11 +115,90 @@ def bpe_merge_word(word: str, merges: list[tuple[str, str]] | None = None) -> li
     return syms
 
 
+def _bpe_train_local(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Incremental sequential Sennrich merge loop over a collected
+    (word, count) vocab — the driver path of :func:`bpe_train`.
+
+    Pair counts include overlapping occurrences; merging is leftmost
+    non-overlapping; selection is (count DESC, a ASC, b ASC) — exactly
+    the distributed loop's semantics, so both paths share the one
+    stage-by-stage SQL oracle. Efficiency is the subword-nmt shape:
+    a pair -> word-index occurrence map limits each merge's recount to
+    the words that contain the pair, and a lazy-invalidation heap keeps
+    selection O(log P) amortized instead of a full scan per merge.
+    """
+    import heapq
+    from collections import Counter
+
+    seqs: list[list[str]] = [list(w) for w, _ in vocab]
+    cnts: list[int] = [c for _, c in vocab]
+    pair_counts: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, s in enumerate(seqs):
+        c = cnts[idx]
+        for p in zip(s, s[1:]):
+            pair_counts[p] += c
+            where.setdefault(p, set()).add(idx)
+    # heap entries are (-count, a, b); stale entries are skipped on pop
+    # by re-checking against pair_counts (lazy invalidation)
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, a, b = heapq.heappop(heap)
+        cur = pair_counts.get((a, b), 0)
+        if cur <= 0:
+            continue
+        if -negc != cur:
+            # stale: push the live count back and retry
+            heapq.heappush(heap, (-cur, a, b))
+            continue
+        merges.append((a, b))
+        pair = (a, b)
+        ab = a + b
+        for idx in sorted(where.get(pair, ())):
+            s = seqs[idx]
+            c = cnts[idx]
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            before = Counter(zip(s, s[1:]))
+            after = Counter(zip(out, out[1:]))
+            seqs[idx] = out
+            for p, d in (after - before).items():
+                pair_counts[p] += d * c
+                where.setdefault(p, set()).add(idx)
+                heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+            for p, d in (before - after).items():
+                pair_counts[p] -= d * c
+                if after.get(p, 0) == 0:
+                    w = where.get(p)
+                    if w is not None:
+                        w.discard(idx)
+                if pair_counts[p] > 0:
+                    heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+                else:
+                    pair_counts.pop(p, None)
+        where.pop(pair, None)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     pattern: str = BPE_ISH_PATTERN,
+    batch_size: int = 1,
+    driver_threshold: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table FROM the corpus (Sennrich et al. 2016) —
     the training counterpart of :func:`bpe_tokenize`.
@@ -133,17 +212,56 @@ def bpe_train(
     non-overlapping occurrences in every word.
 
     Scale shape: the corpus is scanned exactly once (word count with
-    map-side combine); each training iteration is one vocab-scale
-    shuffle (pairs grouped by (a, b)) plus a 1-row driver collect. At
-    100 TB the vocab of distinct pre-tokens is millions of rows — the
-    loop never touches the corpus again, which is what makes BPE
-    training distributable at all. The vocab frame is persisted for the
-    loop and unpersisted before returning.
+    map-side combine); each training ROUND is one vocab-scale shuffle
+    (pairs grouped by (a, b)) plus a small driver collect. At 100 TB
+    the vocab of distinct pre-tokens is millions of rows — the loop
+    never touches the corpus again, which is what makes BPE training
+    distributable at all. The vocab frame is persisted for the loop
+    and unpersisted before returning.
+
+    Batched merge selection (VERDICT r6 task #6): with
+    ``batch_size=m`` each round selects up to m merges from ONE pair
+    count, cutting the per-merge shuffle+collect round trip ~m-fold —
+    the difference between a demonstration and a 32k-vocab trainer.
+    The batch is chosen so the result is PROVABLY identical to the
+    sequential loop (``batch_size=1`` reduces to it exactly):
+
+    1. take the longest PREFIX of the (count DESC, a, b) rank order
+       whose pairs are pairwise symbol-disjoint — merging a pair
+       cannot change the count of a fully-disjoint pair, and because
+       it is a prefix, every pair outranking a batch member is itself
+       in the batch;
+    2. trim the prefix to pairs whose count is STRICTLY greater than
+       the first excluded pair's count (``c_next``). Pairs created by
+       a batch merge (x, a_i b_i) inherit count <= count(x, a_i), and
+       (x, a_i) shares a symbol with the batch so it is excluded and
+       ranks below it, hence created counts <= c_next — strictly below
+       every kept pair, so the sequential replay picks exactly the
+       kept pairs in rank order. Ties at c_next fall back to the top-1
+       pair (sequential semantics by construction).
+
+    Faithful batching is capped by the data, not the code: on natural
+    text the top pairs share symbols ('e', ' t', ...) so the disjoint
+    prefix is short (measured effective batch ~1.9 at sf1). Hence the
+    second lever, a size-gated DRIVER merge loop (same gate philosophy
+    as connected_components): the post-corpus-pass state is the word
+    vocab, Zipf-tiny relative to the corpus, and at or below
+    ``driver_threshold`` distinct words (exact count from the pin) the
+    whole merge loop runs locally with an incremental heap-based
+    trainer (pair-delta updates per merged word + lazy-invalidation
+    heap — the subword-nmt formulation), which is how reference BPE
+    trainers work. 256 merges at sf1 drop from ~60 s of per-round Spark
+    stages to ~1 s. Above the gate (100 TB corpora can exceed 100M
+    distinct pre-tokens), the distributed batched loop runs.
 
     Returns the learned merges in rank order. Stops early if no pair
-    remains. Deterministic given the corpus, so the catalog oracle
-    replays the full training loop stage by stage
-    (``bpe_train_merges``).
+    remains. Deterministic given the corpus AND independent of
+    batch_size/driver_threshold (all paths implement the same
+    sequential semantics — batching provably, the driver loop
+    literally), so the sequential stage-by-stage catalog oracle
+    certifies every path (``bpe_train_merges`` takes the driver gate;
+    ``bpe_train_merges_batched`` pins the distributed batched loop via
+    ``driver_threshold=0``).
     """
     from pyspark import StorageLevel
 
@@ -164,18 +282,31 @@ def bpe_train(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    words.count()
+    n_words = words.count()
 
+    if int(batch_size) < 1:
+        raise ValueError("batch_size must be >= 1")
+    if n_words <= driver_threshold:
+        # Driver merge loop over the collected (word, count) vocab —
+        # NOT the corpus; the distributed pass above already collapsed
+        # it. Incremental Sennrich (see docstring).
+        vocab = [(r["__word"], r["__cnt"]) for r in words.collect()]
+        words.unpersist()
+        merges = _bpe_train_local(vocab, int(n_merges))
+        bpe_train.last_rounds = len(merges)
+        return merges
     state = words
     merges: list[tuple[str, str]] = []
+    rounds = 0
     try:
-        for _ in range(int(n_merges)):
+        while len(merges) < int(n_merges):
+            want = min(int(batch_size), int(n_merges) - len(merges))
             toks = F.split(F.col("__s"), BPE_SEP)
             syms = F.transform(
                 F.slice(toks, 2, F.size(toks) - 1),
                 lambda x: x.substr(F.lit(1), F.length(x) - 1),
             )
-            pairs = (
+            rows = (
                 state.select("__cnt", syms.alias("__syms"))
                 .filter(F.size("__syms") >= 2)
                 .select(
@@ -192,23 +323,58 @@ def bpe_train(
                 .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
                 .agg(F.sum("__cnt").alias("total"))
                 .orderBy(F.col("total").desc(), F.col("a"), F.col("b"))
-                .limit(1)
+                # +1: the first EXCLUDED pair's count (c_next) bounds
+                # every count a batch merge can create
+                .limit(want + 1)
                 .collect()
             )
-            if not pairs:
+            if not rows:
                 break
-            a, b = pairs[0]["a"], pairs[0]["b"]
-            merges.append((a, b))
-            state = state.withColumn(
-                "__s",
-                F.replace(
-                    F.col("__s"),
+            # longest pairwise-disjoint prefix of the rank order
+            selected: list = []
+            used: set[str] = set()
+            c_next = None
+            for r in rows:
+                if len(selected) == want or r["a"] in used or r["b"] in used:
+                    c_next = r["total"]
+                    break
+                selected.append(r)
+                used.add(r["a"])
+                used.add(r["b"])
+                # the concatenated symbol too: a later pair whose symbol
+                # EQUALS an earlier pair's merge output gains count the
+                # moment that merge lands (e.g. (a,b) then (ab,c)), so
+                # its rank at selection time understates the sequential
+                # rank — treat as interacting
+                used.add(r["a"] + r["b"])
+            if c_next is not None:
+                # strict-count trim (see docstring); counts are
+                # non-increasing in rank order so this keeps a prefix
+                selected = [r for r in selected if r["total"] > c_next]
+                if not selected:
+                    # tie at the cut — top-1 alone is always faithful
+                    selected = [rows[0]]
+            repl = F.col("__s")
+            for r in selected:
+                a, b = r["a"], r["b"]
+                merges.append((a, b))
+                repl = F.replace(
+                    repl,
                     F.lit(BPE_SEP + a + BPE_TERM + BPE_SEP + b + BPE_TERM),
                     F.lit(BPE_SEP + a + b + BPE_TERM),
-                ),
-            )
+                )
+            state = state.withColumn("__s", repl)
+            rounds += 1
+            if rounds % 8 == 0:
+                # vocab-scale frame; truncate the stacked-projection
+                # lineage so a 32k-merge run doesn't re-optimize an
+                # ever-deeper plan each round
+                state = state.localCheckpoint(eager=True)
     finally:
         words.unpersist()
+    # observability: rounds actually spent (merges/rounds = effective
+    # batch factor) — read by tests and the SURVEY scaling notes
+    bpe_train.last_rounds = rounds
     return merges
 
 

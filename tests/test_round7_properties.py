@@ -1,0 +1,94 @@
+"""Round-7 property tests: batched BPE training must be provably
+faithful to the sequential Sennrich loop.
+
+The batched selector (textops.bpe_train batch_size > 1) takes the
+longest pairwise-disjoint PREFIX of the pair rank order, trimmed to
+counts strictly above the first excluded pair's count, with
+merge-output concatenations treated as used symbols. The claim is
+batch-size INDEPENDENCE: any batch_size yields the identical merge
+table. These tests replay that claim against a pure-Python sequential
+trainer on adversarially small alphabets (2 letters -> the top pairs
+constantly share symbols, exercising every prefix-stop branch).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+from dbt_model_diff_spark.operators import textops
+
+
+def _bpe_train_replay(text: str, n_merges: int) -> list[tuple[str, str]]:
+    """Pure-Python sequential Sennrich trainer: pre-tokenize with the
+    shared regex, count adjacent pairs weighted by word frequency
+    (overlapping occurrences count), merge the (count DESC, a, b) max
+    leftmost-non-overlapping, repeat."""
+    wc = Counter(re.findall(textops.BPE_ISH_PATTERN, text))
+    seqs = {w: list(w) for w in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, cnt in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append(best)
+        a, b = best
+        for w, s in seqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+WORDS = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=8
+)
+
+
+@given(words=WORDS, batch=st.sampled_from([2, 4, 8]))
+@settings(max_examples=12, deadline=None)
+def test_bpe_train_batched_equals_sequential(spark, words, batch):
+    # three paths against the pure replay: distributed sequential,
+    # distributed batched (driver_threshold=0 forces both), and the
+    # size-gated driver trainer (default gate takes it on tiny vocabs)
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    expect = _bpe_train_replay(text, 6)
+    assert textops.bpe_train(df, n_merges=6, batch_size=1, driver_threshold=0) == expect
+    assert (
+        textops.bpe_train(df, n_merges=6, batch_size=batch, driver_threshold=0)
+        == expect
+    )
+    assert textops.bpe_train(df, n_merges=6) == expect
+
+
+def test_bpe_train_batched_concat_collision(spark):
+    # the adversarial case the concat-in-used rule exists for: the top
+    # pair's merge output ("ab") IS a later candidate's left symbol, so
+    # a naive top-m batch would freeze (ab, c)'s count at its pre-merge
+    # value and can misorder the table. 'abab' words make "ab" appear
+    # as a merged symbol immediately; 'ab c'-shaped adjacencies follow.
+    text = " ".join(["abab"] * 6 + ["ababc"] * 3 + ["bc"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    expect = _bpe_train_replay(text, 8)
+    assert (
+        textops.bpe_train(df, n_merges=8, batch_size=8, driver_threshold=0) == expect
+    )
+    assert (
+        textops.bpe_train(df, n_merges=8, batch_size=3, driver_threshold=0) == expect
+    )
+    assert textops.bpe_train(df, n_merges=8) == expect
