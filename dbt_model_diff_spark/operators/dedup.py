@@ -153,6 +153,31 @@ def oph_signatures(
     return raw.select(*out_cols)
 
 
+def _bucket_guard_stats(grouped, cap: int) -> dict:
+    """Shared drop ledger for the bucket/block guards: aggregate the
+    (group -> n) histogram over the cap into dropped_rows /
+    dropped_buckets / dropped_pairs_x2 (sum n*(n-1), i.e. 2x the
+    self-join pairs the guard suppressed). One map-side-combined
+    groupBy + a 3-column fold — vocab-scale, never corpus-scale."""
+    row = (
+        grouped.agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("dropped_rows"),
+            F.count(F.lit(1)).alias("dropped_buckets"),
+            F.coalesce(
+                F.sum(F.col("__n") * (F.col("__n") - 1)), F.lit(0)
+            ).alias("dropped_pairs_x2"),
+        )
+        .collect()[0]
+    )
+    return {
+        "dropped_rows": row["dropped_rows"],
+        "dropped_buckets": row["dropped_buckets"],
+        "dropped_pairs_x2": row["dropped_pairs_x2"],
+    }
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -160,6 +185,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     max_bucket_size: int = 1000,
     sig_prefix: str = "mh",
+    guard_stats: dict | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing ANY band bucket become a candidate pair.
 
@@ -167,6 +193,23 @@ def lsh_candidate_pairs(
     ``id < id`` dedup, then distinct on pairs. Buckets larger than
     ``max_bucket_size`` are dropped — at web scale a single boilerplate
     bucket can be O(millions) and its self-join O(n^2).
+
+    Coverage accounting (VERDICT r6 task #8): pass a dict as
+    ``guard_stats`` and the guard reports what it dropped —
+    ``dropped_rows`` ((id, band) postings removed), ``dropped_buckets``
+    (distinct degenerate buckets), and ``dropped_pairs_x2`` (sum of
+    n*(n-1) over dropped buckets = exactly 2x the per-band bucket pairs
+    suppressed — an upper bound on distinct suppressed pairs, which
+    dedupe across bands). A 100 TB run logs these so "deduped" is never
+    silently "deduped except the 3 biggest boilerplate families". The
+    stats run as ONE eager aggregate job over the banding frame at call
+    time — an explicit, documented second evaluation (in a staged
+    pipeline the signatures are a materialized parquet table, so the
+    re-read is a narrow scan). DataFrame.observe would ride the main
+    action for free, but CollectMetrics under AQE empirically never
+    delivers to the Observation listener here (fires with AQE
+    disabled), and correctness of the coverage ledger beats saving one
+    vocab-scale job.
 
     The guard is a windowed count over the SAME (band_id, bucket)
     partitioning the self-join needs, not a separate histogram +
@@ -188,6 +231,13 @@ def lsh_candidate_pairs(
         id_col=id_col,
         sig_prefix=sig_prefix,
     )
+
+    if guard_stats is not None:
+        guard_stats.update(
+            _bucket_guard_stats(
+                stacked.groupBy("band_id", "bucket"), max_bucket_size
+            )
+        )
 
     guard = Window.partitionBy("band_id", "bucket")
     stacked = (
@@ -461,6 +511,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     max_block_size: int = 1000,
+    guard_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by hamming distance over simhash, blocked on the high
     16 bits to avoid all-pairs (near dups share high bits w.h.p.).
@@ -473,12 +524,21 @@ def simhash_near_pairs(
     partitioning the self-join shuffles on (see lsh_candidate_pairs) —
     linear over a degenerate block, and the fingerprint subplan feeds
     one shared exchange instead of histogram + semi-join branches.
+
+    ``guard_stats``: same explicit coverage ledger as
+    ``lsh_candidate_pairs`` — ``dropped_rows`` / ``dropped_buckets`` /
+    ``dropped_pairs_x2`` from one eager aggregate over the block
+    histogram.
     """
     from pyspark.sql import Window
 
     blocked = fp_df.select(
         id_col, "simhash", F.shiftright(F.col("simhash"), 44).alias("block")
     )
+    if guard_stats is not None:
+        guard_stats.update(
+            _bucket_guard_stats(blocked.groupBy("block"), max_block_size)
+        )
     guard = Window.partitionBy("block")
     blocked = (
         blocked.withColumn("__n", F.count(F.lit(1)).over(guard))

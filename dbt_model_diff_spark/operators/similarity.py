@@ -842,6 +842,7 @@ def semantic_pair_candidates(
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
     emit_cos: bool = False,
+    dropped_acc=None,
 ) -> DataFrame:
     """Intra-group cosine pairs >= ``threshold`` as ONE grouped Arrow
     kernel: one exchange on ``group_keys``, blocked numpy pairwise
@@ -850,7 +851,17 @@ def semantic_pair_candidates(
     only qualifying (id_a < id_b) pairs leave the kernel. Groups wider
     than ``max_cluster_size`` emit no pairs (degenerate-bucket policy).
     The pair stage of :func:`semantic_dedup`, exposed for reuse and for
-    plan tests."""
+    plan tests.
+
+    Coverage accounting (VERDICT r6 task #8): pass a SparkContext
+    accumulator (``sc.accumulator(0)``) as ``dropped_acc`` and the
+    kernel adds each capped group's ROW COUNT to it — the vectors whose
+    pairs were never examined, so a 100 TB run can report "N vectors
+    skipped by the cluster cap" instead of dropping them silently.
+    Standard accumulator caveat: task retries can double-count, so the
+    value is operational telemetry, not an exact ledger (the
+    Observation-based guards in operators/dedup.py are exact; inside
+    applyInPandas an accumulator is the mechanism available)."""
     import numpy as np
     import pandas as pd
 
@@ -870,7 +881,11 @@ def semantic_pair_candidates(
             cols_spec["cos_sim"] = pd.Series(dtype="float64")
         empty = pd.DataFrame(cols_spec)
         n = len(pdf)
-        if n < 2 or (cap is not None and n > cap):
+        if cap is not None and n > cap:
+            if dropped_acc is not None:
+                dropped_acc.add(n)
+            return empty
+        if n < 2:
             return empty
         ids = pdf[id_col].values
         order = np.argsort(ids, kind="mergesort")
@@ -943,6 +958,7 @@ def semantic_dedup(
     n_planes: int = 0,
     dim: int | None = None,
     max_cluster_size: int | None = None,
+    dropped_acc=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with k-means, find intra-cluster
@@ -1038,6 +1054,7 @@ def semantic_dedup(
         id_col=id_col,
         vec_col=vec_col,
         max_cluster_size=max_cluster_size,
+        dropped_acc=dropped_acc,
     )
 
     comp = connected_components(pairs)

@@ -1,5 +1,6 @@
 """Round-7 property tests: batched BPE training must be provably
-faithful to the sequential Sennrich loop.
+faithful to the sequential Sennrich loop, and the pair-budget guards
+must account for what they drop (VERDICT r6 task #8).
 
 The batched selector (textops.bpe_train batch_size > 1) takes the
 longest pairwise-disjoint PREFIX of the pair rank order, trimmed to
@@ -18,7 +19,7 @@ from collections import Counter
 
 from hypothesis import given, settings, strategies as st
 
-from dbt_model_diff_spark.operators import textops
+from dbt_model_diff_spark.operators import dedup, similarity, textops
 
 
 def _bpe_train_replay(text: str, n_merges: int) -> list[tuple[str, str]]:
@@ -92,3 +93,71 @@ def test_bpe_train_batched_concat_collision(spark):
         textops.bpe_train(df, n_merges=8, batch_size=3, driver_threshold=0) == expect
     )
     assert textops.bpe_train(df, n_merges=8) == expect
+
+
+def test_lsh_bucket_guard_reports_drops(spark):
+    # 5 docs with IDENTICAL text share every band bucket -> with
+    # max_bucket_size=3 the guard must drop all 4 bands x 5 postings
+    # and account for them; 2 distinct docs survive.
+    from dbt_model_diff_spark.operators import textops as t
+
+    rows = [(i, "the same boilerplate text again and again") for i in range(5)]
+    rows += [(10, "alpha beta gamma delta"), (11, "epsilon zeta eta theta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = t.shingles(df, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    m: dict = {}
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=3, guard_stats=m
+    )
+    got = pairs.collect()
+    assert m["dropped_rows"] == 20  # 5 postings x 4 bands
+    assert m["dropped_buckets"] == 4
+    assert m["dropped_pairs_x2"] == 4 * 5 * 4  # 4 bands x n(n-1) = 20 each
+    # the boilerplate family must NOT appear in the surviving pairs
+    assert all(r["id_a"] >= 10 or r["id_b"] >= 10 for r in got) or got == []
+
+
+def test_lsh_guard_stats_zero_when_nothing_dropped(spark):
+    from dbt_model_diff_spark.operators import textops as t
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "ee ff gg hh")], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(t.shingles(df, n=3), num_hashes=8)
+    m: dict = {}
+    dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=1000, guard_stats=m
+    ).collect()
+    assert (m["dropped_rows"], m["dropped_buckets"], m["dropped_pairs_x2"]) == (
+        0,
+        0,
+        0,
+    )
+
+
+def test_simhash_block_guard_reports_drops(spark):
+    # one degenerate block of 4 identical fingerprints + 2 singletons
+    fp = spark.createDataFrame(
+        [(i, 7 << 44) for i in range(4)] + [(10, 1 << 44), (11, 2 << 44)],
+        "doc_id long, simhash long",
+    )
+    m: dict = {}
+    out = dedup.simhash_near_pairs(fp, max_block_size=3, guard_stats=m)
+    rows = out.collect()
+    assert m["dropped_rows"] == 4
+    assert m["dropped_buckets"] == 1
+    assert m["dropped_pairs_x2"] == 4 * 3
+    assert rows == []  # singleton blocks pair with nothing
+
+
+def test_semantic_pair_cap_accumulator_counts_skipped_vectors(spark):
+    acc = spark.sparkContext.accumulator(0)
+    rows = [(i, [1.0, 0.0], 0) for i in range(5)]  # capped group of 5
+    rows += [(10, [0.0, 1.0], 1), (11, [0.0, 1.0], 1)]  # surviving pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    out = similarity.semantic_pair_candidates(
+        df, ["cluster"], threshold=0.9, max_cluster_size=3, dropped_acc=acc
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(10, 11)}
+    assert acc.value == 5
