@@ -4278,6 +4278,54 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_utilization(packed, "n_tokens", capacity=256)
 
 
+_DUP_SPAN_K = 5
+_DUP_SPAN_GRAM = " || ' ' || ".join(f"t[g + {i}]" for i in range(_DUP_SPAN_K))
+
+
+@register(
+    "text_dup_substring_spans",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, g, md5({_DUP_SPAN_GRAM}) AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_DUP_SPAN_K - 1})) AS g
+        FROM tok WHERE len(t) >= {_DUP_SPAN_K})),
+dupkeys AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, g FROM pos WHERE h IN (SELECT h FROM dupkeys)),
+marked AS (
+  SELECT doc_id, g,
+         CASE WHEN g > coalesce(max(g) OVER (
+                  PARTITION BY doc_id ORDER BY g
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1099511627776) + {_DUP_SPAN_K} THEN 1 ELSE 0 END AS nw
+  FROM dup),
+isl AS (
+  SELECT doc_id, g,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked),
+spans AS (
+  SELECT doc_id, island, max(g) - min(g) + {_DUP_SPAN_K} AS span_len
+  FROM isl GROUP BY doc_id, island)
+SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+       CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+       CAST(max(span_len) AS INT) AS max_span_len
+FROM spans GROUP BY doc_id
+""",
+)
+def text_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup report (Lee et al. 2021, window-anchored):
+    5-token windows duplicated anywhere in the corpus, merged per doc
+    into maximal spans (textops.dup_substring_spans) — the spans a
+    substring-level dedup pass would cut, to k-token resolution. ONE
+    corpus-scale exchange on the window hash; the island merge and both
+    rollups share the doc partitioning over duplicated positions only.
+    Integer-only output, so the oracle replays spans exactly."""
+    return textops.dup_substring_spans(
+        read_table(spark, sf_dir, "documents"), k=_DUP_SPAN_K
+    )
+
+
 @register(
     "text_top_terms",
     """
@@ -5369,16 +5417,18 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row is r4 — they hit the 3-round staleness bound this round — then
 # the six Sec.2-core anchors (r5-certified, not in the r6 record, so
 # the in-window-or-newest clause requires them here), then the oldest
-# remaining r5-certified queries in catalog source order. The 29 r5
+# remaining r5-certified queries in catalog source order. The r5
 # queries left outside become round 8's mandatory slots under the
-# 3-round bound (the data-driven window test recomputes the exact set
-# from the CORRECTNESS records).
+# 3-round bound — no hardcoded count here (the r6 VERDICT caught a
+# stale one): the data-driven window test recomputes the exact set
+# from the CORRECTNESS records.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
     # Tier 0: never-certified new-in-r7 queries (stalest tier).
     "dedup_oph_components",
     "bpe_train_merges_batched",
+    "text_dup_substring_spans",
     # Tier 1: the 29 r4-stale queries (3-round bound).
     "agg_cube_orders",
     "agg_grouping_sets_orders",
@@ -5431,7 +5481,6 @@ _DRIVER_PRIORITY = [
     "knn_ivf",
     "knn_ivf_pq",
     "embedding_near_dup",
-    "approx_profile_orders",
 ]
 
 

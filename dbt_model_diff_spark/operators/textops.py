@@ -825,6 +825,87 @@ def shingles(
     )
 
 
+def dup_substring_spans(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication report (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    find every k-token window whose text occurs ``min_count``+ times
+    ANYWHERE in the corpus (across or within docs), merge each doc's
+    duplicated window positions into maximal spans (overlapping or
+    token-adjacent windows coalesce), and report per doc the spans a
+    substring-dedup pass would cut: (doc_id, n_dup_spans, dup_tokens,
+    max_span_len). Docs with no duplicated window produce no row.
+
+    This is the window-anchored formulation of suffix-array substring
+    dedup: a duplicated substring of length >= k is a run of duplicated
+    k-windows, so merged spans recover every maximal duplicate to
+    k-token resolution — the practical Spark-first trade (a distributed
+    suffix array shuffles the corpus log-factor times; this is ONE
+    corpus-scale exchange).
+
+    Scale shape: one exchange on the window hash (count-over-partition
+    guards ride it — same shared-exchange trick as lsh_candidate_pairs),
+    then everything downstream is keyed on doc_id over duplicated
+    positions only (a small fraction of the corpus), with the island
+    merge + both groupBys sharing the doc partitioning. The k-gram
+    build is the zip_with-over-slices chain (lambda-BODY re-evaluation
+    lesson, SURVEY §9 round 6); hashes are md5 for cross-engine parity.
+    """
+    from pyspark.sql import Window
+
+    from dbt_model_diff_spark.util import spread_for_compute
+
+    src = spread_for_compute(df.select("doc_id", text_col))
+    toks = F.col("__toks")
+    m = F.size(toks) - (k - 1)
+    expr = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        expr = F.zip_with(
+            expr,
+            F.slice(toks, j, m),
+            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
+        )
+    grams = (
+        src.select("doc_id", F.split(F.col(text_col), " ").alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select("doc_id", F.posexplode(expr).alias("__p", "__gram"))
+        .select("doc_id", (F.col("__p") + 1).alias("g"), F.md5("__gram").alias("h"))
+    )
+    dup = (
+        grams.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("__c") >= min_count)
+        .select("doc_id", "g")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("g")
+    prev_max = F.max("g").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dup.withColumn(
+        "__new",
+        F.when(
+            F.col("g") > F.coalesce(prev_max, F.lit(-(1 << 40))) + k, 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = marked.groupBy("doc_id", "__island").agg(
+        F.min("g").alias("__s"), F.max("g").alias("__e")
+    )
+    span_len = (F.col("__e") - F.col("__s") + k).cast("int")
+    return (
+        spans.select("doc_id", span_len.alias("__len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+            F.sum("__len").alias("dup_tokens"),
+            F.max("__len").alias("max_span_len"),
+        )
+    )
+
+
 def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Exact corpus-level heavy hitters: the k most frequent whitespace
     terms, rank-ordered with a deterministic (count DESC, term ASC)

@@ -161,3 +161,33 @@ def test_semantic_pair_cap_accumulator_counts_skipped_vectors(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(10, 11)}
     assert acc.value == 5
+
+
+def test_dup_substring_spans_known_case(spark):
+    # docs 1 and 2 share the 7-token sentence "w1..w7": its three
+    # 5-windows (g=2,3,4 in doc1; g=1,2,3 in doc2) merge into ONE span
+    # of 7 tokens; doc 3 shares nothing -> absent from the output.
+    shared = "w1 w2 w3 w4 w5 w6 w7"
+    rows = [
+        (1, "pre " + shared + " post1 tail1"),
+        (2, shared + " other2 other3"),
+        (3, "completely different words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.dup_substring_spans(df, k=5).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 7
+        assert out[d]["max_span_len"] == 7
+
+
+def test_dup_substring_spans_intra_doc_repeat(spark):
+    # a doc repeating its own 5-token phrase twice is self-duplicated:
+    # both window positions count, two disjoint spans of 5
+    text = "a1 a2 a3 a4 a5 x y z q r a1 a2 a3 a4 a5"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = textops.dup_substring_spans(df, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_dup_spans"], r["dup_tokens"], r["max_span_len"]) == (2, 10, 5)
