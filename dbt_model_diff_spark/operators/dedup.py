@@ -700,9 +700,14 @@ def connected_components(
         # Driver path: the pinned edge set is provably small — collect
         # it (NOT the corpus; these are verified near-dup pairs) and
         # run union-find with path compression. Self-pairs ride along,
-        # naming their node as a singleton component.
+        # naming their node as a singleton component. Both driver hops
+        # go through Arrow (toPandas / pandas createDataFrame): at the
+        # 2M-edge gate, row-wise collect + list-of-tuples conversion
+        # cost multiple seconds where the Arrow batches cost tenths.
+        import pandas as pd
+
         spark = pairs.sparkSession
-        rows = edges_all.collect()
+        pdf = edges_all.toPandas()
         edges_all.unpersist()
         parent: dict = {}
 
@@ -714,8 +719,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
-            s, d = r["src"], r["dst"]
+        for s, d in zip(pdf["src"].to_list(), pdf["dst"].to_list()):
             parent.setdefault(s, s)
             parent.setdefault(d, d)
             rs, rd = _find(s), _find(d)
@@ -730,8 +734,12 @@ def connected_components(
                 T.StructField("label", edges_all.schema["src"].dataType),
             ]
         )
+        nodes_list = list(parent)
         return spark.createDataFrame(
-            [(n, _find(n)) for n in parent], out_schema
+            pd.DataFrame(
+                {"node": nodes_list, "label": [_find(n) for n in nodes_list]}
+            ),
+            out_schema,
         )
     # node inventory BEFORE dropping self-pairs: a degenerate (x, x)
     # pair still names x as a single-node component. Lazy on purpose —

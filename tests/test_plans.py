@@ -526,3 +526,15 @@ def test_near_dedup_loser_antijoin_not_forced_broadcast(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dup_substring_spans_two_data_exchanges_no_join(spark, sf_dir):
+    """text_dup_substring_spans must be join-free: one exchange on the
+    window hash (count guard rides it), one on doc_id for the island
+    merge (both doc-keyed rollups reuse that partitioning), plus only
+    the input-spread repartition. A join or a 4th exchange means the
+    dup-key filter or the span rollups stopped sharing partitionings."""
+    plan = _executed_plan(QUERIES["text_dup_substring_spans"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange") <= 3  # + the RoundRobin spread
