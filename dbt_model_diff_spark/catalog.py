@@ -2115,14 +2115,14 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lm_bigram_score(read_table(spark, sf_dir, "documents"))
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
-    """DuckDB replay of textops.bpe_train: one word-count CTE (the single
-    corpus pass), then ``n_merges`` UNROLLED training stages — pair
-    counting with overlap over the SEP/TERM symbol encoding, max with the
-    (count DESC, a, b) tie-break, leftmost non-overlapping merge — the
-    same unrolled-iteration oracle pattern as _kmeans_oracle."""
+def _bpe_train_cte_parts(n_merges: int) -> list[str]:
+    """The unrolled training-stage CTE chain shared by the trainer
+    oracle and the composed train->apply oracle: word counts (the one
+    corpus pass), then per stage pair counting with overlap over the
+    SEP/TERM encoding, the (count DESC, a, b) max as b{i}, and the
+    leftmost non-overlapping merge into s{i+1}."""
     parts = [
-        f"""WITH w AS MATERIALIZED (
+        f"""w AS MATERIALIZED (
   SELECT word, count(*) AS cnt FROM (
     SELECT unnest(regexp_extract_all(text, '{_BPE_PAT}')) AS word
     FROM documents WHERE text IS NOT NULL) GROUP BY word)""",
@@ -2154,11 +2154,73 @@ def _bpe_train_oracle(n_merges: int) -> str:
            chr(1) || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || chr(2)) AS s
   FROM s{i})"""
         )
+    return parts
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """DuckDB replay of textops.bpe_train: one word-count CTE (the single
+    corpus pass), then ``n_merges`` UNROLLED training stages — pair
+    counting with overlap over the SEP/TERM symbol encoding, max with the
+    (count DESC, a, b) tie-break, leftmost non-overlapping merge — the
+    same unrolled-iteration oracle pattern as _kmeans_oracle."""
+    parts = _bpe_train_cte_parts(n_merges)
     final = "\nUNION ALL\n".join(
         f"SELECT CAST({i + 1} AS INT) AS rank, a, b FROM b{i}"
         for i in range(n_merges)
     )
-    return ",\n".join(parts) + "\n" + final
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _bpe_train_apply_oracle(n_merges: int) -> str:
+    """Composed train -> apply replay: the trainer CTE chain learns the
+    merge table (b0..b{K-1}), and the recursive tokenize loop of
+    _bpe_oracle consumes THOSE merges instead of a pinned VALUES
+    literal — end-to-end certification that training and application
+    compose identically across engines."""
+    parts = _bpe_train_cte_parts(n_merges)
+    m0 = (
+        "m0(rank, a, b) AS (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({i + 1} AS INT), a, b FROM b{i}"
+            for i in range(n_merges)
+        )
+        + ")"
+    )
+    tokenize = f"""merges AS (
+  SELECT rank,
+         chr(1) || a || chr(2) || chr(1) || b || chr(2) AS pat,
+         chr(1) || a || b || chr(2) AS rep
+  FROM m0),
+pt AS (
+  SELECT doc_id,
+         unnest(l) AS tok,
+         unnest(generate_series(1, len(l))) AS idx
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT}') AS l FROM documents)),
+enc AS (
+  SELECT doc_id, idx,
+         regexp_replace(tok, '([\\s\\S])', chr(1) || '\\1' || chr(2), 'g') AS s
+  FROM pt),
+bpe(doc_id, idx, s) AS (
+  SELECT doc_id, idx, s FROM enc
+  UNION ALL
+  SELECT b.doc_id, b.idx, replace(b.s, m.pat, m.rep) AS s
+  FROM bpe b
+  JOIN merges m
+    ON m.rank = (SELECT min(m2.rank) FROM merges m2 WHERE contains(b.s, m2.pat))),
+fin AS (
+  SELECT * FROM bpe b
+  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(b.s, m.pat)))"""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts + [m0, tokenize])
+        + """
+SELECT doc_id,
+       CAST(sum(length(s) - length(replace(s, chr(1), ''))) AS INT)
+         AS n_bpe_merged_tokens,
+       md5(string_agg(s, '' ORDER BY idx)) AS tok_fp
+FROM fin GROUP BY doc_id
+"""
+    )
 
 
 @register("bpe_train_merges", _bpe_train_oracle(8))
@@ -2197,6 +2259,23 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, a string, b string",
     )
+
+
+@register("pipeline_bpe_train_apply", _bpe_train_apply_oracle(8))
+def pipeline_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer certification: TRAIN the 8-merge BPE table
+    from the corpus (textops.bpe_train, size-gated driver loop at this
+    SF), then TOKENIZE the same corpus with the learned table
+    (textops.bpe_tokenize, shuffle-free Arrow kernel). The oracle
+    composes the unrolled training stages with the recursive tokenize
+    replay, consuming the TRAINED merges — so both the learned table
+    and every token boundary it induces are checked cross-engine in one
+    query. This is the proof the trainer and tokenizer agree on
+    semantics (encoding, tie-breaks, leftmost-non-overlap), not just
+    each in isolation."""
+    docs = read_table(spark, sf_dir, "documents")
+    merges = textops.bpe_train(docs, n_merges=8)
+    return textops.bpe_tokenize(docs, merges=merges)
 
 
 @register("text_bpe_tokenize", _bpe_oracle())
@@ -5429,6 +5508,7 @@ _DRIVER_PRIORITY = [
     "dedup_oph_components",
     "bpe_train_merges_batched",
     "text_dup_substring_spans",
+    "pipeline_bpe_train_apply",
     # Tier 1: the 29 r4-stale queries (3-round bound).
     "agg_cube_orders",
     "agg_grouping_sets_orders",
@@ -5480,7 +5560,6 @@ _DRIVER_PRIORITY = [
     "kmeans_embedding_clusters",
     "knn_ivf",
     "knn_ivf_pq",
-    "embedding_near_dup",
 ]
 
 
