@@ -191,3 +191,47 @@ def test_dup_substring_spans_intra_doc_repeat(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["n_dup_spans"], r["dup_tokens"], r["max_span_len"]) == (2, 10, 5)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_dup_substring_spans_equals_replay(spark, docs):
+    # tiny 3-letter token alphabet forces heavy window collisions,
+    # exercising island merges, intra-doc repeats, and absent docs
+    k = 3
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["max_span_len"])
+        for r in textops.dup_substring_spans(df, k=k).collect()
+    }
+
+    # pure-Python replay of the window-anchored span semantics
+    wins: Counter = Counter()
+    pos: dict[int, list[tuple[int, str]]] = {}
+    for i, text in texts:
+        t = text.split(" ")
+        pos[i] = []
+        for g in range(1, len(t) - k + 2):
+            gram = " ".join(t[g - 1 : g - 1 + k])
+            wins[gram] += 1
+            pos[i].append((g, gram))
+    expect: dict[int, tuple[int, int, int]] = {}
+    for i, plist in pos.items():
+        dup_gs = sorted(g for g, gram in plist if wins[gram] >= 2)
+        spans: list[list[int]] = []
+        for g in dup_gs:
+            if spans and g <= spans[-1][1] - k + 1 + k:  # g <= prev_max_g + k
+                spans[-1][1] = max(spans[-1][1], g + k - 1)
+            else:
+                spans.append([g, g + k - 1])
+        if spans:
+            lens = [e - s + 1 for s, e in spans]
+            expect[i] = (len(spans), sum(lens), max(lens))
+    assert got == expect
