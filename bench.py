@@ -96,6 +96,11 @@ def main() -> None:
         # correctness gate; the scale posture is measured in SURVEY §9)
         "text_bpe_tokenize",
         "text_classifier_score",
+        # round-7 additions: end-to-end OPH dedup chain (the
+        # signature-stage scale path), window-anchored exact substring
+        # dedup spans
+        "dedup_oph_components",
+        "text_dup_substring_spans",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 
