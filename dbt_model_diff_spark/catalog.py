@@ -50,17 +50,24 @@ ORACLES: dict[str, str] = {}
 
 
 def _stable_suffix(sf_dir: str) -> str:
-    """Process-independent suffix for per-sf scratch paths / query names.
+    """Suffix for per-sf scratch paths / query names: stable WITHIN a
+    process, isolated BETWEEN processes.
 
     Python's str hash is salted per process (PYTHONHASHSEED), so
     ``abs(hash(sf_dir)) % 10_000`` only dedupes within one run — scratch
-    copies would accumulate across runs, and two sf_dirs could collide
-    mod 10_000. An md5 prefix is stable across processes and 32 bits of
-    it make cross-sf collisions negligible.
+    copies would accumulate unboundedly across runs, and two sf_dirs
+    could collide mod 10_000. A pure md5-of-sf_dir fixes both but makes
+    CONCURRENT runs on one host share a scratch path, so one process's
+    mode='overwrite' deletes part files mid-read of another
+    (code-review r7). md5 + pid keeps cross-sf collisions negligible
+    and concurrent runs disjoint; accumulation is bounded by the host's
+    pid space (reused pids overwrite their predecessor's dir) instead
+    of growing per run.
     """
     import hashlib
+    import os
 
-    return hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return f"{hashlib.md5(sf_dir.encode('utf-8')).hexdigest()[:8]}_p{os.getpid()}"
 
 
 def register(name: str, oracle: str | None = None):

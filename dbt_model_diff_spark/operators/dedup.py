@@ -326,8 +326,16 @@ def _assert_bucket_params(
     shingle_n: int,
 ) -> None:
     """If ``buckets`` carries stamped parameter columns, verify they
-    match this call's parameters (tiny collect: the stamp columns are
-    literals, so distinct() is at most a handful of rows)."""
+    match this call's parameters.
+
+    Cost posture: the probe LIMITs the scan to 10k rows BEFORE the
+    distinct (a bare distinct().limit(3) cannot early-exit, so it
+    re-scanned the full corpus-x-bands history table on EVERY ingest
+    batch — code-review r7). The realistic failure is a whole table
+    written with one wrong parameter set, which any sample catches; a
+    table mixing stamps row-by-row violates the stamp_bucket_params
+    write contract and is only probabilistically caught here.
+    """
     present = [c for c in _BUCKET_PARAM_COLS if c in buckets.columns]
     if not present:
         return
@@ -337,7 +345,7 @@ def _assert_bucket_params(
         "rows_per_band": int(rows_per_band),
         "shingle_n": int(shingle_n),
     }
-    stamped = buckets.select(*present).distinct().limit(3).collect()
+    stamped = buckets.select(*present).limit(10_000).distinct().collect()
     if len(stamped) > 1:
         raise ValueError(
             "history_buckets mixes rows stamped with different "
@@ -624,12 +632,16 @@ def connected_components(
     without a join (see ``near_dedup``).
 
     Size-gated driver fallback: after the edge pin the EXACT distinct
-    edge count is known; at or below ``driver_threshold`` edges
-    (default 2M — two longs each, ~32 MB collected, far under any
-    broadcast-sized budget) the graph is a single-machine problem and
-    is solved with one collect + path-compressed union-find, avoiding
-    ~10 shuffle-stage round trips whose scheduling latency dwarfs the
-    compute at pair-graph sizes. Above the gate, the distributed star
+    edge count is known; at or below ``driver_threshold`` edges the
+    graph is a single-machine problem and is solved with one Arrow
+    collect + path-compressed union-find, avoiding ~10 shuffle-stage
+    round trips whose scheduling latency dwarfs the compute at
+    pair-graph sizes. Driver budget at the 2M default: the Arrow frame
+    is ~32 MB, but the union-find dict of boxed Python ints is the real
+    cost — up to ~4M entries at ~100 B each, so plan for a few hundred
+    MB of driver RSS at the gate (code-review r7 sizing), not 32 MB.
+    Size the gate DOWN on memory-tight drivers; it is a parameter, not
+    a promise. Above the gate, the distributed star
     contraction below runs. Same runtime-size-gated strategy switch
     AQE applies to joins; both paths produce identical (node, label)
     output (property-tested against each other, and the long-chain and

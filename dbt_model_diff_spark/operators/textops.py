@@ -265,6 +265,11 @@ def bpe_train(
     """
     from pyspark import StorageLevel
 
+    # argument validation BEFORE the corpus-scale word-count job — a
+    # bad batch_size must fail free, not after minutes of cluster work
+    if int(batch_size) < 1:
+        raise ValueError("batch_size must be >= 1")
+
     words = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -284,8 +289,6 @@ def bpe_train(
     )
     n_words = words.count()
 
-    if int(batch_size) < 1:
-        raise ValueError("batch_size must be >= 1")
     if n_words <= driver_threshold:
         # Driver merge loop over the collected (word, count) vocab —
         # NOT the corpus; the distributed pass above already collapsed
