@@ -4373,7 +4373,8 @@ _DUP_SPAN_GRAM = " || ' ' || ".join(f"t[g + {i}]" for i in range(_DUP_SPAN_K))
     f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 pos AS (
-  SELECT doc_id, g, md5({_DUP_SPAN_GRAM}) AS h
+  SELECT doc_id, g,
+         CAST('0x' || substr(md5({_DUP_SPAN_GRAM}), 2, 15) AS BIGINT) AS h
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_DUP_SPAN_K - 1})) AS g
         FROM tok WHERE len(t) >= {_DUP_SPAN_K})),
 dupkeys AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),

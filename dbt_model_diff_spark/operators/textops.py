@@ -872,11 +872,18 @@ def dup_substring_spans(
             F.slice(toks, j, m),
             lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
         )
+    # 60-bit bigint key from the md5 (same derivation as
+    # minhash_signatures): the corpus-gram exchange ships (doc, g, h)
+    # at 24 B/row instead of ~56 B with the hex string — the one
+    # corpus-scale shuffle is the operator's cost center. Collision
+    # odds at 2^60 are negligible and identical cross-engine (the
+    # oracle replays the same cast).
+    gram_key = F.conv(F.substring(F.md5("__gram"), 2, 15), 16, 10).cast("long")
     grams = (
         src.select("doc_id", F.split(F.col(text_col), " ").alias("__toks"))
         .filter(F.size("__toks") >= k)
         .select("doc_id", F.posexplode(expr).alias("__p", "__gram"))
-        .select("doc_id", (F.col("__p") + 1).alias("g"), F.md5("__gram").alias("h"))
+        .select("doc_id", (F.col("__p") + 1).alias("g"), gram_key.alias("h"))
     )
     dup = (
         grams.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("h")))
