@@ -4414,6 +4414,62 @@ def text_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_remove_dup_substrings",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, g,
+         CAST('0x' || substr(md5({_DUP_SPAN_GRAM}), 2, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_DUP_SPAN_K - 1})) AS g
+        FROM tok WHERE len(t) >= {_DUP_SPAN_K})),
+dupkeys AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, g FROM pos WHERE h IN (SELECT h FROM dupkeys)),
+marked AS (
+  SELECT doc_id, g,
+         CASE WHEN g > coalesce(max(g) OVER (
+                  PARTITION BY doc_id ORDER BY g
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1099511627776) + {_DUP_SPAN_K} THEN 1 ELSE 0 END AS nw
+  FROM dup),
+isl AS (
+  SELECT doc_id, g,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked),
+spans AS (
+  SELECT doc_id, island, min(g) AS s, max(g) + {_DUP_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, island),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tk, unnest(generate_series(1, len(t))) AS idx
+  FROM tok),
+kept AS (
+  SELECT tp.doc_id, tp.idx, tp.tk FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = tp.doc_id AND tp.idx BETWEEN s.s AND s.e)),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         md5(string_agg(tk, ' ' ORDER BY idx)) AS fp
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.n, 0) AS INT) AS n_kept_tokens,
+       coalesce(a.fp, md5('')) AS kept_fp
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+""",
+)
+def text_remove_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive exact substring dedup (Lee et al. 2021, APPLIED):
+    every maximal duplicated 5-token span is cut and the surviving text
+    is fingerprinted per doc (textops.remove_dup_substrings) — the
+    removal counterpart of text_dup_substring_spans, the same
+    report->rebuild pairing as dedup_cross_doc_chunks ->
+    text_rebuild_dedup_chunks. kept_fp pins the exact rebuilt token
+    sequence cross-engine, including all-cut docs (md5 of the empty
+    string) and untouched docs."""
+    return textops.remove_dup_substrings(
+        read_table(spark, sf_dir, "documents"), k=_DUP_SPAN_K
+    )
+
+
+@register(
     "text_top_terms",
     """
 WITH terms AS (
@@ -5517,6 +5573,7 @@ _DRIVER_PRIORITY = [
     "bpe_train_merges_batched",
     "text_dup_substring_spans",
     "pipeline_bpe_train_apply",
+    "text_remove_dup_substrings",
     # Tier 1: the 29 r4-stale queries (3-round bound).
     "agg_cube_orders",
     "agg_grouping_sets_orders",
@@ -5567,7 +5624,6 @@ _DRIVER_PRIORITY = [
     "multimodal_decode_features",
     "kmeans_embedding_clusters",
     "knn_ivf",
-    "knn_ivf_pq",
 ]
 
 

@@ -828,6 +828,65 @@ def shingles(
     )
 
 
+def _dup_span_frame(
+    df: DataFrame, k: int, text_col: str, min_count: int
+) -> DataFrame:
+    """(doc_id, __s, __e) maximal duplicated spans — the shared core of
+    :func:`dup_substring_spans` (the report) and
+    :func:`remove_dup_substrings` (the destructive pass). Span ends are
+    INCLUSIVE 1-based token positions; __e = max window start + k - 1.
+
+    Plan shape: one corpus-scale exchange on the window key (the
+    count-over-partition dup test rides it), then the gaps-and-islands
+    merge over DUPLICATED positions only, keyed on doc_id; the island
+    groupBy reuses the doc partitioning. The window key ships as a
+    60-bit bigint derived from the md5 (the minhash_signatures
+    construction): 24 B/row on the big exchange instead of ~56 with
+    hex, identical cross-engine (the oracle replays the cast), 2^-60
+    collision odds.
+    """
+    from pyspark.sql import Window
+
+    from dbt_model_diff_spark.util import spread_for_compute
+
+    src = spread_for_compute(df.select("doc_id", text_col))
+    toks = F.col("__toks")
+    m = F.size(toks) - (k - 1)
+    expr = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        expr = F.zip_with(
+            expr,
+            F.slice(toks, j, m),
+            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
+        )
+    gram_key = F.conv(F.substring(F.md5("__gram"), 2, 15), 16, 10).cast("long")
+    grams = (
+        src.select("doc_id", F.split(F.col(text_col), " ").alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select("doc_id", F.posexplode(expr).alias("__p", "__gram"))
+        .select("doc_id", (F.col("__p") + 1).alias("g"), gram_key.alias("h"))
+    )
+    dup = (
+        grams.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("__c") >= min_count)
+        .select("doc_id", "g")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("g")
+    prev_max = F.max("g").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dup.withColumn(
+        "__new",
+        F.when(
+            F.col("g") > F.coalesce(prev_max, F.lit(-(1 << 40))) + k, 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return marked.groupBy("doc_id", "__island").agg(
+        F.min("g").alias("__s"), (F.max("g") + (k - 1)).alias("__e")
+    )
+
+
 def dup_substring_spans(
     df: DataFrame,
     k: int = 5,
@@ -858,53 +917,10 @@ def dup_substring_spans(
     build is the zip_with-over-slices chain (lambda-BODY re-evaluation
     lesson, SURVEY §9 round 6); hashes are md5 for cross-engine parity.
     """
-    from pyspark.sql import Window
-
-    from dbt_model_diff_spark.util import spread_for_compute
-
-    src = spread_for_compute(df.select("doc_id", text_col))
-    toks = F.col("__toks")
-    m = F.size(toks) - (k - 1)
-    expr = F.slice(toks, 1, m)
-    for j in range(2, k + 1):
-        expr = F.zip_with(
-            expr,
-            F.slice(toks, j, m),
-            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
-        )
-    # 60-bit bigint key from the md5 (same derivation as
-    # minhash_signatures): the corpus-gram exchange ships (doc, g, h)
-    # at 24 B/row instead of ~56 B with the hex string — the one
-    # corpus-scale shuffle is the operator's cost center. Collision
-    # odds at 2^60 are negligible and identical cross-engine (the
-    # oracle replays the same cast).
-    gram_key = F.conv(F.substring(F.md5("__gram"), 2, 15), 16, 10).cast("long")
-    grams = (
-        src.select("doc_id", F.split(F.col(text_col), " ").alias("__toks"))
-        .filter(F.size("__toks") >= k)
-        .select("doc_id", F.posexplode(expr).alias("__p", "__gram"))
-        .select("doc_id", (F.col("__p") + 1).alias("g"), gram_key.alias("h"))
-    )
-    dup = (
-        grams.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("__c") >= min_count)
-        .select("doc_id", "g")
-    )
-    wd = Window.partitionBy("doc_id").orderBy("g")
-    prev_max = F.max("g").over(wd.rowsBetween(Window.unboundedPreceding, -1))
-    marked = dup.withColumn(
-        "__new",
-        F.when(
-            F.col("g") > F.coalesce(prev_max, F.lit(-(1 << 40))) + k, 1
-        ).otherwise(0),
-    ).withColumn(
-        "__island",
-        F.sum("__new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = marked.groupBy("doc_id", "__island").agg(
-        F.min("g").alias("__s"), F.max("g").alias("__e")
-    )
-    span_len = (F.col("__e") - F.col("__s") + k).cast("int")
+    spans = _dup_span_frame(df, k, text_col, min_count)
+    # __e is the inclusive end position (helper contract), so length is
+    # e - s + 1
+    span_len = (F.col("__e") - F.col("__s") + 1).cast("int")
     return (
         spans.select("doc_id", span_len.alias("__len"))
         .groupBy("doc_id")
@@ -912,6 +928,57 @@ def dup_substring_spans(
             F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
             F.sum("__len").alias("dup_tokens"),
             F.max("__len").alias("max_span_len"),
+        )
+    )
+
+
+def remove_dup_substrings(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Destructive exact substring dedup (Lee et al. 2021, applied):
+    cut every maximal duplicated span (see :func:`dup_substring_spans`)
+    out of each document and return the rebuilt text per doc:
+    (doc_id, n_kept_tokens, kept_fp) where kept_fp is the md5 of the
+    space-joined surviving tokens — every doc appears, including docs
+    that lose everything (kept_fp = md5 of the empty string) and docs
+    with no duplicated span (all tokens kept).
+
+    Plan shape: the span pipeline's two exchanges, then the spans
+    collapse to ONE small array per affected doc (collect_list on the
+    doc partitioning the island merge already established — no new
+    exchange) and LEFT-join onto the corpus (one exchange of the
+    narrow (doc, text) side; AQE broadcasts the span side when small).
+    The cut itself is a positional ``F.filter`` whose lambda probes the
+    doc's span array with ``exists`` — the span array is a JOINED
+    ATTRIBUTE, not an upstream expression chain, so the round-6
+    lambda-body re-evaluation trap does not apply; per-token work is
+    O(spans-in-doc), spans are merged-maximal and few.
+    """
+    spans = _dup_span_frame(df, k, text_col, min_count)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("__s"), F.col("__e"))).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.coalesce(
+            F.exists(
+                F.col("__spans"),
+                lambda sp: (i + 1 >= sp["__s"]) & (i + 1 <= sp["__e"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return (
+        df.select("doc_id", text_col)
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.size(kept).cast("int").alias("n_kept_tokens"),
+            F.md5(F.concat_ws(" ", kept)).alias("kept_fp"),
         )
     )
 

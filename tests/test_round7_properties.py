@@ -235,3 +235,28 @@ def test_dup_substring_spans_equals_replay(spark, docs):
             lens = [e - s + 1 for s, e in spans]
             expect[i] = (len(spans), sum(lens), max(lens))
     assert got == expect
+
+
+def test_remove_dup_substrings_matches_span_report(spark):
+    # the destructive pass and the report must agree: tokens removed
+    # per doc == dup_tokens from the span report; untouched docs keep
+    # every token; an all-duplicate doc keeps zero
+    shared = "w1 w2 w3 w4 w5 w6 w7"
+    rows = [
+        (1, "pre " + shared + " post1 tail1"),
+        (2, shared + " other2 other3"),
+        (3, "totally different words here nothing shared at all"),
+        (4, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    removed = {
+        r["doc_id"]: r["n_kept_tokens"]
+        for r in textops.remove_dup_substrings(df, k=5).collect()
+    }
+    report = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in textops.dup_substring_spans(df, k=5).collect()
+    }
+    n_tokens = {i: len(t.split(" ")) for i, t in rows}
+    for d in n_tokens:
+        assert removed[d] == n_tokens[d] - report.get(d, 0)
