@@ -829,7 +829,11 @@ def shingles(
 
 
 def _dup_span_frame(
-    df: DataFrame, k: int, text_col: str, min_count: int
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    min_count: int,
+    keep_first: bool = False,
 ) -> DataFrame:
     """(doc_id, __s, __e) maximal duplicated spans — the shared core of
     :func:`dup_substring_spans` (the report) and
@@ -866,11 +870,19 @@ def _dup_span_frame(
         .select("doc_id", F.posexplode(expr).alias("__p", "__gram"))
         .select("doc_id", (F.col("__p") + 1).alias("g"), gram_key.alias("h"))
     )
-    dup = (
-        grams.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("__c") >= min_count)
-        .select("doc_id", "g")
+    wh = Window.partitionBy("h")
+    dup = grams.withColumn("__c", F.count(F.lit(1)).over(wh)).filter(
+        F.col("__c") >= min_count
     )
+    if keep_first:
+        # "all but one" policy: the globally-first occurrence of each
+        # duplicated window (by (doc_id, g)) is NOT marked — its
+        # positions survive unless covered by some other duplicated
+        # window. The rank rides the SAME h-exchange as the count.
+        dup = dup.withColumn(
+            "__rn", F.row_number().over(wh.orderBy("doc_id", "g"))
+        ).filter(F.col("__rn") > 1)
+    dup = dup.select("doc_id", "g")
     wd = Window.partitionBy("doc_id").orderBy("g")
     prev_max = F.max("g").over(wd.rowsBetween(Window.unboundedPreceding, -1))
     marked = dup.withColumn(
@@ -937,6 +949,7 @@ def remove_dup_substrings(
     k: int = 5,
     text_col: str = "text",
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Destructive exact substring dedup (Lee et al. 2021, applied):
     cut every maximal duplicated span (see :func:`dup_substring_spans`)
@@ -956,8 +969,14 @@ def remove_dup_substrings(
     ATTRIBUTE, not an upstream expression chain, so the round-6
     lambda-body re-evaluation trap does not apply; per-token work is
     O(spans-in-doc), spans are merged-maximal and few.
+
+    Policy: the default cuts EVERY occurrence of duplicated text —
+    the policy of Lee et al.'s released ExactSubstr implementation.
+    ``keep_first=True`` spares the globally-first occurrence of each
+    duplicated window (ordered by (doc_id, position)) — the "all but
+    one" reading — via one extra rank riding the window-hash exchange.
     """
-    spans = _dup_span_frame(df, k, text_col, min_count)
+    spans = _dup_span_frame(df, k, text_col, min_count, keep_first=keep_first)
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct(F.col("__s"), F.col("__e"))).alias("__spans")
     )

@@ -260,3 +260,22 @@ def test_remove_dup_substrings_matches_span_report(spark):
     n_tokens = {i: len(t.split(" ")) for i, t in rows}
     for d in n_tokens:
         assert removed[d] == n_tokens[d] - report.get(d, 0)
+
+
+def test_remove_dup_substrings_keep_first_policy(spark):
+    # keep_first=True spares the globally-first occurrence of the
+    # shared sentence: doc 1 (lowest (doc_id, g)) keeps everything,
+    # doc 2 loses the shared span; default policy cuts both
+    shared = "w1 w2 w3 w4 w5 w6 w7"
+    rows = [(1, shared + " suffix1 here"), (2, "prefix2 " + shared)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cut_all = {
+        r["doc_id"]: r["n_kept_tokens"]
+        for r in textops.remove_dup_substrings(df, k=5).collect()
+    }
+    assert cut_all == {1: 2, 2: 1}
+    keep1 = {
+        r["doc_id"]: r["n_kept_tokens"]
+        for r in textops.remove_dup_substrings(df, k=5, keep_first=True).collect()
+    }
+    assert keep1 == {1: 9, 2: 1}
