@@ -980,7 +980,10 @@ def remove_dup_substrings(
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct(F.col("__s"), F.col("__e"))).alias("__spans")
     )
-    toks = F.split(F.col(text_col), " ")
+    # NULL text tokenizes to NULL; coalesce to an empty array so the
+    # output matches the oracle's no-token semantics (0 tokens, md5 of
+    # the empty string) instead of Spark's size(NULL) = -1
+    toks = F.coalesce(F.split(F.col(text_col), " "), F.array())
     kept = F.filter(
         toks,
         lambda tok, i: ~F.coalesce(

@@ -279,3 +279,35 @@ def test_remove_dup_substrings_keep_first_policy(spark):
         for r in textops.remove_dup_substrings(df, k=5, keep_first=True).collect()
     }
     assert keep1 == {1: 9, 2: 1}
+
+
+def test_remove_dup_substrings_null_text_doc(spark):
+    # a NULL-text doc must report 0 kept tokens and the empty-string
+    # fingerprint (the SQL oracle's no-token semantics), not Spark's
+    # size(NULL) = -1
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "some unique words entirely here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.remove_dup_substrings(df, k=5).collect()}
+    assert out[1]["n_kept_tokens"] == 0
+    assert out[1]["kept_fp"] == hashlib.md5(b"").hexdigest()
+    assert out[2]["n_kept_tokens"] == 5
+
+
+def test_connected_components_string_ids_both_paths(spark):
+    # string ids: min-label semantics are lexicographic via
+    # least/greatest on the distributed path and Python < on the driver
+    # path — both must agree
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    expect = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    for thr in (2_000_000, 0):
+        got = {
+            r["node"]: r["label"]
+            for r in dedup.connected_components(pairs, driver_threshold=thr).collect()
+        }
+        assert got == expect
