@@ -4413,17 +4413,26 @@ def text_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_remove_dup_substrings",
-    f"""
+def _remove_dup_substrings_oracle(keep_first: bool) -> str:
+    if keep_first:
+        dup_cte = """dup AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g,
+           count(*) OVER (PARTITION BY h) AS c,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, g) AS rn
+    FROM pos)
+  WHERE c >= 2 AND rn > 1),"""
+    else:
+        dup_cte = """dupkeys AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, g FROM pos WHERE h IN (SELECT h FROM dupkeys)),"""
+    return f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 pos AS (
   SELECT doc_id, g,
          CAST('0x' || substr(md5({_DUP_SPAN_GRAM}), 2, 15) AS BIGINT) AS h
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_DUP_SPAN_K - 1})) AS g
         FROM tok WHERE len(t) >= {_DUP_SPAN_K})),
-dupkeys AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
-dup AS (SELECT doc_id, g FROM pos WHERE h IN (SELECT h FROM dupkeys)),
+{dup_cte}
 marked AS (
   SELECT doc_id, g,
          CASE WHEN g > coalesce(max(g) OVER (
@@ -4453,8 +4462,10 @@ agg AS (
 SELECT d.doc_id, CAST(coalesce(a.n, 0) AS INT) AS n_kept_tokens,
        coalesce(a.fp, md5('')) AS kept_fp
 FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
-""",
-)
+"""
+
+
+@register("text_remove_dup_substrings", _remove_dup_substrings_oracle(False))
 def text_remove_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Destructive exact substring dedup (Lee et al. 2021, APPLIED):
     every maximal duplicated 5-token span is cut and the surviving text
@@ -4466,6 +4477,20 @@ def text_remove_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     string) and untouched docs."""
     return textops.remove_dup_substrings(
         read_table(spark, sf_dir, "documents"), k=_DUP_SPAN_K
+    )
+
+
+@register("text_remove_dup_substrings_keep1", _remove_dup_substrings_oracle(True))
+def text_remove_dup_substrings_keep1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'all but one' substring-dedup policy
+    (remove_dup_substrings(keep_first=True)): the globally-first
+    occurrence of each duplicated window — ordered by (doc_id,
+    position) — is spared, via one rank riding the same window-hash
+    exchange. The oracle applies the identical rank filter, so the
+    policy difference itself (which occurrence survives) is what gets
+    certified cross-engine."""
+    return textops.remove_dup_substrings(
+        read_table(spark, sf_dir, "documents"), k=_DUP_SPAN_K, keep_first=True
     )
 
 
@@ -5574,6 +5599,7 @@ _DRIVER_PRIORITY = [
     "text_dup_substring_spans",
     "pipeline_bpe_train_apply",
     "text_remove_dup_substrings",
+    "text_remove_dup_substrings_keep1",
     # Tier 1: the 29 r4-stale queries (3-round bound).
     "agg_cube_orders",
     "agg_grouping_sets_orders",
@@ -5623,7 +5649,6 @@ _DRIVER_PRIORITY = [
     "filter_project_lineitem",
     "multimodal_decode_features",
     "kmeans_embedding_clusters",
-    "knn_ivf",
 ]
 
 
