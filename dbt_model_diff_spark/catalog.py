@@ -2094,6 +2094,52 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_importance_weights",
+    """
+WITH t AS (
+  SELECT doc_id, (source = 'src0') AS tgt, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+u AS (SELECT doc_id, tgt, 'u|' || unnest(toks) AS f FROM t),
+b AS (
+  SELECT doc_id, tgt, 'b|' || toks[i] || ' ' || toks[i + 1] AS f
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)),
+feats AS (
+  SELECT doc_id, tgt,
+         CAST(CAST('0x' || substr(md5(f), 2, 15) AS BIGINT) % 64 AS INT) AS bkt
+  FROM (SELECT * FROM u UNION ALL SELECT * FROM b)),
+counts AS (
+  SELECT bkt, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cq
+  FROM feats GROUP BY bkt),
+tot AS (SELECT sum(ct) AS tt, sum(cq) AS tq FROM counts),
+lam AS (
+  SELECT bkt,
+         CAST(((CAST(ct AS HUGEINT) + 1) * (tq + 64) * 1000000)
+              // ((CAST(cq AS HUGEINT) + 1) * (tt + 64)) AS BIGINT) AS lam
+  FROM counts, tot)
+SELECT f.doc_id, CAST(count(*) AS INT) AS n_feats,
+       CAST(sum(lam) AS BIGINT) AS weight_sum,
+       CAST(sum(lam) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS weight,
+       sum(lam) >= count(*) * 1000000 AS keep
+FROM feats f JOIN lam USING (bkt)
+WHERE NOT f.tgt
+GROUP BY f.doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): fit hashed-n-gram bag
+    models on a target slice (source = 'src0') vs the raw remainder,
+    score every raw doc by its summed per-bucket likelihood ratio —
+    log-free integer-rational math so the oracle replays every weight
+    exactly (textops.dsir_importance). One corpus pass, a 64-row model
+    aggregate, one broadcast re-join: the importance-resampling serving
+    shape at any scale."""
+    return textops.dsir_importance(
+        read_table(spark, sf_dir, "documents"), target=F.col("source") == "src0"
+    )
+
+
+@register(
     "text_lm_bigram_score",
     """
 WITH t AS (
@@ -5594,6 +5640,7 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # Tier 0: never-certified new-in-r7 queries (stalest tier).
+    "dsir_importance_weights",
     "dedup_oph_components",
     "bpe_train_merges_batched",
     "text_dup_substring_spans",
@@ -5648,7 +5695,6 @@ _DRIVER_PRIORITY = [
     "model_case_when",
     "filter_project_lineitem",
     "multimodal_decode_features",
-    "kmeans_embedding_clusters",
 ]
 
 

@@ -656,6 +656,126 @@ def lm_bigram_score(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW
+    document by how target-like its hashed n-gram feature distribution
+    is, where the target model is fit on the slice selected by the
+    ``target`` boolean column (e.g. a trusted source) and the raw model
+    on everything else — all in one job over one corpus.
+
+    Features are the classifier's hashed unigram+bigram buckets (same
+    portable md5-60bit formula). Both bag-of-buckets models use add-one
+    smoothing; per bucket the likelihood ratio
+
+        lam_b = p_target(b) / p_raw(b)
+             = ((ct_b + 1) * (Tq + nb)) / ((cq_b + 1) * (Tt + nb))
+
+    is pinned as the scaled integer ``(num * scale) div den`` (DECIMAL
+    intermediates so 100 TB-scale counts cannot overflow the product).
+    Per raw doc: ``weight_sum = sum(lam_b)`` over its feature
+    occurrences (exact bigint — order-independent, engine-portable),
+    ``weight`` the mean, and ``keep = weight_sum >= n_feats * scale``
+    (mean ratio >= 1: the doc looks more target than raw). Deliberately
+    LOG-FREE like lm_bigram_score: the paper sums log-ratios, but a
+    libm log breaks cross-engine bit parity; the per-bucket ratio
+    surrogate keeps the same "toward the target distribution" ordering
+    signal with exact integer math. (A production run free of the
+    oracle-parity constraint can sum float log(lam) instead — the plan
+    shape is identical.) The paper's final Gumbel-top-k resample is the
+    caller's policy knob; the threshold form here is its deterministic
+    stand-in.
+
+    Scale shape: ONE corpus pass explodes features; the model fit is a
+    map-side-combined aggregate to ``n_buckets`` rows (vocab-scale:
+    tiny) plus a 1-row total; scoring re-joins the feature stream to
+    the broadcast 64-row lam table and aggregates per doc — one
+    doc-keyed shuffle, no windows, no driver data, no UDFs.
+    """
+    nb = int(n_buckets)
+    bucket = (
+        f"cast(cast(conv(substring(md5({{g}}), 2, 15), 16, 10) as bigint)"
+        f" % {nb} as int)"
+    )
+    staged = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            "doc_id",
+            target.alias("__tgt"),
+            F.split(F.col(text_col), " ").alias("__toks"),
+        )
+        # each HOF column staged in its own projection (HOFs are not
+        # CSE'd; see classifier_score.__bigrams for the quadratic trap)
+        .withColumn(
+            "__bigrams",
+            F.zip_with(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+        )
+        .withColumn(
+            "__ub",
+            F.expr(
+                "transform(__toks, t -> " + bucket.format(g="concat('u|', t)") + ")"
+            ),
+        )
+        .withColumn(
+            "__bb",
+            F.expr(
+                "transform(__bigrams, g -> " + bucket.format(g="concat('b|', g)") + ")"
+            ),
+        )
+        .select(
+            "doc_id", "__tgt", F.explode(F.concat("__ub", "__bb")).alias("bkt")
+        )
+    )
+    counts = staged.groupBy("bkt").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("cq"),
+    )
+    tot = counts.agg(F.sum("ct").alias("tt"), F.sum("cq").alias("tq"))
+    lam = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lam",
+            F.expr(
+                f"cast((cast(ct as decimal(38,0)) + 1) * (tq + {nb})"
+                f" * {int(scale)} as decimal(38,0))"
+                f" div cast((cast(cq as decimal(38,0)) + 1) * (tt + {nb})"
+                f" as decimal(38,0))"
+            ),
+        )
+        .select("bkt", "lam")
+    )
+    return (
+        staged.filter(~F.col("__tgt"))
+        .join(F.broadcast(lam), on="bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feats"),
+            F.sum("lam").alias("weight_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "weight_sum",
+            (
+                F.col("weight_sum").cast("double") / F.col("n_feats").cast("double")
+            ).alias("weight"),
+            (F.col("weight_sum") >= F.col("n_feats") * F.lit(int(scale))).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def token_length_deciles(df: DataFrame, text_col: str = "text") -> DataFrame:
     """EXACT doc-length deciles (type-1 quantiles: smallest value whose
     cumulative count reaches ceil(d*N/10)) — the "know your corpus"

@@ -451,6 +451,71 @@ def test_classifier_score_exact_integer_dot_and_calibration(spark):
     assert kept0 == 3 and kept2 == 0  # weights are in [-1001, 1001]
 
 
+def test_dsir_importance_exact_integer_replay(spark):
+    """dsir_importance must equal a pure-Python replay of the smoothed
+    likelihood-ratio model exactly: hashed unigram+bigram bucket counts
+    split target/raw, lam = ((ct+1)(Tq+nb)*scale) div ((cq+1)(Tt+nb)),
+    per-raw-doc weight_sum the integer sum of its features' lam."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators.textops import dsir_importance
+
+    nb, scale = 64, 1_000_000
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[1:16], 16) % nb
+
+    def feats(text):
+        toks = text.split(" ")
+        return [bucket(f"u|{t}") for t in toks] + [
+            bucket(f"b|{a} {b}") for a, b in zip(toks, toks[1:])
+        ]
+
+    rows = [
+        (1, "good clean prose", True),
+        (2, "good clean text here", True),
+        (3, "spam spam spam buy now", False),
+        (4, "good clean prose here", False),
+        (5, None, False),  # NULL text: dropped on both sides
+        (6, "solo", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(df, target=F.col("tgt")).collect()
+    }
+    assert set(out) == {3, 4, 6}  # raw docs with >= 1 feature only
+
+    ct: dict[int, int] = {}
+    cq: dict[int, int] = {}
+    for _, text, tgt in rows:
+        if text is None:
+            continue
+        for b in feats(text):
+            (ct if tgt else cq)[b] = (ct if tgt else cq).get(b, 0) + 1
+    tt, tq = sum(ct.values()), sum(cq.values())
+    lam = {
+        b: ((ct.get(b, 0) + 1) * (tq + nb) * scale)
+        // ((cq.get(b, 0) + 1) * (tt + nb))
+        for b in set(ct) | set(cq)
+    }
+    for doc_id, text, tgt in rows:
+        if tgt or text is None:
+            continue
+        fs = feats(text)
+        ws = sum(lam[b] for b in fs)
+        r = out[doc_id]
+        assert r["n_feats"] == len(fs)
+        assert r["weight_sum"] == ws
+        assert r["weight"] == ws / len(fs)
+        assert r["keep"] == (ws >= len(fs) * scale)
+    # doc 4 shares the target's vocabulary ("good clean prose") and doc 3
+    # does not — the importance weight must rank 4 above 3
+    assert out[4]["weight"] > out[3]["weight"]
+
+
 def test_semantic_dedup_max_cluster_size_guard(spark):
     """Oversized clusters are excluded from pair generation (members all
     kept) — the degenerate-blowup guard."""
