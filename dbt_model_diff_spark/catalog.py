@@ -961,6 +961,140 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_rep_by_quality",
+    _VERIFIED_PAIRS_SQL.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + """,
+edges AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT re.a, e.b FROM reach re JOIN edges e ON e.a = re.r
+),
+members AS (
+  SELECT component_id, node, n_chars
+  FROM (SELECT a AS node, min(r) AS component_id FROM reach GROUP BY a)
+  JOIN documents ON doc_id = node
+),
+ranked AS (
+  SELECT component_id, node, n_chars,
+         row_number() OVER (
+           PARTITION BY component_id ORDER BY n_chars DESC, node ASC) AS rn
+  FROM members
+)
+SELECT m.component_id, count(*) AS n_members,
+       CAST(sum(m.n_chars) AS BIGINT) AS total_chars,
+       max(CASE WHEN r.rn = 1 THEN r.node END) AS rep_id,
+       max(CASE WHEN r.rn = 1 THEN r.n_chars END) AS rep_chars
+FROM members m
+JOIN ranked r ON r.component_id = m.component_id AND r.node = m.node
+GROUP BY m.component_id
+""",
+)
+def dedup_rep_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster collapse: the near-dup component pipeline
+    (LSH -> Jaccard verify -> connected components), but the KEPT
+    representative is chosen by a QUALITY policy — longest document
+    (n_chars), ties to the smallest doc_id — instead of min-id. This is
+    the RefinedWeb/Gopher-style "keep the best copy" variant: min-id
+    keep is arbitrary, while real curation keeps the longest / highest-
+    scoring member of each duplicate cluster.
+
+    Scale shape: identical to dedup_components plus ONE narrow join of
+    the (node, label) frame to the doc metadata on doc_id (members are
+    only docs that appear in a verified pair — a small fraction of the
+    corpus; AQE picks broadcast vs shuffle) and a single max_by
+    aggregate per component. The policy column is pluggable: any
+    quality score joinable on doc_id slots into the same max_by."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = textops.shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+    )
+    ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
+    comp = dedup.connected_components(ver)
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), on="node"
+    )
+    return members.groupBy(F.col("label").alias("component_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("max_by(node, struct(n_chars, -node))").alias("rep_id"),
+        F.max("n_chars").alias("rep_chars"),
+    )
+
+
+@register(
+    "decontaminate_source_report",
+    _shingle_sql(5)
+    + """,
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+per_doc AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_shingles FROM train GROUP BY doc_id),
+leaked AS (
+  SELECT t.doc_id, count(DISTINCT t.shingle) AS n_leaked
+  FROM train t JOIN bench b ON b.shingle = t.shingle
+  GROUP BY t.doc_id)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.n_leaked IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_docs,
+       CAST(sum(coalesce(l.n_leaked, 0)) AS BIGINT) AS leaked_shingles,
+       CAST(sum(p.n_shingles) AS BIGINT) AS total_shingles,
+       CAST(sum(CASE WHEN l.n_leaked IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS contamination_rate
+FROM per_doc p
+LEFT JOIN leaked l ON l.doc_id = p.doc_id
+JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+""",
+)
+def decontaminate_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination REPORT by source: for each provenance
+    slice, how many training docs share any word 5-gram with the
+    benchmark split, how many distinct shingles leak, and the doc-level
+    contamination rate — the audit table a curation run publishes
+    alongside the per-doc flags (decontaminate_train_docs gives the
+    flags; this gives the governance view that decides which source to
+    drop or re-crawl).
+
+    Scale shape: the benchmark shingle set is broadcast exactly as in
+    dedup.ngram_contamination (train corpus scanned once, never
+    shuffled for the leak join); the per-doc distinct-shingle count is
+    the one doc-keyed exchange; the final report aggregate is
+    source-cardinality (tiny)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = textops.shingles(docs, n=5)
+    bench = sh.filter(F.col("doc_id") % 10 == 0)
+    train = sh.filter(F.col("doc_id") % 10 != 0)
+    per_doc = train.groupBy("doc_id").agg(
+        F.count_distinct(F.col("shingle")).alias("n_shingles")
+    )
+    leaked = dedup.ngram_contamination(train, bench).withColumnRenamed(
+        "n_leaked_shingles", "n_leaked"
+    )
+    return (
+        per_doc.join(leaked, on="doc_id", how="left")
+        .join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_leaked").isNotNull(), 1).otherwise(0)
+            ).alias("n_contaminated_docs"),
+            F.sum(F.coalesce(F.col("n_leaked"), F.lit(0))).alias("leaked_shingles"),
+            F.sum("n_shingles").alias("total_shingles"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.col("n_contaminated_docs").cast("double")
+            / F.col("n_docs").cast("double"),
+        )
+    )
+
+
 def _oph_sigs_cte(num_bins: int) -> str:
     """Shingles -> one-permutation-MinHash signatures as a CTE chain
     ending in ``osigs(doc_id, oph0..oph{K-1})`` — shared by the
@@ -5641,6 +5775,8 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # Tier 0: never-certified new-in-r7 queries (stalest tier).
     "dsir_importance_weights",
+    "dedup_rep_by_quality",
+    "decontaminate_source_report",
     "dedup_oph_components",
     "bpe_train_merges_batched",
     "text_dup_substring_spans",
@@ -5693,8 +5829,6 @@ _DRIVER_PRIORITY = [
     "model_stg_customers",
     "model_int_orders",
     "model_case_when",
-    "filter_project_lineitem",
-    "multimodal_decode_features",
 ]
 
 

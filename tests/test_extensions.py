@@ -516,6 +516,56 @@ def test_dsir_importance_exact_integer_replay(spark):
     assert out[4]["weight"] > out[3]["weight"]
 
 
+def test_dedup_rep_by_quality_policy(spark, sf_dir):
+    """The kept representative of every near-dup component must be an
+    actual member with the component-max n_chars, ties to the smallest
+    doc_id, and the component partition must agree with
+    dedup_components (same pipeline, different keep policy)."""
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    reps = {
+        r["component_id"]: r
+        for r in QUERIES["dedup_rep_by_quality"](spark, sf_dir).collect()
+    }
+    comps = {
+        r["component_id"]: r
+        for r in QUERIES["dedup_components"](spark, sf_dir).collect()
+    }
+    assert set(reps) == set(comps)
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert len(reps) > 0
+    for cid, r in reps.items():
+        assert r["n_members"] == comps[cid]["n_members"]
+        assert r["rep_chars"] == docs[r["rep_id"]]
+        # rep holds the max n_chars among members: no member may beat it
+        # (membership is implied by cid == min reachable id <= rep_id)
+        assert cid <= r["rep_id"] <= comps[cid]["max_member"]
+
+
+def test_decontaminate_source_report_consistency(spark, sf_dir):
+    """The source-level report must tie out with the per-doc flags:
+    summed leaked shingles equal, contaminated-doc counts equal, and
+    rate = contaminated / docs."""
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    report = QUERIES["decontaminate_source_report"](spark, sf_dir).collect()
+    flags = QUERIES["decontaminate_train_docs"](spark, sf_dir).collect()
+    assert sum(r["n_contaminated_docs"] for r in report) == len(flags)
+    assert sum(r["leaked_shingles"] for r in report) == sum(
+        f["n_leaked_shingles"] for f in flags
+    )
+    for r in report:
+        assert 0.0 <= r["contamination_rate"] <= 1.0
+        assert r["contamination_rate"] == r["n_contaminated_docs"] / r["n_docs"]
+        assert r["n_contaminated_docs"] <= r["n_docs"]
+        assert r["leaked_shingles"] <= r["total_shingles"]
+
+
 def test_semantic_dedup_max_cluster_size_guard(spark):
     """Oversized clusters are excluded from pair generation (members all
     kept) — the degenerate-blowup guard."""
