@@ -101,6 +101,11 @@ def main() -> None:
         # dedup spans
         "dedup_oph_components",
         "text_dup_substring_spans",
+        # round-7 late additions: DSIR importance scoring (one corpus
+        # pass + 64-row model + broadcast re-join) and label-constrained
+        # hard-negative mining (broadcast pair join, fused predicate)
+        "dsir_importance_weights",
+        "knn_hard_negatives",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 

@@ -804,6 +804,36 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_hard_negatives",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS ql, embedding AS qv
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_sim
+  FROM q, embeddings c
+  WHERE c.label <> q.ql
+)
+SELECT query_id, neighbor_id, neighbor_label, rank FROM (
+  SELECT query_id, neighbor_id, neighbor_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: top-10 most-
+    similar DIFFERENT-label candidates per query vector, label mismatch
+    fused into the broadcast pair join (similarity.hard_negatives).
+    Ids-only output keeps the comparison FP-rendering-independent."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Extensions batch 2: LSH near-dup pipeline, SimHash, window functions,
 # set ops, sessionization. (Window functions / set ops are explicitly
@@ -5777,6 +5807,7 @@ _DRIVER_PRIORITY = [
     "dsir_importance_weights",
     "dedup_rep_by_quality",
     "decontaminate_source_report",
+    "knn_hard_negatives",
     "dedup_oph_components",
     "bpe_train_merges_batched",
     "text_dup_substring_spans",
@@ -5828,7 +5859,6 @@ _DRIVER_PRIORITY = [
     "diff_counts_lineitem_multikey",
     "model_stg_customers",
     "model_int_orders",
-    "model_case_when",
 ]
 
 

@@ -98,6 +98,64 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each query vector, the top-k most-similar candidates whose
+    ``label_col`` DIFFERS from the query's — the near-miss negatives
+    that carry the training signal (random negatives are too easy).
+
+    Same plan as :func:`brute_force_topk` with the label-mismatch
+    predicate fused into the broadcast pair join: the candidate corpus
+    is scanned once with no shuffle before the per-query top-k window,
+    and same-label pairs are dropped BEFORE cosine is computed, not
+    filtered after. Returns (query_id, neighbor_id, neighbor_label,
+    rank) — ids only, FP-rendering-independent for oracle comparison.
+    At corpus-x-corpus scale the same mining runs per IVF/LSH bucket
+    (ivf_topk's partition shape) — this is the exact kernel and the
+    ground-truth oracle for that path.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        F.col(vec_col).alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv")))
+    c = spread_for_compute(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.col(vec_col).alias("__cv"),
+        )
+    ).withColumn("__cn", norm(F.col("__cv")))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("__ql") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -740,9 +740,17 @@ def dsir_importance(
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("cq"),
     )
-    tot = counts.agg(F.sum("ct").alias("tt"), F.sum("cq").alias("tq"))
+    # totals via an unpartitioned window over the n_buckets-row counts
+    # frame, NOT counts.agg(...)+crossJoin: a separate aggregate
+    # re-expands the count lineage and the corpus gets scanned a third
+    # time (seen in .explain). The global window is a single partition
+    # of n_buckets rows — trivial — and reuses the one model exchange.
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy()
     lam = (
-        counts.crossJoin(F.broadcast(tot))
+        counts.withColumn("tt", F.sum("ct").over(_w))
+        .withColumn("tq", F.sum("cq").over(_w))
         .withColumn(
             "lam",
             F.expr(

@@ -566,6 +566,40 @@ def test_decontaminate_source_report_consistency(spark, sf_dir):
         assert r["leaked_shingles"] <= r["total_shingles"]
 
 
+def test_hard_negatives_numpy_replay(spark):
+    """hard_negatives must exclude same-label candidates (and self via
+    the label test) and rank strictly by cosine desc with id tiebreak —
+    checked against a numpy replay."""
+    import numpy as np
+
+    from dbt_model_diff_spark.operators.similarity import hard_negatives
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 8).astype("float32")
+    rows = [(i, vecs[i].tolist(), int(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negatives(df.filter("vec_id < 4"), df, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["neighbor_label"])
+        )
+    dv = vecs.astype("float64")
+    norms = np.sqrt((dv * dv).sum(axis=1))
+    for qid in range(4):
+        sims = dv @ dv[qid] / (norms * norms[qid])
+        cand = [
+            (-sims[j], j) for j in range(30) if j % 3 != qid % 3
+        ]
+        expect = [j for _, j in sorted(cand)[:5]]
+        mine = [nid for _, nid, _ in sorted(got[qid])]
+        assert mine == expect
+        for _, nid, nlab in got[qid]:
+            assert nlab != qid % 3 and nid != qid
+
+
 def test_semantic_dedup_max_cluster_size_guard(spark):
     """Oversized clusters are excluded from pair generation (members all
     kept) — the degenerate-blowup guard."""
