@@ -2332,6 +2332,52 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lm_bigram_score(read_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_lm_backoff_score",
+    """
+WITH t AS (
+  SELECT doc_id, (source = 'src0') AS tgt, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+bi AS (
+  SELECT doc_id, tgt, toks[g.i] AS p, toks[g.i + 1] AS w
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2),
+cb AS (SELECT p, w, count(*) AS c_big FROM bi WHERE tgt GROUP BY p, w),
+cp AS (SELECT p, sum(c_big) AS c_prev FROM cb GROUP BY p),
+cu AS (SELECT w, sum(c_big) AS c_uni FROM cb GROUP BY w),
+n AS (SELECT sum(c_big) AS nn FROM cb)
+SELECT b.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       CAST(sum(CASE WHEN cb.c_big IS NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_backoff,
+       CAST(sum(CASE WHEN cb.c_big IS NOT NULL
+                     THEN (cb.c_big * 1000000) // cp.c_prev
+                     ELSE (2 * coalesce(cu.c_uni, 0) * 1000000) // (5 * n.nn)
+                END) AS BIGINT) AS score_sum,
+       CAST(sum(CASE WHEN cb.c_big IS NOT NULL
+                     THEN (cb.c_big * 1000000) // cp.c_prev
+                     ELSE (2 * coalesce(cu.c_uni, 0) * 1000000) // (5 * n.nn)
+                END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fluency
+FROM bi b
+LEFT JOIN cb ON cb.p = b.p AND cb.w = b.w
+LEFT JOIN cp ON cp.p = b.p
+LEFT JOIN cu ON cu.w = b.w
+CROSS JOIN n
+WHERE NOT b.tgt
+GROUP BY b.doc_id
+""",
+)
+def text_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-target stupid-backoff bigram LM (Brants et al. 2007,
+    textops.lm_backoff_score): the LM is fit on the trusted slice
+    (source = 'src0') and every other doc is scored against it —
+    unseen bigrams back off to an alpha-discounted unigram model, and
+    n_backoff itself is the out-of-domain signal. Log-free integer-
+    rational scoring, N pinned via one tiny-aggregate collect."""
+    return textops.lm_backoff_score(
+        read_table(spark, sf_dir, "documents"), target=F.col("source") == "src0"
+    )
+
+
 def _bpe_train_cte_parts(n_merges: int) -> list[str]:
     """The unrolled training-stage CTE chain shared by the trainer
     oracle and the composed train->apply oracle: word counts (the one
@@ -5233,6 +5279,43 @@ def dedup_cross_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_source_overlap_matrix",
+    """
+WITH tok AS (
+  SELECT source, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+st AS (
+  SELECT source, t, unnest(generate_series(1, greatest(len(t), 1), 16)) AS start
+  FROM tok),
+fp AS (
+  SELECT DISTINCT md5(array_to_string(t[start:start + 15], ' ')) AS f, source
+  FROM st
+  WHERE array_to_string(t[start:start + 15], ' ') <> ''),
+tot AS (SELECT source, count(*) AS n FROM fp GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS n_shared_chunks
+  FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared_chunks, ta.n AS n_a, tb.n AS n_b,
+       CAST(n_shared_chunks AS DOUBLE) / CAST(least(ta.n, tb.n) AS DOUBLE)
+         AS overlap_share
+FROM pairs
+JOIN tot ta ON ta.source = source_a
+JOIN tot tb ON tb.source = source_b
+""",
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit (dedup.source_overlap_matrix):
+    distinct 16-token chunks shared between every provenance pair, with
+    per-source distinct-chunk totals and share = shared/min — the
+    which-sources-double-count-content matrix consulted before setting
+    mixture weights. One chunk-keyed exchange; pair expansion bounded
+    by source-count^2 per chunk."""
+    return dedup.source_overlap_matrix(read_table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_rebuild_dedup_chunks",
     """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -5808,6 +5891,8 @@ _DRIVER_PRIORITY = [
     "dedup_rep_by_quality",
     "decontaminate_source_report",
     "knn_hard_negatives",
+    "text_lm_backoff_score",
+    "dedup_source_overlap_matrix",
     "dedup_oph_components",
     "bpe_train_merges_batched",
     "text_dup_substring_spans",
@@ -5857,8 +5942,6 @@ _DRIVER_PRIORITY = [
     "diff_changed_sample_keys",
     "diff_rowcount_where",
     "diff_counts_lineitem_multikey",
-    "model_stg_customers",
-    "model_int_orders",
 ]
 
 

@@ -913,6 +913,83 @@ def ngram_contamination(
     )
 
 
+def source_overlap_matrix(
+    df,
+    text_col: str = "text",
+    source_col: str = "source",
+    chunk_tokens: int = 16,
+):
+    """Cross-source duplication audit: for every pair of provenance
+    slices, how many DISTINCT content chunks they share — the
+    C4-vs-CommonCrawl overlap matrix a curation run consults before
+    mixing sources (double-counted content inflates a source's
+    effective epoch count). Chunk granularity (16-token windows, the
+    cross_doc_chunk_dedup unit) rather than whole-doc md5: whole-doc
+    exact dups across sources are rare, shared boilerplate is not.
+
+    Output: (source_a, source_b, n_shared_chunks, n_a, n_b,
+    overlap_share) with source_a < source_b, share =
+    shared / min(n_a, n_b) — one double division of exact integers.
+
+    Scale shape: one scan chunks + hashes (codegen, no shuffle), ONE
+    exchange dedupes (chunk, source), the per-chunk source-set fold is
+    bounded by the source count (provenance cardinality is small BY
+    DEFINITION — tens, not millions), and pair expansion is
+    |sources|^2-bounded per chunk. No all-pairs anything; the matrix
+    aggregate is source^2-scale (tiny).
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.expr(
+        f"sequence(1, greatest(size(split({text_col}, ' ')), 1), {chunk_tokens})"
+    )
+    ch = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(source_col).alias("source"), toks.alias("__t"), starts.alias("__s"))
+        .select("source", F.explode("__s").alias("start"), "__t")
+        .select(
+            "source",
+            F.expr(f"concat_ws(' ', slice(__t, start, {chunk_tokens}))").alias(
+                "__ctext"
+            ),
+        )
+        .filter(F.col("__ctext") != "")
+        .select("source", F.md5(F.col("__ctext")).alias("f"))
+        .distinct()
+    )
+    tot = ch.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sets = (
+        ch.groupBy("f")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = sets.select(F.explode("ss").alias("source_a"), "ss").select(
+        "source_a",
+        F.explode(
+            F.filter(F.col("ss"), lambda x: x > F.col("source_a"))
+        ).alias("source_b"),
+    )
+    mat = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_chunks")
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        mat.join(F.broadcast(ta), on="source_a")
+        .join(F.broadcast(tb), on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_chunks",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared_chunks").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("overlap_share"),
+        )
+    )
+
+
 def cross_doc_chunk_dedup(
     df, text_col: str = "text", chunk_tokens: int = 16
 ):

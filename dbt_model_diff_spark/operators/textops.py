@@ -784,6 +784,103 @@ def dsir_importance(
     )
 
 
+def lm_backoff_score(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    alpha_num: int = 2,
+    alpha_den: int = 5,
+) -> DataFrame:
+    """Train-on-target bigram LM with STUPID BACKOFF (Brants et al.
+    2007), scored over the raw remainder — the actual CCNet shape:
+    the LM is fit on a trusted slice (``target`` boolean column), and
+    every OTHER document is scored against it, so unseen bigrams are
+    the norm and need a backoff path (which the self-trained
+    :func:`lm_bigram_score` never hits — its corpus and its LM are the
+    same text).
+
+    Per raw-doc bigram position (p, w):
+      - seen:   contrib = (c_big(p,w) * scale) div c_prev(p)
+      - unseen: contrib = (alpha_num * c_uni(w) * scale)
+                          div (alpha_den * N)      [alpha = 0.4 default]
+    with the unigram model taken over bigram SECOND positions
+    (c_uni(w) = sum_p c_big(p,w), N = total target bigrams) so every
+    count derives from the ONE bigram count table. Log-free
+    integer-rational math throughout (the lm_bigram_score portability
+    rule); ``n_backoff`` reports how often the model backed off — the
+    out-of-domain signal itself.
+
+    Scale shape: one pass explodes bigrams with the target flag riding
+    the row; the model is three vocab-scale aggregates off the bigram
+    counts; N is ONE collected scalar (tiny-aggregate collect,
+    embedded as a literal so the scoring plan stays join-only);
+    scoring left-joins the raw bigram stream to the three count tables
+    on bigram/history/word keys — linear shuffles, no windows. Docs
+    with < 2 tokens or NULL text are absent (inner unnest semantics).
+    """
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            "doc_id",
+            target.alias("__tgt"),
+            F.split(F.col(text_col), " ").alias("__t"),
+        )
+        .filter(F.size("__t") >= 2)
+    )
+    # zip_with over slices — see lm_bigram_score for the lambda-body rule
+    bi = base.select(
+        "doc_id",
+        "__tgt",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda x, y: F.struct(x.alias("p"), y.alias("w")),
+            )
+        ).alias("__b"),
+    ).select("doc_id", "__tgt", "__b.p", "__b.w")
+    cb = (
+        bi.filter(F.col("__tgt"))
+        .groupBy("p", "w")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+    )
+    cp = cb.groupBy("p").agg(F.sum("c_big").alias("c_prev"))
+    cu = cb.groupBy("w").agg(F.sum("c_big").alias("c_uni"))
+    n_total = int(cb.agg(F.sum("c_big")).collect()[0][0] or 0)
+    if n_total == 0:
+        raise ValueError("lm_backoff_score: target slice has no bigrams")
+    an, ad = int(alpha_num), int(alpha_den)
+    contrib = F.when(
+        F.col("c_big").isNotNull(),
+        F.expr(f"(c_big * {int(scale)}) div c_prev"),
+    ).otherwise(
+        F.expr(
+            f"({an} * coalesce(c_uni, 0) * {int(scale)})"
+            f" div ({ad} * {n_total})"
+        )
+    )
+    return (
+        bi.filter(~F.col("__tgt"))
+        .join(cb, on=["p", "w"], how="left")
+        .join(cp, on="p", how="left")
+        .join(cu, on="w", how="left")
+        .withColumn("__contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum(F.when(F.col("c_big").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_backoff"),
+            F.sum("__contrib").alias("score_sum"),
+        )
+        .withColumn(
+            "fluency",
+            F.col("score_sum").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
 def token_length_deciles(df: DataFrame, text_col: str = "text") -> DataFrame:
     """EXACT doc-length deciles (type-1 quantiles: smallest value whose
     cumulative count reaches ceil(d*N/10)) — the "know your corpus"

@@ -566,6 +566,91 @@ def test_decontaminate_source_report_consistency(spark, sf_dir):
         assert r["leaked_shingles"] <= r["total_shingles"]
 
 
+def test_lm_backoff_score_pure_python_replay(spark):
+    """lm_backoff_score must replay exactly: seen bigrams use the
+    target MLE, unseen ones the 0.4-discounted unigram model over
+    bigram second positions, unseen unigrams contribute 0."""
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators.textops import lm_backoff_score
+
+    rows = [
+        (1, "a b a b c", True),
+        (2, "a b c", True),
+        (3, "a b z q", False),  # 'a b' seen; 'b z','z q' back off
+        (4, "c a b", False),
+        (5, None, False),
+        (6, "solo", False),  # < 2 tokens: absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in lm_backoff_score(df, target=F.col("tgt")).collect()
+    }
+    assert set(out) == {3, 4}
+
+    scale = 1_000_000
+    cb: dict[tuple, int] = {}
+    for _, text, tgt in rows:
+        if tgt and text:
+            toks = text.split(" ")
+            for pair in zip(toks, toks[1:]):
+                cb[pair] = cb.get(pair, 0) + 1
+    cp: dict[str, int] = {}
+    cu: dict[str, int] = {}
+    for (p, w), c in cb.items():
+        cp[p] = cp.get(p, 0) + c
+        cu[w] = cu.get(w, 0) + c
+    nn = sum(cb.values())
+    for doc_id, text, tgt in rows:
+        if tgt or not text or len(text.split(" ")) < 2:
+            continue
+        toks = text.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        backoff = [pr for pr in pairs if pr not in cb]
+        ssum = sum(
+            (cb[pr] * scale) // cp[pr[0]]
+            if pr in cb
+            else (2 * cu.get(pr[1], 0) * scale) // (5 * nn)
+            for pr in pairs
+        )
+        r = out[doc_id]
+        assert r["n_bigrams"] == len(pairs)
+        assert r["n_backoff"] == len(backoff)
+        assert r["score_sum"] == ssum
+        assert r["fluency"] == ssum / len(pairs)
+    # doc 3 must actually exercise the backoff path, doc 4 the seen path
+    assert out[3]["n_backoff"] == 2 and out[4]["n_backoff"] == 1
+
+
+def test_source_overlap_matrix_known_sharing(spark):
+    """Known chunk sharing: srcA and srcB share one 16-token chunk,
+    srcC shares nothing; totals count DISTINCT chunks per source."""
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators.dedup import source_overlap_matrix
+
+    boiler = " ".join(f"w{i}" for i in range(16))  # one full shared chunk
+    uniq = lambda s, n: " ".join(f"{s}{i}" for i in range(n))
+    rows = [
+        (1, boiler + " " + uniq("a", 16), "srcA"),   # chunks: boiler, a-tail
+        (2, boiler + " " + uniq("b", 16), "srcB"),   # chunks: boiler, b-tail
+        (3, boiler + " " + uniq("b", 16), "srcB"),   # exact dup: no new chunks
+        (4, uniq("c", 32), "srcC"),                  # 2 chunks, all unique
+        (5, None, "srcC"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(df).collect()
+    }
+    assert set(out) == {("srcA", "srcB")}
+    r = out[("srcA", "srcB")]
+    assert r["n_shared_chunks"] == 1
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["overlap_share"] == 0.5
+
+
 def test_hard_negatives_numpy_replay(spark):
     """hard_negatives must exclude same-label candidates (and self via
     the label test) and rank strictly by cosine desc with id tiebreak —
