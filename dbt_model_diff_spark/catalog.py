@@ -1716,9 +1716,10 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+def _kmeans_cte_parts(k: int, iters: int, dim: int) -> list[str]:
     """DuckDB replay of Lloyd's iterations with FIXED initial centroids
-    (the embeddings of vec_id < k). Assignment = argmin distance with
+    (the embeddings of vec_id < k) — the CTE chain shared by the
+    k-means, prototype-prune oracles. Assignment = argmin distance with
     centroid-id tie-break (mirrors the engine's array_min over
     struct(sq_dist, cluster)); update = elementwise mean, empty clusters
     keep their previous centroid. Integer outputs (sizes, min ids) are
@@ -1760,6 +1761,13 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
   SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
   FROM c{i} p LEFT JOIN n{i} n ON n.cluster = p.cluster)"""
         )
+    return parts
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Cluster sizes + min ids under the final centroids (see
+    :func:`_kmeans_cte_parts`)."""
+    parts = _kmeans_cte_parts(k, iters, dim)
     final = f"""SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_vectors,
        min(vec_id) AS min_vec_id
 FROM (
@@ -1769,6 +1777,38 @@ FROM (
   FROM e CROSS JOIN c{iters} c) WHERE rn = 1
 GROUP BY cluster"""
     return ",\n".join(parts) + "\n" + final
+
+
+def _prototype_prune_oracle(
+    k: int, iters: int, dim: int, keep_num: int, keep_den: int
+) -> str:
+    """Naive replay of prototype_prune's keep decision: assign under the
+    final centroids, key = floor-scaled squared distance from the SAME
+    ``(<v,v> - 2<v,c>) + <c,c>`` sequential-fold decomposition the
+    engine computes (bit-identical doubles), then the per-cluster quota
+    as one rank-per-cluster window — the serial plan the engine's
+    histogram-threshold decomposition must reproduce bit-for-bit."""
+    parts = _kmeans_cte_parts(k, iters, dim)
+    final = f"""fa AS (
+  SELECT vec_id, cluster,
+         CAST(floor(((list_dot_product(v, v) - 2 * list_dot_product(v, cv))
+                     + list_dot_product(cv, cv)) * 1000000.0) AS BIGINT)
+           AS dist_micro
+  FROM (
+    SELECT e.vec_id, e.v, c.cluster, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.cv), c.cluster) AS rn
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1),
+r AS (
+  SELECT vec_id, cluster, dist_micro,
+         count(*) OVER (PARTITION BY cluster) AS n_cluster,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY dist_micro DESC, vec_id) AS rk
+  FROM fa)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, n_cluster, dist_micro,
+       rk <= (n_cluster * {keep_num} + {keep_den} - 1) // {keep_den} AS kept
+FROM r"""
+    return ",\n".join(parts) + ",\n" + final
 
 
 @register("kmeans_embedding_clusters", _kmeans_oracle(8, 4, 64))
@@ -1789,6 +1829,29 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+@register("prune_prototypes_embeddings", _prototype_prune_oracle(8, 4, 64, 3, 5))
+def prune_prototypes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality data pruning (Sorscher et al. 2022,
+    similarity.prototype_prune): k-means with the pinned vec_id<8 init,
+    keep the hardest (farthest-from-centroid) ceil(3/5) of every
+    cluster. The engine computes the keep set via the driver-histogram
+    threshold decomposition (no per-cluster global sort — a k-reducer
+    bottleneck at scale); the oracle is deliberately the NAIVE
+    rank-per-cluster window, so the green row proves the decomposition
+    exact, tie handling included (integer dist_micro keys collide)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    init = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return similarity.prototype_prune(
+        emb, keep_num=3, keep_den=5, policy="hard", iters=4, init=init
     )
 
 
@@ -5893,6 +5956,7 @@ _DRIVER_PRIORITY = [
     "knn_hard_negatives",
     "text_lm_backoff_score",
     "dedup_source_overlap_matrix",
+    "prune_prototypes_embeddings",
     "dedup_oph_components",
     "bpe_train_merges_batched",
     "text_dup_substring_spans",
@@ -5935,13 +5999,12 @@ _DRIVER_PRIORITY = [
     "diff_schema_drift",
     "diff_partitioned_orders",
     "model_order_agg",
-    "pricing_summary",
     # Tier 3: oldest remaining r5-certified queries, catalog source
     # order. New never-certified queries added during round 7 displace
     # from this tail (never-certified is the stalest tier).
     "diff_changed_sample_keys",
-    "diff_rowcount_where",
     "diff_counts_lineitem_multikey",
+    "pricing_summary",
 ]
 
 

@@ -627,6 +627,162 @@ def py_dot(a, b) -> float:
     return s
 
 
+# Persisted (id, cluster, dist) frames pinned by prototype_prune for its
+# multi-pass threshold computation — same capped-registry semantics as
+# sampling._BUDGET_CACHES: overflow degrades to recompute (the k-means
+# assignment is deterministic under a pinned init), never job failure.
+_PRUNE_CACHES: list[DataFrame] = []
+_PRUNE_CACHE_CAP = 4
+
+
+def release_prune_caches(blocking: bool = False) -> int:
+    """Unpersist every frame pinned by :func:`prototype_prune`."""
+    n = len(_PRUNE_CACHES)
+    while _PRUNE_CACHES:
+        _PRUNE_CACHES.pop().unpersist(blocking=blocking)
+    return n
+
+
+def prototype_prune(
+    df: DataFrame,
+    keep_num: int = 3,
+    keep_den: int = 5,
+    policy: str = "hard",
+    k: int = 8,
+    iters: int = 4,
+    init: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_shift: int = 16,
+) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): cluster the embeddings with k-means, score
+    each example by its squared distance to its final centroid, and keep
+    a per-cluster quota of ceil(n * keep_num / keep_den) examples —
+    ``policy='hard'`` keeps the FARTHEST (least prototypical; the right
+    choice when data is abundant, per the paper), ``policy='easy'`` the
+    closest. Per-cluster quotas (rather than one global cutoff) preserve
+    cluster balance, the paper's class-balance analogue.
+
+    Portability: the ranking key is ``dist_micro = floor(sq * 1e6)`` as
+    a bigint, with ``sq = (<v,v> - 2<v,c>) + <c,c>`` where every dot is
+    the sequential left fold (:func:`dot` / DuckDB ``list_dot_product``
+    / :func:`py_dot` for the pinned centroid self-dots) — so the key is
+    bit-identical across engines and the keep decision is pure integer
+    arithmetic (ties broken by id ascending).
+
+    Scale shape — NO per-cluster global sort (a window partitioned by
+    cluster has exactly k reducers; at 100 TB that serializes billions
+    of rows through k tasks). Instead, the budget-select decomposition:
+
+    1. one narrow (id, cluster, dist_micro) projection off the k-means
+       assignment scan, persisted (MEMORY_AND_DISK — eviction degrades
+       to a deterministic recompute);
+    2. per-(cluster, dist_micro >> bucket_shift) counts to the driver
+       (arithmetic shift: monotone for the negated 'hard' key), which
+       walks each cluster's histogram to the quota's boundary bucket;
+    3. exact per-value counts WITHIN boundary buckets only (one more
+       filtered narrow agg, <= 2^bucket_shift values per cluster) give
+       the exact threshold key and the tie quota at it;
+    4. the keep flag is then a broadcast-joined integer comparison; only
+       rows AT the threshold value need a rank (row_number partitioned
+       by cluster over that tiny tie slice), unioned back.
+
+    The result is bit-identical to the naive rank-per-cluster plan —
+    asserted by the replay test — while every full-data pass stays
+    map-side. Returns (id, cluster, n_cluster, dist_micro, kept).
+    """
+    if policy not in ("hard", "easy"):
+        raise ValueError("policy must be 'hard' or 'easy'")
+    if not (0 < keep_num <= keep_den):
+        raise ValueError("keep fraction must satisfy 0 < num <= den")
+    from pyspark import StorageLevel
+
+    assigned, cents, _ = kmeans(
+        df, k=k, iters=iters, init=init, id_col=id_col, vec_col=vec_col
+    )
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    ccsq_lit = F.array(*[F.lit(py_dot(c, c)) for c in cents])
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cv = F.element_at(cents_lit, F.col("cluster") + 1)
+    sq = (dot(vd, vd) - 2.0 * dot(vd, cv)) + F.element_at(
+        ccsq_lit, F.col("cluster") + 1
+    )
+    sign = 1 if policy == "easy" else -1
+    a = assigned.select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.floor(sq * F.lit(1_000_000.0)).cast("long").alias("dist_micro"),
+    ).withColumn("__okey", F.col("dist_micro") * F.lit(sign))
+    a = a.persist(StorageLevel.MEMORY_AND_DISK)
+    _PRUNE_CACHES.append(a)
+    while len(_PRUNE_CACHES) > _PRUNE_CACHE_CAP:
+        _PRUNE_CACHES.pop(0).unpersist(blocking=False)
+
+    hist = (
+        a.groupBy("cluster", F.shiftright("__okey", bucket_shift).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_cluster: dict[int, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_cluster.setdefault(r["cluster"], []).append((r["__b"], r["n"]))
+    boundary: dict[int, tuple[int, int, int]] = {}  # cluster -> (bucket, need, n)
+    for ci, buckets in per_cluster.items():
+        n = sum(c for _, c in buckets)
+        quota = (n * keep_num + keep_den - 1) // keep_den
+        cum = 0
+        for b, c in sorted(buckets):
+            if cum + c >= quota:
+                boundary[ci] = (b, quota - cum, n)
+                break
+            cum += c
+
+    bmap = F.create_map(
+        *[
+            x
+            for ci, (b, _, _) in sorted(boundary.items())
+            for x in (F.lit(ci), F.lit(b))
+        ]
+    )
+    vals = (
+        a.filter(F.shiftright("__okey", bucket_shift) == bmap[F.col("cluster")])
+        .groupBy("cluster", "__okey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_bucket: dict[int, list[tuple[int, int]]] = {}
+    for r in vals:
+        per_bucket.setdefault(r["cluster"], []).append((r["__okey"], r["n"]))
+    rows = []
+    for ci, (b, need, n) in sorted(boundary.items()):
+        cum = 0
+        for key, c in sorted(per_bucket[ci]):
+            if cum + c >= need:
+                rows.append((ci, key, need - cum, n))
+                break
+            cum += c
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        rows, "cluster int, __thr long, __tq long, n_cluster long"
+    )
+
+    j = a.join(F.broadcast(thr), on="cluster")
+    cols = [id_col, "cluster", "n_cluster", "dist_micro", "kept"]
+    rest = j.filter(F.col("__okey") != F.col("__thr")).select(
+        *cols[:4], (F.col("__okey") < F.col("__thr")).alias("kept")
+    )
+    tie_w = Window.partitionBy("cluster").orderBy(id_col)
+    ties = (
+        j.filter(F.col("__okey") == F.col("__thr"))
+        .withColumn("__rk", F.row_number().over(tie_w))
+        .select(*cols[:4], (F.col("__rk") <= F.col("__tq")).alias("kept"))
+    )
+    return rest.unionByName(ties)
+
+
 # ---------------------------------------------------------------------------
 # Arrow-kernel helpers shared by ivf_topk / ivf_pq_topk: numpy, vectorized
 # ACROSS ROWS but accumulated SEQUENTIALLY OVER DIMENSIONS — one elementwise

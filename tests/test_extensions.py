@@ -1088,3 +1088,91 @@ def test_count_min_sketch_overestimate_and_merge(spark):
         .agg(F.sum("cnt").alias("cnt"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+
+def _naive_prune_replay(rows, keep_num, keep_den, policy):
+    """Pure-Python serial replay of the keep decision from the operator's
+    own integer keys: per cluster, quota = ceil(n*num/den), keep the
+    first quota rows by (dist desc|asc, id asc)."""
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    kept = set()
+    for ci, rs in by_cluster.items():
+        n = len(rs)
+        quota = (n * keep_num + keep_den - 1) // keep_den
+        sgn = -1 if policy == "hard" else 1
+        rs.sort(key=lambda r: (sgn * r["dist_micro"], r["vec_id"]))
+        kept.update(r["vec_id"] for r in rs[:quota])
+    return kept
+
+
+def test_prototype_prune_matches_naive_rank_with_ties(spark):
+    """The histogram-threshold decomposition must reproduce the naive
+    rank-per-cluster plan bit-for-bit — including integer-key TIES at
+    the threshold (mirrored points are exactly equidistant from a
+    symmetric cluster's centroid) and across bucket_shift choices
+    (shift=0 walks one bucket per distinct key; shift=40 collapses
+    every key into one boundary bucket)."""
+    from dbt_model_diff_spark.operators.similarity import prototype_prune
+
+    # cluster A: two mirrored tie-pairs around centroid (1, 0);
+    # cluster B: a line of 5 (centroid stays on it; distinct distances)
+    pts = [
+        (0, [0.0, 1.0]), (1, [0.0, -1.0]), (2, [2.0, 1.0]), (3, [2.0, -1.0]),
+        (10, [10.0, 0.0]), (11, [11.0, 0.0]), (12, [12.0, 0.0]),
+        (13, [13.0, 0.0]), (14, [14.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "vec_id long, embedding array<float>",
+    )
+    init = [[1.0, 0.0], [12.0, 0.0]]
+    for policy in ("hard", "easy"):
+        for shift in (0, 4, 40):
+            out = prototype_prune(
+                df, keep_num=1, keep_den=2, policy=policy, iters=2,
+                init=init, bucket_shift=shift,
+            ).collect()
+            assert len(out) == len(pts)
+            naive = _naive_prune_replay(out, 1, 2, policy)
+            got = {r["vec_id"] for r in out if r["kept"]}
+            assert got == naive, (policy, shift)
+            # per-cluster quota exactly met
+            for ci, n in ((0, 4), (1, 5)):
+                quota = (n * 1 + 1) // 2
+                assert sum(
+                    1 for r in out if r["cluster"] == ci and r["kept"]
+                ) == quota
+                assert all(
+                    r["n_cluster"] == n for r in out if r["cluster"] == ci
+                )
+    # ties actually exercised: in cluster A all four points tie at
+    # dist 2.0 -> the quota-2 keep set must be the two SMALLEST ids
+    out = prototype_prune(
+        df, keep_num=1, keep_den=2, policy="hard", iters=2, init=init
+    ).collect()
+    a = sorted(r["dist_micro"] for r in out if r["cluster"] == 0)
+    assert len(set(a)) == 1  # genuine 4-way tie at the threshold
+    assert {r["vec_id"] for r in out if r["cluster"] == 0 and r["kept"]} == {0, 1}
+
+
+def test_prototype_prune_policies_disjoint_extremes(spark):
+    """hard keeps the farthest, easy the closest — on a cluster with
+    distinct distances the two keep sets share only the middle rows
+    forced in by the ceil quota."""
+    from dbt_model_diff_spark.operators.similarity import prototype_prune
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    init = [[2.0, 0.0]]
+    sets = {}
+    for policy in ("hard", "easy"):
+        out = prototype_prune(
+            df, keep_num=2, keep_den=5, policy=policy, iters=1, init=init
+        ).collect()
+        sets[policy] = {r["vec_id"] for r in out if r["kept"]}
+    assert sets["hard"] == {0, 4}  # endpoints (tie at dist 4 -> min ids first)
+    assert sets["easy"] == {2, 1}  # centroid itself, then dist-1 tie min id
