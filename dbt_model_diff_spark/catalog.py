@@ -2441,6 +2441,67 @@ def text_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_oracle(terms: list[str], k: int) -> str:
+    """DuckDB replay of bm25_topk: identical per-row IEEE expression
+    shapes (rational log-free idf, tf-saturation, left-to-right
+    contribution sum), integer-exact inputs, floor-scaled output key —
+    see textops.bm25_topk for the portability argument. The engine's
+    Python-literal constants (k1+1 = 2.2, 1-b = 0.25) are written here
+    as the literals they equal bit-for-bit."""
+    dfs = ",\n             ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tfs = ",\n         ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = "\n      + ".join(
+        f"((CAST(n_docs - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * ((tf{i} * 2.2) / (tf{i} + 1.2 * (0.25 + 0.75"
+        f" * (dl / (CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+s AS (SELECT count(*) AS n_docs, sum(len(toks)) AS n_toks,
+             {dfs}
+      FROM t),
+sc AS (
+  SELECT t.doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         {tfs},
+         s.*
+  FROM t CROSS JOIN s)
+SELECT doc_id,
+       CAST({matched} AS INT) AS n_terms_matched,
+       CAST(floor(({contribs}) * 1000000.0) AS BIGINT) AS score_micro
+FROM sc
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}
+"""
+
+
+_BM25_TERMS = ["vector", "spark", "customer", "join"]
+
+
+@register("text_bm25_topk", _bm25_oracle(_BM25_TERMS, 20))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval top-20 under the BM25 shape with log-free
+    rational idf (textops.bm25_topk): two scans, zero joins — corpus
+    stats come back as four tiny integers, scoring is row-local
+    per-term filter counts, and TakeOrderedAndProject keeps the global
+    top k. Every score derives from exact integers through fixed-order
+    per-row IEEE ops, so score_micro is bit-identical cross-engine."""
+    return textops.bm25_topk(
+        read_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20
+    )
+
+
 def _bpe_train_cte_parts(n_merges: int) -> list[str]:
     """The unrolled training-stage CTE chain shared by the trainer
     oracle and the composed train->apply oracle: word counts (the one
@@ -5957,6 +6018,7 @@ _DRIVER_PRIORITY = [
     "text_lm_backoff_score",
     "dedup_source_overlap_matrix",
     "prune_prototypes_embeddings",
+    "text_bm25_topk",
     "dedup_oph_components",
     "bpe_train_merges_batched",
     "text_dup_substring_spans",
@@ -6002,7 +6064,6 @@ _DRIVER_PRIORITY = [
     # Tier 3: oldest remaining r5-certified queries, catalog source
     # order. New never-certified queries added during round 7 displace
     # from this tail (never-certified is the stalest tier).
-    "diff_changed_sample_keys",
     "diff_counts_lineitem_multikey",
     "pricing_summary",
 ]

@@ -1633,3 +1633,102 @@ def cms_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lexical retrieval: top-k documents for a fixed term query under
+    BM25's tf-saturation / length-normalization shape (Robertson &
+    Zaragoza 2009) — with one deliberate portability deviation: idf is
+    the RATIONAL Robertson ratio ``(N - df + 0.5) / (df + 0.5)``
+    WITHOUT the log. ``ln`` is a libm call whose last-ulp behavior
+    differs across engines (the repo-wide log-free rule, see
+    lm_bigram_score); dropping it changes cross-term weighting (rare
+    terms weigh relatively more than textbook BM25), which is
+    documented here rather than hidden. Everything else is textbook:
+    ``contrib = idf * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))``.
+
+    Portability: every per-doc number derives from exact integers
+    (tf, dl, df, N) through per-row IEEE double ops in a FIXED
+    association — the per-term contributions are summed left-to-right
+    in query order as one row-local expression, never a cross-row
+    double aggregate — so ``score_micro = floor(score * 1e6)`` is
+    bit-identical on any engine (the corpus_frequency_score rule).
+
+    Scale shape: the query is a FIXED SMALL term list, so there is no
+    explode and no (doc, term) shuffle at all. Pass 1 collects four
+    tiny corpus stats (doc count, token total, per-term doc
+    frequencies) from ONE map-side-combined aggregate; pass 2 scores
+    every document row-locally (per-term ``size(filter(tokens, = t))``
+    counts) and TakeOrderedAndProject keeps the global top k — the
+    only cross-partition step ships k rows per partition to the
+    driver-side final heap. At 100 TB: two scans, zero joins, zero
+    wide shuffles.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks")).alias("n_toks"),
+        *[
+            F.sum(
+                F.when(F.array_contains("__toks", t), 1).otherwise(0)
+            ).alias(f"df{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n_docs"])
+    if n_docs == 0:
+        raise ValueError("bm25_topk on empty corpus")
+    avgdl = float(stats["n_toks"]) / float(n_docs)
+    dl = F.size("__toks").cast("double")
+    # per-term tf columns first (STAGED projection — the HOF-codegen rule).
+    # Factory closure, NOT a `lambda x, t=t:` default-arg capture — a
+    # two-parameter lambda makes F.filter bind the second parameter to
+    # the ELEMENT INDEX column, silently shadowing the default.
+    def _tf(term: str):
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"__tf{i}") for i, t in enumerate(query_terms)]
+    scored = base.select(id_col, dl.alias("__dl"), *tf_cols)
+    contribs = []
+    for i in range(len(query_terms)):
+        dfi = int(stats[f"df{i}"])
+        idf = (float(n_docs - dfi) + 0.5) / (float(dfi) + 0.5)
+        tf = F.col(f"__tf{i}").cast("double")
+        contribs.append(
+            F.lit(idf)
+            * (
+                (tf * F.lit(k1 + 1.0))
+                / (
+                    tf
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / F.lit(avgdl)))
+                )
+            )
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    matched = F.lit(0)
+    for i in range(len(query_terms)):
+        matched = matched + F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0)
+    out = scored.select(
+        id_col,
+        matched.cast("int").alias("n_terms_matched"),
+        F.floor(score * F.lit(float(scale))).cast("long").alias("score_micro"),
+    )
+    return out.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)

@@ -1176,3 +1176,54 @@ def test_prototype_prune_policies_disjoint_extremes(spark):
         sets[policy] = {r["vec_id"] for r in out if r["kept"]}
     assert sets["hard"] == {0, 4}  # endpoints (tie at dist 4 -> min ids first)
     assert sets["easy"] == {2, 1}  # centroid itself, then dist-1 tie min id
+
+
+def test_bm25_topk_pure_python_replay(spark):
+    """bm25_topk must replay exactly: rational log-free idf, textbook
+    tf-saturation/length-normalization, left-to-right contribution sum,
+    floor-scaled integer key, (score desc, id asc) top-k."""
+    from dbt_model_diff_spark.operators.textops import bm25_topk
+
+    rows = [
+        (1, "a b c a"),       # tf(a)=2
+        (2, "a b"),
+        (3, "c c c c c c"),   # long doc, only c
+        (4, "d d"),           # no query terms
+        (5, None),
+        (6, "a"),             # short doc boosts length norm
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["a", "c"]
+    out = bm25_topk(df, terms, k=3).collect()
+
+    docs = {i: t.split(" ") for i, t in rows if t is not None}
+    n_docs = len(docs)
+    n_toks = sum(len(t) for t in docs.values())
+    avgdl = float(n_toks) / float(n_docs)
+    dfreq = {t: sum(1 for tk in docs.values() if t in tk) for t in terms}
+    k1, b = 1.2, 0.75
+    exp = []
+    for i, tk in docs.items():
+        dl = float(len(tk))
+        score = 0.0
+        for t in terms:
+            idf = (float(n_docs - dfreq[t]) + 0.5) / (float(dfreq[t]) + 0.5)
+            tf = float(tk.count(t))
+            score = score + idf * (
+                (tf * (k1 + 1.0))
+                / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+            )
+        exp.append(
+            (i, sum(1 for t in terms if t in tk), int(score * 1_000_000 // 1))
+        )
+    exp.sort(key=lambda r: (-r[2], r[0]))
+    got = [(r["doc_id"], r["n_terms_matched"], r["score_micro"]) for r in out]
+    assert got == exp[:3]
+    assert got[0][1] >= 1  # the winner matched at least one term
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        bm25_topk(df, [])
+    with _pytest.raises(ValueError, match="distinct"):
+        bm25_topk(df, ["a", "a"])
