@@ -106,6 +106,13 @@ def main() -> None:
         # hard-negative mining (broadcast pair join, fused predicate)
         "dsir_importance_weights",
         "knn_hard_negatives",
+        # round-7 final additions: zero-join BM25 top-k (one codegen
+        # scan + TakeOrderedAndProject) and the cross-source chunk-
+        # overlap audit (one chunk-keyed exchange). lm_backoff and
+        # prototype-prune are NOT headliners — their scale posture is
+        # the SURVEY §9 sf10 probe, the semantic_dedup precedent.
+        "text_bm25_topk",
+        "dedup_source_overlap_matrix",
     ):
         bench_queries[name] = (lambda f: lambda: run_query(f))(QUERIES[name])
 

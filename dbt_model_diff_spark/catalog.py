@@ -5860,6 +5860,64 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "csv_roundtrip_orders",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+       CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+       o_orderpriority,
+       md5(o_orderstatus || ',"x",' || o_orderpriority) AS tricky_md5
+FROM orders
+""",
+)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip (`sources/sinks.py::write_csv/read_csv`)
+    — the third interchange hop after JSONL and ORC, and the lossiest by
+    default: the query writes orders to CSV (with a synthetic column
+    embedding delimiters AND quotes, forcing RFC 4180 quote-doubling)
+    and every surfaced value comes from the CSV copy while the oracle
+    reads the original parquet. Green = bigint keys, shortest-roundtrip
+    doubles (exact cents after the hop), MICROSECOND timestamps (the
+    pinned format — the default writer format truncates to millis), and
+    quoted-string fidelity all survived. Schema is explicit on
+    read-back; inferSchema is deliberately never used."""
+    import tempfile
+    from pathlib import Path
+
+    from dbt_model_diff_spark.sources.sinks import read_csv, write_csv
+
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "tricky",
+        F.concat(
+            F.col("o_orderstatus"), F.lit(',"x",'), F.col("o_orderpriority")
+        ),
+    )
+    path = str(
+        Path(tempfile.gettempdir())
+        / f"dmds_csv_roundtrip_{_stable_suffix(sf_dir)}"
+    )
+    write_csv(o, path, num_files=4)
+    back = read_csv(
+        spark,
+        path,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string, tricky string",
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("bigint").alias(
+            "price_cents"
+        ),
+        F.col("o_orderdate").alias("o_ts"),
+        "o_orderpriority",
+        F.md5(F.col("tricky")).alias("tricky_md5"),
+    )
+
+
+@register(
     "budget_select_documents",
     """
 WITH t AS (
@@ -6019,6 +6077,7 @@ _DRIVER_PRIORITY = [
     "dedup_source_overlap_matrix",
     "prune_prototypes_embeddings",
     "text_bm25_topk",
+    "csv_roundtrip_orders",
     "dedup_oph_components",
     "bpe_train_merges_batched",
     "text_dup_substring_spans",
@@ -6064,7 +6123,6 @@ _DRIVER_PRIORITY = [
     # Tier 3: oldest remaining r5-certified queries, catalog source
     # order. New never-certified queries added during round 7 displace
     # from this tail (never-certified is the stalest tier).
-    "diff_counts_lineitem_multikey",
     "pricing_summary",
 ]
 

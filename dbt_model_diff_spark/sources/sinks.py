@@ -179,6 +179,48 @@ def read_orc(
     return reader.orc(path)
 
 
+# CSV round-trip fidelity needs every lossy-by-default knob pinned on
+# BOTH sides: an explicit micros timestamp format (the default writer
+# format drops sub-millis), a null token distinguishable from the empty
+# string, and quote-doubling escape (RFC 4180) so embedded quotes and
+# delimiters survive. Java's Double.toString is shortest-roundtrip, so
+# doubles re-parse bit-identically without a format knob.
+_CSV_OPTIONS = {
+    "header": "true",
+    # LTZ and NTZ columns use SEPARATE format options; pinning only
+    # timestampFormat leaves NTZ columns (what read_table's
+    # nanos-normalization yields) on the default millis-truncating
+    # pattern — the silent-precision-loss trap this dict exists to close
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "nullValue": "\\N",
+    "escape": '"',
+}
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Write CSV with the round-trip-pinned option set (see
+    ``_CSV_OPTIONS``). CSV is the lowest-common-denominator interchange
+    hop (spreadsheets, COPY loads); it carries no schema, so
+    :func:`read_csv` requires one — never inferSchema, whose sampled
+    type guesses are data-dependent and irreproducible at scale."""
+    out = df.coalesce(num_files) if num_files else df
+    out.write.mode(mode).options(**_CSV_OPTIONS).csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """Read CSV written by :func:`write_csv` with an EXPLICIT schema
+    (mandatory — see write_csv) and the same pinned options."""
+    return spark.read.schema(schema).options(**_CSV_OPTIONS).csv(path)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
