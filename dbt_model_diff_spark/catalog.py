@@ -2486,6 +2486,19 @@ LIMIT {k}
 """
 
 
+# REGISTRATION DEFERRED TO ROUND 8: textops.top_terms_by_group (per-
+# group exact heavy hitters with the rank window over the VOCAB-scale
+# counts frame) is implemented, pytest- and plan-covered, and its
+# oracle was verified green by tools/oracle_check.py — but the round-7
+# driver window is saturated by its two mandatory tiers (16
+# never-certified + 29 three-round-stale) plus the six flagship
+# anchors (16+29+6 = 51 > 50 slots). Registering it now would force a
+# violation of one of those window invariants (tests/test_util_config
+# ::test_driver_priority_window), so the @register lands with the
+# round-8 rotation, which frees ~20 slots. Verified oracle text lives
+# in tests/test_extensions.py::test_top_terms_by_group_oracle_parity.
+
+
 _BM25_TERMS = ["vector", "spark", "customer", "join"]
 
 

@@ -1270,6 +1270,42 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     )
 
 
+def top_terms_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact per-group heavy hitters: the k most frequent terms WITHIN
+    each group (per-language stopword discovery, per-source boilerplate
+    fingerprints), rank tie-broken (count DESC, term ASC).
+
+    Scale posture — where the rank window runs matters: ranking the
+    exploded TOKEN stream by a window partitioned on the group would
+    serialize a 100 TB corpus through |groups| reducers. Instead the
+    one corpus-scale exchange is the (group, term) partial-count
+    aggregate (map-side combined, so term-cardinality x groups crosses
+    the wire, not tokens), and the row_number window runs over THAT
+    counts frame — vocab-scale input, so the per-group partitions are
+    vocabulary slices, not corpus slices. The rank <= k filter then
+    prunes to k rows per group. Groups with fewer than k distinct terms
+    return what they have.
+    """
+    terms = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counted = terms.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(F.col("grp").alias(group_col), "term", "cnt", "rank")
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters: per-document duplicate-token
     fraction and the share of the most frequent word bigram.

@@ -1227,3 +1227,67 @@ def test_bm25_topk_pure_python_replay(spark):
         bm25_topk(df, [])
     with _pytest.raises(ValueError, match="distinct"):
         bm25_topk(df, ["a", "a"])
+
+
+def test_top_terms_by_group_oracle_parity(spark, sf_dir):
+    """top_terms_by_group vs the DuckDB replay at the fixture SF — the
+    deferred round-8 catalog oracle (see the deferral note in
+    catalog.py): per-group counts, (cnt DESC, term ASC) rank, rank<=k."""
+    import duckdb
+
+    from dbt_model_diff_spark.operators.textops import top_terms_by_group
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    got = sorted(
+        map(
+            tuple,
+            top_terms_by_group(
+                read_table(spark, sf_dir, "documents"), group_col="lang", k=5
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                f"""
+WITH t AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+  FROM read_parquet('{sf_dir}/documents.parquet') WHERE text IS NOT NULL),
+c AS (
+  SELECT lang, term, count(*) AS cnt
+  FROM t WHERE term <> ''
+  GROUP BY lang, term)
+SELECT lang, term, cnt, CAST(rank AS INT) AS rank FROM (
+  SELECT lang, term, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, term) AS rank
+  FROM c)
+WHERE rank <= 5
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    langs = {r[0] for r in got}
+    assert len(got) == 5 * len(langs)  # every lang filled its quota
+
+
+def test_top_terms_by_group_rank_window_is_vocab_scale(spark, sf_dir):
+    """The row_number window's input must be the aggregated counts
+    frame, not the exploded token stream: in the executed plan the
+    partial+final HashAggregate pair sits UPSTREAM of the Window."""
+    from dbt_model_diff_spark.operators.textops import top_terms_by_group
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    df = top_terms_by_group(read_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "HashAggregate" in plan
+    # plan prints top-down: the Window operator appears BEFORE (above)
+    # the aggregates that feed it
+    assert plan.index("Window") < plan.index("HashAggregate")
+    # and the explode (Generate) feeds the aggregate, not the window:
+    # everything between Window and the first HashAggregate is
+    # projection/filter only
+    assert "Generate" in plan
+    assert plan.index("Generate") > plan.index("HashAggregate")

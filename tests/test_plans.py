@@ -538,3 +538,46 @@ def test_dup_substring_spans_two_data_exchanges_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("Exchange") <= 3  # + the RoundRobin spread
+
+
+def test_bm25_topk_zero_exchange_take_ordered(spark, sf_dir):
+    """bm25_topk's scoring pass is one codegen scan with row-local
+    per-term tf counts; the ONLY cross-partition step is the top-k
+    heap (TakeOrderedAndProject). No Exchange, no join, no HOF explode."""
+    plan = _executed_plan(QUERIES["text_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode — tf is size(filter(...))
+
+
+def test_source_overlap_matrix_single_corpus_exchange(spark, sf_dir):
+    """source_overlap_matrix dedupes (chunk, source) on ONE corpus-scale
+    hash exchange; everything after operates on source-cardinality
+    frames (broadcast totals, |sources|^2-bounded pairs)."""
+    plan = _executed_plan(QUERIES["dedup_source_overlap_matrix"](spark, sf_dir))
+    # corpus-scale exchanges: the (f, source) distinct + the per-chunk
+    # source-set fold ride hashpartitioning(f); the totals and matrix
+    # aggregates are source-cardinality. No exchange may partition by
+    # anything doc- or pair-shaped beyond those.
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # totals join must broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prototype_prune_no_full_data_cluster_window(spark, sf_dir):
+    """prototype_prune must NOT rank the full dataset with a window
+    partitioned by cluster (k reducers = a serialization point at
+    scale). The only Window in the final plan runs over the filtered
+    threshold-tie slice; the keep flag for everything else is a
+    broadcast-joined comparison."""
+    df = QUERIES["prune_prototypes_embeddings"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the union's two branches: the non-tie branch must be window-free
+    rest_branch, tie_branch = plan.split("Window")[0], plan
+    assert "row_number" not in rest_branch
+    # the tie branch's window input is a filtered (okey = threshold)
+    # slice, visible as an equality filter on the tie key upstream of
+    # the Window operator
+    assert plan.count("Window") <= 2  # one logical window, maybe reused
