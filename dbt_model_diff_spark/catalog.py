@@ -2497,6 +2497,13 @@ LIMIT {k}
 # ::test_driver_priority_window), so the @register lands with the
 # round-8 rotation, which frees ~20 slots. Verified oracle text lives
 # in tests/test_extensions.py::test_top_terms_by_group_oracle_parity.
+#
+# Same deferral, same reason: textops.lm_quality_bands (CCNet-style
+# per-language head/middle/tail banding at exact per-group LM-score
+# quantile thresholds, Wenzek et al. 2020) — its ready-to-register
+# oracle is tests/test_extensions.py::LM_BANDS_ORACLE, already verified
+# green against DuckDB at the fixture SF by
+# test_lm_quality_bands_oracle_parity.
 
 
 _BM25_TERMS = ["vector", "spark", "customer", "join"]

@@ -474,3 +474,123 @@ def select_within_token_budget(
         .filter(F.col("cum_tokens") <= budget)
         .drop("__qb", "__off")
     )
+
+
+def grouped_quantile_thresholds(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fractions: list[tuple[int, int]],
+    descending: bool = True,
+    bucket_shift: int = 16,
+) -> DataFrame:
+    """EXACT per-group quantile threshold VALUES over an INTEGER key,
+    without any per-group sort of the data — the reusable core of the
+    prototype_prune decomposition (similarity.prototype_prune keeps its
+    own tie-exact variant; this one returns value thresholds, the CCNet
+    banding semantics where equal keys always land in the same band).
+
+    For each group g with n rows and each fraction num/den, the
+    threshold is the key value at from-top rank ceil(n*num/den) when
+    ``descending`` (type-1 quantile counted from the best key): the
+    MAXIMUM v such that count(key >= v) >= ceil(n*num/den). Ascending
+    flips both comparisons.
+
+    Scale shape (the budget-select / prototype_prune decomposition):
+    one map-side-combined (group, key >> bucket_shift) histogram to the
+    driver, a driver walk to each fraction's boundary bucket, then ONE
+    filtered exact per-value count over boundary buckets only
+    (<= 2^bucket_shift distinct values per group per fraction). No
+    window ever touches the data; group count is assumed
+    driver-histogram-small (provenance/language cardinality — tens to
+    thousands, not millions).
+
+    Returns a DataFrame (group_col, n_group, thr_0 .. thr_{m-1}) with
+    one row per group, sized for ``F.broadcast`` by the caller. The key
+    column must be integral — double keys reintroduce cross-engine ulp
+    ambiguity at the threshold, the exact failure the integer-key
+    contract exists to prevent.
+    """
+    if not fractions:
+        raise ValueError("need at least one fraction")
+    for num, den in fractions:
+        if not (0 < num <= den):
+            raise ValueError(f"fraction {num}/{den} outside (0, 1]")
+    ktype = dict(df.dtypes)[key_col]
+    if ktype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"key column {key_col} must be integral, got {ktype}"
+        )
+    sign = -1 if descending else 1
+    # NULL groups are excluded (a null key in the broadcast literal map
+    # below would silently drop their boundary rows instead) — callers
+    # wanting a null band must coalesce upstream
+    a = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        (F.col(key_col).cast("long") * F.lit(sign)).alias("__okey"),
+    )
+    hist = (
+        a.groupBy("__g", F.shiftright("__okey", bucket_shift).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r["__g"], []).append((r["__b"], r["n"]))
+    # boundary bucket + cumulative-before for every (group, fraction)
+    bounds: dict = {}  # g -> list[(bucket, cum_before, quota)]
+    buckets_of: dict = {}  # g -> sorted distinct boundary buckets
+    totals: dict = {}
+    for g, bs in per_group.items():
+        n = sum(c for _, c in bs)
+        totals[g] = n
+        bs.sort()
+        marks = []
+        for num, den in fractions:
+            quota = (n * num + den - 1) // den
+            cum = 0
+            for b, c in bs:
+                if cum + c >= quota:
+                    marks.append((b, cum, quota))
+                    break
+                cum += c
+        bounds[g] = marks
+        buckets_of[g] = sorted({b for b, _, _ in marks})
+    bmap = F.create_map(
+        *[
+            x
+            for g in sorted(buckets_of)
+            for x in (F.lit(g), F.array(*[F.lit(b) for b in buckets_of[g]]))
+        ]
+    )
+    vals = (
+        a.filter(
+            F.array_contains(
+                bmap[F.col("__g")], F.shiftright("__okey", bucket_shift)
+            )
+        )
+        .groupBy("__g", "__okey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_gb: dict = {}
+    for r in vals:
+        b = r["__okey"] >> bucket_shift
+        by_gb.setdefault((r["__g"], b), []).append((r["__okey"], r["n"]))
+    rows = []
+    for g, marks in bounds.items():
+        thrs = []
+        for b, cum_before, quota in marks:
+            cum = cum_before
+            for okey, c in sorted(by_gb[(g, b)]):
+                if cum + c >= quota:
+                    thrs.append(okey * sign)
+                    break
+                cum += c
+        rows.append((g, totals[g], *thrs))
+    gtype = dict(df.dtypes)[group_col]
+    thr_cols = ", ".join(f"thr_{i} long" for i in range(len(fractions)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, f"`{group_col}` {gtype}, n_group long, {thr_cols}"
+    )

@@ -791,6 +791,7 @@ def lm_backoff_score(
     scale: int = 1_000_000,
     alpha_num: int = 2,
     alpha_den: int = 5,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Train-on-target bigram LM with STUPID BACKOFF (Brants et al.
     2007), scored over the raw remainder — the actual CCNet shape:
@@ -818,11 +819,17 @@ def lm_backoff_score(
     scoring left-joins the raw bigram stream to the three count tables
     on bigram/history/word keys — linear shuffles, no windows. Docs
     with < 2 tokens or NULL text are absent (inner unnest semantics).
+
+    ``extra_cols`` ride the per-doc rows through to the output (for
+    downstream per-group banding, see :func:`lm_quality_bands`) without
+    a corpus-scale re-join on doc_id.
     """
+    extra = list(extra_cols)
     base = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             "doc_id",
+            *extra,
             target.alias("__tgt"),
             F.split(F.col(text_col), " ").alias("__t"),
         )
@@ -831,6 +838,7 @@ def lm_backoff_score(
     # zip_with over slices — see lm_bigram_score for the lambda-body rule
     bi = base.select(
         "doc_id",
+        *extra,
         "__tgt",
         F.explode(
             F.zip_with(
@@ -839,7 +847,7 @@ def lm_backoff_score(
                 lambda x, y: F.struct(x.alias("p"), y.alias("w")),
             )
         ).alias("__b"),
-    ).select("doc_id", "__tgt", "__b.p", "__b.w")
+    ).select("doc_id", *extra, "__tgt", "__b.p", "__b.w")
     cb = (
         bi.filter(F.col("__tgt"))
         .groupBy("p", "w")
@@ -866,7 +874,7 @@ def lm_backoff_score(
         .join(cp, on="p", how="left")
         .join(cu, on="w", how="left")
         .withColumn("__contrib", contrib)
-        .groupBy("doc_id")
+        .groupBy("doc_id", *extra)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),
             F.sum(F.when(F.col("c_big").isNull(), 1).otherwise(0))
@@ -1768,3 +1776,70 @@ def bm25_topk(
         F.floor(score * F.lit(float(scale))).cast("long").alias("score_micro"),
     )
     return out.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)
+
+
+def lm_quality_bands(
+    df: DataFrame,
+    target,
+    group_col: str = "lang",
+    text_col: str = "text",
+    fractions: tuple[tuple[int, int], ...] = ((1, 3), (2, 3)),
+) -> DataFrame:
+    """CCNet-style quality banding (Wenzek et al. 2020): score every
+    non-target document against a trusted-slice LM
+    (:func:`lm_backoff_score` — CCNet uses a Wikipedia-trained
+    KenLM; here the target slice plays Wikipedia), then split each
+    GROUP (language, as in CCNet) into head/middle/tail at the group's
+    own score quantiles — head = the best third of ITS language, so
+    low-resource languages aren't crushed by high-resource fluency
+    norms.
+
+    Banding is by threshold VALUE (sampling.grouped_quantile_thresholds:
+    the key at from-top rank ceil(n/3) resp. ceil(2n/3)), exactly
+    CCNet's cutoff semantics — documents with equal scores always land
+    in the same band (no tie-ranking), so band sizes can exceed n/3
+    under ties. The score key is the integer per-bigram mean
+    ``(score_sum * 1000) div n_bigrams`` — exact cross-engine.
+
+    Scale shape: the LM fit + scoring is lm_backoff_score (linear
+    joins; the group column rides the bigram rows, no doc_id re-join);
+    thresholds come from the driver-histogram decomposition (no
+    per-group sort); the band tag is a broadcast join + two integer
+    comparisons. Only non-target docs with >= 2 tokens appear.
+    """
+    from dbt_model_diff_spark.operators.sampling import (
+        grouped_quantile_thresholds,
+    )
+
+    from pyspark import StorageLevel
+
+    from dbt_model_diff_spark.operators import sampling as _sampling
+
+    scored = lm_backoff_score(
+        df, target, text_col=text_col, extra_cols=(group_col,)
+    ).withColumn(
+        "fluency_key", F.expr("(score_sum * 1000) div n_bigrams")
+    )
+    # evaluated three times (histogram, boundary refinement, final
+    # band join) — pin it; registered in the budget-cache registry so
+    # release_budget_caches() / the cap bound the pins (LRU overflow
+    # degrades to a deterministic recompute)
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    _sampling._BUDGET_CACHES.append(scored)
+    while len(_sampling._BUDGET_CACHES) > _sampling._BUDGET_CACHE_CAP:
+        _sampling._BUDGET_CACHES.pop(0).unpersist(blocking=False)
+    thr = grouped_quantile_thresholds(
+        scored, group_col, "fluency_key", list(fractions), descending=True
+    )
+    band = F.when(F.col("fluency_key") >= F.col("thr_0"), "head")
+    for i in range(1, len(fractions)):
+        band = band.when(F.col("fluency_key") >= F.col(f"thr_{i}"),
+                         "middle" if len(fractions) == 2 else f"band_{i}")
+    band = band.otherwise("tail")
+    return scored.join(F.broadcast(thr), on=group_col).select(
+        "doc_id",
+        group_col,
+        "fluency_key",
+        "n_group",
+        band.alias("band"),
+    )

@@ -1291,3 +1291,133 @@ def test_top_terms_by_group_rank_window_is_vocab_scale(spark, sf_dir):
     # projection/filter only
     assert "Generate" in plan
     assert plan.index("Generate") > plan.index("HashAggregate")
+
+
+# the round-8 oracle for lm_quality_bands, verified here via DuckDB
+# until the driver window rotation frees a slot (see the deferral note
+# in catalog.py): the lm_backoff_score replay with lang carried
+# through, the integer per-bigram mean key, per-lang from-top
+# ceil(n/3)/ceil(2n/3) threshold VALUES, and value-threshold banding.
+LM_BANDS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, (source = 'src0') AS tgt, string_split(text, ' ') AS toks
+  FROM {docs} WHERE text IS NOT NULL),
+bi AS (
+  SELECT doc_id, lang, tgt, toks[g.i] AS p, toks[g.i + 1] AS w
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2),
+cb AS (SELECT p, w, count(*) AS c_big FROM bi WHERE tgt GROUP BY p, w),
+cp AS (SELECT p, sum(c_big) AS c_prev FROM cb GROUP BY p),
+cu AS (SELECT w, sum(c_big) AS c_uni FROM cb GROUP BY w),
+n AS (SELECT sum(c_big) AS nn FROM cb),
+sc AS (
+  SELECT b.doc_id, b.lang, count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN cb.c_big IS NOT NULL
+                       THEN (cb.c_big * 1000000) // cp.c_prev
+                       ELSE (2 * coalesce(cu.c_uni, 0) * 1000000) // (5 * n.nn)
+                  END) AS BIGINT) AS score_sum
+  FROM bi b
+  LEFT JOIN cb ON cb.p = b.p AND cb.w = b.w
+  LEFT JOIN cp ON cp.p = b.p
+  LEFT JOIN cu ON cu.w = b.w
+  CROSS JOIN n
+  WHERE NOT b.tgt
+  GROUP BY b.doc_id, b.lang),
+f AS (SELECT doc_id, lang, (score_sum * 1000) // n_bigrams AS fluency_key FROM sc),
+c AS (SELECT lang, fluency_key, count(*) AS cnt FROM f GROUP BY 1, 2),
+cum AS (
+  SELECT lang, fluency_key,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY fluency_key DESC) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM c),
+thr AS (
+  SELECT lang, max(n) AS n_group,
+         max(CASE WHEN cum >= (n + 2) // 3 THEN fluency_key END) AS thr0,
+         max(CASE WHEN cum >= (2 * n + 2) // 3 THEN fluency_key END) AS thr1
+  FROM cum GROUP BY lang)
+SELECT f.doc_id, f.lang, f.fluency_key, thr.n_group,
+       CASE WHEN f.fluency_key >= thr.thr0 THEN 'head'
+            WHEN f.fluency_key >= thr.thr1 THEN 'middle'
+            ELSE 'tail' END AS band
+FROM f JOIN thr ON thr.lang = f.lang
+"""
+
+
+def test_lm_quality_bands_oracle_parity(spark, sf_dir):
+    """lm_quality_bands vs the full DuckDB replay at the fixture SF."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators.textops import lm_quality_bands
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    got = sorted(
+        map(
+            tuple,
+            lm_quality_bands(
+                read_table(spark, sf_dir, "documents"),
+                target=F.col("source") == "src0",
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                LM_BANDS_ORACLE.format(
+                    docs=f"read_parquet('{sf_dir}/documents.parquet')"
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    # every lang got all three bands at this SF, and head is never
+    # smaller than the exact third (value thresholds include ties)
+    from collections import Counter
+
+    per = Counter((r[1], r[4]) for r in got)
+    n_by_lang = Counter(r[1] for r in got)
+    for lang, n in n_by_lang.items():
+        assert per[(lang, "head")] >= (n + 2) // 3
+        assert per[(lang, "head")] + per[(lang, "middle")] >= (2 * n + 2) // 3
+        assert per[(lang, "tail")] >= 0
+
+
+def test_grouped_quantile_thresholds_tie_and_shift_sweep(spark):
+    """The driver-histogram thresholds must equal the naive from-top
+    rank lookup on a tie-heavy key, across bucket_shift extremes and
+    both directions."""
+    from dbt_model_diff_spark.operators.sampling import (
+        grouped_quantile_thresholds,
+    )
+
+    rows = []
+    # group A: keys 10,10,10,20,20,30 (ties straddle every boundary)
+    for i, k in enumerate([10, 10, 10, 20, 20, 30]):
+        rows.append((i, "A", k))
+    # group B: distinct keys 1..7
+    for i, k in enumerate(range(1, 8)):
+        rows.append((100 + i, "B", k))
+    df = spark.createDataFrame(rows, "id long, g string, k long")
+
+    def naive(keys, num, den, descending):
+        q = (len(keys) * num + den - 1) // den
+        s = sorted(keys, reverse=descending)
+        return s[q - 1]
+
+    for shift in (0, 3, 40):
+        for desc in (True, False):
+            out = {
+                r["g"]: r
+                for r in grouped_quantile_thresholds(
+                    df, "g", "k", [(1, 3), (2, 3), (1, 1)],
+                    descending=desc, bucket_shift=shift,
+                ).collect()
+            }
+            for g, keys in (("A", [10, 10, 10, 20, 20, 30]), ("B", list(range(1, 8)))):
+                assert out[g]["n_group"] == len(keys)
+                for i, (num, den) in enumerate([(1, 3), (2, 3), (1, 1)]):
+                    assert out[g][f"thr_{i}"] == naive(keys, num, den, desc), (
+                        g, shift, desc, i
+                    )
