@@ -691,6 +691,12 @@ def prototype_prune(
     The result is bit-identical to the naive rank-per-cluster plan —
     asserted by the replay test — while every full-data pass stays
     map-side. Returns (id, cluster, n_cluster, dist_micro, kept).
+
+    The value-threshold (no tie-rank) variant of this decomposition is
+    factored out as ``sampling.grouped_quantile_thresholds``; this
+    operator keeps its own walk because the per-cluster quota here is
+    tie-EXACT (ceil quota met precisely, ties broken by id), which
+    needs the boundary bucket's cum-before, not just the threshold.
     """
     if policy not in ("hard", "easy"):
         raise ValueError("policy must be 'hard' or 'easy'")
