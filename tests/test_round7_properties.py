@@ -311,3 +311,46 @@ def test_connected_components_string_ids_both_paths(spark):
             for r in dedup.connected_components(pairs, driver_threshold=thr).collect()
         }
         assert got == expect
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(-40, 40)),
+        min_size=1,
+        max_size=60,
+    ),
+    shift=st.sampled_from([0, 2, 5, 40]),
+    desc=st.booleans(),
+    fracs=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(4, 7)),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_grouped_quantile_thresholds_property(spark, data, shift, desc, fracs):
+    """grouped_quantile_thresholds equals the naive sorted-rank lookup
+    for ANY key multiset (negative keys included — arithmetic shift),
+    group mix, direction, fraction list, and bucket granularity."""
+    from dbt_model_diff_spark.operators.sampling import (
+        grouped_quantile_thresholds,
+    )
+
+    rows = [(i, g, k) for i, (g, k) in enumerate(data)]
+    df = spark.createDataFrame(rows, "id long, g string, k long")
+    out = {
+        r["g"]: r
+        for r in grouped_quantile_thresholds(
+            df, "g", "k", fracs, descending=desc, bucket_shift=shift
+        ).collect()
+    }
+    by_g: dict = {}
+    for _, g, k in rows:
+        by_g.setdefault(g, []).append(k)
+    assert set(out) == set(by_g)
+    for g, keys in by_g.items():
+        assert out[g]["n_group"] == len(keys)
+        s = sorted(keys, reverse=desc)
+        for i, (num, den) in enumerate(fracs):
+            q = (len(keys) * num + den - 1) // den
+            assert out[g][f"thr_{i}"] == s[q - 1], (g, i, s, q)
