@@ -848,11 +848,26 @@ def lm_backoff_score(
             )
         ).alias("__b"),
     ).select("doc_id", *extra, "__tgt", "__b.p", "__b.w")
+    # cb is THE model — cp, cu, N, and the scoring join all derive from
+    # it. Without a pin, each derivation re-expands cb's lineage and
+    # re-scans + re-explodes the whole target slice (4 corpus passes,
+    # caught in .explain: two separate (p, w) aggregations feeding one
+    # join). Pinned, the target corpus is read once; cb itself is
+    # vocab-scale (distinct target bigrams). Registered in the
+    # budget-cache registry so the cap/release bound the pin.
+    from pyspark import StorageLevel
+
+    from dbt_model_diff_spark.operators import sampling as _sampling
+
     cb = (
         bi.filter(F.col("__tgt"))
         .groupBy("p", "w")
         .agg(F.count(F.lit(1)).alias("c_big"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _sampling._BUDGET_CACHES.append(cb)
+    while len(_sampling._BUDGET_CACHES) > _sampling._BUDGET_CACHE_CAP:
+        _sampling._BUDGET_CACHES.pop(0).unpersist(blocking=False)
     cp = cb.groupBy("p").agg(F.sum("c_big").alias("c_prev"))
     cu = cb.groupBy("w").agg(F.sum("c_big").alias("c_uni"))
     n_total = int(cb.agg(F.sum("c_big")).collect()[0][0] or 0)
@@ -868,10 +883,18 @@ def lm_backoff_score(
             f" div ({ad} * {n_total})"
         )
     )
+    # cp pre-joins into cb VOCAB-side (both are model tables), so the
+    # corpus-scale bigram stream shuffles twice ((p, w) then w), not
+    # three times — c_prev is only consumed in the seen branch, where
+    # c_big (hence the (p, w) join hit) is present by definition, so
+    # the inner vocab join loses nothing. This pre-join + the cb pin
+    # above took sf10 from 10.49 to 5.14 s, bit-identical output
+    # (the pre-join WITHOUT the pin was a 14.1 s regression: deriving
+    # cp from unpinned cb re-exploded the target corpus per branch).
+    cbj = cb.join(cp, on="p")
     return (
         bi.filter(~F.col("__tgt"))
-        .join(cb, on=["p", "w"], how="left")
-        .join(cp, on="p", how="left")
+        .join(cbj, on=["p", "w"], how="left")
         .join(cu, on="w", how="left")
         .withColumn("__contrib", contrib)
         .groupBy("doc_id", *extra)
