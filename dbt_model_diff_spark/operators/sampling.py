@@ -352,10 +352,11 @@ def epoch_shard_assignment(
     return out.withColumn("pos", F.row_number().over(w))
 
 
-# Frames pinned by select_within_token_budget, released by
-# release_budget_caches — a SCOPED unpersist (session-wide clearCache
-# would drop every cache in the session, ADVICE r5). Bounded: past
-# _BUDGET_CACHE_CAP entries the oldest pin is auto-released (safe —
+# Frames pinned by the multi-pass operators (select_within_token_budget,
+# lm_backoff_score's model table, lm_quality_bands' scored frame),
+# released by release_budget_caches — a SCOPED unpersist (session-wide
+# clearCache would drop every cache in the session, ADVICE r5). Bounded:
+# past _BUDGET_CACHE_CAP entries the oldest pin is auto-released (safe —
 # an evicted/unpersisted block recomputes), so a long-lived service
 # that never calls release_budget_caches leaks neither driver
 # references nor cache registry entries without bound (code-review r6).
@@ -363,9 +364,24 @@ _BUDGET_CACHES: list[DataFrame] = []
 _BUDGET_CACHE_CAP = 8
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK — eviction degrades to a
+    deterministic recompute, never job failure) and register it in the
+    capped release registry. The single entry point for every operator
+    whose plan evaluates an expensive deterministic frame more than
+    once."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _BUDGET_CACHES.append(out)
+    while len(_BUDGET_CACHES) > _BUDGET_CACHE_CAP:
+        _BUDGET_CACHES.pop(0).unpersist(blocking=False)
+    return out
+
+
 def release_budget_caches(blocking: bool = False) -> int:
-    """Unpersist every frame select_within_token_budget has pinned in
-    this process. Call after the returned selection is materialized.
+    """Unpersist every frame :func:`pin` has registered in this
+    process. Call after the returned selection is materialized.
     Returns the number of frames released."""
     n = len(_BUDGET_CACHES)
     while _BUDGET_CACHES:

@@ -627,22 +627,6 @@ def py_dot(a, b) -> float:
     return s
 
 
-# Persisted (id, cluster, dist) frames pinned by prototype_prune for its
-# multi-pass threshold computation — same capped-registry semantics as
-# sampling._BUDGET_CACHES: overflow degrades to recompute (the k-means
-# assignment is deterministic under a pinned init), never job failure.
-_PRUNE_CACHES: list[DataFrame] = []
-_PRUNE_CACHE_CAP = 4
-
-
-def release_prune_caches(blocking: bool = False) -> int:
-    """Unpersist every frame pinned by :func:`prototype_prune`."""
-    n = len(_PRUNE_CACHES)
-    while _PRUNE_CACHES:
-        _PRUNE_CACHES.pop().unpersist(blocking=blocking)
-    return n
-
-
 def prototype_prune(
     df: DataFrame,
     keep_num: int = 3,
@@ -702,8 +686,6 @@ def prototype_prune(
         raise ValueError("policy must be 'hard' or 'easy'")
     if not (0 < keep_num <= keep_den):
         raise ValueError("keep fraction must satisfy 0 < num <= den")
-    from pyspark import StorageLevel
-
     assigned, cents, _ = kmeans(
         df, k=k, iters=iters, init=init, id_col=id_col, vec_col=vec_col
     )
@@ -722,10 +704,11 @@ def prototype_prune(
         F.col("cluster"),
         F.floor(sq * F.lit(1_000_000.0)).cast("long").alias("dist_micro"),
     ).withColumn("__okey", F.col("dist_micro") * F.lit(sign))
-    a = a.persist(StorageLevel.MEMORY_AND_DISK)
-    _PRUNE_CACHES.append(a)
-    while len(_PRUNE_CACHES) > _PRUNE_CACHE_CAP:
-        _PRUNE_CACHES.pop(0).unpersist(blocking=False)
+    # multi-pass (histogram, boundary refinement, tie/rest branches) —
+    # pinned via sampling's capped release registry
+    from dbt_model_diff_spark.operators.sampling import pin as _pin
+
+    a = _pin(a)
 
     hist = (
         a.groupBy("cluster", F.shiftright("__okey", bucket_shift).alias("__b"))

@@ -855,19 +855,13 @@ def lm_backoff_score(
     # join). Pinned, the target corpus is read once; cb itself is
     # vocab-scale (distinct target bigrams). Registered in the
     # budget-cache registry so the cap/release bound the pin.
-    from pyspark import StorageLevel
-
     from dbt_model_diff_spark.operators import sampling as _sampling
 
-    cb = (
+    cb = _sampling.pin(
         bi.filter(F.col("__tgt"))
         .groupBy("p", "w")
         .agg(F.count(F.lit(1)).alias("c_big"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _sampling._BUDGET_CACHES.append(cb)
-    while len(_sampling._BUDGET_CACHES) > _sampling._BUDGET_CACHE_CAP:
-        _sampling._BUDGET_CACHES.pop(0).unpersist(blocking=False)
     cp = cb.groupBy("p").agg(F.sum("c_big").alias("c_prev"))
     cu = cb.groupBy("w").agg(F.sum("c_big").alias("c_uni"))
     n_total = int(cb.agg(F.sum("c_big")).collect()[0][0] or 0)
@@ -1834,23 +1828,17 @@ def lm_quality_bands(
         grouped_quantile_thresholds,
     )
 
-    from pyspark import StorageLevel
-
     from dbt_model_diff_spark.operators import sampling as _sampling
 
-    scored = lm_backoff_score(
-        df, target, text_col=text_col, extra_cols=(group_col,)
-    ).withColumn(
-        "fluency_key", F.expr("(score_sum * 1000) div n_bigrams")
-    )
     # evaluated three times (histogram, boundary refinement, final
-    # band join) — pin it; registered in the budget-cache registry so
-    # release_budget_caches() / the cap bound the pins (LRU overflow
-    # degrades to a deterministic recompute)
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    _sampling._BUDGET_CACHES.append(scored)
-    while len(_sampling._BUDGET_CACHES) > _sampling._BUDGET_CACHE_CAP:
-        _sampling._BUDGET_CACHES.pop(0).unpersist(blocking=False)
+    # band join) — pinned via the capped release registry
+    scored = _sampling.pin(
+        lm_backoff_score(
+            df, target, text_col=text_col, extra_cols=(group_col,)
+        ).withColumn(
+            "fluency_key", F.expr("(score_sum * 1000) div n_bigrams")
+        )
+    )
     thr = grouped_quantile_thresholds(
         scored, group_col, "fluency_key", list(fractions), descending=True
     )
