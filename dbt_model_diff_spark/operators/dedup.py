@@ -938,22 +938,24 @@ def source_overlap_matrix(
     |sources|^2-bounded per chunk. No all-pairs anything; the matrix
     aggregate is source^2-scale (tiny).
     """
-    toks = F.split(F.col(text_col), " ")
-    starts = F.expr(
-        f"sequence(1, greatest(size(split({text_col}, ' ')), 1), {chunk_tokens})"
-    )
+    from dbt_model_diff_spark.operators.textops import chunk_documents
+
+    # THE chunking unit is textops.chunk_documents (stride == chunk
+    # size, provenance as a passthrough column) — same window
+    # arithmetic as every other chunk-granular audit by construction
     ch = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(source_col).alias("source"), toks.alias("__t"), starts.alias("__s"))
-        .select("source", F.explode("__s").alias("start"), "__t")
-        .select(
-            "source",
-            F.expr(f"concat_ws(' ', slice(__t, start, {chunk_tokens}))").alias(
-                "__ctext"
-            ),
+        chunk_documents(
+            df.filter(F.col(text_col).isNotNull()),
+            text_col=text_col,
+            chunk_tokens=chunk_tokens,
+            stride=chunk_tokens,
+            passthrough=(source_col,),
         )
-        .filter(F.col("__ctext") != "")
-        .select("source", F.md5(F.col("__ctext")).alias("f"))
+        .filter(F.col("chunk_text") != "")
+        .select(
+            F.col(source_col).alias("source"),
+            F.md5(F.col("chunk_text")).alias("f"),
+        )
         .distinct()
     )
     tot = ch.groupBy("source").agg(F.count(F.lit(1)).alias("n"))

@@ -436,20 +436,16 @@ def select_within_token_budget(
         raise ValueError("budget must be non-negative")
     q = F.col(quality_col)
     toks = F.col(token_col)
-    # Persisted because the plan is evaluated TWICE — once for the bucket
+    # Pinned because the plan is evaluated TWICE — once for the bucket
     # totals, once for the returned selection. Without the pin, a
     # nondeterministic upstream (sampled input, rand-derived quality)
     # would hand the two passes different rows and silently corrupt
-    # cum_tokens. MEMORY_AND_DISK: an evicted block recomputes (falling
-    # back to the determinism requirement), never fails the job.
-    from pyspark import StorageLevel
-
-    bucketed = df.withColumn(
-        "__qb", F.floor((F.lit(1.0) - q) * F.lit(int(buckets))).cast("long")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _BUDGET_CACHES.append(bucketed)
-    while len(_BUDGET_CACHES) > _BUDGET_CACHE_CAP:
-        _BUDGET_CACHES.pop(0).unpersist(blocking=False)
+    # cum_tokens.
+    bucketed = pin(
+        df.withColumn(
+            "__qb", F.floor((F.lit(1.0) - q) * F.lit(int(buckets))).cast("long")
+        )
+    )
     stats = bucketed.groupBy("__qb").agg(
         F.sum(toks).alias("t"),
         F.sum(toks.isNull().cast("long")).alias("null_toks"),
@@ -545,6 +541,12 @@ def grouped_quantile_thresholds(
         F.col(group_col).alias("__g"),
         (F.col(key_col).cast("long") * F.lit(sign)).alias("__okey"),
     )
+    spark = df.sparkSession
+    gtype = dict(df.dtypes)[group_col]
+    out_schema = (
+        f"`{group_col}` {gtype}, n_group long, "
+        + ", ".join(f"thr_{i} long" for i in range(len(fractions)))
+    )
     hist = (
         a.groupBy("__g", F.shiftright("__okey", bucket_shift).alias("__b"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -553,6 +555,11 @@ def grouped_quantile_thresholds(
     per_group: dict = {}
     for r in hist:
         per_group.setdefault(r["__g"], []).append((r["__b"], r["n"]))
+    if not per_group:
+        # empty input (or every group NULL): an empty thresholds frame,
+        # NOT a zero-entry map literal below — map()[__g] is a
+        # DATATYPE_MISMATCH AnalysisException (void-typed map key)
+        return spark.createDataFrame([], out_schema)
     # boundary bucket + cumulative-before for every (group, fraction)
     bounds: dict = {}  # g -> list[(bucket, cum_before, quota)]
     buckets_of: dict = {}  # g -> sorted distinct boundary buckets
@@ -604,9 +611,4 @@ def grouped_quantile_thresholds(
                     break
                 cum += c
         rows.append((g, totals[g], *thrs))
-    gtype = dict(df.dtypes)[group_col]
-    thr_cols = ", ".join(f"thr_{i} long" for i in range(len(fractions)))
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        rows, f"`{group_col}` {gtype}, n_group long, {thr_cols}"
-    )
+    return spark.createDataFrame(rows, out_schema)

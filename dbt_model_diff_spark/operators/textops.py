@@ -1423,7 +1423,11 @@ def intra_doc_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def chunk_documents(
-    df: DataFrame, text_col: str = "text", chunk_tokens: int = 64, stride: int = 48
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap — the
     standard LLM context-window chunking pass (stride < chunk_tokens
@@ -1439,29 +1443,39 @@ def chunk_documents(
     shuffle happens at all; chunk rows inherit the scan's partitioning
     for the downstream writer. Per-chunk ids are (doc_id, chunk_idx) —
     deterministic, join-stable, no monotonically_increasing_id.
+
+    ``passthrough`` columns ride every chunk row (e.g. provenance for
+    source_overlap_matrix) — this is THE chunking unit; audits that
+    need a different row shape parameterize it rather than re-deriving
+    the window arithmetic.
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = F.split(F.col(text_col), " ")
+    extra = list(passthrough)
+    # the split is STAGED into its own projection so the sequence bound
+    # reads size(toks) instead of re-evaluating split(text) a second
+    # time in the same projection
+    base = df.select(
+        "doc_id", *extra, F.split(F.col(text_col), " ").alias("toks")
+    )
     starts = F.expr(
-        f"sequence(1, greatest(size(split({text_col}, ' ')) - {chunk_tokens - stride}, 1),"
+        f"sequence(1, greatest(size(toks) - {chunk_tokens - stride}, 1),"
         f" {stride})"
     )
     pos = F.posexplode(starts)
-    return (
-        df.select("doc_id", text_col)
-        .select("doc_id", pos.alias("chunk_idx", "start"), toks.alias("toks"))
-        .select(
-            "doc_id",
-            "chunk_idx",
-            "start",
-            F.expr(f"concat_ws(' ', slice(toks, start, {chunk_tokens}))").alias(
-                "chunk_text"
-            ),
-            F.least(
-                F.lit(chunk_tokens), F.size(F.col("toks")) - F.col("start") + 1
-            ).alias("chunk_len"),
-        )
+    return base.select(
+        "doc_id", *extra, pos.alias("chunk_idx", "start"), "toks"
+    ).select(
+        "doc_id",
+        *extra,
+        "chunk_idx",
+        "start",
+        F.expr(f"concat_ws(' ', slice(toks, start, {chunk_tokens}))").alias(
+            "chunk_text"
+        ),
+        F.least(
+            F.lit(chunk_tokens), F.size(F.col("toks")) - F.col("start") + 1
+        ).alias("chunk_len"),
     )
 
 
@@ -1824,10 +1838,6 @@ def lm_quality_bands(
     per-group sort); the band tag is a broadcast join + two integer
     comparisons. Only non-target docs with >= 2 tokens appear.
     """
-    from dbt_model_diff_spark.operators.sampling import (
-        grouped_quantile_thresholds,
-    )
-
     from dbt_model_diff_spark.operators import sampling as _sampling
 
     # evaluated three times (histogram, boundary refinement, final
@@ -1839,7 +1849,7 @@ def lm_quality_bands(
             "fluency_key", F.expr("(score_sum * 1000) div n_bigrams")
         )
     )
-    thr = grouped_quantile_thresholds(
+    thr = _sampling.grouped_quantile_thresholds(
         scored, group_col, "fluency_key", list(fractions), descending=True
     )
     band = F.when(F.col("fluency_key") >= F.col("thr_0"), "head")

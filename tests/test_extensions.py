@@ -1421,3 +1421,19 @@ def test_grouped_quantile_thresholds_tie_and_shift_sweep(spark):
                     assert out[g][f"thr_{i}"] == naive(keys, num, den, desc), (
                         g, shift, desc, i
                     )
+
+
+def test_grouped_quantile_thresholds_empty_input(spark):
+    """Empty input (or all-NULL groups) returns an empty thresholds
+    frame with the full schema — not the void-typed-map-literal
+    AnalysisException the zero-entry create_map would raise."""
+    from dbt_model_diff_spark.operators.sampling import (
+        grouped_quantile_thresholds,
+    )
+
+    empty = spark.createDataFrame([], "id long, g string, k long")
+    out = grouped_quantile_thresholds(empty, "g", "k", [(1, 3), (2, 3)])
+    assert out.columns == ["g", "n_group", "thr_0", "thr_1"]
+    assert out.count() == 0
+    allnull = spark.createDataFrame([(1, None, 5)], "id long, g string, k long")
+    assert grouped_quantile_thresholds(allnull, "g", "k", [(1, 2)]).count() == 0
