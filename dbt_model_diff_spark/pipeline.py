@@ -1,0 +1,240 @@
+"""End-to-end corpus curation + release pipeline.
+
+The 144 catalog queries certify the PRIMITIVES one at a time; this
+module is the composed artifact a user actually runs — RefinedWeb/CCNet
+-shaped: normalize -> quality gates -> repetition gate -> dedup (exact
+or MinHash-LSH near) -> benchmark decontamination -> optional
+token-budget selection -> hash-sharded export with a self-validating
+manifest. Every stage delegates to its certified operator (cited
+inline), so the pipeline inherits the oracle guarantees; what this
+module adds is the staging contract (which frame feeds which stage),
+the per-stage accounting report, and the export handshake.
+
+Determinism: every stage is a deterministic function of the input
+(md5-keyed dedup and sampling, no rand(), no wall clock), so re-running
+the pipeline on the same corpus reproduces the same kept set and the
+same manifest — asserted by tests/test_pipeline_release.py.
+
+Scale posture: each stage's shape is its operator's (see their
+docstrings). Stage accounting is ONE tiny aggregate per stage (docs +
+tokens), collected to the driver for the report — 7 scalar jobs, not
+7 extra corpus materializations: the kept frame is pinned
+(sampling.pin) after the gates so dedup/decontamination/export do not
+re-run the gate scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import dedup, sampling, textops
+from dbt_model_diff_spark.sources import sinks
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Knobs for :func:`curate_corpus`. Defaults are the common
+    web-corpus settings; every gate can be disabled with None/0."""
+
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    # quality gates (textops.quality_features semantics, computed inline)
+    min_tokens: int = 20
+    min_stopwords: int = 1
+    # Gopher repetition gate (textops.repetition_signals)
+    max_dup_token_frac: float | None = 0.6
+    # dedup: "exact" (dedup.exact_dedup), "near" (MinHash-LSH chain ->
+    # dedup.near_dedup), or "none"
+    dedup: str = "near"
+    shingle_n: int = 3
+    num_hashes: int = 8
+    bands: int = 4
+    rows_per_band: int = 2
+    jaccard_threshold: float = 0.8
+    # decontamination shingle size (13-gram words is the common
+    # criterion at scale; tiny test corpora use smaller)
+    decontam_shingle_n: int = 5
+    # optional token budget (sampling.select_within_token_budget);
+    # None = keep everything that survived the gates
+    token_budget: int | None = None
+    # export
+    shards: int = 8
+
+    def __post_init__(self) -> None:
+        if self.dedup not in ("exact", "near", "none"):
+            raise ValueError("dedup must be 'exact', 'near', or 'none'")
+        if self.min_tokens < 0 or self.min_stopwords < 0:
+            raise ValueError("gate thresholds must be non-negative")
+
+
+def curate_corpus(
+    df: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    benchmark: DataFrame | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Run the curation stages over ``df`` (a documents-shaped frame).
+
+    Returns ``(kept, report)``: the curated frame (original columns,
+    ``text`` replaced by its normalized form) and a per-stage
+    accounting list of ``{"stage", "docs", "tokens"}`` dicts — the
+    numbers a release note quotes. ``benchmark`` (same shape) enables
+    the decontamination stage.
+    """
+    c = config
+    report: list[dict] = []
+
+    def account(stage: str, frame: DataFrame) -> None:
+        row = frame.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.coalesce(
+                F.sum(F.size(F.split(F.col(c.text_col), " "))), F.lit(0)
+            ).alias("tokens"),
+        ).collect()[0]
+        report.append(
+            {"stage": stage, "docs": int(row["docs"]), "tokens": int(row["tokens"])}
+        )
+
+    base = df.filter(F.col(c.text_col).isNotNull())
+    account("input", base)
+
+    # 1. normalize (textops.normalize_text) — dedup hashes see the
+    # normalized text, so trivially-different copies collide
+    normed = textops.normalize_text(base, text_col=c.text_col)
+    cur = normed.select(
+        *[
+            F.col("text_norm").alias(c.text_col)
+            if col == c.text_col
+            else F.col(col)
+            for col in df.columns
+        ]
+    )
+
+    # 2. quality gates, inline (the pipeline_training_data idiom: scalar
+    # projections on the current frame, no feature re-join)
+    t = F.col(c.text_col)
+    n_tokens = textops.token_count(t)
+    stop = sum(
+        (textops.word_marker_count(t, w) for w in textops.LANG_MARKERS["en"]),
+        F.lit(0),
+    )
+    cur = cur.filter((n_tokens >= c.min_tokens) & (stop >= c.min_stopwords))
+    account("quality_gate", cur)
+
+    # 3. Gopher repetition gate (textops.repetition_signals): drop docs
+    # whose duplicate-token fraction exceeds the cap; semi-join on ids
+    # so the bigram pipeline never carries the text columns
+    if c.max_dup_token_frac is not None:
+        bad = textops.repetition_signals(cur, text_col=c.text_col).filter(
+            F.col("dup_token_frac") > c.max_dup_token_frac
+        )
+        cur = cur.join(
+            bad.select(c.id_col), on=c.id_col, how="left_anti"
+        )
+        account("repetition_gate", cur)
+
+    # pin: every stage below re-reads the gated frame (dedup hashing,
+    # decontamination shingles, budget, export)
+    cur = sampling.pin(cur)
+
+    # 4. dedup
+    if c.dedup == "exact":
+        cur = dedup.exact_dedup(cur, text_col=c.text_col, id_col=c.id_col)
+        account("dedup_exact", cur)
+    elif c.dedup == "near":
+        sh = textops.shingles(cur, text_col=c.text_col, n=c.shingle_n)
+        sigs = dedup.minhash_signatures(
+            sh, num_hashes=c.num_hashes, id_col=c.id_col
+        )
+        pairs = dedup.lsh_candidate_pairs(
+            sigs,
+            bands=c.bands,
+            rows_per_band=c.rows_per_band,
+            id_col=c.id_col,
+        )
+        verified = dedup.ngram_jaccard_pairs(
+            sh, pairs, id_col=c.id_col, threshold=c.jaccard_threshold
+        ).select("id_a", "id_b")
+        cur = dedup.near_dedup(cur, verified, id_col=c.id_col)
+        account("dedup_near", cur)
+
+    # 5. benchmark decontamination (dedup.ngram_contamination): any doc
+    # sharing a decontam_shingle_n-gram with the benchmark is dropped
+    if benchmark is not None:
+        train_sh = textops.shingles(
+            cur, text_col=c.text_col, n=c.decontam_shingle_n
+        )
+        bench_sh = textops.shingles(
+            benchmark.filter(F.col(c.text_col).isNotNull()),
+            text_col=c.text_col,
+            n=c.decontam_shingle_n,
+        )
+        contaminated = dedup.ngram_contamination(
+            train_sh, bench_sh, id_col=c.id_col
+        )
+        cur = cur.join(
+            contaminated.select(c.id_col), on=c.id_col, how="left_anti"
+        )
+        account("decontaminate", cur)
+
+    # 6. optional token-budget selection: keep best-quality docs until
+    # the budget (sampling.select_within_token_budget — distributed
+    # prefix sum). Quality = capped length share, the budget-select
+    # catalog query's proxy; callers with a classifier score should
+    # pre-compute their own quality column and budget-select directly.
+    if c.token_budget is not None:
+        scored = cur.withColumn("__nt", textops.token_count(t)).withColumn(
+            "__q",
+            F.least(F.length(t).cast("double") / F.lit(2000.0), F.lit(1.0)),
+        )
+        kept = sampling.select_within_token_budget(
+            scored, c.id_col, "__nt", "__q", budget=c.token_budget
+        )
+        cur = kept.select(*cur.columns)
+        account("budget_select", cur)
+
+    return cur, report
+
+
+def release_corpus(
+    df: DataFrame,
+    path: str,
+    config: CurationConfig = CurationConfig(),
+    benchmark: DataFrame | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """:func:`curate_corpus` + hash-sharded export with a self-validating
+    manifest (sinks.write_training_shards), then an integrity re-check
+    (sinks.validate_shards) — raises if the written export disagrees
+    with its own manifest. Returns (manifest frame, stage report); the
+    report gains an ``export`` row counting what actually landed."""
+    kept, report = curate_corpus(df, config=config, benchmark=benchmark)
+    manifest = sinks.write_training_shards(
+        kept,
+        path,
+        shards=config.shards,
+        id_col=config.id_col,
+        text_col=config.text_col,
+    )
+    spark = df.sparkSession
+    problems = sinks.validate_shards(
+        spark, path, id_col=config.id_col, text_col=config.text_col
+    )
+    n_bad = problems.count()
+    if n_bad:
+        raise RuntimeError(
+            f"release_corpus: export at {path} fails its own manifest"
+            f" validation ({n_bad} discrepancy rows)"
+        )
+    totals = manifest.agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).collect()[0]
+    report.append(
+        {
+            "stage": "export",
+            "docs": int(totals["docs"] or 0),
+            "tokens": int(totals["tokens"] or 0),
+        }
+    )
+    return manifest, report

@@ -1,0 +1,129 @@
+"""End-to-end release-pipeline tests (dbt_model_diff_spark/pipeline.py):
+the composed artifact must be monotone (every stage only removes docs),
+deterministic (re-run reproduces the identical kept set), honest in its
+report, and self-validating on export."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.pipeline import (
+    CurationConfig,
+    curate_corpus,
+    release_corpus,
+)
+from dbt_model_diff_spark.sources.readers import read_table
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_curate_corpus_stages_monotone_and_deterministic(spark, sf_dir):
+    cfg = CurationConfig(
+        min_tokens=10,
+        min_stopwords=0,
+        max_dup_token_frac=0.9,
+        dedup="near",
+        jaccard_threshold=0.8,
+        decontam_shingle_n=5,
+    )
+    # benchmark = a small slice of the corpus itself -> guaranteed
+    # contamination hits, so the decontaminate stage provably fires
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    kept, report = curate_corpus(docs, cfg, benchmark=bench)
+
+    stages = [r["stage"] for r in report]
+    assert stages == [
+        "input",
+        "quality_gate",
+        "repetition_gate",
+        "dedup_near",
+        "decontaminate",
+    ]
+    counts = [r["docs"] for r in report]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # monotone
+    assert counts[-1] > 0
+    # decontamination really dropped the benchmark-overlapping docs
+    assert report[-1]["docs"] < report[-2]["docs"]
+    kept_ids = {r[0] for r in kept.select("doc_id").collect()}
+    assert len(kept_ids) == counts[-1]
+    # none of the benchmark docs themselves survive (they share all
+    # their own shingles)
+    bench_ids = {r[0] for r in bench.collect() if r[1] is not None}
+    long_bench = {
+        r[0]
+        for r in docs.filter(
+            (F.col("doc_id") % 97 == 0)
+            & (F.size(F.split("text", " ")) >= cfg.decontam_shingle_n)
+        ).collect()
+    }
+    assert not (kept_ids & long_bench & bench_ids)
+
+    # determinism: identical rerun -> identical kept set and report
+    kept2, report2 = curate_corpus(docs, cfg, benchmark=bench)
+    assert {r[0] for r in kept2.select("doc_id").collect()} == kept_ids
+    assert report2 == report
+
+
+def test_curate_corpus_exact_vs_near_vs_none(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    base = CurationConfig(min_tokens=5, min_stopwords=0, max_dup_token_frac=None)
+    kept_none, _ = curate_corpus(
+        docs, CurationConfig(**{**base.__dict__, "dedup": "none"})
+    )
+    kept_exact, _ = curate_corpus(
+        docs, CurationConfig(**{**base.__dict__, "dedup": "exact"})
+    )
+    kept_near, _ = curate_corpus(
+        docs, CurationConfig(**{**base.__dict__, "dedup": "near"})
+    )
+    n_none, n_exact, n_near = (
+        kept_none.count(),
+        kept_exact.count(),
+        kept_near.count(),
+    )
+    # near-dedup subsumes exact (identical texts share every shingle ->
+    # jaccard 1.0), which subsumes no-dedup
+    assert n_none >= n_exact >= n_near
+    assert n_near > 0
+
+
+def test_curate_corpus_token_budget(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cfg = CurationConfig(
+        min_tokens=5,
+        min_stopwords=0,
+        max_dup_token_frac=None,
+        dedup="exact",
+        token_budget=2000,
+    )
+    kept, report = curate_corpus(docs, cfg)
+    assert report[-1]["stage"] == "budget_select"
+    assert report[-1]["tokens"] <= 2000 + 200  # budget + one doc overshoot
+    assert kept.columns == docs.columns
+
+
+def test_release_corpus_export_validates(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    cfg = CurationConfig(
+        min_tokens=5, min_stopwords=0, max_dup_token_frac=None,
+        dedup="exact", shards=4,
+    )
+    manifest, report = release_corpus(docs, str(tmp_path / "release"), cfg)
+    assert report[-1]["stage"] == "export"
+    # export totals equal the last curation stage's totals
+    assert report[-1]["docs"] == report[-2]["docs"]
+    assert manifest.count() <= 4
+    # the export is readable and carries the curated row count
+    back = spark.read.parquet(str(tmp_path / "release"))
+    assert back.count() == report[-1]["docs"]
+
+
+def test_curation_config_validation():
+    with pytest.raises(ValueError, match="dedup"):
+        CurationConfig(dedup="fuzzy")
+    with pytest.raises(ValueError, match="non-negative"):
+        CurationConfig(min_tokens=-1)
