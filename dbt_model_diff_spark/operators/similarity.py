@@ -1267,3 +1267,66 @@ def semantic_dedup(
     return assigned.select(id_col, "cluster").join(
         losers, on=id_col, how="left_anti"
     )
+
+
+def ivf_pq_refine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ivf_pq_kwargs,
+) -> DataFrame:
+    """Two-stage ANN with exact re-ranking (the FAISS IndexRefine
+    shape): :func:`ivf_pq_topk` produces a quantized-ADC SHORTLIST of
+    ``k * refine_factor`` per query, then ONLY the shortlisted raw
+    vectors are re-scored with exact cosine and the true top-k of the
+    shortlist wins. Production ANN's standard accuracy/cost dial: PQ
+    compresses the corpus scan, the refine pass touches
+    |Q| * k * refine_factor vectors — nothing corpus-scale.
+
+    Recall guarantee (asserted in tests): every global-top-k member
+    that survived into the shortlist is selected by the exact rerank
+    (at most k-1 vectors anywhere beat it), so refine recall >= plain
+    ADC recall with the same shortlist — reranking can only help.
+
+    Scale shape: the shortlist (|Q| * k * refine_factor id pairs) is
+    BROADCAST against the candidate corpus, so fetching the raw vectors
+    is one map-side semi-join over a single corpus scan — no shuffle;
+    queries broadcast as in brute_force_topk; the final per-query
+    top-k window runs over shortlist-sized input. Returns
+    (query_id, neighbor_id, rank) — integers only.
+    """
+    if refine_factor < 1:
+        raise ValueError("refine_factor must be >= 1")
+    shortlist = ivf_pq_topk(
+        queries,
+        candidates,
+        k=k * refine_factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        **ivf_pq_kwargs,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", norm(F.col("__qv")))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    fetched = c.join(F.broadcast(shortlist), on="neighbor_id")
+    scored = fetched.join(F.broadcast(q), on="query_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        ).alias("__cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1437,3 +1437,62 @@ def test_grouped_quantile_thresholds_empty_input(spark):
     assert out.count() == 0
     allnull = spark.createDataFrame([(1, None, 5)], "id long, g string, k long")
     assert grouped_quantile_thresholds(allnull, "g", "k", [(1, 2)]).count() == 0
+
+
+def test_ivf_pq_refine_exact_rerank_and_recall_dominance(spark):
+    """Two-stage refine (similarity.ivf_pq_refine_topk): (a) the result
+    must equal a pure-Python exact-cosine rerank of the ADC shortlist
+    (same tie-breaks), and (b) refine recall vs brute force must be >=
+    plain ADC recall — every global-top-k member that reached the
+    shortlist survives the exact rerank by construction."""
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators import similarity
+    from dbt_model_diff_spark.operators.similarity import py_dot
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    pinned = emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+    cents = pinned.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    base = [[float(x) for x in r["embedding"]] for r in pinned.collect()]
+    cbs = [[v[m * 8 : (m + 1) * 8] for v in base] for m in range(8)]
+    kw = dict(probes=4, centroids=cents, codebooks=cbs)
+
+    k, rf = 10, 3
+    shortlist = similarity.ivf_pq_topk(q, emb, k=k * rf, **kw).collect()
+    refined = similarity.ivf_pq_refine_topk(
+        q, emb, k=k, refine_factor=rf, **kw
+    ).collect()
+
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+    def cos(a, b):
+        import math
+
+        return py_dot(a, b) / (
+            math.sqrt(py_dot(a, a)) * math.sqrt(py_dot(b, b))
+        )
+
+    by_q: dict = {}
+    for r in shortlist:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    expect = []
+    for qid, nbrs in by_q.items():
+        ranked = sorted(nbrs, key=lambda n: (-cos(vecs[qid], vecs[n]), n))
+        expect += [(qid, n, i + 1) for i, n in enumerate(ranked[:k])]
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in refined)
+    assert got == sorted(expect)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, emb, k=k).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_pq_topk(q, emb, k=k, **kw).collect()
+    }
+    ref = {(g[0], g[1]) for g in got}
+    assert len(ref & exact) >= len(adc & exact)  # rerank can only help
