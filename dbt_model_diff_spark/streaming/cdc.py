@@ -168,3 +168,55 @@ def cdc_apply_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def vacuum_snapshots(snapshot_dir: str, keep_last: int = 2) -> list[str]:
+    """Retention GC for the versioned-snapshot layout: delete committed
+    ``v{N}`` directories older than the newest ``keep_last``, plus any
+    UNcommitted version directory (no ``_SUCCESS``) that is older than
+    the newest committed one — crash debris from a write that was
+    superseded by a later successful batch.
+
+    Safety rails, in order of precedence:
+    - the ``_CURRENT`` pointer's target is NEVER deleted, even if it
+      falls outside ``keep_last`` (a stale pointer after a crash must
+      keep resolving until the next flip);
+    - the newest committed version is never deleted (the merge base);
+    - an uncommitted directory NEWER than the latest committed version
+      is left alone — it may be a write in progress.
+
+    Returns the deleted directory names (deterministic order). Time
+    travel (``spark.read.parquet(dir/v{N})``) only works for retained
+    versions — vacuum is the explicit trade of history for space, same
+    contract as lakehouse VACUUM.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snap = Path(snapshot_dir)
+    committed: list[tuple[int, str]] = []
+    uncommitted: list[tuple[int, str]] = []
+    for d in snap.glob("v*"):
+        try:
+            n = int(d.name[1:])
+        except ValueError:
+            continue
+        if (d / "_SUCCESS").exists():
+            committed.append((n, d.name))
+        else:
+            uncommitted.append((n, d.name))
+    committed.sort()
+    keep = {name for _, name in committed[-keep_last:]}
+    ptr = snap / "_CURRENT"
+    if ptr.exists():
+        keep.add(ptr.read_text().strip())
+    newest_committed = committed[-1][0] if committed else -1
+    doomed = [name for _, name in committed if name not in keep]
+    doomed += [
+        name for n, name in sorted(uncommitted)
+        if n < newest_committed and name not in keep
+    ]
+    for name in doomed:
+        shutil.rmtree(snap / name)
+    return doomed

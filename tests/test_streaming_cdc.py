@@ -150,3 +150,38 @@ def test_compact_changes_equal_seq_deterministic(spark):
         (r,) = cdc.compact_changes(df, ["k"], "seq").collect()
         outs.add(r["v"])
     assert len(outs) == 1
+
+
+def test_vacuum_snapshots_retention_and_safety(spark, tmp_path):
+    """vacuum_snapshots keeps the newest keep_last committed versions,
+    never deletes the _CURRENT target even when stale, skips
+    newer-than-committed in-progress writes, and removes superseded
+    crash debris."""
+    import pytest as _pytest
+
+    from dbt_model_diff_spark.streaming.cdc import vacuum_snapshots
+
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    for n in (0, 1, 2, 3):
+        df.coalesce(1).write.mode("overwrite").parquet(str(snap / f"v{n}"))
+    # v4: uncommitted debris OLDER than newest committed (v5 below)
+    (snap / "v4").mkdir()
+    (snap / "v4" / "part-stale.parquet").write_bytes(b"junk")
+    df.coalesce(1).write.mode("overwrite").parquet(str(snap / "v5"))
+    # v6: uncommitted but NEWER than v5 -> in-progress, must survive
+    (snap / "v6").mkdir()
+    # stale pointer: points at v1, outside keep_last=2 -> must survive
+    (snap / "_CURRENT").write_text("v1")
+
+    deleted = vacuum_snapshots(str(snap), keep_last=2)
+    assert sorted(deleted) == ["v0", "v2", "v4"]
+    live = {d.name for d in snap.glob("v*")}
+    assert live == {"v1", "v3", "v5", "v6"}
+    # the retained versions still read
+    assert spark.read.parquet(str(snap / "v3")).count() == 1
+    # idempotent second run deletes nothing
+    assert vacuum_snapshots(str(snap), keep_last=2) == []
+    with _pytest.raises(ValueError):
+        vacuum_snapshots(str(snap), keep_last=0)
