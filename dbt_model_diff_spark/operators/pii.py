@@ -60,3 +60,59 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", scrubbed.alias("scrubbed"), *counts).withColumn(
         "pii_total", F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
     )
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """Luhn checksum over a contiguous-digit string column — pure
+    codegen higher-order functions, exact integer arithmetic (no UDF,
+    engine-portable): digits are walked right-to-left, every second one
+    doubled with the >9 wrap (2d - 9), total % 10 == 0."""
+    digits = F.transform(
+        F.split(F.reverse(candidate), ""),
+        lambda x, i: F.when(
+            i % 2 == 1,
+            F.when(x.cast("int") * 2 > 9, x.cast("int") * 2 - 9).otherwise(
+                x.cast("int") * 2
+            ),
+        ).otherwise(x.cast("int")),
+    )
+    total = F.aggregate(digits, F.lit(0), lambda acc, d: acc + d)
+    return total % 10 == 0
+
+
+def scrub_credit_cards(
+    df: DataFrame, text_col: str = "text", placeholder: str = "[CC]"
+) -> DataFrame:
+    """Credit-card redaction with CHECKSUM verification: contiguous
+    13-19 digit runs are candidates (separator-formatted numbers are a
+    documented non-goal — normalize upstream), but only Luhn-VALID runs
+    are redacted, so order ids, timestamps, and hashes of the same
+    length survive (the false-positive class a bare regex scrub
+    destroys).
+
+    Scale shape: regexp_extract_all -> filter(luhn) -> an aggregate
+    FOLD replacing each verified number in the text — per-row codegen
+    expressions only, zero shuffles, zero UDFs; the fold's accumulator
+    is the scalar text, not an array (the HOF lambda-body rule).
+    Returns (doc_id, scrubbed, n_cc_redacted).
+    """
+    text = F.col(text_col)
+    # (?<![0-9]) / (?!...) digit-boundary lookarounds are RE2-unsafe
+    # (the repo PII rule); instead extract ALL maximal digit runs and
+    # length-gate in the expression layer
+    runs = F.expr(f"regexp_extract_all({text_col}, '[0-9]+', 0)")
+    cands = F.filter(
+        runs,
+        lambda r: (F.length(r) >= 13) & (F.length(r) <= 19) & luhn_valid(r),
+    )
+    scrubbed = F.aggregate(
+        cands,
+        text,
+        lambda acc, c: F.replace(acc, c, F.lit(placeholder)),
+    )
+    return df.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.array_distinct(cands)).alias("n_cc_distinct"),
+        _count_marker(scrubbed, placeholder).alias("n_cc_redacted"),
+    )

@@ -1496,3 +1496,39 @@ def test_ivf_pq_refine_exact_rerank_and_recall_dominance(spark):
     }
     ref = {(g[0], g[1]) for g in got}
     assert len(ref & exact) >= len(adc & exact)  # rerank can only help
+
+
+def test_scrub_credit_cards_luhn_verified(spark):
+    """Only Luhn-VALID 13-19 digit runs are redacted: test numbers
+    4111111111111111 / 4222222222222 pass, a one-digit perturbation and
+    a 12-digit run survive untouched; counts are exact."""
+    from dbt_model_diff_spark.operators.pii import luhn_valid, scrub_credit_cards
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "pay 4111111111111111 now"),                # valid 16
+        (2, "pay 4111111111111112 now"),                # bad checksum
+        (3, "visa 4222222222222 and again 4222222222222"),  # valid 13, twice
+        (4, "order 123456789012 ref"),                  # 12 digits: too short
+        (5, "hash 12345678901234567890123 x"),          # 23 digits: too long
+        (6, None),
+        (7, "mix 4111111111111111 and 4111111111111112"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_credit_cards(df).collect()}
+    assert out[1]["scrubbed"] == "pay [CC] now"
+    assert out[1]["n_cc_redacted"] == 1 and out[1]["n_cc_distinct"] == 1
+    assert out[2]["scrubbed"] == rows[1][1]
+    assert out[2]["n_cc_redacted"] == 0
+    assert out[3]["scrubbed"] == "visa [CC] and again [CC]"
+    assert out[3]["n_cc_redacted"] == 2 and out[3]["n_cc_distinct"] == 1
+    assert out[4]["scrubbed"] == rows[3][1]
+    assert out[5]["scrubbed"] == rows[4][1]
+    assert out[6]["scrubbed"] is None
+    assert out[7]["scrubbed"] == "mix [CC] and 4111111111111112"
+
+    # luhn_valid itself against the classic checksum table
+    lv = spark.createDataFrame(
+        [("79927398713",), ("79927398710",), ("0",)], "s string"
+    ).select(luhn_valid(F.col("s")).alias("ok")).collect()
+    assert [r["ok"] for r in lv] == [True, False, True]
