@@ -41,6 +41,9 @@ class CurationConfig:
 
     text_col: str = "text"
     id_col: str = "doc_id"
+    # PII redaction (pii.scrub_expr: email/IP/phone), applied right
+    # after normalization so dedup hashes see the scrubbed text
+    scrub_pii: bool = False
     # quality gates (textops.quality_features semantics, computed inline)
     min_tokens: int = 20
     min_stopwords: int = 1
@@ -103,9 +106,14 @@ def curate_corpus(
     # 1. normalize (textops.normalize_text) — dedup hashes see the
     # normalized text, so trivially-different copies collide
     normed = textops.normalize_text(base, text_col=c.text_col)
+    text_out = F.col("text_norm")
+    if c.scrub_pii:
+        from dbt_model_diff_spark.operators.pii import scrub_expr
+
+        text_out = scrub_expr(text_out)
     cur = normed.select(
         *[
-            F.col("text_norm").alias(c.text_col)
+            text_out.alias(c.text_col)
             if col == c.text_col
             else F.col(col)
             for col in df.columns

@@ -127,3 +127,21 @@ def test_curation_config_validation():
         CurationConfig(dedup="fuzzy")
     with pytest.raises(ValueError, match="non-negative"):
         CurationConfig(min_tokens=-1)
+
+
+def test_curate_corpus_pii_scrub_stage(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at bob@example.com for the quick brown fox and the lazy dog", "en", "s", 70),
+            (2, "the quick brown fox jumps over the lazy dog again and again and again", "en", "s", 70),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cfg = CurationConfig(
+        scrub_pii=True, min_tokens=3, min_stopwords=0,
+        max_dup_token_frac=None, dedup="none",
+    )
+    kept, _ = curate_corpus(docs, cfg)
+    texts = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert "bob@example.com" not in texts[1]
+    assert "[EMAIL]" in texts[1].upper() or "EMAIL" in texts[1].upper()
