@@ -44,6 +44,9 @@ class CurationConfig:
     # PII redaction (pii.scrub_expr: email/IP/phone), applied right
     # after normalization so dedup hashes see the scrubbed text
     scrub_pii: bool = False
+    # language allowlist (documents carry a lang column; None = keep all)
+    keep_langs: tuple[str, ...] | None = None
+    lang_col: str = "lang"
     # quality gates (textops.quality_features semantics, computed inline)
     min_tokens: int = 20
     min_stopwords: int = 1
@@ -120,7 +123,13 @@ def curate_corpus(
         ]
     )
 
-    # 2. quality gates, inline (the pipeline_training_data idiom: scalar
+    # 2. language allowlist (a scan-fused filter — runs before the
+    # token arithmetic so dropped languages cost nothing)
+    if c.keep_langs is not None:
+        cur = cur.filter(F.col(c.lang_col).isin(list(c.keep_langs)))
+        account("lang_gate", cur)
+
+    # 3. quality gates, inline (the pipeline_training_data idiom: scalar
     # projections on the current frame, no feature re-join)
     t = F.col(c.text_col)
     n_tokens = textops.token_count(t)

@@ -145,3 +145,27 @@ def test_curate_corpus_pii_scrub_stage(spark):
     texts = {r["doc_id"]: r["text"] for r in kept.collect()}
     assert "bob@example.com" not in texts[1]
     assert "[EMAIL]" in texts[1].upper() or "EMAIL" in texts[1].upper()
+
+
+def test_curate_corpus_lang_gate_and_clean_corpus_near_dedup(spark):
+    """(a) keep_langs drops other languages with a report row; (b) a
+    corpus with NO near-duplicates passes the near-dedup stage intact —
+    the empty-verified-pairs edge keeps every doc."""
+    rows = [
+        (1, "the quick brown fox jumps over one lazy dog tonight", "en"),
+        (2, "a completely different sentence about data engines here", "en"),
+        (3, "la frase totalmente distinta sobre motores de datos", "es"),
+        (4, "yet another unique document with its own words entirely", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(
+        keep_langs=("en",), min_tokens=3, min_stopwords=0,
+        max_dup_token_frac=None, dedup="near", jaccard_threshold=0.8,
+    )
+    kept, report = curate_corpus(docs, cfg)
+    stages = [r["stage"] for r in report]
+    assert "lang_gate" in stages
+    gate = next(r for r in report if r["stage"] == "lang_gate")
+    assert gate["docs"] == 3
+    # no near-dups in this corpus: everything en survives dedup
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 4}
