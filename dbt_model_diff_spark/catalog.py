@@ -2505,6 +2505,14 @@ LIMIT {k}
 # green against DuckDB at the fixture SF by
 # test_lm_quality_bands_oracle_parity.
 #
+# ROUND-8 WINDOW PLAN (mechanical, execute first thing after
+# CORRECTNESS_r07 lands): the mandatory tier is every query whose
+# newest green row is r5 (44 queries — all six flagship anchors are in
+# it) plus the never-certified registrations of top_terms_by_group and
+# lm_quality_bands; that fills 46 of 50 slots, leaving ~4 for round-8
+# additions. Rotate _DRIVER_PRIORITY to exactly that set, fix
+# test_driver_priority_window, regenerate docs/CATALOG.md.
+#
 # STRUCTURAL CAPACITY NOTE (round 7): the driver verifies 50 queries
 # per round and the 3-round staleness bound requires every registered
 # query to re-certify at least once every 3 rounds, so the registered
