@@ -94,25 +94,45 @@ def scrub_credit_cards(
     FOLD replacing each verified number in the text — per-row codegen
     expressions only, zero shuffles, zero UDFs; the fold's accumulator
     is the scalar text, not an array (the HOF lambda-body rule).
-    Returns (doc_id, scrubbed, n_cc_redacted).
+    Returns (doc_id, scrubbed, n_cc_distinct, n_cc_redacted).
+
+    Replacement is DIGIT-BOUNDED via lookarounds: plain substring
+    replace would also hit a valid number embedded INSIDE a longer run
+    the length gate excluded (a 21-digit order id containing a valid
+    16-digit substring would be corrupted — code-review r7 repro).
+    Lookarounds are fine here: this operator is pytest-certified, not
+    oracle-twinned, so the repo's RE2-compatibility rule (which exists
+    for DuckDB parity) does not bind. n_cc_redacted counts the ACTUAL
+    matches via regexp_count on the original text — counting
+    placeholder occurrences after the fact would be inflated by any
+    pre-existing placeholder literal in the input.
     """
     text = F.col(text_col)
-    # (?<![0-9]) / (?!...) digit-boundary lookarounds are RE2-unsafe
-    # (the repo PII rule); instead extract ALL maximal digit runs and
-    # length-gate in the expression layer
-    runs = F.expr(f"regexp_extract_all({text_col}, '[0-9]+', 0)")
-    cands = F.filter(
-        runs,
-        lambda r: (F.length(r) >= 13) & (F.length(r) <= 19) & luhn_valid(r),
+    runs = F.regexp_extract_all(text, F.lit("[0-9]+"), F.lit(0))
+    cands = F.array_distinct(
+        F.filter(
+            runs,
+            lambda r: (F.length(r) >= 13)
+            & (F.length(r) <= 19)
+            & luhn_valid(r),
+        )
     )
+    # each candidate is a maximal digit run, so digit lookarounds make
+    # the pattern match exactly the standalone occurrences of that run
+    pat = lambda c: F.concat(F.lit("(?<![0-9])"), c, F.lit("(?![0-9])"))  # noqa: E731
     scrubbed = F.aggregate(
         cands,
         text,
-        lambda acc, c: F.replace(acc, c, F.lit(placeholder)),
+        lambda acc, c: F.regexp_replace(acc, pat(c), F.lit(placeholder)),
+    )
+    n_redacted = F.aggregate(
+        cands,
+        F.lit(0),
+        lambda acc, c: acc + F.regexp_count(text, pat(c)),
     )
     return df.select(
         "doc_id",
         scrubbed.alias("scrubbed"),
-        F.size(F.array_distinct(cands)).alias("n_cc_distinct"),
-        _count_marker(scrubbed, placeholder).alias("n_cc_redacted"),
+        F.size(cands).alias("n_cc_distinct"),
+        n_redacted.alias("n_cc_redacted"),
     )

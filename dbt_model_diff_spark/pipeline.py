@@ -130,12 +130,31 @@ def curate_corpus(
         account("lang_gate", cur)
 
     # 3. quality gates, inline (the pipeline_training_data idiom: scalar
-    # projections on the current frame, no feature re-join)
+    # projections on the current frame, no feature re-join). The
+    # stopword marker set follows the language allowlist — an
+    # English-only marker list under keep_langs=('en','es') would mass-
+    # drop every Spanish doc at min_stopwords=1 (code-review r7); langs
+    # without a marker table contribute nothing, so min_stopwords > 0
+    # plus an unknown lang is a config error surfaced loudly here.
     t = F.col(c.text_col)
     n_tokens = textops.token_count(t)
+    marker_langs = (
+        list(c.keep_langs) if c.keep_langs is not None else ["en"]
+    )
+    markers = sorted(
+        {
+            w
+            for lang in marker_langs
+            for w in textops.LANG_MARKERS.get(lang, [])
+        }
+    )
+    if c.min_stopwords > 0 and not markers:
+        raise ValueError(
+            f"min_stopwords={c.min_stopwords} but no stopword markers"
+            f" exist for keep_langs={c.keep_langs}"
+        )
     stop = sum(
-        (textops.word_marker_count(t, w) for w in textops.LANG_MARKERS["en"]),
-        F.lit(0),
+        (textops.word_marker_count(t, w) for w in markers), F.lit(0)
     )
     cur = cur.filter((n_tokens >= c.min_tokens) & (stop >= c.min_stopwords))
     account("quality_gate", cur)
@@ -144,11 +163,18 @@ def curate_corpus(
     # whose duplicate-token fraction exceeds the cap; semi-join on ids
     # so the bigram pipeline never carries the text columns
     if c.max_dup_token_frac is not None:
-        bad = textops.repetition_signals(cur, text_col=c.text_col).filter(
+        rep_in = (
+            cur
+            if c.id_col == "doc_id"
+            else cur.select(F.col(c.id_col).alias("doc_id"), F.col(c.text_col))
+        )
+        bad = textops.repetition_signals(rep_in, text_col=c.text_col).filter(
             F.col("dup_token_frac") > c.max_dup_token_frac
         )
         cur = cur.join(
-            bad.select(c.id_col), on=c.id_col, how="left_anti"
+            bad.select(F.col("doc_id").alias(c.id_col)),
+            on=c.id_col,
+            how="left_anti",
         )
         account("repetition_gate", cur)
 
@@ -156,23 +182,39 @@ def curate_corpus(
     # decontamination shingles, budget, export)
     cur = sampling.pin(cur)
 
-    # 4. dedup
+    # 4. dedup. textops.shingles keys on a literal doc_id column, so a
+    # custom id_col is aliased in for the shingle stages (code-review
+    # r7: the config contract must hold off its default too).
+    def _shingle_frame(frame):
+        sh_in = (
+            frame
+            if c.id_col == "doc_id"
+            else frame.select(
+                F.col(c.id_col).alias("doc_id"), F.col(c.text_col)
+            )
+        )
+        return textops.shingles(sh_in, text_col=c.text_col, n=c.shingle_n)
+
     if c.dedup == "exact":
         cur = dedup.exact_dedup(cur, text_col=c.text_col, id_col=c.id_col)
         account("dedup_exact", cur)
     elif c.dedup == "near":
-        sh = textops.shingles(cur, text_col=c.text_col, n=c.shingle_n)
-        sigs = dedup.minhash_signatures(
-            sh, num_hashes=c.num_hashes, id_col=c.id_col
-        )
+        # exact pass FIRST: docs shorter than shingle_n produce no
+        # shingles (inner explode) and would bypass the LSH chain
+        # entirely — exact copies of short docs must still collapse
+        # (code-review r7; near-MISS short docs remain out of scope,
+        # "near" is ill-defined under the shingle size)
+        cur = dedup.exact_dedup(cur, text_col=c.text_col, id_col=c.id_col)
+        account("dedup_exact", cur)
+        sh = _shingle_frame(cur)
+        sigs = dedup.minhash_signatures(sh, num_hashes=c.num_hashes)
         pairs = dedup.lsh_candidate_pairs(
             sigs,
             bands=c.bands,
             rows_per_band=c.rows_per_band,
-            id_col=c.id_col,
         )
         verified = dedup.ngram_jaccard_pairs(
-            sh, pairs, id_col=c.id_col, threshold=c.jaccard_threshold
+            sh, pairs, threshold=c.jaccard_threshold
         ).select("id_a", "id_b")
         cur = dedup.near_dedup(cur, verified, id_col=c.id_col)
         account("dedup_near", cur)
@@ -180,19 +222,41 @@ def curate_corpus(
     # 5. benchmark decontamination (dedup.ngram_contamination): any doc
     # sharing a decontam_shingle_n-gram with the benchmark is dropped
     if benchmark is not None:
+        # the benchmark must pass through the SAME normalization as the
+        # corpus before shingling — raw-vs-normalized shingles never
+        # match (capitalized benchmark prose would make decontamination
+        # a silent no-op; code-review r7 repro)
+        bench_base = textops.normalize_text(
+            benchmark.filter(F.col(c.text_col).isNotNull()),
+            text_col=c.text_col,
+        ).select(
+            F.col(c.id_col if c.id_col in benchmark.columns else benchmark.columns[0]).alias("doc_id"),
+            F.col("text_norm").alias(c.text_col),
+        )
+        if c.scrub_pii:
+            from dbt_model_diff_spark.operators.pii import scrub_expr
+
+            bench_base = bench_base.withColumn(
+                c.text_col, scrub_expr(F.col(c.text_col))
+            )
+        train_sh = (
+            cur
+            if c.id_col == "doc_id"
+            else cur.select(F.col(c.id_col).alias("doc_id"), F.col(c.text_col))
+        )
         train_sh = textops.shingles(
-            cur, text_col=c.text_col, n=c.decontam_shingle_n
+            train_sh, text_col=c.text_col, n=c.decontam_shingle_n
         )
         bench_sh = textops.shingles(
-            benchmark.filter(F.col(c.text_col).isNotNull()),
+            bench_base,
             text_col=c.text_col,
             n=c.decontam_shingle_n,
         )
-        contaminated = dedup.ngram_contamination(
-            train_sh, bench_sh, id_col=c.id_col
-        )
+        contaminated = dedup.ngram_contamination(train_sh, bench_sh)
         cur = cur.join(
-            contaminated.select(c.id_col), on=c.id_col, how="left_anti"
+            contaminated.select(F.col("doc_id").alias(c.id_col)),
+            on=c.id_col,
+            how="left_anti",
         )
         account("decontaminate", cur)
 

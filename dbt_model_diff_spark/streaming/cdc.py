@@ -198,6 +198,10 @@ def vacuum_snapshots(snapshot_dir: str, keep_last: int = 2) -> list[str]:
     committed: list[tuple[int, str]] = []
     uncommitted: list[tuple[int, str]] = []
     for d in snap.glob("v*"):
+        if not d.is_dir():
+            # a stray FILE named v{N} (interrupted rename, tooling
+            # artifact) must not reach shutil.rmtree (code-review r7)
+            continue
         try:
             n = int(d.name[1:])
         except ValueError:

@@ -1527,6 +1527,22 @@ def test_scrub_credit_cards_luhn_verified(spark):
     assert out[6]["scrubbed"] is None
     assert out[7]["scrubbed"] == "mix [CC] and 4111111111111112"
 
+    # digit-boundary + count-honesty regressions (code-review r7):
+    # a valid number EMBEDDED in a longer run stays untouched, and a
+    # pre-existing placeholder literal does not inflate the count
+    extra = spark.createDataFrame(
+        [
+            (10, "card 4111111111111111 id 004111111111111111999"),
+            (11, "we log [CC] markers; pay 4111111111111111"),
+        ],
+        "doc_id long, text string",
+    )
+    eout = {r["doc_id"]: r for r in scrub_credit_cards(extra).collect()}
+    assert eout[10]["scrubbed"] == "card [CC] id 004111111111111111999"
+    assert eout[10]["n_cc_redacted"] == 1 and eout[10]["n_cc_distinct"] == 1
+    assert eout[11]["scrubbed"] == "we log [CC] markers; pay [CC]"
+    assert eout[11]["n_cc_redacted"] == 1
+
     # luhn_valid itself against the classic checksum table
     lv = spark.createDataFrame(
         [("79927398713",), ("79927398710",), ("0",)], "s string"

@@ -40,6 +40,7 @@ def test_curate_corpus_stages_monotone_and_deterministic(spark, sf_dir):
         "input",
         "quality_gate",
         "repetition_gate",
+        "dedup_exact",
         "dedup_near",
         "decontaminate",
     ]
@@ -169,3 +170,70 @@ def test_curate_corpus_lang_gate_and_clean_corpus_near_dedup(spark):
     assert gate["docs"] == 3
     # no near-dups in this corpus: everything en survives dedup
     assert {r["doc_id"] for r in kept.collect()} == {1, 2, 4}
+
+
+def test_curate_corpus_custom_id_col_and_bench_normalization(spark):
+    """(a) a non-default id_col works through EVERY stage (gates,
+    near-dedup shingles, decontamination); (b) decontamination matches
+    a CAPITALIZED benchmark against the normalized corpus — the
+    code-review r7 repro (raw-vs-normalized shingles never matched)."""
+    rows = [
+        (1, "The Quick Brown Fox Jumps Over The Lazy Dog Tonight", "en"),
+        (2, "an entirely unrelated document about the data engine", "en"),
+        (3, "an entirely unrelated document about the data engine", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string, lang string")
+    bench = spark.createDataFrame(
+        [(100, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TONIGHT")],
+        "id long, text string",
+    )
+    cfg = CurationConfig(
+        id_col="id", min_tokens=3, min_stopwords=0,
+        max_dup_token_frac=None, dedup="near", decontam_shingle_n=5,
+    )
+    kept, report = curate_corpus(docs, cfg, benchmark=bench)
+    kept_ids = {r["id"] for r in kept.collect()}
+    assert 1 not in kept_ids          # decontaminated despite casing
+    assert kept_ids == {2}            # 3 collapsed into 2 by dedup
+    stages = [r["stage"] for r in report]
+    assert stages[-1] == "decontaminate"
+
+
+def test_curate_corpus_short_doc_exact_copies_collapse_in_near_mode(spark):
+    """Docs shorter than shingle_n produce no shingles; the exact pass
+    inside dedup='near' must still collapse their exact copies."""
+    rows = [(i, "hi there", "en") for i in range(1, 6)] + [
+        (10, "a sufficiently long unique document with many words inside", "en")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(
+        min_tokens=0, min_stopwords=0, max_dup_token_frac=None,
+        dedup="near", shingle_n=3,
+    )
+    kept, _ = curate_corpus(docs, cfg)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 10}
+
+
+def test_curate_corpus_multilingual_stopword_markers(spark):
+    """keep_langs=('en','es') must not mass-drop Spanish docs at the
+    stopword gate (markers union across the allowlist); an allowlist
+    with no marker table errors loudly when min_stopwords > 0."""
+    rows = [
+        (1, "the data engine and the documents of note run fast", "en"),
+        (2, "el motor que procesa los documentos importantes corre", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(
+        keep_langs=("en", "es"), min_tokens=3, min_stopwords=1,
+        max_dup_token_frac=None, dedup="none",
+    )
+    kept, _ = curate_corpus(docs, cfg)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    with pytest.raises(ValueError, match="no stopword markers"):
+        curate_corpus(
+            docs,
+            CurationConfig(
+                keep_langs=("xx",), min_stopwords=1, dedup="none",
+                max_dup_token_frac=None,
+            ),
+        )

@@ -177,8 +177,14 @@ def test_vacuum_snapshots_retention_and_safety(spark, tmp_path):
 
     deleted = vacuum_snapshots(str(snap), keep_last=2)
     assert sorted(deleted) == ["v0", "v2", "v4"]
-    live = {d.name for d in snap.glob("v*")}
+    live = {d.name for d in snap.glob("v*") if d.is_dir()}
     assert live == {"v1", "v3", "v5", "v6"}
+    # a stray FILE named exactly like an OLD version (int parses and
+    # n < newest committed, so only the is_dir guard saves it from
+    # rmtree -> NotADirectoryError aborting the GC) must be ignored
+    (snap / "v2").write_text("junk")
+    assert vacuum_snapshots(str(snap), keep_last=2) == []
+    assert (snap / "v2").is_file()
     # the retained versions still read
     assert spark.read.parquet(str(snap / "v3")).count() == 1
     # idempotent second run deletes nothing
