@@ -612,3 +612,90 @@ def grouped_quantile_thresholds(
                 cum += c
         rows.append((g, totals[g], *thrs))
     return spark.createDataFrame(rows, out_schema)
+
+
+def select_within_token_budget_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    quality_col: str,
+    budgets: dict,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-GROUP token-budget selection — the mixture-construction form
+    of :func:`select_within_token_budget`: each group (language, source)
+    keeps its own best-quality documents until ITS budget, so the
+    final corpus hits a target token mixture exactly (the step after
+    ``source_mixture_weights`` decides the targets).
+
+    Same distributed prefix-sum decomposition, keyed per group: coarse
+    quality buckets, per-(group, bucket) token totals to the driver
+    (|groups| x ``buckets`` rows — driver-histogram-small by the same
+    argument as grouped_quantile_thresholds), broadcast offsets, and a
+    within-(group, bucket) running-sum window — integer-exact, bit-
+    identical to running the single-group operator once per group
+    (asserted by test). Groups ABSENT from ``budgets`` are dropped —
+    budgeting only the languages you ship is the normal case; pass an
+    explicit 0 to keep a group present-but-empty semantics-free.
+
+    Returns kept rows + ``cum_tokens`` (inclusive running total WITHIN
+    the row's group).
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one group")
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for group {g!r} must be non-negative")
+    q = F.col(quality_col)
+    toks = F.col(token_col)
+    bucketed = pin(
+        df.filter(F.col(group_col).isin(list(budgets)))
+        .withColumn(
+            "__qb", F.floor((F.lit(1.0) - q) * F.lit(int(buckets))).cast("long")
+        )
+    )
+    stats = bucketed.groupBy(group_col, "__qb").agg(
+        F.sum(toks).alias("t"),
+        F.sum(toks.isNull().cast("long")).alias("null_toks"),
+    )
+    totals: dict = {}
+    null_toks = 0
+    for r in stats.collect():
+        totals.setdefault(r[group_col], {})[r["__qb"]] = r["t"]
+        null_toks += r["null_toks"]
+    for g, per_bucket in totals.items():
+        if None in per_bucket:
+            raise ValueError(
+                f"{quality_col!r} contains NULLs in group {g!r} — quality"
+                " must be a non-null score in [0, 1]"
+            )
+    if null_toks:
+        raise ValueError(
+            f"{token_col!r} contains {null_toks} NULLs — token counts"
+            " must be non-null"
+        )
+    offsets = []
+    for g, per_bucket in totals.items():
+        acc = 0
+        for b in sorted(per_bucket):
+            offsets.append((g, b, acc, int(budgets[g])))
+            acc += per_bucket[b]
+    gtype = dict(df.dtypes)[group_col]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            offsets, f"`{group_col}` {gtype}, __qb long, __off long, __budget long"
+        )
+    )
+    w = (
+        Window.partitionBy(group_col, "__qb")
+        .orderBy(q.desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(off_df, on=[group_col, "__qb"])
+        .withColumn("cum_tokens", F.col("__off") + F.sum(toks).over(w))
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .drop("__qb", "__off", "__budget")
+    )

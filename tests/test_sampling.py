@@ -72,3 +72,49 @@ def test_ngram_contamination_flags_overlap(spark):
     train = sh.filter(F.col("doc_id") != 1)
     hits = dedup.ngram_contamination(train, bench).collect()
     assert [(r["doc_id"], r["n_leaked_shingles"]) for r in hits] == [(10, 1)]
+
+
+def test_budget_by_group_equals_per_group_single_runs(spark):
+    """select_within_token_budget_by_group must reproduce running the
+    single-group operator once per group, bit for bit — including
+    quality ties broken by id and groups absent from budgets dropped."""
+    from dbt_model_diff_spark.operators.sampling import (
+        select_within_token_budget,
+        select_within_token_budget_by_group,
+    )
+
+    rows = []
+    for i in range(60):
+        g = ["en", "es", "de"][i % 3]
+        rows.append((i, g, 10 + (i % 7), round(((i * 37) % 100) / 100.0, 2)))
+    df = spark.createDataFrame(rows, "doc_id long, g string, toks long, q double")
+    budgets = {"en": 80, "es": 45}
+
+    got = sorted(
+        (r["g"], r["doc_id"], r["cum_tokens"])
+        for r in select_within_token_budget_by_group(
+            df, "g", "doc_id", "toks", "q", budgets
+        ).collect()
+    )
+    exp = []
+    for g, b in budgets.items():
+        exp += [
+            (g, r["doc_id"], r["cum_tokens"])
+            for r in select_within_token_budget(
+                df.filter(df.g == g), "doc_id", "toks", "q", budget=b
+            ).collect()
+        ]
+    assert got == sorted(exp)
+    assert not [r for r in got if r[0] == "de"]  # unbudgeted group dropped
+    # per-group budget respected
+    for g, b in budgets.items():
+        assert max((c for gg, _, c in got if gg == g), default=0) <= b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        select_within_token_budget_by_group(df, "g", "doc_id", "toks", "q", {})
+    with _pytest.raises(ValueError, match="non-negative"):
+        select_within_token_budget_by_group(
+            df, "g", "doc_id", "toks", "q", {"en": -1}
+        )
