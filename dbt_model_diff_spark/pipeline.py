@@ -66,6 +66,11 @@ class CurationConfig:
     # optional token budget (sampling.select_within_token_budget);
     # None = keep everything that survived the gates
     token_budget: int | None = None
+    # optional PER-LANGUAGE token budgets (mixture construction via
+    # sampling.select_within_token_budget_by_group, keyed on lang_col);
+    # mutually exclusive with token_budget; langs absent from the dict
+    # are dropped (the operator's contract)
+    token_budgets_by_lang: dict | None = None
     # export
     shards: int = 8
 
@@ -74,6 +79,11 @@ class CurationConfig:
             raise ValueError("dedup must be 'exact', 'near', or 'none'")
         if self.min_tokens < 0 or self.min_stopwords < 0:
             raise ValueError("gate thresholds must be non-negative")
+        if self.token_budget is not None and self.token_budgets_by_lang:
+            raise ValueError(
+                "token_budget and token_budgets_by_lang are mutually"
+                " exclusive"
+            )
 
 
 def curate_corpus(
@@ -265,14 +275,24 @@ def curate_corpus(
     # prefix sum). Quality = capped length share, the budget-select
     # catalog query's proxy; callers with a classifier score should
     # pre-compute their own quality column and budget-select directly.
-    if c.token_budget is not None:
+    if c.token_budget is not None or c.token_budgets_by_lang:
         scored = cur.withColumn("__nt", textops.token_count(t)).withColumn(
             "__q",
             F.least(F.length(t).cast("double") / F.lit(2000.0), F.lit(1.0)),
         )
-        kept = sampling.select_within_token_budget(
-            scored, c.id_col, "__nt", "__q", budget=c.token_budget
-        )
+        if c.token_budgets_by_lang:
+            kept = sampling.select_within_token_budget_by_group(
+                scored,
+                c.lang_col,
+                c.id_col,
+                "__nt",
+                "__q",
+                budgets=c.token_budgets_by_lang,
+            )
+        else:
+            kept = sampling.select_within_token_budget(
+                scored, c.id_col, "__nt", "__q", budget=c.token_budget
+            )
         cur = kept.select(*cur.columns)
         account("budget_select", cur)
 

@@ -237,3 +237,34 @@ def test_curate_corpus_multilingual_stopword_markers(spark):
                 max_dup_token_frac=None,
             ),
         )
+
+
+def test_curate_corpus_per_lang_token_budgets(spark):
+    """token_budgets_by_lang hits each language's token target and
+    drops unbudgeted languages; exclusive with token_budget."""
+    rows = []
+    for i in range(30):
+        lang = ["en", "es", "de"][i % 3]
+        stop = {"en": "the", "es": "que", "de": "und"}[lang]
+        rows.append(
+            (i, f"{stop} word{i} " + " ".join(f"t{j}" for j in range(8)), lang)
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(
+        min_tokens=3, min_stopwords=0, max_dup_token_frac=None,
+        dedup="none", token_budgets_by_lang={"en": 30, "es": 50},
+    )
+    kept, report = curate_corpus(docs, cfg)
+    got = kept.collect()
+    langs = {r["lang"] for r in got}
+    assert langs <= {"en", "es"}          # de dropped by contract
+    per_lang_tokens = {}
+    for r in got:
+        per_lang_tokens[r["lang"]] = per_lang_tokens.get(r["lang"], 0) + len(
+            r["text"].split(" ")
+        )
+    assert per_lang_tokens["en"] <= 30 and per_lang_tokens["es"] <= 50
+    assert report[-1]["stage"] == "budget_select"
+
+    with pytest.raises(ValueError, match="mutually"):
+        CurationConfig(token_budget=10, token_budgets_by_lang={"en": 5})
