@@ -227,6 +227,11 @@ def curate_corpus(
             sh, pairs, threshold=c.jaccard_threshold
         ).select("id_a", "id_b")
         cur = dedup.near_dedup(cur, verified, id_col=c.id_col)
+        # pin the collapsed frame: decontamination, budget, accounting,
+        # and export each re-evaluate it, and relying on implicit
+        # shuffle-stage reuse across actions is fragile (an evicted
+        # shuffle file re-runs the whole LSH chain)
+        cur = sampling.pin(cur)
         account("dedup_near", cur)
 
     # 5. benchmark decontamination (dedup.ngram_contamination): any doc
