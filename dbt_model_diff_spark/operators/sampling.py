@@ -434,58 +434,20 @@ def select_within_token_budget(
     """
     if budget < 0:
         raise ValueError("budget must be non-negative")
-    q = F.col(quality_col)
-    toks = F.col(token_col)
-    # Pinned because the plan is evaluated TWICE — once for the bucket
-    # totals, once for the returned selection. Without the pin, a
-    # nondeterministic upstream (sampled input, rand-derived quality)
-    # would hand the two passes different rows and silently corrupt
-    # cum_tokens.
-    bucketed = pin(
-        df.withColumn(
-            "__qb", F.floor((F.lit(1.0) - q) * F.lit(int(buckets))).cast("long")
-        )
+    # Delegates to the by-group core over ONE synthetic constant group,
+    # so the two forms cannot drift (the parity the by-group test
+    # asserts holds by construction): identical bucket expression,
+    # offsets, window, tie-break, and NULL handling.
+    out = select_within_token_budget_by_group(
+        df.withColumn("__g", F.lit(0)),
+        "__g",
+        id_col,
+        token_col,
+        quality_col,
+        budgets={0: int(budget)},
+        buckets=buckets,
     )
-    stats = bucketed.groupBy("__qb").agg(
-        F.sum(toks).alias("t"),
-        F.sum(toks.isNull().cast("long")).alias("null_toks"),
-    )
-    totals: dict = {}
-    null_toks = 0
-    for r in stats.collect():
-        totals[r["__qb"]] = r["t"]
-        null_toks += r["null_toks"]
-    if None in totals:
-        raise ValueError(
-            f"{quality_col!r} contains NULLs — quality must be a non-null"
-            " score in [0, 1]"
-        )
-    if null_toks:
-        # a NULL token count would vanish from both running sums and
-        # admit the row for free — reject it like a NULL quality
-        raise ValueError(
-            f"{token_col!r} contains {null_toks} NULLs — token counts"
-            " must be non-null"
-        )
-    offsets, acc = [], 0
-    for b in sorted(totals):
-        offsets.append((b, acc))
-        acc += totals[b]
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "__qb long, __off long")
-    )
-    w = (
-        Window.partitionBy("__qb")
-        .orderBy(q.desc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        bucketed.join(off_df, on="__qb")
-        .withColumn("cum_tokens", F.col("__off") + F.sum(toks).over(w))
-        .filter(F.col("cum_tokens") <= budget)
-        .drop("__qb", "__off")
-    )
+    return out.drop("__g")
 
 
 def grouped_quantile_thresholds(
@@ -649,6 +611,15 @@ def select_within_token_budget_by_group(
             raise ValueError(f"budget for group {g!r} must be non-negative")
     q = F.col(quality_col)
     toks = F.col(token_col)
+    # NULL group values are a data-quality failure of the same class as
+    # NULL quality/tokens — raise loudly instead of letting isin drop
+    # them silently (code-review r7)
+    n_null_groups = df.filter(F.col(group_col).isNull()).limit(1).count()
+    if n_null_groups:
+        raise ValueError(
+            f"{group_col!r} contains NULLs — group values must be"
+            " non-null (fix language-ID / provenance upstream)"
+        )
     bucketed = pin(
         df.filter(F.col(group_col).isin(list(budgets)))
         .withColumn(

@@ -79,11 +79,18 @@ class CurationConfig:
             raise ValueError("dedup must be 'exact', 'near', or 'none'")
         if self.min_tokens < 0 or self.min_stopwords < 0:
             raise ValueError("gate thresholds must be non-negative")
-        if self.token_budget is not None and self.token_budgets_by_lang:
+        if (
+            self.token_budget is not None
+            and self.token_budgets_by_lang is not None
+        ):
             raise ValueError(
                 "token_budget and token_budgets_by_lang are mutually"
                 " exclusive"
             )
+        if self.token_budgets_by_lang is not None and not self.token_budgets_by_lang:
+            # match the operator's contract instead of silently skipping
+            # the budget stage on an empty mixture table
+            raise ValueError("token_budgets_by_lang must name at least one lang")
 
 
 def curate_corpus(
@@ -148,9 +155,12 @@ def curate_corpus(
     # plus an unknown lang is a config error surfaced loudly here.
     t = F.col(c.text_col)
     n_tokens = textops.token_count(t)
-    marker_langs = (
-        list(c.keep_langs) if c.keep_langs is not None else ["en"]
-    )
+    lang_surfaces: set = set()
+    if c.keep_langs is not None:
+        lang_surfaces |= set(c.keep_langs)
+    if c.token_budgets_by_lang:
+        lang_surfaces |= set(c.token_budgets_by_lang)
+    marker_langs = sorted(lang_surfaces) if lang_surfaces else ["en"]
     markers = sorted(
         {
             w
@@ -214,7 +224,9 @@ def curate_corpus(
         # entirely — exact copies of short docs must still collapse
         # (code-review r7; near-MISS short docs remain out of scope,
         # "near" is ill-defined under the shingle size)
-        cur = dedup.exact_dedup(cur, text_col=c.text_col, id_col=c.id_col)
+        cur = sampling.pin(
+            dedup.exact_dedup(cur, text_col=c.text_col, id_col=c.id_col)
+        )
         account("dedup_exact", cur)
         sh = _shingle_frame(cur)
         sigs = dedup.minhash_signatures(sh, num_hashes=c.num_hashes)
@@ -280,7 +292,7 @@ def curate_corpus(
     # prefix sum). Quality = capped length share, the budget-select
     # catalog query's proxy; callers with a classifier score should
     # pre-compute their own quality column and budget-select directly.
-    if c.token_budget is not None or c.token_budgets_by_lang:
+    if c.token_budget is not None or c.token_budgets_by_lang is not None:
         scored = cur.withColumn("__nt", textops.token_count(t)).withColumn(
             "__q",
             F.least(F.length(t).cast("double") / F.lit(2000.0), F.lit(1.0)),

@@ -268,3 +268,40 @@ def test_curate_corpus_per_lang_token_budgets(spark):
 
     with pytest.raises(ValueError, match="mutually"):
         CurationConfig(token_budget=10, token_budgets_by_lang={"en": 5})
+
+
+def test_budget_lang_config_edges(spark):
+    """Empty budgets dict is a loud config error; budgeted langs feed
+    the stopword marker set even without keep_langs (the review-r7
+    re-exposure: es docs must survive min_stopwords=1 when es is
+    budgeted)."""
+    with pytest.raises(ValueError, match="at least one lang"):
+        CurationConfig(token_budgets_by_lang={})
+    with pytest.raises(ValueError, match="mutually"):
+        CurationConfig(token_budget=1, token_budgets_by_lang={"en": 1})
+    rows = [
+        (1, "el motor que procesa los documentos importantes corre bien", "es"),
+        (2, "the engine and the documents of the corpus run fast", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(
+        min_tokens=3, min_stopwords=1, max_dup_token_frac=None,
+        dedup="none", token_budgets_by_lang={"en": 1000, "es": 1000},
+    )
+    kept, _ = curate_corpus(docs, cfg)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+
+
+def test_budget_by_group_null_group_raises(spark):
+    from dbt_model_diff_spark.operators.sampling import (
+        select_within_token_budget_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 5, 0.5), (2, None, 5, 0.5)],
+        "doc_id long, g string, toks long, q double",
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        select_within_token_budget_by_group(
+            df, "g", "doc_id", "toks", "q", {"en": 10}
+        )
