@@ -354,3 +354,118 @@ def test_grouped_quantile_thresholds_property(spark, data, shift, desc, fracs):
         for i, (num, den) in enumerate(fracs):
             q = (len(keys) * num + den - 1) // den
             assert out[g][f"thr_{i}"] == s[q - 1], (g, i, s, q)
+
+
+def _bm25_replay(docs, terms, k):
+    import math  # noqa: F401  (parity: no libm in the replay either)
+
+    corpus = {i: t.split(" ") for i, t in docs if t is not None}
+    n_docs = len(corpus)
+    n_toks = sum(len(t) for t in corpus.values())
+    avgdl = float(n_toks) / float(n_docs)
+    dfreq = {t: sum(1 for tk in corpus.values() if t in tk) for t in terms}
+    out = []
+    for i, tk in corpus.items():
+        dl = float(len(tk))
+        score = 0.0
+        for t in terms:
+            idf = (float(n_docs - dfreq[t]) + 0.5) / (float(dfreq[t]) + 0.5)
+            tf = float(tk.count(t))
+            score = score + idf * (
+                (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+            )
+        out.append((i, sum(1 for t in terms if t in tk), int(score * 1_000_000 // 1)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh xx".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    terms=st.lists(
+        st.sampled_from("ab cd ef zz".split()), min_size=1, max_size=3, unique=True
+    ),
+    k=st.integers(1, 5),
+)
+def test_bm25_topk_random_corpora_replay(spark, texts, terms, k):
+    """bm25_topk == the pure-Python replay (fixed-association IEEE,
+    rational idf, floor key, (score desc, id) top-k) on ANY corpus —
+    including all-zero-match corpora and df == n_docs terms."""
+    from dbt_model_diff_spark.operators.textops import bm25_topk
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["n_terms_matched"], r["score_micro"])
+        for r in bm25_topk(df, list(terms), k=k).collect()
+    ]
+    assert got == _bm25_replay(docs, list(terms), k)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=8),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_lm_backoff_random_corpora_replay(spark, data):
+    """lm_backoff_score == the pure-Python stupid-backoff replay on ANY
+    target/raw split (including empty raw side, all-backoff docs, and
+    sub-2-token docs vanishing) — guards the pinned-model-table and
+    vocab-pre-join rewrites against semantic drift."""
+    from dbt_model_diff_spark.operators.textops import lm_backoff_score
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(t) if t else None, tgt) for i, (t, tgt) in enumerate(data)]
+    # the operator requires a non-empty target bigram table
+    tgt_bigrams = sum(
+        max(0, len(t) - 1) for (t, tgt) in data if tgt and t
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    if tgt_bigrams == 0:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="no bigrams"):
+            lm_backoff_score(df, target=F.col("tgt")).collect()
+        return
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_backoff"], r["score_sum"])
+        for r in lm_backoff_score(df, target=F.col("tgt")).collect()
+    }
+    cb: dict = {}
+    for _, text, tgt in rows:
+        if tgt and text:
+            toks = text.split(" ")
+            for pr in zip(toks, toks[1:]):
+                cb[pr] = cb.get(pr, 0) + 1
+    cp: dict = {}
+    cu: dict = {}
+    for (pp, w), cnt in cb.items():
+        cp[pp] = cp.get(pp, 0) + cnt
+        cu[w] = cu.get(w, 0) + cnt
+    nn = sum(cb.values())
+    exp = {}
+    for i, text, tgt in rows:
+        if tgt or not text:
+            continue
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        prs = list(zip(toks, toks[1:]))
+        ssum = sum(
+            (cb[pr] * 1_000_000) // cp[pr[0]]
+            if pr in cb
+            else (2 * cu.get(pr[1], 0) * 1_000_000) // (5 * nn)
+            for pr in prs
+        )
+        exp[i] = (len(prs), sum(1 for pr in prs if pr not in cb), ssum)
+    assert got == exp
