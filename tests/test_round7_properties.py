@@ -469,3 +469,56 @@ def test_lm_backoff_random_corpora_replay(spark, data):
         )
         exp[i] = (len(prs), sum(1 for pr in prs if pr not in cb), ssum)
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(st.sampled_from("w1 w2 w3 w4".split()), min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    chunk=st.sampled_from([4, 16]),
+)
+def test_source_overlap_matrix_random_replay(spark, docs, chunk):
+    """source_overlap_matrix == the pure-Python chunk replay on ANY
+    corpus: stride==chunk windows from position 0, last chunk short,
+    empty chunks dropped, DISTINCT per source, pairs source_a < source_b,
+    share = shared/min — guards the chunk_documents delegation."""
+    from dbt_model_diff_spark.operators.dedup import source_overlap_matrix
+
+    rows = [
+        (i, " ".join(t) if t else None, s) for i, (s, t) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared_chunks"], r["n_a"], r["n_b"], r["overlap_share"]
+        )
+        for r in source_overlap_matrix(df, chunk_tokens=chunk).collect()
+    }
+    sets: dict = {}
+    for _, text, s in rows:
+        if text is None:
+            continue
+        toks = text.split(" ")
+        for start in range(0, max(len(toks), 1), chunk):
+            ctext = " ".join(toks[start : start + chunk])
+            if ctext:
+                sets.setdefault(s, set()).add(ctext)
+    exp = {}
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(sets[a] & sets[b])
+            if shared:
+                exp[(a, b)] = (
+                    shared,
+                    len(sets[a]),
+                    len(sets[b]),
+                    float(shared) / float(min(len(sets[a]), len(sets[b]))),
+                )
+    assert got == exp
