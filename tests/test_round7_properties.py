@@ -522,3 +522,43 @@ def test_source_overlap_matrix_random_replay(spark, docs, chunk):
                     float(shared) / float(min(len(sets[a]), len(sets[b]))),
                 )
     assert got == exp
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # quantized coords force dist_micro ties
+            st.integers(0, 3),
+        ),
+        min_size=3,
+        max_size=16,
+    ),
+    num_den=st.sampled_from([(1, 2), (3, 5), (1, 1)]),
+    shift=st.sampled_from([0, 40]),
+)
+def test_prototype_prune_random_replay(spark, vecs, num_den, shift):
+    """prototype_prune's keep set == the naive (dist desc, id) rank from
+    its OWN integer keys on random low-precision vectors (quantized
+    coordinates collide constantly, hammering the tie machinery) across
+    bucket_shift extremes."""
+    num, den = num_den
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = [rows[0][1], rows[-1][1]] if len(rows) > 1 else [rows[0][1]]
+    out = similarity.prototype_prune(
+        df, keep_num=num, keep_den=den, policy="hard", iters=2,
+        init=init, bucket_shift=shift,
+    ).collect()
+    assert len(out) == len(rows)
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for rs in by_cluster.values():
+        n = len(rs)
+        quota = (n * num + den - 1) // den
+        rs.sort(key=lambda r: (-r["dist_micro"], r["vec_id"]))
+        expect = {r["vec_id"] for r in rs[:quota]}
+        got = {r["vec_id"] for r in rs if r["kept"]}
+        assert got == expect
+        assert all(r["n_cluster"] == n for r in rs)
