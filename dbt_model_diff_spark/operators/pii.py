@@ -108,6 +108,10 @@ def scrub_credit_cards(
     pre-existing placeholder literal in the input.
     """
     text = F.col(text_col)
+    # regexp_replace treats $ and \ specially in the REPLACEMENT string
+    # (Java group references) — quote them, Matcher.quoteReplacement
+    # style, so placeholder='<$1>' cannot crash the job
+    placeholder = placeholder.replace("\\", "\\\\").replace("$", "\\$")
     runs = F.regexp_extract_all(text, F.lit("[0-9]+"), F.lit(0))
     cands = F.array_distinct(
         F.filter(

@@ -1842,6 +1842,18 @@ def lm_quality_bands(
 
     # evaluated three times (histogram, boundary refinement, final
     # band join) — pinned via the capped release registry
+    # NULL groups would silently vanish in the thresholds inner join
+    # (grouped_quantile_thresholds excludes them) — raise loudly, the
+    # select_within_token_budget_by_group contract
+    if (
+        df.filter(F.col(text_col).isNotNull() & F.col(group_col).isNull())
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            f"lm_quality_bands: {group_col!r} contains NULLs — fix"
+            " language-ID upstream or coalesce to a sentinel group"
+        )
     scored = _sampling.pin(
         lm_backoff_score(
             df, target, text_col=text_col, extra_cols=(group_col,)

@@ -120,8 +120,8 @@ def curate_corpus(
             {"stage": stage, "docs": int(row["docs"]), "tokens": int(row["tokens"])}
         )
 
+    account("input", df)  # pre-filter: NULL-text docs count as input
     base = df.filter(F.col(c.text_col).isNotNull())
-    account("input", base)
 
     # 1. normalize (textops.normalize_text) — dedup hashes see the
     # normalized text, so trivially-different copies collide
@@ -139,6 +139,10 @@ def curate_corpus(
             for col in df.columns
         ]
     )
+    # its own report row, so the input -> normalize delta isolates the
+    # NULL-text drop + normalization token shrinkage from gate drops
+    # (later stages count tokens on NORMALIZED text)
+    account("normalize", cur)
 
     # 2. language allowlist (a scan-fused filter — runs before the
     # token arithmetic so dropped languages cost nothing)
@@ -168,11 +172,20 @@ def curate_corpus(
             for w in textops.LANG_MARKERS.get(lang, [])
         }
     )
-    if c.min_stopwords > 0 and not markers:
-        raise ValueError(
-            f"min_stopwords={c.min_stopwords} but no stopword markers"
-            f" exist for keep_langs={c.keep_langs}"
+    if c.min_stopwords > 0 and lang_surfaces:
+        uncovered = sorted(
+            l for l in lang_surfaces if not textops.LANG_MARKERS.get(l)
         )
+        if uncovered:
+            # a PARTIALLY covered allowlist is the trap: en markers
+            # exist, so the gate runs, and every doc of the marker-less
+            # language silently fails stop >= 1 (code-review r7 final
+            # pass) — refuse instead
+            raise ValueError(
+                f"min_stopwords={c.min_stopwords} but no stopword"
+                f" markers exist for language(s) {uncovered} — add"
+                " markers or set min_stopwords=0"
+            )
     stop = sum(
         (textops.word_marker_count(t, w) for w in markers), F.lit(0)
     )
@@ -182,13 +195,19 @@ def curate_corpus(
     # 3. Gopher repetition gate (textops.repetition_signals): drop docs
     # whose duplicate-token fraction exceeds the cap; semi-join on ids
     # so the bigram pipeline never carries the text columns
-    if c.max_dup_token_frac is not None:
-        rep_in = (
-            cur
-            if c.id_col == "doc_id"
-            else cur.select(F.col(c.id_col).alias("doc_id"), F.col(c.text_col))
+    def _as_doc_id(frame):
+        """Project (doc_id, text) for the operators that hardcode the
+        doc_id column name — ONE alias site for the id_col contract."""
+        if c.id_col == "doc_id":
+            return frame
+        return frame.select(
+            F.col(c.id_col).alias("doc_id"), F.col(c.text_col)
         )
-        bad = textops.repetition_signals(rep_in, text_col=c.text_col).filter(
+
+    if c.max_dup_token_frac is not None:
+        bad = textops.repetition_signals(
+            _as_doc_id(cur), text_col=c.text_col
+        ).filter(
             F.col("dup_token_frac") > c.max_dup_token_frac
         )
         cur = cur.join(
@@ -203,17 +222,10 @@ def curate_corpus(
     cur = sampling.pin(cur)
 
     # 4. dedup. textops.shingles keys on a literal doc_id column, so a
-    # custom id_col is aliased in for the shingle stages (code-review
-    # r7: the config contract must hold off its default too).
-    def _shingle_frame(frame):
-        sh_in = (
-            frame
-            if c.id_col == "doc_id"
-            else frame.select(
-                F.col(c.id_col).alias("doc_id"), F.col(c.text_col)
-            )
-        )
-        return textops.shingles(sh_in, text_col=c.text_col, n=c.shingle_n)
+    # custom id_col goes through _as_doc_id (code-review r7: the config
+    # contract must hold off its default too).
+    def _shingle_frame(frame, n):
+        return textops.shingles(_as_doc_id(frame), text_col=c.text_col, n=n)
 
     if c.dedup == "exact":
         cur = dedup.exact_dedup(cur, text_col=c.text_col, id_col=c.id_col)
@@ -228,7 +240,7 @@ def curate_corpus(
             dedup.exact_dedup(cur, text_col=c.text_col, id_col=c.id_col)
         )
         account("dedup_exact", cur)
-        sh = _shingle_frame(cur)
+        sh = _shingle_frame(cur, c.shingle_n)
         sigs = dedup.minhash_signatures(sh, num_hashes=c.num_hashes)
         pairs = dedup.lsh_candidate_pairs(
             sigs,
@@ -266,14 +278,7 @@ def curate_corpus(
             bench_base = bench_base.withColumn(
                 c.text_col, scrub_expr(F.col(c.text_col))
             )
-        train_sh = (
-            cur
-            if c.id_col == "doc_id"
-            else cur.select(F.col(c.id_col).alias("doc_id"), F.col(c.text_col))
-        )
-        train_sh = textops.shingles(
-            train_sh, text_col=c.text_col, n=c.decontam_shingle_n
-        )
+        train_sh = _shingle_frame(cur, c.decontam_shingle_n)
         bench_sh = textops.shingles(
             bench_base,
             text_col=c.text_col,
@@ -328,6 +333,14 @@ def release_corpus(
     with its own manifest. Returns (manifest frame, stage report); the
     report gains an ``export`` row counting what actually landed."""
     kept, report = curate_corpus(df, config=config, benchmark=benchmark)
+    if report[-1]["docs"] == 0:
+        # writing an empty partitioned export would make the manifest
+        # re-read fail with an opaque UNABLE_TO_INFER_SCHEMA — fail
+        # with the actual story instead
+        raise ValueError(
+            "release_corpus: curation kept 0 documents (see the stage"
+            f" report: {report})"
+        )
     manifest = sinks.write_training_shards(
         kept,
         path,

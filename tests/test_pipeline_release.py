@@ -38,6 +38,7 @@ def test_curate_corpus_stages_monotone_and_deterministic(spark, sf_dir):
     stages = [r["stage"] for r in report]
     assert stages == [
         "input",
+        "normalize",
         "quality_gate",
         "repetition_gate",
         "dedup_exact",
@@ -305,3 +306,63 @@ def test_budget_by_group_null_group_raises(spark):
         select_within_token_budget_by_group(
             df, "g", "doc_id", "toks", "q", {"en": 10}
         )
+
+
+def test_final_review_regressions(spark):
+    """(a) partially-covered language allowlist errors loudly instead of
+    silently mass-dropping the marker-less language; (b) zero-kept
+    release raises a clean error, not UNABLE_TO_INFER_SCHEMA; (c) the
+    report's input row counts NULL-text docs and a normalize row
+    isolates the shrinkage."""
+    rows = [
+        (1, "the quick brown fox and the lazy dog run tonight", "en"),
+        (2, "documento italiano senza parole inglesi dentro qui", "it"),
+        (3, None, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match=r"\['it'\]"):
+        curate_corpus(
+            docs,
+            CurationConfig(keep_langs=("en", "it"), min_stopwords=1,
+                           max_dup_token_frac=None, dedup="none"),
+        )
+    _, report = curate_corpus(
+        docs,
+        CurationConfig(min_tokens=3, min_stopwords=0,
+                       max_dup_token_frac=None, dedup="none"),
+    )
+    assert report[0] == {"stage": "input", "docs": 3, "tokens": 17}
+    assert report[1]["stage"] == "normalize" and report[1]["docs"] == 2
+
+    import tempfile
+
+    with pytest.raises(ValueError, match="kept 0 documents"):
+        release_corpus(
+            docs,
+            tempfile.mkdtemp(prefix="dmds_empty_release_"),
+            CurationConfig(min_tokens=10_000, min_stopwords=0,
+                           max_dup_token_frac=None, dedup="none"),
+        )
+
+
+def test_lm_quality_bands_null_group_raises(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators.textops import lm_quality_bands
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", None, True), (2, "a b e f", "en", False)],
+        "doc_id long, text string, lang string, tgt boolean",
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        lm_quality_bands(df, target=F.col("tgt"))
+
+
+def test_scrub_credit_cards_placeholder_metachars(spark):
+    from dbt_model_diff_spark.operators.pii import scrub_credit_cards
+
+    df = spark.createDataFrame(
+        [(1, "pay 4111111111111111 now")], "doc_id long, text string"
+    )
+    out = scrub_credit_cards(df, placeholder="<$1\\x>").collect()[0]
+    assert out["scrubbed"] == "pay <$1\\x> now"
