@@ -66,9 +66,15 @@ def luhn_valid(candidate: Column) -> Column:
     """Luhn checksum over a contiguous-digit string column — pure
     codegen higher-order functions, exact integer arithmetic (no UDF,
     engine-portable): digits are walked right-to-left, every second one
-    doubled with the >9 wrap (2d - 9), total % 10 == 0."""
+    doubled with the >9 wrap (2d - 9), total % 10 == 0.
+
+    split(str, '') emits a trailing empty element on Spark < 3.4; an
+    unfiltered '' would cast to NULL and null the whole aggregate,
+    silently failing EVERY candidate (ADVICE r7). Filtering empties
+    first makes the expression version-independent AND keeps the
+    doubled-index parity anchored at the last real digit."""
     digits = F.transform(
-        F.split(F.reverse(candidate), ""),
+        F.filter(F.split(F.reverse(candidate), ""), lambda x: x != ""),
         lambda x, i: F.when(
             i % 2 == 1,
             F.when(x.cast("int") * 2 > 9, x.cast("int") * 2 - 9).otherwise(

@@ -692,11 +692,18 @@ def dsir_importance(
     caller's policy knob; the threshold form here is its deterministic
     stand-in.
 
-    Scale shape: ONE corpus pass explodes features; the model fit is a
-    map-side-combined aggregate to ``n_buckets`` rows (vocab-scale:
-    tiny) plus a 1-row total; scoring re-joins the feature stream to
-    the broadcast 64-row lam table and aggregates per doc — one
-    doc-keyed shuffle, no windows, no driver data, no UDFs.
+    Scale shape: the feature explode is expressed ONCE but the corpus
+    is scanned TWICE per action — the model fit aggregates the exploded
+    stream to ``n_buckets`` rows (vocab-scale: tiny) plus a 1-row
+    total, and the scoring side re-derives the same stream to join it
+    to the broadcast 64-row lam table and aggregate per doc (one
+    doc-keyed shuffle, no windows, no driver data, no UDFs). The shared
+    ``staged`` frame is deliberately NOT pinned (ADVICE r7 weighed
+    both): caching a corpus-scale exploded token stream to save one
+    columnar scan trades executor storage memory for IO at exactly the
+    scale where storage is the scarcer resource — unlike
+    lm_backoff_score, whose pinned frame is the tiny model derivation,
+    not the corpus. SURVEY §9's probe records exactly these two scans.
     """
     nb = int(n_buckets)
     bucket = (
@@ -1528,25 +1535,61 @@ def corpus_frequency_score(
     )
 
 
+def nfc_expr(col):
+    """Unicode NFC normalization as an Arrow-batched column expression.
+
+    Composed-vs-decomposed accent sequences ("é" as U+00E9 vs
+    U+0065 U+0301) render identically but HASH differently, so a
+    multilingual corpus that skips canonical normalization before
+    dedup keeps visually-identical duplicates (UAX #15; CCNet and
+    RefinedWeb both NFC/NFKC at ingest). Python's ``unicodedata``
+    implements the same Unicode standard algorithm as DuckDB's
+    ``nfc_normalize``, which makes this kernel oracle-checkable
+    bit-for-bit (tests/test_extensions.py::test_nfc_normalize_duckdb_parity).
+
+    Shape: a scalar ``pandas_udf`` — Arrow batch transfer, no
+    row-at-a-time pickling — kept as a COLUMN expression rather than a
+    mapInPandas schema rewrite so it stays a projection: it fuses into
+    whatever select/filter surrounds it, forces no extra pass over
+    non-text columns, and moves no data (zero shuffles). str.normalize
+    on the pandas StringDtype array loops in C over the batch. NFC is
+    idempotent, so re-running at multiple pipeline stages is safe.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # lambda + explicit returnType instead of type-hint inference: this
+    # module's `from __future__ import annotations` stringifies hints,
+    # which PySpark's eval-type inference cannot resolve. pandas
+    # Series.str.normalize wraps unicodedata.normalize and preserves
+    # nulls (None stays None).
+    _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), StringType())
+    return _nfc(col)
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",
     lowercase: bool = True,
     collapse_whitespace: bool = True,
     strip_control: bool = True,
+    nfc: bool = False,
     out_col: str = "text_norm",
 ) -> DataFrame:
     """Deterministic text normalization — the first pass of every
     curation pipeline (before dedup hashing, so trivially-different
-    copies of the same content collide): lowercase, strip C0/C1 control
-    characters, collapse whitespace runs to single spaces, and trim.
+    copies of the same content collide): optional Unicode NFC fold
+    (:func:`nfc_expr`), lowercase, strip C0/C1 control characters,
+    collapse whitespace runs to single spaces, and trim.
 
-    Deliberately ASCII-transparent and regex-only: Unicode NFC/NFKC
-    folding needs ICU (a Python UDF here), and half its value is
-    codec-dependent — pipelines that need it should normalize at ingest.
-    Everything below is codegen'd regexp_replace/lower/trim — zero
-    shuffles, zero UDFs, and each rule is expressible verbatim in any
-    RE2/PCRE SQL twin.
+    ``nfc=False`` keeps the default pass ASCII-transparent and
+    regex-only — codegen'd regexp_replace/lower/trim, zero shuffles,
+    zero UDFs, each rule expressible verbatim in any RE2/PCRE SQL
+    twin. ``nfc=True`` prepends the Arrow-batched canonical fold
+    (the one ingest-side step a real multilingual corpus needs before
+    hashing — composed and decomposed accents must collide); it runs
+    FIRST so the regex rules see canonical code points, and it is
+    DuckDB-oracle-checkable via ``nfc_normalize`` (VERDICT r7 task #4).
 
     Emits the original frame plus ``out_col`` and ``norm_changed`` (did
     normalization alter the text — the curation report signal).
@@ -1556,6 +1599,8 @@ def normalize_text(
     null-text docs (the null-propagating ``!=`` did exactly that).
     """
     c = F.col(text_col)
+    if nfc:
+        c = nfc_expr(c)
     if strip_control:
         c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
     if lowercase:

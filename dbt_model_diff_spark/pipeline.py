@@ -41,6 +41,12 @@ class CurationConfig:
 
     text_col: str = "text"
     id_col: str = "doc_id"
+    # Unicode NFC canonical fold (textops.nfc_expr) as the FIRST
+    # normalization step — composed vs decomposed accents must hash
+    # identically before dedup on a multilingual corpus (VERDICT r7
+    # task #4). Off by default: the ASCII corpus tests and oracle
+    # replays stay UDF-free.
+    nfc: bool = False
     # PII redaction (pii.scrub_expr: email/IP/phone), applied right
     # after normalization so dedup hashes see the scrubbed text
     scrub_pii: bool = False
@@ -60,6 +66,14 @@ class CurationConfig:
     bands: int = 4
     rows_per_band: int = 2
     jaccard_threshold: float = 0.8
+    # LSH degenerate-bucket cap (dedup.lsh_candidate_pairs): buckets
+    # larger than this are dropped to keep the in-bucket self-join
+    # linear. The drops are NEVER silent here — the dedup_near report
+    # row carries the guard ledger (dropped_rows / dropped_buckets /
+    # dropped_pairs_x2), so a web-scale run where a boilerplate family
+    # outgrows the cap shows up in the release accounting instead of
+    # surviving "near" dedup without a trace (ADVICE r7).
+    max_bucket_size: int = 1000
     # decontamination shingle size (13-gram words is the common
     # criterion at scale; tiny test corpora use smaller)
     decontam_shingle_n: int = 5
@@ -125,7 +139,7 @@ def curate_corpus(
 
     # 1. normalize (textops.normalize_text) — dedup hashes see the
     # normalized text, so trivially-different copies collide
-    normed = textops.normalize_text(base, text_col=c.text_col)
+    normed = textops.normalize_text(base, text_col=c.text_col, nfc=c.nfc)
     text_out = F.col("text_norm")
     if c.scrub_pii:
         from dbt_model_diff_spark.operators.pii import scrub_expr
@@ -242,10 +256,13 @@ def curate_corpus(
         account("dedup_exact", cur)
         sh = _shingle_frame(cur, c.shingle_n)
         sigs = dedup.minhash_signatures(sh, num_hashes=c.num_hashes)
+        guard_stats: dict = {}
         pairs = dedup.lsh_candidate_pairs(
             sigs,
             bands=c.bands,
             rows_per_band=c.rows_per_band,
+            max_bucket_size=c.max_bucket_size,
+            guard_stats=guard_stats,
         )
         verified = dedup.ngram_jaccard_pairs(
             sh, pairs, threshold=c.jaccard_threshold
@@ -256,7 +273,11 @@ def curate_corpus(
         # shuffle-stage reuse across actions is fragile (an evicted
         # shuffle file re-runs the whole LSH chain)
         cur = sampling.pin(cur)
+        # the guard ledger rides the stage row: dropped_buckets > 0
+        # means duplicate families bigger than max_bucket_size were NOT
+        # near-deduped this run (ADVICE r7 — the silent-coverage hole)
         account("dedup_near", cur)
+        report[-1].update(guard_stats)
 
     # 5. benchmark decontamination (dedup.ngram_contamination): any doc
     # sharing a decontam_shingle_n-gram with the benchmark is dropped
@@ -265,11 +286,24 @@ def curate_corpus(
         # corpus before shingling — raw-vs-normalized shingles never
         # match (capitalized benchmark prose would make decontamination
         # a silent no-op; code-review r7 repro)
+        # Benchmark ids are never consumed past the distinct-shingle
+        # set (dedup.ngram_contamination folds the bench side to
+        # distinct shingles before the join), so when the configured
+        # id_col is absent we synthesize a deterministic one from the
+        # normalized text rather than aliasing whatever column happens
+        # to come first — columns[0] could BE the text column, silently
+        # shipping raw prose as ids (ADVICE r7).
+        bench_id = (
+            F.col(c.id_col)
+            if c.id_col in benchmark.columns
+            else F.md5(F.col("text_norm"))
+        )
         bench_base = textops.normalize_text(
             benchmark.filter(F.col(c.text_col).isNotNull()),
             text_col=c.text_col,
+            nfc=c.nfc,
         ).select(
-            F.col(c.id_col if c.id_col in benchmark.columns else benchmark.columns[0]).alias("doc_id"),
+            bench_id.alias("doc_id"),
             F.col("text_norm").alias(c.text_col),
         )
         if c.scrub_pii:

@@ -1548,3 +1548,73 @@ def test_scrub_credit_cards_luhn_verified(spark):
         [("79927398713",), ("79927398710",), ("0",)], "s string"
     ).select(luhn_valid(F.col("s")).alias("ok")).collect()
     assert [r["ok"] for r in lv] == [True, False, True]
+
+
+def test_nfc_normalize_duckdb_parity(spark):
+    """textops.nfc_expr vs DuckDB's nfc_normalize — both implement UAX
+    #15 canonical composition, so every output string must match
+    bit-for-bit (VERDICT r7 task #4). The fixture covers the classic
+    traps: decomposed Latin accents, Hangul jamo composition, already-
+    composed input (idempotence), singleton replacements (Angstrom
+    sign, ohm sign), combining-mark reordering, and plain ASCII."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators.textops import nfc_expr
+
+    samples = [
+        "café du monde",                # e + combining acute -> é
+        "café du monde",                 # already composed
+        "각",                 # Hangul jamo -> 각
+        "Å vs Å",                   # Angstrom sign -> Å
+        "Ω resistance",                  # ohm sign -> Ω (U+03A9)
+        "q̣̇",                      # combining reorder (dot below first)
+        "plain ascii stays put",
+        "",                                   # empty string
+        "mixed: nöel and ﬁve",     # o+diaeresis; fi-ligature NOT folded (NFC, not NFKC)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i long, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", nfc_expr(F.col("s")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        exp = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert got[i] == exp, f"sample {i}: spark={got[i]!r} duckdb={exp!r}"
+    # nulls pass through
+    dfn = spark.createDataFrame([(0, None)], "i long, s string")
+    assert dfn.select(nfc_expr(F.col("s")).alias("n")).collect()[0]["n"] is None
+    # idempotence on the whole fixture
+    twice = df.select(nfc_expr(nfc_expr(F.col("s"))).alias("n")).collect()
+    once = df.select(nfc_expr(F.col("s")).alias("n")).collect()
+    assert [r["n"] for r in twice] == [r["n"] for r in once]
+
+
+def test_normalize_text_nfc_knob_and_curation_config(spark):
+    """nfc=True makes composed and decomposed copies of the same text
+    collide in the dedup hash space; the CurationConfig knob threads it
+    through curate_corpus (corpus AND benchmark sides)."""
+    from dbt_model_diff_spark.operators.textops import normalize_text
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (1, "le café est bon ce soir ici", "fr"),
+        (2, "le café est bon ce soir ici", "fr"),
+        (3, "an entirely unrelated document right here", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    off = normalize_text(docs, nfc=False).select("doc_id", "text_norm").collect()
+    on = normalize_text(docs, nfc=True).select("doc_id", "text_norm").collect()
+    t_off = {r["doc_id"]: r["text_norm"] for r in off}
+    t_on = {r["doc_id"]: r["text_norm"] for r in on}
+    assert t_off[1] != t_off[2]     # regex-only pass keeps them distinct
+    assert t_on[1] == t_on[2]       # NFC collides them
+
+    cfg = CurationConfig(nfc=True, min_tokens=3, min_stopwords=0,
+                         max_dup_token_frac=None, dedup="exact")
+    kept, _ = curate_corpus(docs, cfg)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}  # 2 deduped into 1

@@ -366,3 +366,88 @@ def test_scrub_credit_cards_placeholder_metachars(spark):
     )
     out = scrub_credit_cards(df, placeholder="<$1\\x>").collect()[0]
     assert out["scrubbed"] == "pay <$1\\x> now"
+
+
+def test_curate_corpus_guard_ledger_on_dedup_near_row(spark):
+    """ADVICE r7 (medium): the LSH degenerate-bucket guard must never
+    drop coverage silently inside the pipeline — the dedup_near report
+    row carries the guard ledger, and CurationConfig.max_bucket_size
+    reaches lsh_candidate_pairs. With the cap forced below the
+    boilerplate family's bucket size, the family's near-duplicates
+    SURVIVE (the exact silent-coverage failure) but the ledger says so."""
+    family = [
+        (i, "the quick brown fox jumps over the lazy dog tonight", "en")
+        for i in range(1, 8)
+    ]
+    rows = family + [
+        (100, "an entirely unrelated document about the data engine", "en")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base = dict(min_tokens=3, min_stopwords=0, max_dup_token_frac=None,
+                dedup="near", shingle_n=3)
+
+    # exact copies collapse in the exact pre-pass, so make them NEAR
+    # dups: vary one trailing token per doc (jaccard still high)
+    near = [
+        (i, f"the quick brown fox jumps over the lazy dog tonight x{'y' * (i % 2)}", "en")
+        for i in range(1, 8)
+    ] + [(100, "an entirely unrelated document about the data engine", "en")]
+    docs = spark.createDataFrame(near, "doc_id long, text string, lang string")
+
+    kept_ok, report_ok = curate_corpus(docs, CurationConfig(**base))
+    row_ok = next(r for r in report_ok if r["stage"] == "dedup_near")
+    assert row_ok["dropped_buckets"] == 0
+    assert row_ok["dropped_rows"] == 0
+    assert row_ok["dropped_pairs_x2"] == 0
+    n_ok = kept_ok.count()
+
+    kept_cap, report_cap = curate_corpus(
+        docs, CurationConfig(**base, max_bucket_size=1)
+    )
+    row_cap = next(r for r in report_cap if r["stage"] == "dedup_near")
+    # every bucket with >1 member was dropped -> no candidate pairs ->
+    # the near-dup family survives, and the ledger records the drops
+    assert row_cap["dropped_buckets"] > 0
+    assert row_cap["dropped_rows"] > row_cap["dropped_buckets"]
+    assert row_cap["dropped_pairs_x2"] > 0
+    assert kept_cap.count() > n_ok
+
+
+def test_curate_corpus_benchmark_without_id_col(spark):
+    """ADVICE r7: a benchmark frame lacking the configured id column
+    must not alias its first column (possibly the TEXT) as doc_id — a
+    deterministic id is synthesized and decontamination still fires."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight", "en"),
+            (2, "an entirely unrelated document about the data engine", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # text-FIRST benchmark with no doc_id column at all
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog tonight",)],
+        "text string",
+    )
+    cfg = CurationConfig(min_tokens=3, min_stopwords=0,
+                         max_dup_token_frac=None, dedup="none",
+                         decontam_shingle_n=5)
+    kept, report = curate_corpus(docs, cfg, benchmark=bench)
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+    assert report[-1]["stage"] == "decontaminate"
+
+
+def test_luhn_valid_empty_split_elements_filtered(spark):
+    """ADVICE r7: luhn_valid must not depend on split(str, '') trailing
+    empty-element semantics — valid/invalid checksums classify
+    correctly and the expression contains an explicit empty filter."""
+    from pyspark.sql import functions as F
+
+    from dbt_model_diff_spark.operators.pii import luhn_valid
+
+    df = spark.createDataFrame(
+        [("4111111111111111",), ("4111111111111112",), ("79927398713",)],
+        "cand string",
+    )
+    got = [r[0] for r in df.select(luhn_valid(F.col("cand"))).collect()]
+    assert got == [True, False, True]
