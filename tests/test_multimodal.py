@@ -53,3 +53,157 @@ def test_frame_sample_shape(spark):
     # doc2: 308 bytes -> offsets 0,64,...,256 -> 5 rows
     assert len(by_doc[2]) == 5
     assert {r["offset"] for r in by_doc[2]} == {0, 64, 128, 192, 256}
+
+
+# ---------------------------------------------------------------------------
+# Real-format header parsing (VERDICT r7 task #5): PNG IHDR + JPEG SOF
+# ---------------------------------------------------------------------------
+
+def _png_blob(w, h, depth=8):
+    import struct
+
+    ihdr = struct.pack(">II", w, h) + bytes([depth, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def _jpeg_blob(w, h, prec=8, extra_segs=2):
+    import struct
+
+    b = b"\xff\xd8"
+    for i in range(extra_segs):
+        payload = bytes(5 + i)
+        b += b"\xff\xe0" + struct.pack(">H", len(payload) + 2) + payload
+    sof = struct.pack(">BHHB", prec, h, w, 3) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    b += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    return b + b"\xff\xda\x00\x02" + b"entropy"
+
+
+_HEADER_FIXTURE = [
+    (1, _png_blob(640, 480)),
+    (2, _jpeg_blob(1024, 768)),
+    (3, b"garbage bytes here"),
+    (4, _png_blob(1, 2, depth=16)),
+    (5, _jpeg_blob(65535, 1, extra_segs=0)),
+    (6, None),
+    (7, b"\xff\xd8\xff\xda\x00\x02scan-before-sof"),   # no SOF -> null
+    (8, b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR\x00"),  # truncated IHDR
+    (9, _jpeg_blob(320, 200, prec=12, extra_segs=5)),
+    (10, b"\xff\xd8\x00\x00"),                          # non-marker garbage
+    (11, b""),
+    (12, _jpeg_blob(64, 64, extra_segs=20)),            # > max_segments prelude
+]
+
+
+def test_parse_image_headers_expected_values(spark):
+    df = spark.createDataFrame(_HEADER_FIXTURE, "doc_id long, content binary")
+    got = {r["doc_id"]: (r["format"], r["width"], r["height"], r["bit_depth"])
+           for r in mm.parse_image_headers(df).collect()}
+    assert got[1] == ("png", 640, 480, 8)
+    assert got[2] == ("jpeg", 1024, 768, 8)
+    assert got[4] == ("png", 1, 2, 16)
+    assert got[5] == ("jpeg", 65535, 1, 8)
+    assert got[9] == ("jpeg", 320, 200, 12)
+    for bad in (3, 6, 7, 8, 10, 11, 12):
+        assert got[bad] == (None, None, None, None), bad
+    # the walk is bounded, not truncating: 20 prelude segments parse
+    # fine when max_segments covers them
+    wide = {r["doc_id"]: r["format"]
+            for r in mm.parse_image_headers(df, max_segments=25).collect()}
+    assert wide[12] == "jpeg"
+
+
+def test_parse_image_headers_duckdb_parity(spark, tmp_path):
+    """The parse must be REPLAYABLE over the same blobs in DuckDB —
+    a recursive CTE walks hex(content) with the identical segment
+    rules, so every (format, width, height, bit_depth) matches."""
+    import duckdb
+
+    df = spark.createDataFrame(_HEADER_FIXTURE, "doc_id long, content binary")
+    media = mm.synthesize_image_binary(
+        _docs(spark).withColumn("doc_id", F.col("doc_id") + 100)
+    ).select("doc_id", "content").unionByName(df)
+    path = str(tmp_path / "blobs.parquet")
+    media.coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = sorted(
+        map(tuple, mm.parse_image_headers(spark.read.parquet(path)).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duckdb.sql(f"""
+WITH RECURSIVE src AS (
+  SELECT doc_id, hex(content) AS h, octet_length(content) AS n
+  FROM read_parquet('{path}/*.parquet')),
+flags AS (
+  SELECT doc_id, h, n,
+         (n >= 25 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+            AND substr(h, 25, 8) = '49484452') AS is_png,
+         (n >= 4 AND substr(h, 1, 4) = 'FFD8') AS is_jpeg
+  FROM src),
+walk AS (
+  SELECT doc_id, h, n, 3 AS pos, FALSE AS found, FALSE AS dead,
+         NULL::INT AS w, NULL::INT AS hh, NULL::INT AS d, 0 AS it
+  FROM flags WHERE is_jpeg
+  UNION ALL
+  SELECT doc_id, h, n,
+    CASE WHEN bad THEN pos WHEN sof THEN pos ELSE pos + 2 + seglen END,
+    sof, bad,
+    CASE WHEN sof THEN TRY_CAST('0x' || substr(h, (pos+7)*2-1, 4) AS INT) END,
+    CASE WHEN sof THEN TRY_CAST('0x' || substr(h, (pos+5)*2-1, 4) AS INT) END,
+    CASE WHEN sof THEN TRY_CAST('0x' || substr(h, (pos+4)*2-1, 2) AS INT) END,
+    it + 1
+  FROM (
+    SELECT *,
+      (NOT (pos + 3 <= n + 1)
+        OR substr(h, pos*2-1, 2) <> 'FF'
+        OR mk IN (218, 217) OR seglen IS NULL OR seglen < 2) AS bad,
+      (NOT (NOT (pos + 3 <= n + 1)
+        OR substr(h, pos*2-1, 2) <> 'FF'
+        OR mk IN (218, 217) OR seglen IS NULL OR seglen < 2))
+        AND mk IN (192, 193, 194, 195) AS sof
+    FROM (
+      SELECT *,
+        TRY_CAST('0x' || substr(h, (pos+1)*2-1, 2) AS INT) AS mk,
+        TRY_CAST('0x' || substr(h, (pos+2)*2-1, 4) AS INT) AS seglen
+      FROM walk) q0) q1
+  WHERE it < 16 AND NOT found AND NOT dead),
+jres AS (
+  SELECT doc_id, found, w, hh, d,
+         row_number() OVER (PARTITION BY doc_id ORDER BY it DESC) AS rn
+  FROM walk),
+jfin AS (SELECT * FROM jres WHERE rn = 1)
+SELECT f.doc_id,
+  CASE WHEN f.is_png THEN 'png'
+       WHEN f.is_jpeg AND coalesce(j.found, FALSE) THEN 'jpeg' END AS format,
+  CASE WHEN f.is_png THEN TRY_CAST('0x' || substr(f.h, 33, 8) AS INT)
+       WHEN f.is_jpeg AND coalesce(j.found, FALSE) THEN j.w END AS width,
+  CASE WHEN f.is_png THEN TRY_CAST('0x' || substr(f.h, 41, 8) AS INT)
+       WHEN f.is_jpeg AND coalesce(j.found, FALSE) THEN j.hh END AS height,
+  CASE WHEN f.is_png THEN TRY_CAST('0x' || substr(f.h, 49, 2) AS INT)
+       WHEN f.is_jpeg AND coalesce(j.found, FALSE) THEN j.d END AS bit_depth
+FROM flags f LEFT JOIN jfin j USING (doc_id)
+""").fetchall(),
+        )
+    )
+    assert got == exp
+    # the synthesized corpus side parsed: every non-truncated blob has
+    # a format, and the 1-in-97 truncated ones are NULL
+    parsed = {t[0]: t[1] for t in got if t[0] > 100}
+    assert set(parsed.values()) <= {"png", "jpeg", None}
+    assert "png" in parsed.values() and "jpeg" in parsed.values()
+
+
+def test_parse_image_headers_plan_is_codegen_only(spark):
+    """Zero UDFs, zero shuffles: the whole parse is one Project over
+    the scan — no BatchEvalPython / ArrowEval / Exchange in the plan."""
+    df = spark.createDataFrame(_HEADER_FIXTURE, "doc_id long, content binary")
+    plan = (
+        mm.parse_image_headers(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "MapInPandas"):
+        assert bad not in plan, bad
