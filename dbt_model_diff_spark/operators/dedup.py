@@ -616,6 +616,51 @@ def ngram_jaccard_pairs(
     return out
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 2,
+) -> DataFrame:
+    """Edit-distance verification for candidate (id_a, id_b) pairs over
+    SHORT fields (titles, URLs, product names) where shingle Jaccard is
+    degenerate — a 3-word title yields one 3-shingle, so near-misses
+    score 0.0 or 1.0 with nothing in between, while ``levenshtein <= k``
+    keeps its resolution (VERDICT r7 task #7).
+
+    The distance is Spark's built-in ``levenshtein(l, r, threshold)``
+    — JVM codegen, and the THRESHOLDED form matters at scale: it
+    abandons the DP early and returns -1 once the distance provably
+    exceeds ``max_distance``, turning the O(|a|*|b|) worst case into
+    O(max_distance * min(|a|,|b|)) per pair. Never call this on
+    document-length text (quadratic per pair and semantically wrong —
+    that is what shingle Jaccard is for); the knob exists for the
+    short-field regime only. ``F.levenshtein`` is oracle-exact: DuckDB
+    ships the same Wagner-Fischer ``levenshtein`` (parity:
+    tests/test_extensions.py::test_levenshtein_pairs_duckdb_parity).
+
+    Plan shape mirrors :func:`ngram_jaccard_pairs`: two id-keyed joins
+    pull each side's field onto the pair list (shuffles keyed on doc
+    ids and the candidate list — never all-pairs), then one row-local
+    expression. Returns (id_a, id_b, distance), distance <= max_distance.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), int(max_distance))
+    return (
+        candidate_pairs.select("id_a", "id_b")
+        .join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("distance", dist)
+        # threshold form returns -1 for "provably above k"
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= int(max_distance)))
+        .select("id_a", "id_b", "distance")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "id_a",
@@ -866,9 +911,19 @@ def near_dedup(
     id_col: str = "doc_id",
     left: str = "id_a",
     right: str = "id_b",
+    verify: str | None = None,
+    text_col: str = "text",
+    max_distance: int = 2,
 ) -> DataFrame:
     """Collapse verified near-dup pairs: keep exactly the min-id member of
     each connected component plus every singleton (docs in no pair).
+
+    ``verify=None`` (default) treats ``pairs`` as ALREADY verified (the
+    Jaccard chain's contract). ``verify="levenshtein"`` re-verifies the
+    candidate pairs inside this call via :func:`levenshtein_pairs` over
+    ``df``'s ``text_col`` with ``distance <= max_distance`` — the
+    short-field knob (titles/URLs) where shingle Jaccard is degenerate
+    (VERDICT r7 task #7; see levenshtein_pairs for the scale caveat).
 
     The anti-join strategy is left to AQE (VERDICT r6 fix: this used to
     force ``F.broadcast(losers)``, but the loser set is NOT reliably
@@ -881,6 +936,19 @@ def near_dedup(
     loser sets get a shuffled anti-join instead, which is the only shape
     that survives a high-dup-rate corpus.
     """
+    if verify == "levenshtein":
+        pairs = levenshtein_pairs(
+            df,
+            pairs.select(F.col(left).alias("id_a"), F.col(right).alias("id_b")),
+            id_col=id_col,
+            text_col=text_col,
+            max_distance=max_distance,
+        )
+        left, right = "id_a", "id_b"
+    elif verify is not None:
+        raise ValueError(
+            f"verify must be None or 'levenshtein', got {verify!r}"
+        )
     comp = connected_components(pairs, left=left, right=right)
     losers = comp.filter(F.col("label") != F.col("node")).select(
         F.col("node").alias(id_col)

@@ -1618,3 +1618,97 @@ def test_normalize_text_nfc_knob_and_curation_config(spark):
                          max_dup_token_frac=None, dedup="exact")
     kept, _ = curate_corpus(docs, cfg)
     assert {r["doc_id"] for r in kept.collect()} == {1, 3}  # 2 deduped into 1
+
+
+def test_levenshtein_pairs_duckdb_parity(spark, tmp_path):
+    """dedup.levenshtein_pairs vs DuckDB's levenshtein over the same
+    parquet — both engines ship Wagner-Fischer edit distance, so every
+    surviving (id_a, id_b, distance) triple matches exactly, and the
+    thresholded Spark form (early-exit, -1 above k) must equal the
+    naive unthresholded filter (VERDICT r7 task #7)."""
+    import duckdb
+
+    from dbt_model_diff_spark.operators import dedup
+
+    titles = [
+        (1, "the great gatsby"),
+        (2, "the great gatsby!"),
+        (3, "the great gatsbby"),
+        (4, "a completely different title"),
+        (5, "the great catsby"),
+        (6, "the"),
+        (7, ""),
+        (8, None),
+    ]
+    df = spark.createDataFrame(titles, "doc_id long, text string")
+    path = str(tmp_path / "titles.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    # candidate list = all ordered pairs (tiny fixture; production
+    # candidates come from LSH/simhash blocking)
+    cand = (
+        df.alias("a").crossJoin(df.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    got = sorted(
+        map(tuple, dedup.levenshtein_pairs(df, cand, max_distance=2).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duckdb.sql(f"""
+WITH t AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.text, b.text) AS distance
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE a.text IS NOT NULL AND b.text IS NOT NULL)
+SELECT id_a, id_b, CAST(distance AS INT) AS distance
+FROM p WHERE distance <= 2
+""").fetchall(),
+        )
+    )
+    assert got == exp
+    assert (1, 2, 1) in got and (1, 3, 1) in got and (1, 5, 1) in got
+    assert all(t[2] <= 2 for t in got)
+    # thresholded == naive unthresholded filter
+    naive = sorted(
+        map(
+            tuple,
+            cand.join(df.select(F.col("doc_id").alias("id_a"),
+                                F.col("text").alias("ta")), "id_a")
+            .join(df.select(F.col("doc_id").alias("id_b"),
+                            F.col("text").alias("tb")), "id_b")
+            .withColumn("distance", F.levenshtein("ta", "tb"))
+            .filter(F.col("distance") <= 2)
+            .select("id_a", "id_b", "distance")
+            .collect(),
+        )
+    )
+    assert got == naive
+
+
+def test_near_dedup_levenshtein_verify_knob(spark):
+    """verify='levenshtein' collapses edit-distance families that the
+    shingle-Jaccard chain cannot resolve on short fields; invalid
+    knob values raise."""
+    import pytest as _pytest
+
+    from dbt_model_diff_spark.operators import dedup
+
+    rows = [
+        (1, "the great gatsby"),
+        (2, "the great gatsby!"),
+        (3, "the great gatsbby"),
+        (4, "a completely different title"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    kept = dedup.near_dedup(df, cand, verify="levenshtein", max_distance=2)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 4}
+    # unverified default keeps the old contract: every pair collapses
+    kept_pre = dedup.near_dedup(df, cand)
+    assert {r["doc_id"] for r in kept_pre.collect()} == {1}
+    with _pytest.raises(ValueError, match="levenshtein"):
+        dedup.near_dedup(df, cand, verify="jaccard-ish")
