@@ -41,6 +41,13 @@ def main() -> None:
             sample=20,
         )
 
+    # FROZEN as the stable round-over-round core at 44 + flagship
+    # (VERDICT r7 task #6: the list grew 36 -> 38 -> 44 over three
+    # rounds and each addition diluted the signal). New operators do
+    # NOT join this tuple — their scale posture is measured in
+    # SURVEY §9 probes instead; "value" therefore compares 1:1 against
+    # BENCH_r07 and "normalized" (value/calibration) compares across
+    # boxes.
     bench_queries: dict[str, object] = {"diff_full_orders": flagship_diff}
     for name in (
         "diff_counts_orders",
@@ -173,6 +180,12 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "calibration": round(cal_best, 3),
+        # box-drift-normalized total: raw seconds divided by the pinned
+        # pure-codegen calibration workload's seconds on the SAME box at
+        # the SAME time. Compare THIS number round-over-round; the raw
+        # total also moves with host load/cpu-steal (r6 read 1.24x r5
+        # on raw with zero plan changes — pure box signature).
+        "normalized": round(total / cal_best, 2) if cal_best else None,
     }
 
     # Scaling pass: if a generated sf1 dataset exists (tools/gen_scale_data.py,
@@ -217,7 +230,10 @@ def main() -> None:
         print(json.dumps({"sf1": result["sf1"]}), file=sys.stderr)
     compact = {
         k: result[k]
-        for k in ("metric", "value", "unit", "queries", "sf", "cpus", "calibration")
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "cpus",
+            "calibration", "normalized",
+        )
     }
     print(json.dumps(compact))
     spark.stop()
