@@ -1,0 +1,194 @@
+"""Round-8 property tests: the codegen image-header parser must agree
+with a pure-Python reference parser on arbitrary byte soup (not just
+the handcrafted fixtures), and the thresholded levenshtein verifier
+must agree with Python's reference edit distance on random short
+strings — the same replay-the-kernel-in-Python discipline as the BPE
+and quantile property suites.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import dedup
+from dbt_model_diff_spark.operators import multimodal as mm
+
+
+# ---------------------------------------------------------------------------
+# Reference parsers (independent reimplementation, byte-level)
+# ---------------------------------------------------------------------------
+
+def _ref_parse(blob: bytes | None, max_segments: int = 16):
+    if blob is None:
+        return (None, None, None, None)
+    n = len(blob)
+    if (
+        n >= 25
+        and blob[:8] == b"\x89PNG\r\n\x1a\n"
+        and blob[12:16] == b"IHDR"
+    ):
+        w = int.from_bytes(blob[16:20], "big")
+        h = int.from_bytes(blob[20:24], "big")
+        return ("png", w, h, blob[24])
+    if n >= 4 and blob[:2] == b"\xff\xd8":
+        pos = 3  # 1-based, matching the SQL substring convention
+        for _ in range(max_segments):
+            # headroom: marker byte, marker id, first length byte exist
+            if not (pos + 2 <= n):
+                return (None, None, None, None)
+            if blob[pos - 1] != 0xFF:
+                return (None, None, None, None)
+            mk = blob[pos]
+            # seglen reads 2 bytes at pos+2 (1-based) = blob[pos+1:pos+3];
+            # a truncated slice still int-parses (hex-prefix semantics)
+            raw = blob[pos + 1 : pos + 3]
+            seglen = int.from_bytes(raw, "big") if raw else None
+            if mk in (0xDA, 0xD9) or seglen is None or seglen < 2:
+                return (None, None, None, None)
+            if mk in (0xC0, 0xC1, 0xC2, 0xC3):
+                def _u(off, ln):
+                    r = blob[pos + off - 1 : pos + off - 1 + ln]
+                    return int.from_bytes(r, "big") if r else None
+
+                return ("jpeg", _u(7, 2), _u(5, 2), _u(4, 1))
+            pos = pos + 2 + seglen
+        return (None, None, None, None)
+    return (None, None, None, None)
+
+
+def _ref_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+# ---------------------------------------------------------------------------
+# Blob strategies: pure random soup, plus mutated valid-ish headers so
+# the interesting branches (truncation, marker walks) are actually hit
+# ---------------------------------------------------------------------------
+
+def _png(w, h, d):
+    return (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, h) + bytes([d, 2, 0, 0, 0])
+    )
+
+
+def _jpeg(w, h, prec, segs):
+    b = b"\xff\xd8"
+    for i in range(segs):
+        payload = bytes((i * 7) % 11)
+        b += b"\xff\xe0" + struct.pack(">H", len(payload) + 2) + payload
+    sof = struct.pack(">BHHB", prec, h, w, 3)
+    return b + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof + b"\xff\xda\x00\x02"
+
+
+_VALID = st.one_of(
+    st.builds(
+        _png,
+        st.integers(0, 2**31 - 1),
+        st.integers(0, 2**31 - 1),
+        st.sampled_from([1, 2, 4, 8, 16]),
+    ),
+    st.builds(
+        _jpeg,
+        st.integers(0, 65535),
+        st.integers(0, 65535),
+        st.sampled_from([8, 12]),
+        st.integers(0, 18),
+    ),
+)
+
+
+def _mutate(args):
+    blob, cut, flip_at = args
+    out = blob[: max(0, len(blob) - cut)]
+    if out and flip_at is not None:
+        i = flip_at % len(out)
+        out = out[:i] + bytes([out[i] ^ 0x55]) + out[i + 1 :]
+    return out
+
+
+_BLOBS = st.one_of(
+    st.binary(max_size=64),
+    _VALID,
+    st.builds(
+        _mutate,
+        st.tuples(
+            _VALID,
+            st.integers(0, 30),
+            st.one_of(st.none(), st.integers(0, 1000)),
+        ),
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(blobs=st.lists(_BLOBS, min_size=1, max_size=24))
+def test_parse_image_headers_matches_python_reference(spark, blobs):
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"], r["bit_depth"])
+        for r in mm.parse_image_headers(df).collect()
+    }
+    for i, b in rows:
+        assert got[i] == _ref_parse(b), (i, b.hex() if b else b)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcde ", min_size=0, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    k=st.integers(0, 4),
+)
+def test_levenshtein_pairs_matches_python_reference(spark, texts, k):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))],
+        "id_a long, id_b long",
+    )
+    got = sorted(
+        map(tuple, dedup.levenshtein_pairs(df, cand, max_distance=k).collect())
+    )
+    exp = sorted(
+        (a, b, _ref_levenshtein(texts[a], texts[b]))
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if _ref_levenshtein(texts[a], texts[b]) <= k
+    )
+    assert got == exp
+
+
+def test_parse_image_headers_width_zero_and_max(spark):
+    """Boundary dims: 0 and u16/u31 maxima parse exactly (no sign
+    wrap through the hex conv path)."""
+    rows = [
+        (1, _png(0, 0, 1)),
+        (2, _png(2**31 - 1, 1, 16)),
+        (3, _jpeg(0, 0, 8, 0)),
+        (4, _jpeg(65535, 65535, 12, 1)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"], r["bit_depth"])
+        for r in mm.parse_image_headers(df).collect()
+    }
+    assert got[1] == ("png", 0, 0, 1)
+    assert got[2] == ("png", 2**31 - 1, 1, 16)
+    assert got[3] == ("jpeg", 0, 0, 8)
+    assert got[4] == ("jpeg", 65535, 65535, 12)
