@@ -2600,7 +2600,26 @@ def text_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # related assertions into existing queries, over new registrations.
 # Round-8 surfaces certified by pytest parity, NOT registered:
 # nfc normalization, PNG/JPEG header parsing, levenshtein near-dup
-# verify (tests/test_extensions.py).
+# verify (tests/test_extensions.py, tests/test_multimodal.py,
+# tests/test_round8_properties.py).
+#
+# ROUND-9 WINDOW PLAN (mechanical, execute first thing after
+# CORRECTNESS_r08 lands): the mandatory tier is every query whose
+# newest green row is r6 — the 50 r6-certified queries MINUS the four
+# re-certified as r8 fillers (pipeline_curation_report,
+# pipeline_training_data, dedup_lsh_pairs, dedup_jaccard_verified) =
+# 46 queries; plus any never-certified r9 registrations first. Fill
+# the remaining ~4 slots from the r7-certified tier (the stalest
+# outside; greedy tie-split allows choosing among them), taking 4 of
+# the six flagship anchors (diff_counts_orders, diff_profile_orders,
+# diff_schema_drift, diff_partitioned_orders, model_order_agg,
+# pricing_summary). The 2 anchors left out stay legal: the anchor
+# clause (test_driver_priority_window, relaxed in r8 after the
+# feasibility analysis) requires a driver row within the two newest
+# records OR window membership, and they are green in CORRECTNESS_r07
+# (= max_round-1 during round 9). They become mandatory in round 10
+# with the rest of the r7-stale tier (~46 + new registrations = the
+# steady-state 3-round carousel at 146 registered; hard cap 150).
 
 
 _BM25_TERMS = ["vector", "spark", "customer", "join"]

@@ -181,9 +181,16 @@ def test_driver_priority_window():
     assert not overdue, f"queries exceeding the 3-round staleness bound: {overdue}"
 
     # Sec.2-core anchors (the engine's flagship diff surface + canonical
-    # model queries) must be either in the current window or green in
-    # the NEWEST correctness record — i.e. their driver signal is never
-    # more than one round old.
+    # model queries) must be either in the current window or green
+    # within the TWO newest correctness records — i.e. their driver
+    # signal is never more than two rounds old (tighter than the
+    # generic 3-round bound). Exactly one-round-old ("in newest") is
+    # NOT always satisfiable: with 146 registered, each round's
+    # mandatory staleness tier is ~46 slots, and the greedy clause
+    # forbids seating a fresher anchor while a staler query waits
+    # outside — so the steady-state carousel necessarily gives anchors
+    # a 2-round cadence (r8 analysis; see the ROUND-9 WINDOW PLAN in
+    # catalog.py).
     for must in (
         "diff_counts_orders",
         "diff_profile_orders",
@@ -192,7 +199,11 @@ def test_driver_priority_window():
         "model_order_agg",
         "pricing_summary",
     ):
-        assert must in window or must in newest, must
+        ok = must in window or staleness[must] >= max_round - 1
+        assert ok, (
+            f"flagship anchor {must} has no driver row in the last two"
+            " records and is not in the window"
+        )
 
 
 def test_gen_scale_data_salt_expressions(spark):
