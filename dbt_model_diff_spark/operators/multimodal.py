@@ -11,10 +11,13 @@ not in this container:
   one-function change (`_decode_batch`).
 - ``byte_histogram_features``: a REAL feature extractor (256-bin byte
   histogram, L1-normalized) — no codec needed, fully deterministic.
-- ``parse_image_headers``: REAL format parsing (r8) — PNG IHDR and
-  JPEG SOF dimensions decoded from the actual byte layouts of the two
-  specs with pure codegen substring/conv expressions (no UDF at all);
-  full pixel decode remains out of sandbox scope.
+- ``parse_image_headers`` / ``parse_audio_headers``: REAL format
+  parsing (r8) — PNG IHDR dims/bit-depth, JPEG SOF dims behind the
+  bounded segment walk, and WAV/RIFF fmt-chunk channels/sample-rate/
+  bit-depth behind the bounded chunk walk — all decoded from the
+  actual byte layouts with pure codegen substring/conv expressions
+  (no UDF at all); full pixel/sample decode remains out of sandbox
+  scope.
 
 Scale notes: mapInPandas streams Arrow batches, so per-batch memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` x avg blob
@@ -378,6 +381,133 @@ def parse_image_headers(
         .when(jpeg_ok, walk["height"])
         .alias("height"),
         F.when(is_png, u8(25)).when(jpeg_ok, walk["bit_depth"]).alias("bit_depth"),
+    )
+
+
+AUDIO_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+    ]
+)
+
+
+def parse_audio_headers(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_chunks: int = 8,
+) -> DataFrame:
+    """REAL audio-format header parsing, the WAV/RIFF companion to
+    :func:`parse_image_headers`: channels / sample rate / bit depth
+    straight from the binary column with pure codegen byte
+    expressions — zero UDFs, zero shuffles, DuckDB-replayable
+    (tests/test_multimodal.py::test_parse_audio_headers_duckdb_parity).
+
+    Layout: ``RIFF <u32le size> WAVE`` then a chunk list of
+    ``<id:4> <u32le size> <data...>`` with chunks padded to EVEN
+    offsets; the ``fmt `` chunk (not necessarily first — LIST/JUNK/
+    bext chunks precede it in broadcast-WAV files) carries
+    n_channels (u16le at data+2), sample_rate (u32le at data+4) and
+    bits_per_sample (u16le at data+14). The walk is the same bounded
+    ``F.aggregate`` unroll as the JPEG segment walk. WAV is
+    LITTLE-endian, and Spark has no le-decode builtin — so multi-byte
+    fields are assembled arithmetically from single bytes
+    (``b0 + 256*b1 + ...``), which replays verbatim in any SQL twin.
+
+    Malformed input (bad magic, truncated chunks, no fmt chunk within
+    ``max_chunks``) yields NULLs, never an exception. Returns
+    (doc_id, format, n_channels, sample_rate, bits_per_sample)."""
+    c = F.col(content_col)
+    blen = F.octet_length(c)
+
+    def u8(pos):
+        return F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("int")
+
+    def u16le(pos):
+        return u8(pos) + u8(pos + 1) * 256
+
+    def u32le(pos):
+        return (
+            u8(pos).cast("long")
+            + u8(pos + 1).cast("long") * 256
+            + u8(pos + 2).cast("long") * 65536
+            + u8(pos + 3).cast("long") * 16777216
+        )
+
+    is_wav = (
+        (blen >= 36)
+        & (F.hex(F.substring(c, 1, 4)) == F.lit("52494646"))   # "RIFF"
+        & (F.hex(F.substring(c, 9, 4)) == F.lit("57415645"))   # "WAVE"
+    )
+
+    def st(pos, found, dead, ch, sr, bps):
+        return F.struct(
+            pos.alias("pos"),
+            found.alias("found"),
+            dead.alias("dead"),
+            ch.alias("ch"),
+            sr.alias("sr"),
+            bps.alias("bps"),
+        )
+
+    init = st(
+        F.lit(13).cast("int"),  # first chunk id starts at byte 13 (1-based)
+        F.lit(False),
+        F.lit(False),
+        F.lit(None).cast("int"),
+        F.lit(None).cast("long"),
+        F.lit(None).cast("int"),
+    )
+
+    def step(state, _):
+        pos = state["pos"]
+        cid = F.hex(F.substring(c, pos, 4))
+        csize = u32le(pos + 4)
+        headroom = (pos.cast("long") + 7) <= blen.cast("long")
+        is_fmt = cid == F.lit("666D7420")  # "fmt "
+        fmt_ok = (pos.cast("long") + 8 + 15) <= blen.cast("long")
+        # chunks are padded to even sizes on disk; a hostile u32
+        # chunk size could overflow the int position under ANSI mode,
+        # so cap the hop at blen+1 — past-the-end is dead either way
+        nxt = F.least(
+            pos.cast("long") + 8 + csize + (csize % 2),
+            blen.cast("long") + 1,
+        ).cast("int")
+        keep = state["found"] | state["dead"]
+        return F.when(keep, state).otherwise(
+            F.when(
+                ~headroom | csize.isNull(),
+                st(pos, state["found"], F.lit(True),
+                   state["ch"], state["sr"], state["bps"]),
+            )
+            .when(
+                is_fmt & fmt_ok,
+                st(pos, F.lit(True), state["dead"],
+                   u16le(pos + 10), u32le(pos + 12), u16le(pos + 22)),
+            )
+            .when(
+                is_fmt,  # fmt chunk present but truncated
+                st(pos, state["found"], F.lit(True),
+                   state["ch"], state["sr"], state["bps"]),
+            )
+            .otherwise(
+                st(nxt, state["found"], state["dead"],
+                   state["ch"], state["sr"], state["bps"])
+            )
+        )
+
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(int(max_chunks))), init, step)
+    ok = is_wav & walk["found"]
+    return media.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(ok, "wav").alias("format"),
+        F.when(ok, walk["ch"]).alias("n_channels"),
+        F.when(ok, walk["sr"]).alias("sample_rate"),
+        F.when(ok, walk["bps"]).alias("bits_per_sample"),
     )
 
 

@@ -207,3 +207,137 @@ def test_parse_image_headers_plan_is_codegen_only(spark):
     )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "MapInPandas"):
         assert bad not in plan, bad
+
+
+# ---------------------------------------------------------------------------
+# WAV/RIFF header parsing (the audio companion to the image parser)
+# ---------------------------------------------------------------------------
+
+def _wav_blob(ch, sr, bps, prelude_chunks=0, fmt_size=16):
+    import struct
+
+    chunks = b""
+    for i in range(prelude_chunks):
+        data = bytes(3 + i)  # odd sizes exercise even-padding
+        chunks += b"JUNK" + struct.pack("<I", len(data)) + data
+        if len(data) % 2:
+            chunks += b"\x00"
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bps // 8,
+                      ch * bps // 8, bps)
+    fmt += bytes(max(0, fmt_size - 16))
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+_WAV_FIXTURE = [
+    (1, _wav_blob(2, 44100, 16)),
+    (2, _wav_blob(1, 8000, 8, prelude_chunks=2)),
+    (3, _wav_blob(6, 192000, 32, prelude_chunks=1, fmt_size=18)),
+    (4, b"RIFF\x10\x00\x00\x00WAVEjunk"),          # no fmt chunk
+    (5, b"not audio at all"),
+    (6, None),
+    (7, _wav_blob(2, 44100, 16)[:30]),              # truncated mid-fmt
+    (8, _wav_blob(1, 22050, 24, prelude_chunks=10)), # prelude > max_chunks-1
+]
+
+
+def test_parse_audio_headers_expected_values(spark):
+    df = spark.createDataFrame(_WAV_FIXTURE, "doc_id long, content binary")
+    got = {r["doc_id"]: (r["format"], r["n_channels"], r["sample_rate"],
+                         r["bits_per_sample"])
+           for r in mm.parse_audio_headers(df).collect()}
+    assert got[1] == ("wav", 2, 44100, 16)
+    assert got[2] == ("wav", 1, 8000, 8)
+    assert got[3] == ("wav", 6, 192000, 32)
+    for bad in (4, 5, 6, 7, 8):
+        assert got[bad] == (None, None, None, None), bad
+    wide = {r["doc_id"]: r["format"]
+            for r in mm.parse_audio_headers(df, max_chunks=12).collect()}
+    assert wide[8] == "wav"
+
+
+def test_parse_audio_headers_duckdb_parity(spark, tmp_path):
+    """Same blobs, same chunk-walk rules replayed over hex(content)
+    with a recursive CTE and per-byte little-endian arithmetic."""
+    import duckdb
+
+    df = spark.createDataFrame(_WAV_FIXTURE, "doc_id long, content binary")
+    path = str(tmp_path / "wavs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    got = sorted(
+        map(tuple, mm.parse_audio_headers(spark.read.parquet(path)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE MACRO u8(h, p) AS"
+        " TRY_CAST('0x' || substr(h, p*2-1, 2) AS INT)"
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.sql(f"""
+WITH RECURSIVE src AS (
+  SELECT doc_id, hex(content) AS h, octet_length(content) AS n
+  FROM read_parquet('{path}/*.parquet')),
+flags AS (
+  SELECT doc_id, h, n,
+         (n >= 36 AND substr(h, 1, 8) = '52494646'
+            AND substr(h, 17, 8) = '57415645') AS is_wav
+  FROM src),
+walk AS (
+  SELECT doc_id, h, n, 13 AS pos, FALSE AS found, FALSE AS dead,
+         NULL::INT AS ch, NULL::BIGINT AS sr, NULL::INT AS bps, 0 AS it
+  FROM flags WHERE is_wav
+  UNION ALL
+  SELECT doc_id, h, n,
+    CASE WHEN bad OR is_fmt THEN pos
+         ELSE CAST(least(pos + 8 + csize + (csize % 2), n + 1) AS INT) END,
+    is_fmt AND fmt_ok, bad OR (is_fmt AND NOT fmt_ok),
+    CASE WHEN is_fmt AND fmt_ok
+         THEN u8(h, pos+10) + 256*u8(h, pos+11) END,
+    CASE WHEN is_fmt AND fmt_ok
+         THEN u8(h, pos+12) + 256*u8(h, pos+13)
+              + 65536*u8(h, pos+14) + 16777216*u8(h, pos+15) END,
+    CASE WHEN is_fmt AND fmt_ok
+         THEN u8(h, pos+22) + 256*u8(h, pos+23) END,
+    it + 1
+  FROM (
+    SELECT *,
+      (NOT (pos + 7 <= n) OR csize IS NULL) AS bad,
+      (pos + 7 <= n) AND substr(h, pos*2-1, 8) = '666D7420' AS is_fmt,
+      (pos + 23 <= n) AS fmt_ok
+    FROM (
+      SELECT *,
+        CASE WHEN pos + 7 <= n
+             THEN u8(h, pos+4) + 256*u8(h, pos+5)
+                  + 65536*u8(h, pos+6) + 16777216*u8(h, pos+7)
+        END AS csize
+      FROM walk) q0) q1
+  WHERE it < 8 AND NOT found AND NOT dead),
+fin AS (
+  SELECT doc_id, found, ch, sr, bps,
+         row_number() OVER (PARTITION BY doc_id ORDER BY it DESC) AS rn
+  FROM walk)
+SELECT f.doc_id,
+  CASE WHEN coalesce(w.found, FALSE) THEN 'wav' END AS format,
+  CASE WHEN coalesce(w.found, FALSE) THEN w.ch END AS n_channels,
+  CASE WHEN coalesce(w.found, FALSE) THEN w.sr END AS sample_rate,
+  CASE WHEN coalesce(w.found, FALSE) THEN w.bps END AS bits_per_sample
+FROM flags f LEFT JOIN (SELECT * FROM fin WHERE rn = 1) w USING (doc_id)
+""").fetchall(),
+        )
+    )
+    assert got == exp
+    assert ("wav", 2, 44100, 16) in {t[1:] for t in got if t[1]}
+    assert len([t for t in got if t[1] == "wav"]) == 3
+
+
+def test_parse_audio_headers_plan_is_codegen_only(spark):
+    df = spark.createDataFrame(_WAV_FIXTURE, "doc_id long, content binary")
+    plan = (
+        mm.parse_audio_headers(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "MapInPandas"):
+        assert bad not in plan, bad

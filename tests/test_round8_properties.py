@@ -192,3 +192,79 @@ def test_parse_image_headers_width_zero_and_max(spark):
     assert got[2] == ("png", 2**31 - 1, 1, 16)
     assert got[3] == ("jpeg", 0, 0, 8)
     assert got[4] == ("jpeg", 65535, 65535, 12)
+
+
+# ---------------------------------------------------------------------------
+# WAV/RIFF chunk walk vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _ref_parse_wav(blob: bytes | None, max_chunks: int = 8):
+    if blob is None:
+        return (None, None, None, None)
+    n = len(blob)
+    if not (n >= 36 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"):
+        return (None, None, None, None)
+    pos = 13  # 1-based
+    for _ in range(max_chunks):
+        if not (pos + 7 <= n):
+            return (None, None, None, None)
+        cid = blob[pos - 1 : pos + 3]
+        csize = int.from_bytes(blob[pos + 3 : pos + 7], "little")
+        if cid == b"fmt ":
+            if not (pos + 23 <= n):
+                return (None, None, None, None)
+            def u16(off):
+                return int.from_bytes(blob[pos + off - 1 : pos + off + 1], "little")
+            def u32(off):
+                return int.from_bytes(blob[pos + off - 1 : pos + off + 3], "little")
+            return ("wav", u16(10), u32(12), u16(22))
+        pos = pos + 8 + csize + (csize % 2)
+    return (None, None, None, None)
+
+
+def _wav(ch, sr, bps, pre):
+    chunks = b""
+    for i in range(pre):
+        data = bytes(3 + i)
+        chunks += b"JUNK" + struct.pack("<I", len(data)) + data
+        if len(data) % 2:
+            chunks += b"\x00"
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, 1, 1, bps)
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+_WAV_VALID = st.builds(
+    _wav,
+    st.integers(1, 64),
+    st.integers(1, 2**32 - 1),
+    st.integers(1, 64),
+    st.integers(0, 10),
+)
+
+_WAV_BLOBS = st.one_of(
+    st.binary(max_size=64),
+    _WAV_VALID,
+    st.builds(
+        _mutate,
+        st.tuples(
+            _WAV_VALID,
+            st.integers(0, 40),
+            st.one_of(st.none(), st.integers(0, 1000)),
+        ),
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(blobs=st.lists(_WAV_BLOBS, min_size=1, max_size=24))
+def test_parse_audio_headers_matches_python_reference(spark, blobs):
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (r["format"], r["n_channels"], r["sample_rate"],
+                      r["bits_per_sample"])
+        for r in mm.parse_audio_headers(df).collect()
+    }
+    for i, b in rows:
+        assert got[i] == _ref_parse_wav(b), (i, b.hex() if b else b)
