@@ -11,13 +11,15 @@ not in this container:
   one-function change (`_decode_batch`).
 - ``byte_histogram_features``: a REAL feature extractor (256-bin byte
   histogram, L1-normalized) — no codec needed, fully deterministic.
-- ``parse_image_headers`` / ``parse_audio_headers``: REAL format
-  parsing (r8) — PNG IHDR dims/bit-depth, JPEG SOF dims behind the
-  bounded segment walk, and WAV/RIFF fmt-chunk channels/sample-rate/
-  bit-depth behind the bounded chunk walk — all decoded from the
-  actual byte layouts with pure codegen substring/conv expressions
-  (no UDF at all); full pixel/sample decode remains out of sandbox
-  scope.
+- ``parse_image_headers`` / ``parse_audio_headers`` /
+  ``parse_video_headers``: REAL format parsing (r8) — PNG IHDR
+  dims/bit-depth, JPEG SOF dims behind the bounded segment walk,
+  WAV/RIFF fmt-chunk channels/sample-rate/bit-depth behind the
+  bounded chunk walk, and MP4/ISO-BMFF ftyp brand + mvhd
+  timescale/duration behind a TWO-level bounded box walk — all
+  decoded from the actual byte layouts with pure codegen
+  substring/conv expressions (no UDF at all); full pixel/sample
+  decode remains out of sandbox scope.
 
 Scale notes: mapInPandas streams Arrow batches, so per-batch memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` x avg blob
@@ -508,6 +510,118 @@ def parse_audio_headers(
         F.when(ok, walk["ch"]).alias("n_channels"),
         F.when(ok, walk["sr"]).alias("sample_rate"),
         F.when(ok, walk["bps"]).alias("bits_per_sample"),
+    )
+
+
+VIDEO_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration_ticks", T.LongType()),
+    ]
+)
+
+
+def parse_video_headers(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_boxes: int = 8,
+) -> DataFrame:
+    """REAL video-container header parsing — the MP4/ISO-BMFF member of
+    the image/audio/video trio (``parse_image_headers`` /
+    ``parse_audio_headers``): major brand from the ``ftyp`` box and
+    timescale / duration from ``moov > mvhd``, decoded from the binary
+    column with pure codegen byte expressions — zero UDFs, zero
+    shuffles, DuckDB-replayable
+    (tests/test_multimodal.py::test_parse_video_headers_duckdb_parity).
+
+    ISO-BMFF is a box tree: ``<u32be size><type:4><payload>``. Two
+    bounded walks, each the JPEG-style ``F.aggregate`` unroll: the
+    TOP-LEVEL walk requires ``ftyp`` first (the spec's ordering rule
+    for non-streamed files) and hops boxes until ``moov``; the INNER
+    walk starts at moov's first child and hops until ``mvhd``, whose
+    version-0 payload carries timescale (u32be at payload+13..16,
+    after version/flags + two u32 times) and duration (u32be at
+    payload+17); version-1 uses u64 creation/modification times and a
+    u64 duration (timescale at payload+21, duration u64 at
+    payload+25). The output keeps (timescale, duration_ticks) EXACT
+    and leaves seconds/ms to the caller: a hostile u64 duration times
+    any unit factor can overflow int64 under ANSI mode, and a float
+    division would break oracle bit-parity — the two raw integers
+    replay exactly in any engine.
+
+    Out-of-scope-by-design, all yielding NULLs rather than exceptions:
+    64-bit extended box sizes (size == 1; legal only for media-data
+    scale boxes, not moov in practice), size == 0 (box-to-EOF), a moov
+    deeper than ``max_boxes`` top-level boxes, and fragmented-MP4
+    duration (lives in mehd/sidx). Track pixel dimensions live one
+    level deeper (``trak > tkhd``) and are deliberately not walked —
+    each extra nesting level multiplies the unrolled expression, and
+    the movie-level fields are what corpus triage needs."""
+    c = F.col(content_col)
+    blen = F.octet_length(c)
+
+    def u32(pos):
+        return F.conv(F.hex(F.substring(c, pos, 4)), 16, 10).cast("long")
+
+    def u64(pos):
+        return F.conv(F.hex(F.substring(c, pos, 8)), 16, 10).cast("long")
+
+    def u8(pos):
+        return F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("int")
+
+    def btype(pos):
+        return F.hex(F.substring(c, pos + 4, 4))
+
+    is_mp4 = (blen >= 16) & (btype(F.lit(1)) == F.lit("66747970"))  # "ftyp"
+    brand = F.decode(F.substring(c, 9, 4), "utf-8")
+
+    def st(pos, found, dead):
+        return F.struct(pos.alias("pos"), found.alias("found"), dead.alias("dead"))
+
+    def walk(start_pos, target_hex, limit):
+        """Bounded box walk from start_pos: stop found at the target
+        box type (pos = its FIRST byte), dead on truncation/degenerate
+        sizes. Returns the final state struct."""
+        init = st(start_pos.cast("long"), F.lit(False), F.lit(False))
+
+        def step(state, _):
+            pos = state["pos"]
+            size = u32(pos.cast("int"))
+            # full 8-byte box header (size + type) must be readable
+            headroom = (pos + 7) <= blen.cast("long")
+            hit = btype(pos.cast("int")) == F.lit(target_hex)
+            keep = state["found"] | state["dead"]
+            nxt = F.least(pos + size, blen.cast("long") + 1)
+            return F.when(keep, state).otherwise(
+                F.when(
+                    ~headroom | size.isNull() | (size < 8),
+                    st(pos, state["found"], F.lit(True)),
+                )
+                .when(hit, st(pos, F.lit(True), state["dead"]))
+                .otherwise(st(nxt, state["found"], state["dead"]))
+            )
+
+        return F.aggregate(F.sequence(F.lit(1), F.lit(int(limit))), init, step)
+
+    moov = walk(F.lit(1), "6D6F6F76", max_boxes)           # "moov"
+    moov_pos = moov["pos"].cast("int")
+    mvhd = walk(moov_pos + 8, "6D766864", max_boxes)       # "mvhd"
+    mp = mvhd["pos"].cast("int")  # mvhd box start; payload at mp+8
+    ver = u8(mp + 8)
+    ts = F.when(ver == 0, u32(mp + 8 + 12)).when(ver == 1, u32(mp + 8 + 20))
+    dur = F.when(ver == 0, u32(mp + 8 + 16)).when(ver == 1, u64(mp + 8 + 24))
+    ok = is_mp4 & moov["found"] & mvhd["found"]
+    ts_ok = ok & ts.isNotNull() & (ts > 0) & dur.isNotNull()
+    return media.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(ok, "mp4").alias("format"),
+        F.when(is_mp4, brand).alias("major_brand"),
+        F.when(ts_ok, ts).alias("timescale"),
+        F.when(ts_ok, dur).alias("duration_ticks"),
     )
 
 

@@ -341,3 +341,169 @@ def test_parse_audio_headers_plan_is_codegen_only(spark):
     )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "MapInPandas"):
         assert bad not in plan, bad
+
+
+# ---------------------------------------------------------------------------
+# MP4/ISO-BMFF header parsing (the video member of the trio)
+# ---------------------------------------------------------------------------
+
+def _box(btype, payload):
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mvhd(timescale, duration, version=0):
+    import struct
+
+    if version == 0:
+        payload = b"\x00\x00\x00\x00" + struct.pack(
+            ">IIII", 1, 2, timescale, duration
+        ) + bytes(12)
+    else:
+        payload = b"\x01\x00\x00\x00" + struct.pack(
+            ">QQIQ", 1, 2, timescale, duration
+        ) + bytes(12)
+    return _box(b"mvhd", payload)
+
+
+def _mp4(brand, timescale, duration, version=0, pre_top=0, pre_moov=0):
+    ftyp = _box(b"ftyp", brand + b"\x00\x00\x02\x00")
+    tops = b"".join(_box(b"free", bytes(5 + i)) for i in range(pre_top))
+    kids = b"".join(_box(b"udta", bytes(3 + i)) for i in range(pre_moov))
+    moov = _box(b"moov", kids + _mvhd(timescale, duration, version))
+    return ftyp + tops + moov + _box(b"mdat", b"payload")
+
+
+_MP4_FIXTURE = [
+    (1, _mp4(b"isom", 1000, 60000)),
+    (2, _mp4(b"mp42", 90000, 2**32 - 1, pre_top=2, pre_moov=3)),
+    (3, _mp4(b"avc1", 600, 123456789, version=1)),
+    (4, b"RIFF\x24\x00\x00\x00WAVE"),                 # not mp4
+    (5, _mp4(b"isom", 1000, 60000)[:20]),             # truncated before moov
+    (6, None),
+    (7, _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(b"free", b"")),  # no moov
+    (8, _mp4(b"isom", 1000, 9, pre_top=10)),          # moov past max_boxes
+    (9, _mp4(b"hey!", 0, 5)),                         # timescale 0 -> nulls
+]
+
+
+def test_parse_video_headers_expected_values(spark):
+    df = spark.createDataFrame(_MP4_FIXTURE, "doc_id long, content binary")
+    got = {r["doc_id"]: (r["format"], r["major_brand"], r["timescale"],
+                         r["duration_ticks"])
+           for r in mm.parse_video_headers(df).collect()}
+    assert got[1] == ("mp4", "isom", 1000, 60000)
+    assert got[2] == ("mp4", "mp42", 90000, 2**32 - 1)
+    assert got[3] == ("mp4", "avc1", 600, 123456789)
+    assert got[4] == (None, None, None, None)
+    assert got[5] == (None, "isom", None, None)   # brand visible, no moov
+    assert got[6] == (None, None, None, None)
+    assert got[7] == (None, "isom", None, None)
+    assert got[8] == (None, "isom", None, None)
+    assert got[9] == ("mp4", "hey!", None, None)  # found but ts=0 masked
+    wide = {r["doc_id"]: r["format"]
+            for r in mm.parse_video_headers(df, max_boxes=14).collect()}
+    assert wide[8] == "mp4"
+
+
+def test_parse_video_headers_duckdb_parity(spark, tmp_path):
+    """Same blobs, same two-level box walk replayed in DuckDB: a
+    recursive CTE per level over hex(content)."""
+    import duckdb
+
+    df = spark.createDataFrame(_MP4_FIXTURE, "doc_id long, content binary")
+    path = str(tmp_path / "mp4s.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    got = sorted(
+        map(tuple, mm.parse_video_headers(spark.read.parquet(path)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE MACRO u32(h, p) AS"
+        " TRY_CAST('0x' || substr(h, p*2-1, 8) AS BIGINT)"
+    )
+    con.execute(
+        "CREATE MACRO u64(h, p) AS"
+        " TRY_CAST('0x' || substr(h, p*2-1, 16) AS BIGINT)"
+    )
+    con.execute(
+        "CREATE MACRO u8x(h, p) AS"
+        " TRY_CAST('0x' || substr(h, p*2-1, 2) AS INT)"
+    )
+    # one walk level as a macro-free CTE pair (start col seeds level 2)
+    walk_sql = """
+{name} AS (
+  SELECT doc_id, h, n, CAST({start} AS BIGINT) AS pos,
+         FALSE AS found, FALSE AS dead, 0 AS it
+  FROM {src} {where}
+  UNION ALL
+  SELECT doc_id, h, n,
+    CASE WHEN bad OR hit THEN pos ELSE least(pos + size, n + 1) END,
+    hit, bad, it + 1
+  FROM (
+    SELECT *,
+      (NOT (pos + 7 <= n) OR size IS NULL OR size < 8) AS bad,
+      (pos + 7 <= n) AND substr(h, (pos+4)*2-1, 8) = '{target}' AS hit
+    FROM (SELECT *, u32(h, pos) AS size FROM {name}) q0) q1
+  WHERE it < {limit} AND NOT found AND NOT dead)"""
+    q = f"""
+WITH RECURSIVE src AS (
+  SELECT doc_id, hex(content) AS h, octet_length(content) AS n
+  FROM read_parquet('{path}/*.parquet')),
+flags AS (
+  SELECT doc_id, h, n,
+         (n >= 16 AND substr(h, 9, 8) = '66747970') AS is_mp4
+  FROM src),
+{walk_sql.format(name='w1', start=1, src='flags', where='WHERE is_mp4',
+                 target='6D6F6F76', limit=8)},
+m1 AS (SELECT doc_id, pos AS moov_pos, found AS moov_found
+       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY it DESC) rn FROM w1)
+       WHERE rn = 1),
+l2src AS (
+  SELECT f.doc_id, f.h, f.n, m1.moov_pos, m1.moov_found
+  FROM flags f JOIN m1 USING (doc_id) WHERE m1.moov_found),
+{walk_sql.format(name='w2', start='moov_pos + 8', src='l2src', where='',
+                 target='6D766864', limit=8)},
+m2 AS (SELECT doc_id, pos AS mp, found AS mvhd_found
+       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY it DESC) rn FROM w2)
+       WHERE rn = 1),
+fields AS (
+  SELECT f.doc_id,
+         coalesce(m1.moov_found, FALSE) AND coalesce(m2.mvhd_found, FALSE)
+           AND f.is_mp4 AS ok,
+         f.is_mp4, f.h,
+         u8x(f.h, m2.mp + 8) AS ver, m2.mp AS mp
+  FROM flags f
+  LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)),
+vals AS (
+  SELECT doc_id, ok, is_mp4, h,
+         CASE WHEN ver = 0 THEN u32(h, mp + 20)
+              WHEN ver = 1 THEN u32(h, mp + 28) END AS ts,
+         CASE WHEN ver = 0 THEN u32(h, mp + 24)
+              WHEN ver = 1 THEN u64(h, mp + 32) END AS dur
+  FROM fields)
+SELECT doc_id,
+  CASE WHEN ok THEN 'mp4' END AS format,
+  CASE WHEN is_mp4 THEN decode(from_hex(substr(h, 17, 8))) END AS major_brand,
+  CASE WHEN ok AND ts IS NOT NULL AND ts > 0 AND dur IS NOT NULL
+       THEN ts END AS timescale,
+  CASE WHEN ok AND ts IS NOT NULL AND ts > 0 AND dur IS NOT NULL
+       THEN dur END AS duration_ticks
+FROM vals
+"""
+    exp = sorted(map(tuple, con.sql(q).fetchall()))
+    assert got == exp
+    assert len([t for t in got if t[1] == "mp4"]) == 4
+
+
+def test_parse_video_headers_plan_is_codegen_only(spark):
+    df = spark.createDataFrame(_MP4_FIXTURE, "doc_id long, content binary")
+    plan = (
+        mm.parse_video_headers(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "MapInPandas"):
+        assert bad not in plan, bad

@@ -268,3 +268,110 @@ def test_parse_audio_headers_matches_python_reference(spark, blobs):
     }
     for i, b in rows:
         assert got[i] == _ref_parse_wav(b), (i, b.hex() if b else b)
+
+
+# ---------------------------------------------------------------------------
+# MP4/ISO-BMFF two-level box walk vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _ref_walk(blob, start, target, limit=8):
+    n = len(blob)
+    pos = start
+    for _ in range(limit):
+        if not (pos + 7 <= n):
+            return None
+        size_raw = blob[pos - 1 : pos + 3]
+        size = int.from_bytes(size_raw, "big") if size_raw else None
+        if size is None or size < 8:
+            return None
+        if blob[pos + 3 : pos + 7] == target:
+            return pos
+        pos = min(pos + size, n + 1)
+    return None
+
+
+def _ref_parse_mp4(blob):
+    if blob is None:
+        return (None, None, None, None)
+    n = len(blob)
+    is_mp4 = n >= 16 and blob[4:8] == b"ftyp"
+    brand = blob[8:12].decode("utf-8", "replace") if is_mp4 else None
+    if not is_mp4:
+        return (None, None, None, None)
+    moov = _ref_walk(blob, 1, b"moov")
+    mvhd = _ref_walk(blob, moov + 8, b"mvhd") if moov else None
+    if not mvhd:
+        return (None, brand, None, None)
+    mp = mvhd
+    ver_raw = blob[mp + 7 : mp + 8]
+    ver = ver_raw[0] if ver_raw else None
+
+    def _u(off, ln):
+        r = blob[mp + off - 1 : mp + off - 1 + ln]
+        return int.from_bytes(r, "big") if r else None
+
+    if ver == 0:
+        ts, dur = _u(20, 4), _u(24, 4)
+    elif ver == 1:
+        ts, dur = _u(28, 4), _u(32, 8)
+    else:
+        ts = dur = None
+    if ts is None or ts <= 0 or dur is None:
+        return ("mp4", brand, None, None)
+    return ("mp4", brand, ts, dur)
+
+
+def _mp4_blob(brand, ts, dur, ver, pre_top, pre_moov):
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    if ver == 0:
+        mv = box(b"mvhd", b"\x00\x00\x00\x00"
+                 + struct.pack(">IIII", 1, 2, ts, dur) + bytes(12))
+    else:
+        mv = box(b"mvhd", b"\x01\x00\x00\x00"
+                 + struct.pack(">QQIQ", 1, 2, ts, dur) + bytes(12))
+    tops = b"".join(box(b"free", bytes(3 + i)) for i in range(pre_top))
+    kids = b"".join(box(b"udta", bytes(2 + i)) for i in range(pre_moov))
+    return (
+        box(b"ftyp", brand + b"\x00\x00\x02\x00")
+        + tops + box(b"moov", kids + mv) + box(b"mdat", b"x")
+    )
+
+
+_MP4_VALID = st.builds(
+    _mp4_blob,
+    st.sampled_from([b"isom", b"mp42", b"avc1", b"qt  "]),
+    st.integers(0, 2**32 - 1),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([0, 1]),
+    st.integers(0, 7),
+    st.integers(0, 7),
+)
+
+_MP4_BLOBS = st.one_of(
+    st.binary(max_size=64),
+    _MP4_VALID,
+    st.builds(
+        _mutate,
+        st.tuples(
+            _MP4_VALID,
+            st.integers(0, 60),
+            st.one_of(st.none(), st.integers(0, 1000)),
+        ),
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(blobs=st.lists(_MP4_BLOBS, min_size=1, max_size=24))
+def test_parse_video_headers_matches_python_reference(spark, blobs):
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (r["format"], r["major_brand"], r["timescale"],
+                      r["duration_ticks"])
+        for r in mm.parse_video_headers(df).collect()
+    }
+    for i, b in rows:
+        assert got[i] == _ref_parse_mp4(b), (i, b.hex() if b else b)
