@@ -77,9 +77,67 @@ def synthesize_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _be(col, nbytes: int):
+    """n-byte big-endian encoding of an int column, JVM-side."""
+    return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+
 def _be16(col):
     """2-byte big-endian encoding of an int column, JVM-side."""
-    return F.unhex(F.lpad(F.hex(col), 4, "0"))
+    return _be(col, 2)
+
+
+# ---------------------------------------------------------------------------
+# Shared byte readers for the header parsers (code-review r8: one copy,
+# so the ANSI-overflow defenses below cannot silently diverge between
+# the image/audio/video walks). All take (content_col, 1-based pos).
+# Truncated slices hex to fewer chars and parse to the partial value
+# (consistent with the DuckDB substr replay); empty slices -> NULL.
+# ---------------------------------------------------------------------------
+
+
+def _u8(c, pos):
+    return F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("int")
+
+
+def _u16be(c, pos):
+    return F.conv(F.hex(F.substring(c, pos, 2)), 16, 10).cast("int")
+
+
+def _u32be(c, pos):
+    return F.conv(F.hex(F.substring(c, pos, 4)), 16, 10).cast("long")
+
+
+def _u64be(c, pos):
+    """u64 big-endian, ANSI-safe: a value with the top bit set does not
+    fit int64 — ``conv`` would return its unsigned decimal string and
+    the cast would RAISE under ANSI mode (code-review r8, verified
+    live) — so mask it to NULL via the hex top nibble instead."""
+    h = F.hex(F.substring(c, pos, 8))
+    top_bit = (F.length(h) == 16) & F.substring(h, 1, 1).rlike("[89A-F]")
+    return F.when(~top_bit, F.conv(h, 16, 10).cast("long"))
+
+
+def _i32be(c, pos):
+    """u32 big-endian narrowed to a NULLABLE int: values past
+    Int.MaxValue (top bit set — e.g. a corrupt PNG dimension) yield
+    NULL instead of an ANSI CAST_OVERFLOW crash (code-review r8,
+    verified live)."""
+    v = _u32be(c, pos)
+    return F.when(v <= 2147483647, v.cast("int"))
+
+
+def _u16le(c, pos):
+    return _u8(c, pos) + _u8(c, pos + 1) * 256
+
+
+def _u32le(c, pos):
+    return (
+        _u8(c, pos).cast("long")
+        + _u8(c, pos + 1).cast("long") * 256
+        + _u8(c, pos + 2).cast("long") * 65536
+        + _u8(c, pos + 3).cast("long") * 16777216
+    )
 
 
 DECODED_SCHEMA = T.StructType(
@@ -225,9 +283,7 @@ def synthesize_image_binary(
     tl = F.length(F.col(text_col))
     w = (tl % 1024 + 1).cast("int")
     h = ((tl * 7) % 768 + 1).cast("int")
-
-    def be(col, nbytes):
-        return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+    be = _be
 
     png = F.concat(
         F.unhex(F.lit("89504E470D0A1A0A")),       # signature
@@ -295,26 +351,27 @@ def parse_image_headers(
     preludes (EXIF + thumbnails + quant/huffman tables); raising it
     only lengthens the codegen'd expression, never adds a pass.
 
-    Malformed input (bad magic, truncated header, no SOF before SOS,
-    non-marker garbage) yields NULL format/dims — never an exception,
-    the corrupt-blob reality of a 100 TB crawl. Returns
+    Malformed input (bad magic, truncated header, SOF cut off before
+    its dimension bytes, corrupt PNG dimensions past the spec's 2^31-1
+    bound, no SOF before SOS, non-marker garbage) yields NULL
+    format/dims — never an exception and never fabricated values, the
+    corrupt-blob reality of a 100 TB crawl (the truncated-SOF and
+    oversized-dimension cases were live-verified crashes/fabrications
+    in the r8 code review). Returns
     (doc_id, format, width, height, bit_depth)."""
     c = F.col(content_col)
     blen = F.octet_length(c)
 
-    def u8(pos):
-        return F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("int")
-
-    def u16(pos):
-        return F.conv(F.hex(F.substring(c, pos, 2)), 16, 10).cast("int")
-
-    def u32(pos):
-        return F.conv(F.hex(F.substring(c, pos, 4)), 16, 10).cast("long")
-
+    # PNG dims are spec-bound to 31 bits; _i32be masks corrupt
+    # top-bit-set values to NULL instead of an ANSI CAST_OVERFLOW,
+    # and a PNG with invalid dims is treated as malformed outright
+    png_w, png_h = _i32be(c, 17), _i32be(c, 21)
     is_png = (
         (blen >= 25)
         & (F.hex(F.substring(c, 1, 8)) == F.lit("89504E470D0A1A0A"))
         & (F.hex(F.substring(c, 13, 4)) == F.lit("49484452"))
+        & png_w.isNotNull()
+        & png_h.isNotNull()
     )
     is_jpeg = (blen >= 4) & (F.hex(F.substring(c, 1, 2)) == F.lit("FFD8"))
 
@@ -339,13 +396,16 @@ def parse_image_headers(
 
     def step(state, _):
         pos = state["pos"]
-        marker_ff = u8(pos)
-        mk = u8(pos + 1)
-        seglen = u16(pos + 2)
-        # substring past the end yields a short/empty slice -> conv
-        # returns 0/NULL; the headroom check makes truncation explicit
-        headroom = (pos.cast("long") + 3) <= (blen.cast("long") + 1)
+        marker_ff = _u8(c, pos)
+        mk = _u8(c, pos + 1)
+        seglen = _u16be(c, pos + 2)
+        # the full marker + length field (4 bytes) must be readable
+        headroom = (pos.cast("long") + 3) <= blen.cast("long")
         is_sof = mk.isin(0xC0, 0xC1, 0xC2, 0xC3)
+        # the SOF dimension bytes (through u16 at pos+7) must also be
+        # readable — a SOF cut off mid-header previously FABRICATED
+        # partial dims with format='jpeg' (code-review r8)
+        sof_ok = (pos.cast("long") + 8) <= blen.cast("long")
         stop = mk.isin(0xDA, 0xD9)  # SOS / EOI: no dims before scan data
         keep = state["found"] | state["dead"]
         return F.when(keep, state).otherwise(
@@ -354,14 +414,15 @@ def parse_image_headers(
                 | (marker_ff != 0xFF)
                 | stop
                 | seglen.isNull()
-                | (seglen < 2),
+                | (seglen < 2)
+                | (is_sof & ~sof_ok),
                 st(pos, state["found"], F.lit(True), state["width"],
                    state["height"], state["bit_depth"]),
             )
             .when(
                 is_sof,
                 st(pos, F.lit(True), state["dead"],
-                   u16(pos + 7), u16(pos + 5), u8(pos + 4)),
+                   _u16be(c, pos + 7), _u16be(c, pos + 5), _u8(c, pos + 4)),
             )
             .otherwise(
                 st(pos + 2 + seglen, state["found"], state["dead"],
@@ -376,13 +437,11 @@ def parse_image_headers(
     return media.select(
         F.col(id_col).alias("doc_id"),
         F.when(is_png, "png").when(jpeg_ok, "jpeg").alias("format"),
-        F.when(is_png, u32(17).cast("int"))
-        .when(jpeg_ok, walk["width"])
-        .alias("width"),
-        F.when(is_png, u32(21).cast("int"))
-        .when(jpeg_ok, walk["height"])
-        .alias("height"),
-        F.when(is_png, u8(25)).when(jpeg_ok, walk["bit_depth"]).alias("bit_depth"),
+        F.when(is_png, png_w).when(jpeg_ok, walk["width"]).alias("width"),
+        F.when(is_png, png_h).when(jpeg_ok, walk["height"]).alias("height"),
+        F.when(is_png, _u8(c, 25))
+        .when(jpeg_ok, walk["bit_depth"])
+        .alias("bit_depth"),
     )
 
 
@@ -426,19 +485,11 @@ def parse_audio_headers(
     c = F.col(content_col)
     blen = F.octet_length(c)
 
-    def u8(pos):
-        return F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("int")
-
     def u16le(pos):
-        return u8(pos) + u8(pos + 1) * 256
+        return _u16le(c, pos)
 
     def u32le(pos):
-        return (
-            u8(pos).cast("long")
-            + u8(pos + 1).cast("long") * 256
-            + u8(pos + 2).cast("long") * 65536
-            + u8(pos + 3).cast("long") * 16777216
-        )
+        return _u32le(c, pos)
 
     is_wav = (
         (blen >= 36)
@@ -564,35 +615,37 @@ def parse_video_headers(
     c = F.col(content_col)
     blen = F.octet_length(c)
 
-    def u32(pos):
-        return F.conv(F.hex(F.substring(c, pos, 4)), 16, 10).cast("long")
-
-    def u64(pos):
-        return F.conv(F.hex(F.substring(c, pos, 8)), 16, 10).cast("long")
-
-    def u8(pos):
-        return F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("int")
-
     def btype(pos):
         return F.hex(F.substring(c, pos + 4, 4))
 
     is_mp4 = (blen >= 16) & (btype(F.lit(1)) == F.lit("66747970"))  # "ftyp"
-    brand = F.decode(F.substring(c, 9, 4), "utf-8")
+    # brands are ASCII by spec; decode() under Spark 4 RAISES on
+    # malformed UTF-8 (code-review r8, verified live: one corrupt blob
+    # aborted the whole pass), so gate the decode on an all-ASCII hex
+    # check and surface NULL for binary garbage instead
+    brand_hex = F.hex(F.substring(c, 9, 4))
+    brand_ascii = brand_hex.rlike("^([0-7][0-9A-F]){4}$")
+    brand = F.when(brand_ascii, F.decode(F.substring(c, 9, 4), "utf-8"))
 
     def st(pos, found, dead):
         return F.struct(pos.alias("pos"), found.alias("found"), dead.alias("dead"))
 
-    def walk(start_pos, target_hex, limit):
+    def walk(start_pos, target_hex, limit, end):
         """Bounded box walk from start_pos: stop found at the target
         box type (pos = its FIRST byte), dead on truncation/degenerate
-        sizes. Returns the final state struct."""
+        sizes. ``end`` is the last byte position the walk may read —
+        the blob end for the top-level walk, the CONTAINER's end for a
+        child walk, so a stray same-typed box after the container can
+        never be claimed as its child (code-review r8). Returns the
+        final state struct."""
         init = st(start_pos.cast("long"), F.lit(False), F.lit(False))
 
         def step(state, _):
             pos = state["pos"]
-            size = u32(pos.cast("int"))
+            size = _u32be(c, pos.cast("int"))
             # full 8-byte box header (size + type) must be readable
-            headroom = (pos + 7) <= blen.cast("long")
+            # without crossing the container boundary
+            headroom = (pos + 7) <= end
             hit = btype(pos.cast("int")) == F.lit(target_hex)
             keep = state["found"] | state["dead"]
             nxt = F.least(pos + size, blen.cast("long") + 1)
@@ -607,13 +660,18 @@ def parse_video_headers(
 
         return F.aggregate(F.sequence(F.lit(1), F.lit(int(limit))), init, step)
 
-    moov = walk(F.lit(1), "6D6F6F76", max_boxes)           # "moov"
+    moov = walk(F.lit(1), "6D6F6F76", max_boxes, blen.cast("long"))  # "moov"
     moov_pos = moov["pos"].cast("int")
-    mvhd = walk(moov_pos + 8, "6D766864", max_boxes)       # "mvhd"
+    moov_end = F.least(
+        moov_pos.cast("long") + _u32be(c, moov_pos) - 1, blen.cast("long")
+    )
+    mvhd = walk(moov_pos + 8, "6D766864", max_boxes, moov_end)       # "mvhd"
     mp = mvhd["pos"].cast("int")  # mvhd box start; payload at mp+8
-    ver = u8(mp + 8)
-    ts = F.when(ver == 0, u32(mp + 8 + 12)).when(ver == 1, u32(mp + 8 + 20))
-    dur = F.when(ver == 0, u32(mp + 8 + 16)).when(ver == 1, u64(mp + 8 + 24))
+    ver = _u8(c, mp + 8)
+    ts = F.when(ver == 0, _u32be(c, mp + 20)).when(ver == 1, _u32be(c, mp + 28))
+    # v1 duration is u64: _u64be masks top-bit-set values to NULL
+    # instead of the ANSI cast crash (code-review r8, verified live)
+    dur = F.when(ver == 0, _u32be(c, mp + 24)).when(ver == 1, _u64be(c, mp + 32))
     ok = is_mp4 & moov["found"] & mvhd["found"]
     ts_ok = ok & ts.isNotNull() & (ts > 0) & dur.isNotNull()
     return media.select(

@@ -94,6 +94,12 @@ _HEADER_FIXTURE = [
     (10, b"\xff\xd8\x00\x00"),                          # non-marker garbage
     (11, b""),
     (12, _jpeg_blob(64, 64, extra_segs=20)),            # > max_segments prelude
+    # code-review r8 live repros: SOF truncated before its dims used to
+    # FABRICATE format='jpeg' height=0; a PNG dim with the top bit set
+    # used to raise CAST_OVERFLOW under ANSI mode
+    (13, b"\xff\xd8\xff\xc0\x00\x11\x08\x00"),
+    (14, _png_blob(2**31, 480)),
+    (15, _png_blob(640, 2**32 - 1)),
 ]
 
 
@@ -106,7 +112,7 @@ def test_parse_image_headers_expected_values(spark):
     assert got[4] == ("png", 1, 2, 16)
     assert got[5] == ("jpeg", 65535, 1, 8)
     assert got[9] == ("jpeg", 320, 200, 12)
-    for bad in (3, 6, 7, 8, 10, 11, 12):
+    for bad in (3, 6, 7, 8, 10, 11, 12, 13, 14, 15):
         assert got[bad] == (None, None, None, None), bad
     # the walk is bounded, not truncating: 20 prelude segments parse
     # fine when max_segments covers them
@@ -141,7 +147,9 @@ WITH RECURSIVE src AS (
 flags AS (
   SELECT doc_id, h, n,
          (n >= 25 AND substr(h, 1, 16) = '89504E470D0A1A0A'
-            AND substr(h, 25, 8) = '49484452') AS is_png,
+            AND substr(h, 25, 8) = '49484452'
+            AND TRY_CAST('0x' || substr(h, 33, 8) AS INT) IS NOT NULL
+            AND TRY_CAST('0x' || substr(h, 41, 8) AS INT) IS NOT NULL) AS is_png,
          (n >= 4 AND substr(h, 1, 4) = 'FFD8') AS is_jpeg
   FROM src),
 walk AS (
@@ -158,12 +166,14 @@ walk AS (
     it + 1
   FROM (
     SELECT *,
-      (NOT (pos + 3 <= n + 1)
+      (NOT (pos + 3 <= n)
         OR substr(h, pos*2-1, 2) <> 'FF'
-        OR mk IN (218, 217) OR seglen IS NULL OR seglen < 2) AS bad,
-      (NOT (NOT (pos + 3 <= n + 1)
+        OR mk IN (218, 217) OR seglen IS NULL OR seglen < 2
+        OR (mk IN (192, 193, 194, 195) AND NOT (pos + 8 <= n))) AS bad,
+      (NOT (NOT (pos + 3 <= n)
         OR substr(h, pos*2-1, 2) <> 'FF'
-        OR mk IN (218, 217) OR seglen IS NULL OR seglen < 2))
+        OR mk IN (218, 217) OR seglen IS NULL OR seglen < 2
+        OR (mk IN (192, 193, 194, 195) AND NOT (pos + 8 <= n))))
         AND mk IN (192, 193, 194, 195) AS sof
     FROM (
       SELECT *,
@@ -385,6 +395,16 @@ _MP4_FIXTURE = [
     (7, _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(b"free", b"")),  # no moov
     (8, _mp4(b"isom", 1000, 9, pre_top=10)),          # moov past max_boxes
     (9, _mp4(b"hey!", 0, 5)),                         # timescale 0 -> nulls
+    # code-review r8 live repros: a non-UTF8 brand used to crash
+    # decode(); a v1 u64 duration with the top bit set used to crash
+    # the ANSI BIGINT cast; a stray TOP-LEVEL mvhd after a moov without
+    # one used to be claimed as the movie header
+    (10, _box(b"ftyp", b"\xff\xfe\x80\x81" + b"\x00\x00\x02\x00")
+         + _box(b"free", b"")),
+    (11, _mp4(b"isom", 1000, 2**63, version=1)),
+    (12, _box(b"ftyp", b"isom\x00\x00\x02\x00")
+         + _box(b"moov", _box(b"udta", b"xy"))
+         + _mvhd(999, 5)),
 ]
 
 
@@ -402,6 +422,9 @@ def test_parse_video_headers_expected_values(spark):
     assert got[7] == (None, "isom", None, None)
     assert got[8] == (None, "isom", None, None)
     assert got[9] == ("mp4", "hey!", None, None)  # found but ts=0 masked
+    assert got[10] == (None, None, None, None)    # non-ASCII brand -> NULL, no crash
+    assert got[11] == ("mp4", "isom", None, None) # u64 top-bit duration masked
+    assert got[12] == (None, "isom", None, None)  # stray mvhd outside moov ignored
     wide = {r["doc_id"]: r["format"]
             for r in mm.parse_video_headers(df, max_boxes=14).collect()}
     assert wide[8] == "mp4"
@@ -434,17 +457,17 @@ def test_parse_video_headers_duckdb_parity(spark, tmp_path):
     # one walk level as a macro-free CTE pair (start col seeds level 2)
     walk_sql = """
 {name} AS (
-  SELECT doc_id, h, n, CAST({start} AS BIGINT) AS pos,
+  SELECT doc_id, h, n, {extra} CAST({start} AS BIGINT) AS pos,
          FALSE AS found, FALSE AS dead, 0 AS it
   FROM {src} {where}
   UNION ALL
-  SELECT doc_id, h, n,
+  SELECT doc_id, h, n, {extra}
     CASE WHEN bad OR hit THEN pos ELSE least(pos + size, n + 1) END,
     hit, bad, it + 1
   FROM (
     SELECT *,
-      (NOT (pos + 7 <= n) OR size IS NULL OR size < 8) AS bad,
-      (pos + 7 <= n) AND substr(h, (pos+4)*2-1, 8) = '{target}' AS hit
+      (NOT (pos + 7 <= {end}) OR size IS NULL OR size < 8) AS bad,
+      (pos + 7 <= {end}) AND substr(h, (pos+4)*2-1, 8) = '{target}' AS hit
     FROM (SELECT *, u32(h, pos) AS size FROM {name}) q0) q1
   WHERE it < {limit} AND NOT found AND NOT dead)"""
     q = f"""
@@ -456,16 +479,17 @@ flags AS (
          (n >= 16 AND substr(h, 9, 8) = '66747970') AS is_mp4
   FROM src),
 {walk_sql.format(name='w1', start=1, src='flags', where='WHERE is_mp4',
-                 target='6D6F6F76', limit=8)},
+                 target='6D6F6F76', limit=8, end='n', extra='')},
 m1 AS (SELECT doc_id, pos AS moov_pos, found AS moov_found
        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                           ORDER BY it DESC) rn FROM w1)
        WHERE rn = 1),
 l2src AS (
-  SELECT f.doc_id, f.h, f.n, m1.moov_pos, m1.moov_found
+  SELECT f.doc_id, f.h, f.n, m1.moov_pos, m1.moov_found,
+         least(f.n, m1.moov_pos + u32(f.h, m1.moov_pos) - 1) AS moov_end
   FROM flags f JOIN m1 USING (doc_id) WHERE m1.moov_found),
 {walk_sql.format(name='w2', start='moov_pos + 8', src='l2src', where='',
-                 target='6D766864', limit=8)},
+                 target='6D766864', limit=8, end='moov_end', extra='moov_end,')},
 m2 AS (SELECT doc_id, pos AS mp, found AS mvhd_found
        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                           ORDER BY it DESC) rn FROM w2)
@@ -487,7 +511,8 @@ vals AS (
   FROM fields)
 SELECT doc_id,
   CASE WHEN ok THEN 'mp4' END AS format,
-  CASE WHEN is_mp4 THEN decode(from_hex(substr(h, 17, 8))) END AS major_brand,
+  CASE WHEN is_mp4 AND regexp_matches(substr(h, 17, 8), '^([0-7][0-9A-F]){{4}}$')
+       THEN decode(from_hex(substr(h, 17, 8))) END AS major_brand,
   CASE WHEN ok AND ts IS NOT NULL AND ts > 0 AND dur IS NOT NULL
        THEN ts END AS timescale,
   CASE WHEN ok AND ts IS NOT NULL AND ts > 0 AND dur IS NOT NULL
@@ -496,7 +521,7 @@ FROM vals
 """
     exp = sorted(map(tuple, con.sql(q).fetchall()))
     assert got == exp
-    assert len([t for t in got if t[1] == "mp4"]) == 4
+    assert len([t for t in got if t[1] == "mp4"]) == 5
 
 
 def test_parse_video_headers_plan_is_codegen_only(spark):

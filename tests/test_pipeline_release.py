@@ -375,19 +375,11 @@ def test_curate_corpus_guard_ledger_on_dedup_near_row(spark):
     reaches lsh_candidate_pairs. With the cap forced below the
     boilerplate family's bucket size, the family's near-duplicates
     SURVIVE (the exact silent-coverage failure) but the ledger says so."""
-    family = [
-        (i, "the quick brown fox jumps over the lazy dog tonight", "en")
-        for i in range(1, 8)
-    ]
-    rows = family + [
-        (100, "an entirely unrelated document about the data engine", "en")
-    ]
-    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     base = dict(min_tokens=3, min_stopwords=0, max_dup_token_frac=None,
                 dedup="near", shingle_n=3)
 
-    # exact copies collapse in the exact pre-pass, so make them NEAR
-    # dups: vary one trailing token per doc (jaccard still high)
+    # exact copies would collapse in the exact pre-pass, so the family
+    # is NEAR dups: vary one trailing token per doc (jaccard still high)
     near = [
         (i, f"the quick brown fox jumps over the lazy dog tonight x{'y' * (i % 2)}", "en")
         for i in range(1, 8)

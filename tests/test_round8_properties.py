@@ -33,12 +33,15 @@ def _ref_parse(blob: bytes | None, max_segments: int = 16):
     ):
         w = int.from_bytes(blob[16:20], "big")
         h = int.from_bytes(blob[20:24], "big")
+        if w > 2**31 - 1 or h > 2**31 - 1:
+            # corrupt dims past the PNG spec's 31-bit bound -> malformed
+            return (None, None, None, None)
         return ("png", w, h, blob[24])
     if n >= 4 and blob[:2] == b"\xff\xd8":
         pos = 3  # 1-based, matching the SQL substring convention
         for _ in range(max_segments):
-            # headroom: marker byte, marker id, first length byte exist
-            if not (pos + 2 <= n):
+            # headroom: the full marker + u16 length field must exist
+            if not (pos + 3 <= n):
                 return (None, None, None, None)
             if blob[pos - 1] != 0xFF:
                 return (None, None, None, None)
@@ -50,9 +53,13 @@ def _ref_parse(blob: bytes | None, max_segments: int = 16):
             if mk in (0xDA, 0xD9) or seglen is None or seglen < 2:
                 return (None, None, None, None)
             if mk in (0xC0, 0xC1, 0xC2, 0xC3):
+                if not (pos + 8 <= n):
+                    # SOF truncated before its dimension bytes
+                    return (None, None, None, None)
+
                 def _u(off, ln):
                     r = blob[pos + off - 1 : pos + off - 1 + ln]
-                    return int.from_bytes(r, "big") if r else None
+                    return int.from_bytes(r, "big")
 
                 return ("jpeg", _u(7, 2), _u(5, 2), _u(4, 1))
             pos = pos + 2 + seglen
@@ -96,8 +103,8 @@ def _jpeg(w, h, prec, segs):
 _VALID = st.one_of(
     st.builds(
         _png,
-        st.integers(0, 2**31 - 1),
-        st.integers(0, 2**31 - 1),
+        st.integers(0, 2**32 - 1),
+        st.integers(0, 2**32 - 1),
         st.sampled_from([1, 2, 4, 8, 16]),
     ),
     st.builds(
@@ -274,11 +281,12 @@ def test_parse_audio_headers_matches_python_reference(spark, blobs):
 # MP4/ISO-BMFF two-level box walk vs a pure-Python reference
 # ---------------------------------------------------------------------------
 
-def _ref_walk(blob, start, target, limit=8):
+def _ref_walk(blob, start, target, limit=8, end=None):
     n = len(blob)
+    end = n if end is None else end
     pos = start
     for _ in range(limit):
-        if not (pos + 7 <= n):
+        if not (pos + 7 <= end):
             return None
         size_raw = blob[pos - 1 : pos + 3]
         size = int.from_bytes(size_raw, "big") if size_raw else None
@@ -295,11 +303,21 @@ def _ref_parse_mp4(blob):
         return (None, None, None, None)
     n = len(blob)
     is_mp4 = n >= 16 and blob[4:8] == b"ftyp"
-    brand = blob[8:12].decode("utf-8", "replace") if is_mp4 else None
+    raw_brand = blob[8:12]
+    brand = (
+        raw_brand.decode("ascii")
+        if is_mp4 and all(b < 0x80 for b in raw_brand)
+        else None
+    )
     if not is_mp4:
         return (None, None, None, None)
     moov = _ref_walk(blob, 1, b"moov")
-    mvhd = _ref_walk(blob, moov + 8, b"mvhd") if moov else None
+    mvhd = None
+    if moov:
+        moov_size = int.from_bytes(blob[moov - 1 : moov + 3], "big")
+        mvhd = _ref_walk(
+            blob, moov + 8, b"mvhd", end=min(n, moov + moov_size - 1)
+        )
     if not mvhd:
         return (None, brand, None, None)
     mp = mvhd
@@ -314,6 +332,8 @@ def _ref_parse_mp4(blob):
         ts, dur = _u(20, 4), _u(24, 4)
     elif ver == 1:
         ts, dur = _u(28, 4), _u(32, 8)
+        if dur is not None and dur >= 2**63:
+            dur = None  # does not fit int64 -> masked, never a crash
     else:
         ts = dur = None
     if ts is None or ts <= 0 or dur is None:
@@ -327,7 +347,7 @@ def _mp4_blob(brand, ts, dur, ver, pre_top, pre_moov):
 
     if ver == 0:
         mv = box(b"mvhd", b"\x00\x00\x00\x00"
-                 + struct.pack(">IIII", 1, 2, ts, dur) + bytes(12))
+                 + struct.pack(">IIII", 1, 2, ts, dur % 2**32) + bytes(12))
     else:
         mv = box(b"mvhd", b"\x01\x00\x00\x00"
                  + struct.pack(">QQIQ", 1, 2, ts, dur) + bytes(12))
@@ -341,9 +361,12 @@ def _mp4_blob(brand, ts, dur, ver, pre_top, pre_moov):
 
 _MP4_VALID = st.builds(
     _mp4_blob,
-    st.sampled_from([b"isom", b"mp42", b"avc1", b"qt  "]),
+    st.one_of(
+        st.sampled_from([b"isom", b"mp42", b"avc1", b"qt  "]),
+        st.binary(min_size=4, max_size=4),  # incl. non-ASCII garbage
+    ),
     st.integers(0, 2**32 - 1),
-    st.integers(0, 2**32 - 1),
+    st.integers(0, 2**64 - 1),  # v1 u64 durations incl. top-bit-set
     st.sampled_from([0, 1]),
     st.integers(0, 7),
     st.integers(0, 7),
