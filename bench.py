@@ -41,7 +41,7 @@ def main() -> None:
             sample=20,
         )
 
-    # FROZEN as the stable round-over-round core at 44 + flagship
+    # FROZEN as the stable round-over-round core of 44 (flagship + 43)
     # (VERDICT r7 task #6: the list grew 36 -> 38 -> 44 over three
     # rounds and each addition diluted the signal). New operators do
     # NOT join this tuple — their scale posture is measured in
