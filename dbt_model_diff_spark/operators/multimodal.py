@@ -359,7 +359,20 @@ def parse_image_headers(
     oversized-dimension cases were live-verified crashes/fabrications
     in the r8 code review). Returns
     (doc_id, format, width, height, bit_depth)."""
-    c = F.col(content_col)
+    f = _image_header_fields(F.col(content_col), max_segments)
+    return media.select(
+        F.col(id_col).alias("doc_id"),
+        f["format"].alias("format"),
+        f["width"].alias("width"),
+        f["height"].alias("height"),
+        f["bit_depth"].alias("bit_depth"),
+    )
+
+
+def _image_header_fields(c, max_segments: int = 16) -> dict:
+    """The PNG/JPEG header expressions as a {name: Column} dict over
+    content column ``c`` — shared by :func:`parse_image_headers` and
+    the one-projection :func:`classify_media` composition."""
     blen = F.octet_length(c)
 
     # PNG dims are spec-bound to 31 bits; _i32be masks corrupt
@@ -434,15 +447,14 @@ def parse_image_headers(
         F.sequence(F.lit(1), F.lit(int(max_segments))), init, step
     )
     jpeg_ok = is_jpeg & walk["found"]
-    return media.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(is_png, "png").when(jpeg_ok, "jpeg").alias("format"),
-        F.when(is_png, png_w).when(jpeg_ok, walk["width"]).alias("width"),
-        F.when(is_png, png_h).when(jpeg_ok, walk["height"]).alias("height"),
-        F.when(is_png, _u8(c, 25))
-        .when(jpeg_ok, walk["bit_depth"])
-        .alias("bit_depth"),
-    )
+    return {
+        "format": F.when(is_png, "png").when(jpeg_ok, "jpeg"),
+        "width": F.when(is_png, png_w).when(jpeg_ok, walk["width"]),
+        "height": F.when(is_png, png_h).when(jpeg_ok, walk["height"]),
+        "bit_depth": F.when(is_png, _u8(c, 25)).when(
+            jpeg_ok, walk["bit_depth"]
+        ),
+    }
 
 
 AUDIO_HEADER_SCHEMA = T.StructType(
@@ -482,7 +494,19 @@ def parse_audio_headers(
     Malformed input (bad magic, truncated chunks, no fmt chunk within
     ``max_chunks``) yields NULLs, never an exception. Returns
     (doc_id, format, n_channels, sample_rate, bits_per_sample)."""
-    c = F.col(content_col)
+    f = _audio_header_fields(F.col(content_col), max_chunks)
+    return media.select(
+        F.col(id_col).alias("doc_id"),
+        f["format"].alias("format"),
+        f["n_channels"].alias("n_channels"),
+        f["sample_rate"].alias("sample_rate"),
+        f["bits_per_sample"].alias("bits_per_sample"),
+    )
+
+
+def _audio_header_fields(c, max_chunks: int = 8) -> dict:
+    """The WAV/RIFF header expressions as a {name: Column} dict —
+    shared by :func:`parse_audio_headers` and :func:`classify_media`."""
     blen = F.octet_length(c)
 
     def u16le(pos):
@@ -555,13 +579,12 @@ def parse_audio_headers(
 
     walk = F.aggregate(F.sequence(F.lit(1), F.lit(int(max_chunks))), init, step)
     ok = is_wav & walk["found"]
-    return media.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(ok, "wav").alias("format"),
-        F.when(ok, walk["ch"]).alias("n_channels"),
-        F.when(ok, walk["sr"]).alias("sample_rate"),
-        F.when(ok, walk["bps"]).alias("bits_per_sample"),
-    )
+    return {
+        "format": F.when(ok, "wav"),
+        "n_channels": F.when(ok, walk["ch"]),
+        "sample_rate": F.when(ok, walk["sr"]),
+        "bits_per_sample": F.when(ok, walk["bps"]),
+    }
 
 
 VIDEO_HEADER_SCHEMA = T.StructType(
@@ -612,7 +635,19 @@ def parse_video_headers(
     level deeper (``trak > tkhd``) and are deliberately not walked —
     each extra nesting level multiplies the unrolled expression, and
     the movie-level fields are what corpus triage needs."""
-    c = F.col(content_col)
+    f = _video_header_fields(F.col(content_col), max_boxes)
+    return media.select(
+        F.col(id_col).alias("doc_id"),
+        f["format"].alias("format"),
+        f["major_brand"].alias("major_brand"),
+        f["timescale"].alias("timescale"),
+        f["duration_ticks"].alias("duration_ticks"),
+    )
+
+
+def _video_header_fields(c, max_boxes: int = 8) -> dict:
+    """The MP4/ISO-BMFF header expressions as a {name: Column} dict —
+    shared by :func:`parse_video_headers` and :func:`classify_media`."""
     blen = F.octet_length(c)
 
     def btype(pos):
@@ -674,12 +709,76 @@ def parse_video_headers(
     dur = F.when(ver == 0, _u32be(c, mp + 24)).when(ver == 1, _u64be(c, mp + 32))
     ok = is_mp4 & moov["found"] & mvhd["found"]
     ts_ok = ok & ts.isNotNull() & (ts > 0) & dur.isNotNull()
+    return {
+        "format": F.when(ok, "mp4"),
+        "major_brand": F.when(is_mp4, brand),
+        "timescale": F.when(ts_ok, ts),
+        "duration_ticks": F.when(ts_ok, dur),
+    }
+
+
+CLASSIFIED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_format", T.StringType()),
+        T.StructField(
+            "props", T.MapType(T.StringType(), T.StringType())
+        ),
+    ]
+)
+
+
+def classify_media(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unified media triage over a binary column — the single entry
+    point a crawl-ingest pipeline calls before routing blobs to
+    modality-specific processing: detects png / jpeg / wav / mp4 from
+    the real byte layouts and surfaces each format's key properties as
+    a ``map<string,string>``.
+
+    Scale shape: composes the THREE parsers' field expressions
+    (:func:`_image_header_fields` / :func:`_audio_header_fields` /
+    :func:`_video_header_fields`) into ONE projection over ONE scan —
+    calling the parsers separately and joining back on doc_id would
+    cost three scans plus two id-keyed shuffles for what is row-local
+    arithmetic. Magic-byte checks make the format families mutually
+    exclusive, so ``coalesce`` over the per-family format columns is
+    exact. Unknown/corrupt blobs get NULL format and NULL props —
+    triage never throws (the parsers' contract). Returns
+    (doc_id, media_format, props)."""
+    c = F.col(content_col)
+    img = _image_header_fields(c)
+    wav = _audio_header_fields(c)
+    mp4 = _video_header_fields(c)
+
+    def props_map(fields, keys):
+        pairs = []
+        for k in keys:
+            pairs.extend([F.lit(k), fields[k].cast("string")])
+        return F.create_map(*pairs)
+
+    fmt = F.coalesce(img["format"], wav["format"], mp4["format"])
+    props = (
+        F.when(
+            img["format"].isNotNull(),
+            props_map(img, ["width", "height", "bit_depth"]),
+        )
+        .when(
+            wav["format"].isNotNull(),
+            props_map(wav, ["n_channels", "sample_rate", "bits_per_sample"]),
+        )
+        .when(
+            mp4["format"].isNotNull(),
+            props_map(mp4, ["major_brand", "timescale", "duration_ticks"]),
+        )
+    )
     return media.select(
         F.col(id_col).alias("doc_id"),
-        F.when(ok, "mp4").alias("format"),
-        F.when(is_mp4, brand).alias("major_brand"),
-        F.when(ts_ok, ts).alias("timescale"),
-        F.when(ts_ok, dur).alias("duration_ticks"),
+        fmt.alias("media_format"),
+        props.alias("props"),
     )
 
 

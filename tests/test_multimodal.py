@@ -532,3 +532,62 @@ def test_parse_video_headers_plan_is_codegen_only(spark):
     )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "MapInPandas"):
         assert bad not in plan, bad
+
+
+def test_classify_media_unified_triage(spark):
+    """classify_media routes mixed png/jpeg/wav/mp4/garbage blobs in
+    one projection, with per-format props maps and NULLs for unknowns."""
+    rows = [
+        (1, _png_blob(640, 480)),
+        (2, _jpeg_blob(1024, 768)),
+        (3, _wav_blob(2, 44100, 16)),
+        (4, _mp4(b"isom", 1000, 60000)),
+        (5, b"unidentifiable bytes"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: (r["media_format"], r["props"])
+           for r in mm.classify_media(df).collect()}
+    assert got[1] == ("png", {"width": "640", "height": "480",
+                              "bit_depth": "8"})
+    assert got[2] == ("jpeg", {"width": "1024", "height": "768",
+                               "bit_depth": "8"})
+    assert got[3] == ("wav", {"n_channels": "2", "sample_rate": "44100",
+                              "bits_per_sample": "16"})
+    assert got[4] == ("mp4", {"major_brand": "isom", "timescale": "1000",
+                              "duration_ticks": "60000"})
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)
+
+
+def test_classify_media_single_projection_plan(spark):
+    """The composition must stay ONE scan + ONE Project: no joins, no
+    exchanges, no Python evaluation."""
+    df = spark.createDataFrame(
+        [(1, _png_blob(2, 2))], "doc_id long, content binary"
+    )
+    plan = (
+        mm.classify_media(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython",
+                "MapInPandas"):
+        assert bad not in plan, bad
+
+
+def test_classify_media_agrees_with_parsers(spark):
+    """classify_media's verdicts must equal the standalone parsers'
+    on the union of all three fixture sets (including every corrupt
+    blob) — the composition may not drift from its parts."""
+    fixture = (
+        [(i, b) for i, b in _HEADER_FIXTURE]
+        + [(100 + i, b) for i, b in _WAV_FIXTURE]
+        + [(200 + i, b) for i, b in _MP4_FIXTURE]
+    )
+    df = spark.createDataFrame(fixture, "doc_id long, content binary")
+    got = {r["doc_id"]: r["media_format"]
+           for r in mm.classify_media(df).collect()}
+    img = {r["doc_id"]: r["format"] for r in mm.parse_image_headers(df).collect()}
+    wav = {r["doc_id"]: r["format"] for r in mm.parse_audio_headers(df).collect()}
+    mp4 = {r["doc_id"]: r["format"] for r in mm.parse_video_headers(df).collect()}
+    for i, _ in fixture:
+        assert got[i] == (img[i] or wav[i] or mp4[i]), i
