@@ -1612,6 +1612,83 @@ def normalize_text(
     )
 
 
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signal — the Dolma/Gopher-family
+    heuristic the regex gates can't express: machine-generated
+    boilerplate, keyword stuffing, and template spam compress far
+    below natural prose, while encrypted/binary-ish junk barely
+    compresses at all, so curation keeps a RATIO BAND (Dolma drops
+    both tails; Rae et al. 2021 §A1 use the same signal family).
+
+    Returns (id_col, raw_len, comp_len, ratio): utf-8 byte length,
+    ``zlib.compress(text, level)`` byte length, and comp_len/raw_len
+    as double (NULL for NULL/empty text — a 0-byte doc has no ratio).
+
+    Engine shape: a scalar Arrow-batched ``pandas_udf`` — zlib is C
+    inside CPython, the per-row Python step is list-comp dispatch
+    around it, and the work is strictly row-local (zero shuffles; the
+    projection fuses into the surrounding plan). Determinism: zlib
+    output is a pure function of (bytes, level) for a given zlib
+    build, so reruns are bit-stable and the ratio ORDERING is stable
+    across zlib versions — but the exact comp_len is library-
+    versioned, which is why this signal is pytest-referee-certified
+    (direct zlib replay, tests/test_extensions.py) rather than
+    DuckDB-oracled: no SQL twin ships a compressor. 100 TB posture:
+    pure map work, scales with executor count like any scan.
+    """
+    raw_len = F.octet_length(F.col(text_col))
+    out = df.select(
+        id_col,
+        raw_len.alias("raw_len"),
+        compressed_len_expr(F.col(text_col), level=level).alias("comp_len"),
+    )
+    return out.withColumn(
+        "ratio",
+        F.when(
+            F.col("raw_len") > 0,
+            F.col("comp_len").cast("double") / F.col("raw_len").cast("double"),
+        ),
+    )
+
+
+def compressed_len_expr(col, level: int = 6):
+    """``len(zlib.compress(utf8(col), level))`` as an Arrow-batched
+    COLUMN expression (see :func:`compression_ratio` for the signal's
+    rationale) — exposed separately so a pipeline gate can filter on
+    the ratio inline, fused into its surrounding projection, instead
+    of materializing a signal frame and joining it back on ids."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    lvl = int(level)
+    if not (0 <= lvl <= 9):
+        raise ValueError("zlib level must be in 0..9")
+
+    # no type hints: this module's `from __future__ import annotations`
+    # stringifies them, which pandas_udf's eval-type inference cannot
+    # resolve (the nfc_expr precedent) — explicit returnType instead
+    def _comp_len(s):
+        import zlib
+
+        return pd.Series(
+            [
+                len(zlib.compress(t.encode("utf-8"), lvl))
+                if t is not None
+                else None
+                for t in s
+            ],
+            dtype="object",
+        )
+
+    return pandas_udf(_comp_len, LongType())(col)
+
+
 def dedup_impact_report(
     df: DataFrame,
     text_col: str = "text",

@@ -58,6 +58,11 @@ class CurationConfig:
     min_stopwords: int = 1
     # Gopher repetition gate (textops.repetition_signals)
     max_dup_token_frac: float | None = 0.6
+    # Dolma-style zlib compression-ratio band (textops.compression_ratio):
+    # docs compressing BELOW min (boilerplate/template spam) or ABOVE
+    # max (binary-ish junk) are dropped; None disables either bound
+    min_compression_ratio: float | None = None
+    max_compression_ratio: float | None = None
     # dedup: "exact" (dedup.exact_dedup), "near" (MinHash-LSH chain ->
     # dedup.near_dedup), or "none"
     dedup: str = "near"
@@ -93,6 +98,14 @@ class CurationConfig:
             raise ValueError("dedup must be 'exact', 'near', or 'none'")
         if self.min_tokens < 0 or self.min_stopwords < 0:
             raise ValueError("gate thresholds must be non-negative")
+        if (
+            self.min_compression_ratio is not None
+            and self.max_compression_ratio is not None
+            and self.min_compression_ratio > self.max_compression_ratio
+        ):
+            raise ValueError(
+                "min_compression_ratio must not exceed max_compression_ratio"
+            )
         if (
             self.token_budget is not None
             and self.token_budgets_by_lang is not None
@@ -230,6 +243,24 @@ def curate_corpus(
             how="left_anti",
         )
         account("repetition_gate", cur)
+
+    # 3b. compression-ratio band (textops.compressed_len_expr): the
+    # Dolma-family gate. The signal is row-local, so it is an INLINE
+    # filter fused into the current frame — no signal frame, no
+    # id re-join, zero extra shuffles.
+    if c.min_compression_ratio is not None or c.max_compression_ratio is not None:
+        raw = F.octet_length(t).cast("double")
+        ratio = F.when(
+            raw > 0,
+            textops.compressed_len_expr(t).cast("double") / raw,
+        )
+        keep_pred = ratio.isNotNull()
+        if c.min_compression_ratio is not None:
+            keep_pred = keep_pred & (ratio >= c.min_compression_ratio)
+        if c.max_compression_ratio is not None:
+            keep_pred = keep_pred & (ratio <= c.max_compression_ratio)
+        cur = cur.filter(keep_pred)
+        account("compression_gate", cur)
 
     # pin: every stage below re-reads the gated frame (dedup hashing,
     # decontamination shingles, budget, export)

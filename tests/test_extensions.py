@@ -1712,3 +1712,68 @@ def test_near_dedup_levenshtein_verify_knob(spark):
     assert {r["doc_id"] for r in kept_pre.collect()} == {1}
     with _pytest.raises(ValueError, match="levenshtein"):
         dedup.near_dedup(df, cand, verify="jaccard-ish")
+
+
+def test_compression_ratio_zlib_referee(spark):
+    """textops.compression_ratio vs a direct zlib replay — comp_len
+    must match byte-for-byte (same zlib build, pure function of
+    (bytes, level)), ratio = comp_len/raw_len, NULL for null/empty."""
+    import zlib
+
+    import pytest as _pytest
+
+    from dbt_model_diff_spark.operators.textops import compression_ratio
+
+    texts = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over one lazy dog tonight"),
+        (3, "a"),
+        (4, ""),
+        (5, None),
+        (6, "naïve café résumé — unicode bytes too 字符"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: (r["raw_len"], r["comp_len"], r["ratio"])
+           for r in compression_ratio(df).collect()}
+    for i, t in texts:
+        if t is None:
+            assert got[i] == (None, None, None)
+            continue
+        raw = len(t.encode("utf-8"))
+        comp = len(zlib.compress(t.encode("utf-8"), 6))
+        assert got[i][0] == raw and got[i][1] == comp, i
+        if raw:
+            assert abs(got[i][2] - comp / raw) < 1e-12
+        else:
+            assert got[i][2] is None
+    # the signal discriminates: repetitive spam compresses much deeper
+    assert got[1][2] < got[2][2]
+    with _pytest.raises(ValueError, match="0..9"):
+        compression_ratio(df, level=11)
+
+
+def test_compression_gate_in_curation_pipeline(spark):
+    """CurationConfig.min/max_compression_ratio band-gates the corpus
+    inline (no extra joins) with its own report row."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (1, " ".join(["boilerplate"] * 80), "en"),          # over-compressible
+        (2, "a genuinely varied natural sentence with many distinct words"
+            " describing the data engine pipeline thoroughly", "en"),
+        (3, "another distinct natural document with its own vocabulary"
+            " profile and reasonable entropy for prose", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(min_tokens=3, min_stopwords=0,
+                         max_dup_token_frac=None, dedup="none",
+                         min_compression_ratio=0.30)
+    kept, report = curate_corpus(docs, cfg)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+    stages = [r["stage"] for r in report]
+    assert "compression_gate" in stages
+    row = next(r for r in report if r["stage"] == "compression_gate")
+    assert row["docs"] == 2
+    # determinism: rerun reproduces the identical report
+    kept2, report2 = curate_corpus(docs, cfg)
+    assert report2 == report
