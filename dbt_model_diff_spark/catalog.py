@@ -2601,25 +2601,25 @@ def text_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-8 surfaces certified by pytest parity, NOT registered:
 # nfc normalization, PNG/JPEG header parsing, levenshtein near-dup
 # verify (tests/test_extensions.py, tests/test_multimodal.py,
-# tests/test_round8_properties.py).
+# test_round8_properties.py). Round-9 surfaces likewise pytest-parity
+# certified, NOT registered: HTML/markup extraction, URL
+# canonicalization + registered-domain ops (tests/test_round9_*.py).
 #
-# ROUND-9 WINDOW PLAN (mechanical, execute first thing after
-# CORRECTNESS_r08 lands): the mandatory tier is every query whose
-# newest green row is r6 — the 50 r6-certified queries MINUS the four
-# re-certified as r8 fillers (pipeline_curation_report,
-# pipeline_training_data, dedup_lsh_pairs, dedup_jaccard_verified) =
-# 46 queries; plus any never-certified r9 registrations first. Fill
-# the remaining ~4 slots from the r7-certified tier (the stalest
-# outside; greedy tie-split allows choosing among them), taking 4 of
-# the six flagship anchors (diff_counts_orders, diff_profile_orders,
-# diff_schema_drift, diff_partitioned_orders, model_order_agg,
-# pricing_summary). The 2 anchors left out stay legal: the anchor
-# clause (test_driver_priority_window, relaxed in r8 after the
-# feasibility analysis) requires a driver row within the two newest
-# records OR window membership, and they are green in CORRECTNESS_r07
-# (= max_round-1 during round 9). They become mandatory in round 10
-# with the rest of the r7-stale tier (~46 + new registrations = the
-# steady-state 3-round carousel at 146 registered; hard cap 150).
+# ROUND-10 WINDOW PLAN (mechanical, execute first thing after
+# CORRECTNESS_r09 lands): the mandatory tier is every query whose
+# newest green row is r7 — the 50 r7-certified queries MINUS the four
+# re-certified as r9 anchor fillers (diff_counts_orders,
+# diff_profile_orders, diff_schema_drift, model_order_agg) = 46
+# queries, which INCLUDES the two anchors left out of r9
+# (diff_partitioned_orders, pricing_summary — the anchor clause makes
+# them hard-mandatory the moment CORRECTNESS_r09 lands); plus any
+# never-certified r10 registrations first. Fill the remaining ~4
+# slots from the r8-certified tier (the stalest outside; greedy
+# tie-split allows choosing among them) — prefer the other two
+# flagship anchors' companions or queries riding r10's churned code
+# paths. This is the steady-state 3-round carousel at 146 registered
+# (hard cap 150): each round's mandatory tier is ~46 + new
+# registrations, leaving ~4 discretionary slots.
 
 
 _BM25_TERMS = ["vector", "spark", "customer", "join"]
@@ -6204,70 +6204,71 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Tier 0: never-certified round-8 registrations (stalest tier) —
-    # the two operators deferred from round 7, promoted per the written
-    # window plan (VERDICT r7 tasks #1/#2).
-    "text_top_terms_by_group",
-    "text_lm_quality_bands",
-    # Tier 1: the 44 queries whose newest green row is r5 — they hit
-    # the 3-round staleness bound this round (all were additionally
-    # judge re-verified green via tools/oracle_check.py in the r7
-    # session, so this is pure rotation).
-    "approx_profile_orders",
-    "budget_select_documents",
-    "decontaminate_train_docs",
-    "dedup_impact_report",
-    "dedup_prioritized_sources",
-    "diff_changed_sample_keys",
-    "diff_counts_lineitem_multikey",
-    "diff_rowcount_where",
-    "embedding_near_dup",
-    "epoch_shuffle_documents",
-    "filter_project_lineitem",
-    "join_bloom_pruned_lineitem",
-    "kmeans_embedding_clusters",
-    "knn_ivf",
-    "knn_ivf_pq",
-    "model_case_when",
-    "model_int_orders",
-    "model_stg_customers",
-    "multimodal_decode_features",
-    "multimodal_resize_frames",
-    "orc_roundtrip_orders",
-    "q10_returned_revenue_by_customer",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_sole_problem_supplier",
-    "q4_priority_with_returns",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q7_volume_shipping",
-    "q8_share_by_year",
-    "q9_product_profit_by_nation",
-    "quantize_embeddings_int8",
-    "sample_stratified_documents",
-    "source_mixture_weights",
-    "split_train_eval_documents",
-    "stats_moments_lineitem",
-    "stream_cdc_apply_orders",
-    "stream_click_attribution",
-    "stream_hourly_rollup",
-    "stream_running_max",
-    "stream_sessionize",
-    "text_normalize_documents",
-    "unpivot_orders_metrics",
-    # Tier 2: four r6-certified fillers for the remaining slots (the
-    # stalest tier outside the mandatory set — greedy clause allows
-    # splitting the r6 tie either way). Chosen as the queries riding
-    # the code paths round 8 touches: pipeline.py gains the
-    # CurationConfig max_bucket_size/guard_stats plumbing (ADVICE r7
-    # medium) and dedup.py gains the levenshtein verify knob, so these
-    # four re-certify the churned paths in-window.
-    "pipeline_curation_report",
-    "pipeline_training_data",
-    "dedup_lsh_pairs",
-    "dedup_jaccard_verified",
+    # Round-9 window (executes the ROUND-9 WINDOW PLAN written in r8;
+    # see the plan comment above for the derivation).
+    # Tier 1: the 46 queries whose newest green row is r6 — they hit
+    # the 3-round staleness bound this round (all 46 were additionally
+    # judge re-verified green via tools/oracle_check.py in the r8
+    # session, so this is pure rotation). No never-certified tier:
+    # round 9 registers nothing (growth policy — HTML extract and URL
+    # provenance ops are pytest-DuckDB-parity certified instead).
+    "bpe_train_merges",
+    "dedup_components",
+    "dedup_exact_groups",
+    "dedup_incremental_batch",
+    "dedup_minhash_signatures",
+    "dedup_oph_signatures",
+    "dedup_simhash",
+    "dedup_simhash_near_pairs",
+    "diff_counts_embeddings",
+    "diff_distribution_drift_orders",
+    "embedding_stats",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_props_typed",
+    "events_sessionize",
+    "jsonl_roundtrip_documents",
+    "knn_bruteforce",
+    "pivot_status_by_priority",
+    "q11_high_value_suppliers",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q22_rich_idle_customers",
+    "q2_min_retail_parts",
+    "sample_mixture_temperature",
+    "semantic_dedup_embeddings",
+    "setop_except_intersect",
+    "sketch_count_min_terms",
+    "split_leakage_safe_documents",
+    "stream_incremental_dedup",
+    "text_bpe_tokenize",
+    "text_classifier_score",
+    "text_fingerprint",
+    "text_language_id",
+    "text_lm_bigram_score",
+    "text_quality_features",
+    "text_rebuild_dedup_chunks",
+    "text_shingle_stats",
+    "text_token_length_deciles",
+    "top_revenue_orders",
+    "topk_orders",
+    "window_dedup_keep_latest",
+    "window_running_total",
+    # Tier 2: four of the six flagship anchors for the remaining slots
+    # (r7-certified = the stalest tier outside the mandatory set; the
+    # greedy clause allows splitting the r7 tie either way). The two
+    # anchors left out (diff_partitioned_orders, pricing_summary) stay
+    # legal during round 9 — they are green in CORRECTNESS_r07, i.e.
+    # within the two newest records — and become mandatory in round 10
+    # (see the ROUND-10 WINDOW PLAN above).
+    "diff_counts_orders",
+    "diff_profile_orders",
+    "diff_schema_drift",
+    "model_order_agg",
 ]
 
 
