@@ -546,7 +546,15 @@ def _audio_header_fields(c, max_chunks: int = 8) -> dict:
         csize = u32le(pos + 4)
         headroom = (pos.cast("long") + 7) <= blen.cast("long")
         is_fmt = cid == F.lit("666D7420")  # "fmt "
-        fmt_ok = (pos.cast("long") + 8 + 15) <= blen.cast("long")
+        # ADVICE r8 (low): the fields span the first 16 bytes of the
+        # fmt payload, so blob headroom alone is not enough — a corrupt
+        # fmt chunk DECLARING csize < 16 followed by more chunks would
+        # read n_channels/sample_rate/bits from the NEXT chunk's header
+        # bytes. Require the declared size to cover the fields too;
+        # short-declared fmt routes to the dead/malformed branch.
+        fmt_ok = ((pos.cast("long") + 8 + 15) <= blen.cast("long")) & (
+            csize >= 16
+        )
         # chunks are padded to even sizes on disk; a hostile u32
         # chunk size could overflow the int position under ANSI mode,
         # so cap the hop at blen+1 — past-the-end is dead either way
@@ -703,10 +711,25 @@ def _video_header_fields(c, max_boxes: int = 8) -> dict:
     mvhd = walk(moov_pos + 8, "6D766864", max_boxes, moov_end)       # "mvhd"
     mp = mvhd["pos"].cast("int")  # mvhd box start; payload at mp+8
     ver = _u8(c, mp + 8)
-    ts = F.when(ver == 0, _u32be(c, mp + 20)).when(ver == 1, _u32be(c, mp + 28))
+    # ADVICE r8 (medium): ts/dur (and transitively ver — the span
+    # checks subsume its 1-byte read) must be gated on the FULL field
+    # span being readable AND covered by mvhd's own declared u32 size,
+    # mirroring sof_ok/fmt_ok. A blob truncated mid-field used to
+    # return a fabricated partial big-endian parse of the surviving
+    # bytes, and an mvhd declaring size < payload used to read sibling-
+    # box bytes. v0 fields end at box offset 27 (1-based byte mp+27),
+    # v1 at offset 39 — so size >= 28 / 40 and mp+27 / mp+39 <= blen.
+    msize = _u32be(c, mp)
+    v0_ok = ((mp.cast("long") + 27) <= blen.cast("long")) & (msize >= 28)
+    v1_ok = ((mp.cast("long") + 39) <= blen.cast("long")) & (msize >= 40)
+    ts = F.when((ver == 0) & v0_ok, _u32be(c, mp + 20)).when(
+        (ver == 1) & v1_ok, _u32be(c, mp + 28)
+    )
     # v1 duration is u64: _u64be masks top-bit-set values to NULL
     # instead of the ANSI cast crash (code-review r8, verified live)
-    dur = F.when(ver == 0, _u32be(c, mp + 24)).when(ver == 1, _u64be(c, mp + 32))
+    dur = F.when((ver == 0) & v0_ok, _u32be(c, mp + 24)).when(
+        (ver == 1) & v1_ok, _u64be(c, mp + 32)
+    )
     ok = is_mp4 & moov["found"] & mvhd["found"]
     ts_ok = ok & ts.isNotNull() & (ts > 0) & dur.isNotNull()
     return {

@@ -4,6 +4,7 @@ frame-sample pipelines (stubbed codec, real Spark plumbing)."""
 from __future__ import annotations
 
 import math
+import struct
 
 from pyspark.sql import functions as F
 
@@ -249,6 +250,12 @@ _WAV_FIXTURE = [
     (6, None),
     (7, _wav_blob(2, 44100, 16)[:30]),              # truncated mid-fmt
     (8, _wav_blob(1, 22050, 24, prelude_chunks=10)), # prelude > max_chunks-1
+    # ADVICE r8 (low) live repro: fmt chunk DECLARING csize=8 (< the
+    # 16-byte field span) followed by a data chunk — used to read
+    # n_channels/sample_rate/bits from the data chunk's header bytes
+    (9, b"RIFF" + struct.pack("<I", 32) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + bytes(8)
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4),
 ]
 
 
@@ -260,7 +267,7 @@ def test_parse_audio_headers_expected_values(spark):
     assert got[1] == ("wav", 2, 44100, 16)
     assert got[2] == ("wav", 1, 8000, 8)
     assert got[3] == ("wav", 6, 192000, 32)
-    for bad in (4, 5, 6, 7, 8):
+    for bad in (4, 5, 6, 7, 8, 9):
         assert got[bad] == (None, None, None, None), bad
     wide = {r["doc_id"]: r["format"]
             for r in mm.parse_audio_headers(df, max_chunks=12).collect()}
@@ -316,7 +323,7 @@ walk AS (
     SELECT *,
       (NOT (pos + 7 <= n) OR csize IS NULL) AS bad,
       (pos + 7 <= n) AND substr(h, pos*2-1, 8) = '666D7420' AS is_fmt,
-      (pos + 23 <= n) AS fmt_ok
+      (pos + 23 <= n AND csize >= 16) AS fmt_ok
     FROM (
       SELECT *,
         CASE WHEN pos + 7 <= n
@@ -385,6 +392,14 @@ def _mp4(brand, timescale, duration, version=0, pre_top=0, pre_moov=0):
     return ftyp + tops + moov + _box(b"mdat", b"payload")
 
 
+def _trunc_mid_mvhd(blob, keep_payload):
+    """Cut the blob `keep_payload` bytes into the mvhd PAYLOAD — for a
+    v0 mvhd, keep_payload=18 keeps ver/flags + both times + timescale
+    + 2 bytes of duration (the ADVICE r8 mid-field truncation repro)."""
+    mvhd_start = blob.index(b"mvhd") - 4
+    return blob[: mvhd_start + 8 + keep_payload]
+
+
 _MP4_FIXTURE = [
     (1, _mp4(b"isom", 1000, 60000)),
     (2, _mp4(b"mp42", 90000, 2**32 - 1, pre_top=2, pre_moov=3)),
@@ -405,6 +420,16 @@ _MP4_FIXTURE = [
     (12, _box(b"ftyp", b"isom\x00\x00\x02\x00")
          + _box(b"moov", _box(b"udta", b"xy"))
          + _mvhd(999, 5)),
+    # ADVICE r8 (medium) live repros: a blob truncated 2 bytes INTO the
+    # v0 duration field used to return a fabricated partial big-endian
+    # parse of the surviving bytes; an mvhd DECLARING size=20 (< the
+    # 28-byte v0 field span) used to read its sibling box's bytes as
+    # timescale/duration. Both must yield mp4 + NULL ts/dur.
+    (13, _trunc_mid_mvhd(_mp4(b"isom", 1000, 60000), keep_payload=18)),
+    (14, _box(b"ftyp", b"isom\x00\x00\x02\x00")
+         + _box(b"moov",
+                _box(b"mvhd", b"\x00\x00\x00\x00" + struct.pack(">II", 1, 2))
+                + _box(b"free", bytes(16)))),
 ]
 
 
@@ -425,6 +450,10 @@ def test_parse_video_headers_expected_values(spark):
     assert got[10] == (None, None, None, None)    # non-ASCII brand -> NULL, no crash
     assert got[11] == ("mp4", "isom", None, None) # u64 top-bit duration masked
     assert got[12] == (None, "isom", None, None)  # stray mvhd outside moov ignored
+    # ADVICE r8 (medium): mid-field truncation / short-declared mvhd
+    # yield NULL ts/dur, never a partial or sibling-byte parse
+    assert got[13] == ("mp4", "isom", None, None)
+    assert got[14] == ("mp4", "isom", None, None)
     wide = {r["doc_id"]: r["format"]
             for r in mm.parse_video_headers(df, max_boxes=14).collect()}
     assert wide[8] == "mp4"
@@ -498,16 +527,21 @@ fields AS (
   SELECT f.doc_id,
          coalesce(m1.moov_found, FALSE) AND coalesce(m2.mvhd_found, FALSE)
            AND f.is_mp4 AS ok,
-         f.is_mp4, f.h,
-         u8x(f.h, m2.mp + 8) AS ver, m2.mp AS mp
+         f.is_mp4, f.h, f.n,
+         u8x(f.h, m2.mp + 8) AS ver, m2.mp AS mp,
+         u32(f.h, m2.mp) AS msize
   FROM flags f
   LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)),
 vals AS (
   SELECT doc_id, ok, is_mp4, h,
-         CASE WHEN ver = 0 THEN u32(h, mp + 20)
-              WHEN ver = 1 THEN u32(h, mp + 28) END AS ts,
-         CASE WHEN ver = 0 THEN u32(h, mp + 24)
-              WHEN ver = 1 THEN u64(h, mp + 32) END AS dur
+         CASE WHEN ver = 0 AND mp + 27 <= n AND msize >= 28
+                THEN u32(h, mp + 20)
+              WHEN ver = 1 AND mp + 39 <= n AND msize >= 40
+                THEN u32(h, mp + 28) END AS ts,
+         CASE WHEN ver = 0 AND mp + 27 <= n AND msize >= 28
+                THEN u32(h, mp + 24)
+              WHEN ver = 1 AND mp + 39 <= n AND msize >= 40
+                THEN u64(h, mp + 32) END AS dur
   FROM fields)
 SELECT doc_id,
   CASE WHEN ok THEN 'mp4' END AS format,
@@ -521,7 +555,7 @@ FROM vals
 """
     exp = sorted(map(tuple, con.sql(q).fetchall()))
     assert got == exp
-    assert len([t for t in got if t[1] == "mp4"]) == 5
+    assert len([t for t in got if t[1] == "mp4"]) == 7
 
 
 def test_parse_video_headers_plan_is_codegen_only(spark):

@@ -218,7 +218,9 @@ def _ref_parse_wav(blob: bytes | None, max_chunks: int = 8):
         cid = blob[pos - 1 : pos + 3]
         csize = int.from_bytes(blob[pos + 3 : pos + 7], "little")
         if cid == b"fmt ":
-            if not (pos + 23 <= n):
+            # ADVICE r8 (low): the declared csize must cover the
+            # 16-byte field span too, not just the blob headroom
+            if not (pos + 23 <= n) or csize < 16:
                 return (None, None, None, None)
             def u16(off):
                 return int.from_bytes(blob[pos + off - 1 : pos + off + 1], "little")
@@ -323,14 +325,18 @@ def _ref_parse_mp4(blob):
     mp = mvhd
     ver_raw = blob[mp + 7 : mp + 8]
     ver = ver_raw[0] if ver_raw else None
+    # ADVICE r8 (medium): the full field span must be readable AND
+    # covered by mvhd's declared size — truncation mid-field or a
+    # short-declared mvhd yields NULLs, never a partial/sibling parse
+    msize = int.from_bytes(blob[mp - 1 : mp + 3], "big")
 
     def _u(off, ln):
         r = blob[mp + off - 1 : mp + off - 1 + ln]
-        return int.from_bytes(r, "big") if r else None
+        return int.from_bytes(r, "big") if len(r) == ln else None
 
-    if ver == 0:
+    if ver == 0 and mp + 27 <= n and msize >= 28:
         ts, dur = _u(20, 4), _u(24, 4)
-    elif ver == 1:
+    elif ver == 1 and mp + 39 <= n and msize >= 40:
         ts, dur = _u(28, 4), _u(32, 8)
         if dur is not None and dur >= 2**63:
             dur = None  # does not fit int64 -> masked, never a crash
