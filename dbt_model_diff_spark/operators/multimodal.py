@@ -358,35 +358,59 @@ def parse_image_headers(
     corrupt-blob reality of a 100 TB crawl (the truncated-SOF and
     oversized-dimension cases were live-verified crashes/fabrications
     in the r8 code review). Returns
-    (doc_id, format, width, height, bit_depth)."""
-    f = _image_header_fields(F.col(content_col), max_segments)
+    (doc_id, format, width, height, bit_depth).
+
+    Plan shape: the gated struct is computed ONCE in an inner Project
+    and the fields extracted in an outer Project — CollapseProject
+    keeps them separate because the struct is expensive and used four
+    times, so the walk runs once per row instead of once per output
+    column (~4x at sf10, measured r9)."""
+    t = _image_triage_struct(F.col(content_col), max_segments)
     return media.select(
-        F.col(id_col).alias("doc_id"),
-        f["format"].alias("format"),
-        f["width"].alias("width"),
-        f["height"].alias("height"),
-        f["bit_depth"].alias("bit_depth"),
+        F.col(id_col).alias("doc_id"), t.alias("_t")
+    ).select(
+        "doc_id",
+        F.col("_t.fmt").alias("format"),
+        F.col("_t.width").alias("width"),
+        F.col("_t.height").alias("height"),
+        F.col("_t.bit_depth").alias("bit_depth"),
     )
 
 
-def _image_header_fields(c, max_segments: int = 16) -> dict:
-    """The PNG/JPEG header expressions as a {name: Column} dict over
-    content column ``c`` — shared by :func:`parse_image_headers` and
-    the one-projection :func:`classify_media` composition."""
+def _png_magic(c):
+    """PNG gate: signature + IHDR + decodable (31-bit) dims — all
+    fixed-offset reads, cheap enough to evaluate for every row.
+    _i32be masks corrupt top-bit-set dims to NULL instead of an ANSI
+    CAST_OVERFLOW; a PNG with invalid dims is malformed outright."""
     blen = F.octet_length(c)
-
-    # PNG dims are spec-bound to 31 bits; _i32be masks corrupt
-    # top-bit-set values to NULL instead of an ANSI CAST_OVERFLOW,
-    # and a PNG with invalid dims is treated as malformed outright
-    png_w, png_h = _i32be(c, 17), _i32be(c, 21)
-    is_png = (
+    return (
         (blen >= 25)
         & (F.hex(F.substring(c, 1, 8)) == F.lit("89504E470D0A1A0A"))
         & (F.hex(F.substring(c, 13, 4)) == F.lit("49484452"))
-        & png_w.isNotNull()
-        & png_h.isNotNull()
+        & _i32be(c, 17).isNotNull()
+        & _i32be(c, 21).isNotNull()
     )
-    is_jpeg = (blen >= 4) & (F.hex(F.substring(c, 1, 2)) == F.lit("FFD8"))
+
+
+def _jpeg_magic(c):
+    return (F.octet_length(c) >= 4) & (
+        F.hex(F.substring(c, 1, 2)) == F.lit("FFD8")
+    )
+
+
+def _jpeg_walk(c, max_segments: int, finish):
+    """Bounded, unrolled JPEG segment walk over content column ``c``:
+    one ``F.aggregate`` whose state struct carries (pos, found, dead,
+    width, height, bit_depth). ``finish`` maps the FINAL state to the
+    caller's output, so the walk appears exactly ONCE in the enclosing
+    projection — callers must not re-reference the walk expression
+    (N references re-evaluate the whole unroll N times: codegen
+    subexpression elimination does NOT hoist expressions that live
+    only in conditional CaseWhen branch values, so the pre-r9
+    field-dict shape — walk referenced once per output column — paid
+    3.4x on this parser and 12x on the two-level MP4 walk, measured
+    at sf10 in r9)."""
+    blen = F.octet_length(c)
 
     def st(pos, found, dead, width, height, depth):
         return F.struct(
@@ -443,18 +467,50 @@ def _image_header_fields(c, max_segments: int = 16) -> dict:
             )
         )
 
-    walk = F.aggregate(
-        F.sequence(F.lit(1), F.lit(int(max_segments))), init, step
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_segments))), init, step, finish
     )
-    jpeg_ok = is_jpeg & walk["found"]
-    return {
-        "format": F.when(is_png, "png").when(jpeg_ok, "jpeg"),
-        "width": F.when(is_png, png_w).when(jpeg_ok, walk["width"]),
-        "height": F.when(is_png, png_h).when(jpeg_ok, walk["height"]),
-        "bit_depth": F.when(is_png, _u8(c, 25)).when(
-            jpeg_ok, walk["bit_depth"]
+
+
+def _jpeg_result(c, max_segments: int, make):
+    """Run the JPEG walk once; on SOF found, ``make(width, height,
+    bit_depth)`` builds the output (NULL otherwise)."""
+    return _jpeg_walk(
+        c,
+        max_segments,
+        lambda s: F.when(
+            s["found"], make(s["width"], s["height"], s["bit_depth"])
         ),
-    }
+    )
+
+
+def _image_triage_struct(c, max_segments: int = 16):
+    """One gated struct<fmt,width,height,bit_depth> per row: PNG via
+    fixed-offset reads, JPEG via ONE segment walk that only evaluates
+    for FFD8-magic rows (CaseWhen branch values are lazy in codegen;
+    the magic predicates are the cheap always-evaluated part). Shared
+    by :func:`parse_image_headers` and :func:`classify_media`."""
+    return F.when(
+        _png_magic(c),
+        F.struct(
+            F.lit("png").alias("fmt"),
+            _i32be(c, 17).alias("width"),
+            _i32be(c, 21).alias("height"),
+            _u8(c, 25).alias("bit_depth"),
+        ),
+    ).when(
+        _jpeg_magic(c),
+        _jpeg_result(
+            c,
+            max_segments,
+            lambda w, h, d: F.struct(
+                F.lit("jpeg").alias("fmt"),
+                w.alias("width"),
+                h.alias("height"),
+                d.alias("bit_depth"),
+            ),
+        ),
+    )
 
 
 AUDIO_HEADER_SCHEMA = T.StructType(
@@ -493,20 +549,37 @@ def parse_audio_headers(
 
     Malformed input (bad magic, truncated chunks, no fmt chunk within
     ``max_chunks``) yields NULLs, never an exception. Returns
-    (doc_id, format, n_channels, sample_rate, bits_per_sample)."""
-    f = _audio_header_fields(F.col(content_col), max_chunks)
+    (doc_id, format, n_channels, sample_rate, bits_per_sample).
+
+    Plan shape: gated struct in an inner Project, fields extracted in
+    an outer one — the chunk walk runs once per row (see
+    :func:`parse_image_headers`)."""
+    t = _audio_triage_struct(F.col(content_col), max_chunks)
     return media.select(
-        F.col(id_col).alias("doc_id"),
-        f["format"].alias("format"),
-        f["n_channels"].alias("n_channels"),
-        f["sample_rate"].alias("sample_rate"),
-        f["bits_per_sample"].alias("bits_per_sample"),
+        F.col(id_col).alias("doc_id"), t.alias("_t")
+    ).select(
+        "doc_id",
+        F.col("_t.fmt").alias("format"),
+        F.col("_t.ch").alias("n_channels"),
+        F.col("_t.sr").alias("sample_rate"),
+        F.col("_t.bps").alias("bits_per_sample"),
     )
 
 
-def _audio_header_fields(c, max_chunks: int = 8) -> dict:
-    """The WAV/RIFF header expressions as a {name: Column} dict —
-    shared by :func:`parse_audio_headers` and :func:`classify_media`."""
+def _wav_magic(c):
+    blen = F.octet_length(c)
+    return (
+        (blen >= 36)
+        & (F.hex(F.substring(c, 1, 4)) == F.lit("52494646"))   # "RIFF"
+        & (F.hex(F.substring(c, 9, 4)) == F.lit("57415645"))   # "WAVE"
+    )
+
+
+def _wav_walk(c, max_chunks: int, finish):
+    """Bounded, unrolled WAV/RIFF chunk walk; state carries (pos,
+    found, dead, ch, sr, bps). ``finish`` maps the final state to the
+    output so the walk appears exactly once in the projection (see
+    :func:`_jpeg_walk` for the N-references cost trap)."""
     blen = F.octet_length(c)
 
     def u16le(pos):
@@ -514,12 +587,6 @@ def _audio_header_fields(c, max_chunks: int = 8) -> dict:
 
     def u32le(pos):
         return _u32le(c, pos)
-
-    is_wav = (
-        (blen >= 36)
-        & (F.hex(F.substring(c, 1, 4)) == F.lit("52494646"))   # "RIFF"
-        & (F.hex(F.substring(c, 9, 4)) == F.lit("57415645"))   # "WAVE"
-    )
 
     def st(pos, found, dead, ch, sr, bps):
         return F.struct(
@@ -585,14 +652,38 @@ def _audio_header_fields(c, max_chunks: int = 8) -> dict:
             )
         )
 
-    walk = F.aggregate(F.sequence(F.lit(1), F.lit(int(max_chunks))), init, step)
-    ok = is_wav & walk["found"]
-    return {
-        "format": F.when(ok, "wav"),
-        "n_channels": F.when(ok, walk["ch"]),
-        "sample_rate": F.when(ok, walk["sr"]),
-        "bits_per_sample": F.when(ok, walk["bps"]),
-    }
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_chunks))), init, step, finish
+    )
+
+
+def _wav_result(c, max_chunks: int, make):
+    """Run the chunk walk once; on fmt found, ``make(ch, sr, bps)``
+    builds the output (NULL otherwise)."""
+    return _wav_walk(
+        c,
+        max_chunks,
+        lambda s: F.when(s["found"], make(s["ch"], s["sr"], s["bps"])),
+    )
+
+
+def _audio_triage_struct(c, max_chunks: int = 8):
+    """One gated struct<fmt,ch,sr,bps> per row: the chunk walk only
+    evaluates for RIFF/WAVE-magic rows. Shared by
+    :func:`parse_audio_headers` and :func:`classify_media`."""
+    return F.when(
+        _wav_magic(c),
+        _wav_result(
+            c,
+            max_chunks,
+            lambda ch, sr, bps: F.struct(
+                F.lit("wav").alias("fmt"),
+                ch.alias("ch"),
+                sr.alias("sr"),
+                bps.alias("bps"),
+            ),
+        ),
+    )
 
 
 VIDEO_HEADER_SCHEMA = T.StructType(
@@ -642,102 +733,157 @@ def parse_video_headers(
     duration (lives in mehd/sidx). Track pixel dimensions live one
     level deeper (``trak > tkhd``) and are deliberately not walked —
     each extra nesting level multiplies the unrolled expression, and
-    the movie-level fields are what corpus triage needs."""
-    f = _video_header_fields(F.col(content_col), max_boxes)
+    the movie-level fields are what corpus triage needs.
+
+    Plan shape: gated nested struct in an inner Project, fields
+    extracted in an outer one — both box walks run once per row (see
+    :func:`parse_image_headers`)."""
+    c = F.col(content_col)
+    t = F.when(
+        _mp4_magic(c),
+        F.struct(
+            _mp4_brand(c).alias("brand"),
+            _mvhd_result(
+                c,
+                max_boxes,
+                lambda ts, dur: F.struct(
+                    F.lit("mp4").alias("fmt"),
+                    ts.alias("ts"),
+                    dur.alias("dur"),
+                ),
+            ).alias("w"),
+        ),
+    )
     return media.select(
-        F.col(id_col).alias("doc_id"),
-        f["format"].alias("format"),
-        f["major_brand"].alias("major_brand"),
-        f["timescale"].alias("timescale"),
-        f["duration_ticks"].alias("duration_ticks"),
+        F.col(id_col).alias("doc_id"), t.alias("_t")
+    ).select(
+        "doc_id",
+        F.col("_t.w.fmt").alias("format"),
+        F.col("_t.brand").alias("major_brand"),
+        F.col("_t.w.ts").alias("timescale"),
+        F.col("_t.w.dur").alias("duration_ticks"),
     )
 
 
-def _video_header_fields(c, max_boxes: int = 8) -> dict:
-    """The MP4/ISO-BMFF header expressions as a {name: Column} dict —
-    shared by :func:`parse_video_headers` and :func:`classify_media`."""
-    blen = F.octet_length(c)
+def _btype(c, pos):
+    return F.hex(F.substring(c, pos + 4, 4))
 
-    def btype(pos):
-        return F.hex(F.substring(c, pos + 4, 4))
 
-    is_mp4 = (blen >= 16) & (btype(F.lit(1)) == F.lit("66747970"))  # "ftyp"
-    # brands are ASCII by spec; decode() under Spark 4 RAISES on
-    # malformed UTF-8 (code-review r8, verified live: one corrupt blob
-    # aborted the whole pass), so gate the decode on an all-ASCII hex
-    # check and surface NULL for binary garbage instead
+def _mp4_magic(c):
+    return (F.octet_length(c) >= 16) & (
+        _btype(c, F.lit(1)) == F.lit("66747970")  # "ftyp"
+    )
+
+
+def _mp4_brand(c):
+    """ftyp major brand. Brands are ASCII by spec; decode() under
+    Spark 4 RAISES on malformed UTF-8 (code-review r8, verified live:
+    one corrupt blob aborted the whole pass), so gate the decode on an
+    all-ASCII hex check and surface NULL for binary garbage instead."""
     brand_hex = F.hex(F.substring(c, 9, 4))
-    brand_ascii = brand_hex.rlike("^([0-7][0-9A-F]){4}$")
-    brand = F.when(brand_ascii, F.decode(F.substring(c, 9, 4), "utf-8"))
+    return F.when(
+        brand_hex.rlike("^([0-7][0-9A-F]){4}$"),
+        F.decode(F.substring(c, 9, 4), "utf-8"),
+    )
+
+
+def _box_walk(c, start_pos, target_hex, limit, end, finish):
+    """Bounded ISO-BMFF box walk from start_pos: stop found at the
+    target box type (pos = its FIRST byte), dead on truncation/
+    degenerate sizes. ``end`` is the last byte position the walk may
+    read — the blob end for the top-level walk, the CONTAINER's end
+    for a child walk, so a stray same-typed box after the container
+    can never be claimed as its child (code-review r8). ``finish``
+    maps the final state struct (pos, found, dead) to the output so
+    the walk appears exactly once in the projection (see
+    :func:`_jpeg_walk` for the N-references cost trap)."""
+    blen = F.octet_length(c)
 
     def st(pos, found, dead):
         return F.struct(pos.alias("pos"), found.alias("found"), dead.alias("dead"))
 
-    def walk(start_pos, target_hex, limit, end):
-        """Bounded box walk from start_pos: stop found at the target
-        box type (pos = its FIRST byte), dead on truncation/degenerate
-        sizes. ``end`` is the last byte position the walk may read —
-        the blob end for the top-level walk, the CONTAINER's end for a
-        child walk, so a stray same-typed box after the container can
-        never be claimed as its child (code-review r8). Returns the
-        final state struct."""
-        init = st(start_pos.cast("long"), F.lit(False), F.lit(False))
+    init = st(start_pos.cast("long"), F.lit(False), F.lit(False))
 
-        def step(state, _):
-            pos = state["pos"]
-            size = _u32be(c, pos.cast("int"))
-            # full 8-byte box header (size + type) must be readable
-            # without crossing the container boundary
-            headroom = (pos + 7) <= end
-            hit = btype(pos.cast("int")) == F.lit(target_hex)
-            keep = state["found"] | state["dead"]
-            nxt = F.least(pos + size, blen.cast("long") + 1)
-            return F.when(keep, state).otherwise(
-                F.when(
-                    ~headroom | size.isNull() | (size < 8),
-                    st(pos, state["found"], F.lit(True)),
-                )
-                .when(hit, st(pos, F.lit(True), state["dead"]))
-                .otherwise(st(nxt, state["found"], state["dead"]))
+    def step(state, _):
+        pos = state["pos"]
+        size = _u32be(c, pos.cast("int"))
+        # full 8-byte box header (size + type) must be readable
+        # without crossing the container boundary
+        headroom = (pos + 7) <= end
+        hit = _btype(c, pos.cast("int")) == F.lit(target_hex)
+        keep = state["found"] | state["dead"]
+        nxt = F.least(pos + size, blen.cast("long") + 1)
+        return F.when(keep, state).otherwise(
+            F.when(
+                ~headroom | size.isNull() | (size < 8),
+                st(pos, state["found"], F.lit(True)),
             )
+            .when(hit, st(pos, F.lit(True), state["dead"]))
+            .otherwise(st(nxt, state["found"], state["dead"]))
+        )
 
-        return F.aggregate(F.sequence(F.lit(1), F.lit(int(limit))), init, step)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(limit))), init, step, finish
+    )
 
-    moov = walk(F.lit(1), "6D6F6F76", max_boxes, blen.cast("long"))  # "moov"
-    moov_pos = moov["pos"].cast("int")
-    moov_end = F.least(
-        moov_pos.cast("long") + _u32be(c, moov_pos) - 1, blen.cast("long")
+
+def _mvhd_result(c, max_boxes: int, make):
+    """Two-level moov > mvhd walk, each level evaluated once: the
+    top-level walk's finish launches the inner walk from moov's first
+    child (bounded by moov's own declared extent), and the inner
+    walk's finish decodes the mvhd payload and calls ``make(ts, dur)``
+    — NULL all the way out when either walk misses.
+
+    ADVICE r8 (medium): ts/dur (and transitively ver — the span checks
+    subsume its 1-byte read) are gated on the FULL field span being
+    readable AND covered by mvhd's own declared u32 size, mirroring
+    sof_ok/fmt_ok. A blob truncated mid-field used to return a
+    fabricated partial big-endian parse of the surviving bytes, and an
+    mvhd declaring size < payload used to read sibling-box bytes. v0
+    fields end at box offset 27 (1-based byte mp+27), v1 at offset 39
+    — so size >= 28 / 40 and mp+27 / mp+39 <= blen."""
+    blen = F.octet_length(c)
+
+    def mvhd_fin(hv):
+        mp = hv["pos"].cast("int")  # mvhd box start; payload at mp+8
+        ver = _u8(c, mp + 8)
+        msize = _u32be(c, mp)
+        v0_ok = ((mp.cast("long") + 27) <= blen.cast("long")) & (msize >= 28)
+        v1_ok = ((mp.cast("long") + 39) <= blen.cast("long")) & (msize >= 40)
+        ts = F.when((ver == 0) & v0_ok, _u32be(c, mp + 20)).when(
+            (ver == 1) & v1_ok, _u32be(c, mp + 28)
+        )
+        # v1 duration is u64: _u64be masks top-bit-set values to NULL
+        # instead of the ANSI cast crash (code-review r8, verified live)
+        dur = F.when((ver == 0) & v0_ok, _u32be(c, mp + 24)).when(
+            (ver == 1) & v1_ok, _u64be(c, mp + 32)
+        )
+        ts_ok = ts.isNotNull() & (ts > 0) & dur.isNotNull()
+        return F.when(
+            hv["found"], make(F.when(ts_ok, ts), F.when(ts_ok, dur))
+        )
+
+    def moov_fin(mv):
+        moov_pos = mv["pos"].cast("int")
+        moov_end = F.least(
+            moov_pos.cast("long") + _u32be(c, moov_pos) - 1,
+            F.octet_length(c).cast("long"),
+        )
+        return F.when(
+            mv["found"],
+            _box_walk(
+                c,
+                (moov_pos + 8).cast("long"),
+                "6D766864",  # "mvhd"
+                max_boxes,
+                moov_end,
+                mvhd_fin,
+            ),
+        )
+
+    return _box_walk(
+        c, F.lit(1), "6D6F6F76", max_boxes, blen.cast("long"), moov_fin
     )
-    mvhd = walk(moov_pos + 8, "6D766864", max_boxes, moov_end)       # "mvhd"
-    mp = mvhd["pos"].cast("int")  # mvhd box start; payload at mp+8
-    ver = _u8(c, mp + 8)
-    # ADVICE r8 (medium): ts/dur (and transitively ver — the span
-    # checks subsume its 1-byte read) must be gated on the FULL field
-    # span being readable AND covered by mvhd's own declared u32 size,
-    # mirroring sof_ok/fmt_ok. A blob truncated mid-field used to
-    # return a fabricated partial big-endian parse of the surviving
-    # bytes, and an mvhd declaring size < payload used to read sibling-
-    # box bytes. v0 fields end at box offset 27 (1-based byte mp+27),
-    # v1 at offset 39 — so size >= 28 / 40 and mp+27 / mp+39 <= blen.
-    msize = _u32be(c, mp)
-    v0_ok = ((mp.cast("long") + 27) <= blen.cast("long")) & (msize >= 28)
-    v1_ok = ((mp.cast("long") + 39) <= blen.cast("long")) & (msize >= 40)
-    ts = F.when((ver == 0) & v0_ok, _u32be(c, mp + 20)).when(
-        (ver == 1) & v1_ok, _u32be(c, mp + 28)
-    )
-    # v1 duration is u64: _u64be masks top-bit-set values to NULL
-    # instead of the ANSI cast crash (code-review r8, verified live)
-    dur = F.when((ver == 0) & v0_ok, _u32be(c, mp + 24)).when(
-        (ver == 1) & v1_ok, _u64be(c, mp + 32)
-    )
-    ok = is_mp4 & moov["found"] & mvhd["found"]
-    ts_ok = ok & ts.isNotNull() & (ts > 0) & dur.isNotNull()
-    return {
-        "format": F.when(ok, "mp4"),
-        "major_brand": F.when(is_mp4, brand),
-        "timescale": F.when(ts_ok, ts),
-        "duration_ticks": F.when(ts_ok, dur),
-    }
 
 
 CLASSIFIED_SCHEMA = T.StructType(
@@ -762,46 +908,73 @@ def classify_media(
     the real byte layouts and surfaces each format's key properties as
     a ``map<string,string>``.
 
-    Scale shape: composes the THREE parsers' field expressions
-    (:func:`_image_header_fields` / :func:`_audio_header_fields` /
-    :func:`_video_header_fields`) into ONE projection over ONE scan —
-    calling the parsers separately and joining back on doc_id would
-    cost three scans plus two id-keyed shuffles for what is row-local
-    arithmetic. Magic-byte checks make the format families mutually
-    exclusive, so ``coalesce`` over the per-family format columns is
-    exact. Unknown/corrupt blobs get NULL format and NULL props —
-    triage never throws (the parsers' contract). Returns
-    (doc_id, media_format, props)."""
+    Scale shape (reworked r9, VERDICT r8 task #3): ONE projection over
+    ONE scan — calling the parsers separately and joining back on
+    doc_id would cost three scans plus two id-keyed shuffles for what
+    is row-local arithmetic — and, within the projection, ONE CaseWhen
+    over the cheap magic predicates whose branch VALUES carry the
+    expensive walks. CaseWhen branch values are lazy in codegen, and
+    each walk appears exactly once (the ``finish``-lambda builders),
+    so a row pays only its OWN family's walk: the pre-r9 shape
+    composed the three parsers' field dicts and measured the SUM of
+    all families times a re-evaluation factor — 70.6 s vs 3.2/1.8/9.8 s
+    standalone over the same 500k mixed-blob sf10 corpus; this shape
+    measures 1.85 s on that corpus, BELOW every pre-r9 standalone
+    parser (which themselves dropped to 0.94/0.61/0.82 s from the
+    same single-evaluation restructure).
+
+    First-match-on-magic equals the previous coalesce-over-parsers
+    semantics exactly for any blob under ~1.3 GiB: the only magic
+    overlaps are (jpeg|wav)-magic blobs that also carry "ftyp" at
+    bytes 5-8, and for those the MP4 top-level walk is structurally
+    dead — its first box size reads the magic bytes themselves
+    (>= 0x52494646, ~1.38 GiB) so the first hop lands past any real
+    blob's end (Spark caps a binary cell at 2 GiB; the agreement test
+    pins both overlap shapes). PNG magic fixes bytes 5-8 to
+    \\r\\n\\x1a\\n, so it can never co-match ftyp. Unknown/corrupt
+    blobs get NULL format and NULL props — triage never throws (the
+    parsers' contract). Returns (doc_id, media_format, props)."""
     c = F.col(content_col)
-    img = _image_header_fields(c)
-    wav = _audio_header_fields(c)
-    mp4 = _video_header_fields(c)
 
-    def props_map(fields, keys):
-        pairs = []
-        for k in keys:
-            pairs.extend([F.lit(k), fields[k].cast("string")])
-        return F.create_map(*pairs)
+    def pmap(pairs):
+        cols = []
+        for k, v in pairs:
+            cols.extend([F.lit(k), v.cast("string")])
+        return F.create_map(*cols)
 
-    fmt = F.coalesce(img["format"], wav["format"], mp4["format"])
-    props = (
+    def fp(fmt, pairs):
+        return F.struct(F.lit(fmt).alias("fmt"), pmap(pairs).alias("props"))
+
+    t = (
         F.when(
-            img["format"].isNotNull(),
-            props_map(img, ["width", "height", "bit_depth"]),
+            _png_magic(c),
+            fp("png", [("width", _i32be(c, 17)), ("height", _i32be(c, 21)),
+                       ("bit_depth", _u8(c, 25))]),
         )
         .when(
-            wav["format"].isNotNull(),
-            props_map(wav, ["n_channels", "sample_rate", "bits_per_sample"]),
+            _jpeg_magic(c),
+            _jpeg_result(c, 16, lambda w, h, d: fp(
+                "jpeg", [("width", w), ("height", h), ("bit_depth", d)])),
         )
         .when(
-            mp4["format"].isNotNull(),
-            props_map(mp4, ["major_brand", "timescale", "duration_ticks"]),
+            _wav_magic(c),
+            _wav_result(c, 8, lambda ch, sr, bps: fp(
+                "wav", [("n_channels", ch), ("sample_rate", sr),
+                        ("bits_per_sample", bps)])),
+        )
+        .when(
+            _mp4_magic(c),
+            _mvhd_result(c, 8, lambda ts, dur: fp(
+                "mp4", [("major_brand", _mp4_brand(c)), ("timescale", ts),
+                        ("duration_ticks", dur)])),
         )
     )
     return media.select(
-        F.col(id_col).alias("doc_id"),
-        fmt.alias("media_format"),
-        props.alias("props"),
+        F.col(id_col).alias("doc_id"), t.alias("_t")
+    ).select(
+        "doc_id",
+        F.col("_t.fmt").alias("media_format"),
+        F.col("_t.props").alias("props"),
     )
 
 

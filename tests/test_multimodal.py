@@ -612,10 +612,23 @@ def test_classify_media_agrees_with_parsers(spark):
     """classify_media's verdicts must equal the standalone parsers'
     on the union of all three fixture sets (including every corrupt
     blob) — the composition may not drift from its parts."""
+    # magic-OVERLAP adversaries (r9): blobs matching two families'
+    # magic checks at once — jpeg-magic (FFD8) and wav-magic (RIFF/
+    # WAVE) blobs that also spell "ftyp" at bytes 5-8. classify's
+    # first-match-on-magic must equal coalesce-over-parsers here: the
+    # MP4 walk is structurally dead on them (its first box size reads
+    # the other family's magic bytes, >= ~1.38 GiB), so both shapes
+    # yield the first family's verdict (or NULL if its walk fails).
+    overlaps = [
+        (300, b"\xff\xd8\x00\x00" + b"ftyp" + b"isom" + bytes(32)),
+        (301, b"RIFF" + b"ftyp" + b"WAVE" + b"junk" + bytes(32)),
+        (302, b"\xff\xd8\xff\xe0" + b"ftypisom\x00\x00\x02\x00" + bytes(16)),
+    ]
     fixture = (
         [(i, b) for i, b in _HEADER_FIXTURE]
         + [(100 + i, b) for i, b in _WAV_FIXTURE]
         + [(200 + i, b) for i, b in _MP4_FIXTURE]
+        + overlaps
     )
     df = spark.createDataFrame(fixture, "doc_id long, content binary")
     got = {r["doc_id"]: r["media_format"]
