@@ -41,11 +41,17 @@ class CurationConfig:
 
     text_col: str = "text"
     id_col: str = "doc_id"
-    # Unicode NFC canonical fold (textops.nfc_expr) as the FIRST
-    # normalization step — composed vs decomposed accents must hash
-    # identically before dedup on a multilingual corpus (VERDICT r7
-    # task #4). Off by default: the ASCII corpus tests and oracle
-    # replays stay UDF-free.
+    # HTML/markup extraction (textops.html_extract_expr) as the very
+    # first step, AHEAD of the NFC fold — every recipe this pipeline
+    # follows (CCNet, RefinedWeb, Dolma) extracts before normalizing
+    # (VERDICT r8 task #2). Pure-codegen regex chain; off by default
+    # for already-extracted corpora.
+    html_extract: bool = False
+    # Unicode NFC canonical fold (textops.nfc_expr) as the first
+    # post-extraction normalization step — composed vs decomposed
+    # accents must hash identically before dedup on a multilingual
+    # corpus (VERDICT r7 task #4). Off by default: the ASCII corpus
+    # tests and oracle replays stay UDF-free.
     nfc: bool = False
     # PII redaction (pii.scrub_expr: email/IP/phone), applied right
     # after normalization so dedup hashes see the scrubbed text
@@ -151,8 +157,11 @@ def curate_corpus(
     base = df.filter(F.col(c.text_col).isNotNull())
 
     # 1. normalize (textops.normalize_text) — dedup hashes see the
-    # normalized text, so trivially-different copies collide
-    normed = textops.normalize_text(base, text_col=c.text_col, nfc=c.nfc)
+    # normalized text, so trivially-different copies collide; markup
+    # extraction (if on) runs inside as the very first expression
+    normed = textops.normalize_text(
+        base, text_col=c.text_col, nfc=c.nfc, html=c.html_extract
+    )
     text_out = F.col("text_norm")
     if c.scrub_pii:
         from dbt_model_diff_spark.operators.pii import scrub_expr
