@@ -1,0 +1,352 @@
+"""Round-9 URL provenance certification (VERDICT r8 task #4).
+
+`urlops.canonicalize_url_expr` / `registered_domain_expr` are
+pytest-DuckDB-parity certified, NOT catalog-registered (growth policy):
+pinned fixture ground truth, a DuckDB semantic twin over doc_id-derived
+URLs decorating the documents corpus, a hypothesis referee on Python's
+re engine, a codegen-only plan test, and the composed per-domain cap."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import urlops
+
+
+# ---------------------------------------------------------------------------
+# ground truth: pinned fixture
+# ---------------------------------------------------------------------------
+
+_CANON_CASES = [
+    ("HTTP://Example.COM:80/Path/X?utm_source=a&id=7#frag",
+     "http://example.com/Path/X?id=7"),
+    ("https://Sub.Example.co.uk:443/a?b=1&utm_campaign=z&c=2",
+     "https://sub.example.co.uk/a?b=1&c=2"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("https://example.com:80/x", "https://example.com:80/x"),  # not https default
+    ("http://example.com/?utm_source=only", "http://example.com/"),
+    ("http://example.com/a?x=1&&y=2", "http://example.com/a?x=1&y=2"),
+    ("http://example.com/a?gclid=1&fbclid=2&_ga=3", "http://example.com/a"),
+    ("http://user:PW@Host.COM/p?q=Case", "http://user:pw@host.com/p?q=Case"),
+    ("ftp://Files.ORG:21/f", "ftp://files.org:21/f"),
+    ("no scheme here", "no scheme here"),
+    ("relative/path?utm_source=x", "relative/path?utm_source=x"),
+    ("http://example.com", "http://example.com"),
+    ("HTTPS://A.B/#", "https://a.b/"),
+    ("http://example.com/a?ref_src=twsrc&keep=utm_source",
+     "http://example.com/a?keep=utm_source"),
+]
+
+_DOMAIN_CASES = [
+    ("http://www.example.com/x", "example.com"),
+    ("HTTPS://Sub.Deep.Example.CO.UK:443/y", "example.co.uk"),
+    ("http://example.com.au/", "example.com.au"),
+    ("http://10.1.2.3:8080/z", "10.1.2.3"),
+    ("http://localhost/x", "localhost"),
+    ("http://user@blog.example.org:99/p", "example.org"),
+    ("not a url", None),
+    ("http://a.b.c.d.co.jp/", "d.co.jp"),
+]
+
+
+def test_canonicalize_url_expected_values(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_CANON_CASES)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", urlops.canonicalize_url_expr(F.col("u")).alias("c")
+        ).collect()
+    }
+    for i, (raw, expected) in enumerate(_CANON_CASES):
+        assert got[i] == expected, f"case {i}: {raw!r} -> {got[i]!r}"
+    # idempotence: canonical form is a fixed point
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in got.items()], "i long, u string"
+    )
+    twice = {
+        r["i"]: r["c"]
+        for r in df2.select(
+            "i", urlops.canonicalize_url_expr(F.col("u")).alias("c")
+        ).collect()
+    }
+    assert twice == got
+
+
+def test_registered_domain_expected_values(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_DOMAIN_CASES)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", urlops.registered_domain_expr(F.col("u")).alias("d")
+        ).collect()
+    }
+    for i, (raw, expected) in enumerate(_DOMAIN_CASES):
+        assert got[i] == expected, f"case {i}: {raw!r} -> {got[i]!r}"
+
+
+# ---------------------------------------------------------------------------
+# DuckDB parity over doc_id-derived URLs on the documents corpus
+# ---------------------------------------------------------------------------
+
+def _url_expr_spark():
+    i = F.col("doc_id")
+    s = i.cast("string")
+    m = i % 7
+    return (
+        F.when(m == 0, F.concat(F.lit("HTTP://Example.COM:80/p/"), s,
+                                F.lit("?utm_source=x&id="), s, F.lit("#f")))
+        .when(m == 1, F.concat(F.lit("https://Sub.Example.co.uk:443/a?b="), s,
+                               F.lit("&utm_campaign=z&c=2")))
+        .when(m == 2, F.concat(F.lit("http://10.0.0."), (i % 256).cast("string"),
+                               F.lit("/x")))
+        .when(m == 3, F.concat(F.lit("ftp://Files.Example.ORG:21/f"), s))
+        .when(m == 4, F.concat(F.lit("not a url "), s))
+        .when(m == 5, F.concat(F.lit("https://u:P@Host.Example.com/p"), s,
+                               F.lit("?gclid=abc")))
+        .otherwise(F.concat(F.lit("http://www.example.com.au/q?a=&fbclid="), s,
+                            F.lit("&b=2")))
+    )
+
+
+_URL_SQL = """
+CASE doc_id % 7
+  WHEN 0 THEN 'HTTP://Example.COM:80/p/' || doc_id || '?utm_source=x&id='
+              || doc_id || '#f'
+  WHEN 1 THEN 'https://Sub.Example.co.uk:443/a?b=' || doc_id
+              || '&utm_campaign=z&c=2'
+  WHEN 2 THEN 'http://10.0.0.' || (doc_id % 256) || '/x'
+  WHEN 3 THEN 'ftp://Files.Example.ORG:21/f' || doc_id
+  WHEN 4 THEN 'not a url ' || doc_id
+  WHEN 5 THEN 'https://u:P@Host.Example.com/p' || doc_id || '?gclid=abc'
+  ELSE 'http://www.example.com.au/q?a=&fbclid=' || doc_id || '&b=2'
+END
+"""
+
+_ABS_RE_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+_PREFIX_RE_SQL = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+
+# the canonicalization as DuckDB SQL over view `urls` — same regex
+# strings, same split -> filter -> rejoin shape
+_DUCK_CANON = f"""
+SELECT doc_id, CASE WHEN regexp_matches(url, '{_ABS_RE_SQL}')
+  THEN lp2 || path || CASE WHEN len(params) > 0
+       THEN '?' || array_to_string(params, '&') ELSE '' END
+  ELSE url END AS c
+FROM (
+  SELECT doc_id, url, lp2,
+    CASE WHEN qpos > 0 THEN substr(rest, 1, qpos - 1) ELSE rest END AS path,
+    list_filter(string_split(
+        CASE WHEN qpos > 0 THEN substr(rest, qpos + 1) END, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '{urlops.TRACKING_PARAM_RE}')
+    ) AS params
+  FROM (
+    SELECT doc_id, url, rest, instr(rest, '?') AS qpos,
+      CASE WHEN regexp_matches(lp, '^http://[^/?#]*:80$')
+             THEN regexp_replace(lp, ':80$', '')
+           WHEN regexp_matches(lp, '^https://[^/?#]*:443$')
+             THEN regexp_replace(lp, ':443$', '')
+           ELSE lp END AS lp2
+    FROM (
+      SELECT doc_id, url, lower(prefix) AS lp,
+             substr(base, length(prefix) + 1) AS rest
+      FROM (
+        SELECT doc_id, url,
+               regexp_replace(url, '(?s)#.*', '', 'g') AS base,
+               regexp_extract(regexp_replace(url, '(?s)#.*', '', 'g'),
+                              '{_PREFIX_RE_SQL}', 1) AS prefix
+        FROM urls) q0) q1) q2) q3
+"""
+
+
+def _duck_domain_select(suffix_list: str) -> str:
+    return f"""
+SELECT doc_id,
+  CASE WHEN host = '' THEN NULL
+       WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
+         THEN host
+       WHEN n >= 3 AND (labels[n-1] || '.' || labels[n]) IN ({suffix_list})
+         THEN labels[n-2] || '.' || labels[n-1] || '.' || labels[n]
+       WHEN n >= 2 THEN labels[n-1] || '.' || labels[n]
+       ELSE host END AS d
+FROM (
+  SELECT doc_id, host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM (
+    SELECT doc_id,
+      lower(regexp_replace(regexp_replace(
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+        '^[^/?#]*@', ''), ':[0-9]*$', '')) AS host
+    FROM urls) h) l
+"""
+
+
+def test_urlops_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    urls = docs.select("doc_id", _url_expr_spark().alias("url"))
+    got_c = {
+        r["doc_id"]: r["c"]
+        for r in urls.select(
+            "doc_id", urlops.canonicalize_url_expr(F.col("url")).alias("c")
+        ).collect()
+    }
+    got_d = {
+        r["doc_id"]: r["d"]
+        for r in urls.select(
+            "doc_id", urlops.registered_domain_expr(F.col("url")).alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW urls AS
+        SELECT doc_id, ({_URL_SQL}) AS url
+        FROM read_parquet('{sf_dir}/documents.parquet')"""
+    )
+    exp_c = dict(con.execute(_DUCK_CANON).fetchall())
+    suffixes = ", ".join(f"'{s}'" for s in urlops.MULTI_SUFFIXES)
+    exp_d = dict(con.execute(_duck_domain_select(suffixes)).fetchall())
+    assert set(got_c) == set(exp_c) and set(got_d) == set(exp_d)
+    for k in got_c:
+        assert got_c[k] == exp_c[k], f"canon {k}: {got_c[k]!r} != {exp_c[k]!r}"
+    for k in got_d:
+        assert got_d[k] == exp_d[k], f"domain {k}: {got_d[k]!r} != {exp_d[k]!r}"
+
+
+# ---------------------------------------------------------------------------
+# hypothesis referee on Python's re engine
+# ---------------------------------------------------------------------------
+
+def _ref_canon(url: str) -> str:
+    if not re.match(urlops._ABS_RE, url):
+        return url
+    base = re.sub(r"(?s)#.*", "", url)
+    prefix = re.match(urlops._PREFIX_RE, base).group(1)
+    rest = base[len(prefix):]
+    lp = prefix.lower()
+    if re.match(r"^http://[^/?#]*:80$", lp):
+        lp = re.sub(r":80$", "", lp)
+    elif re.match(r"^https://[^/?#]*:443$", lp):
+        lp = re.sub(r":443$", "", lp)
+    q = rest.find("?")
+    if q >= 0:
+        path, query = rest[:q], rest[q + 1:]
+        params = [
+            p for p in query.split("&")
+            if p != "" and not re.match(urlops.TRACKING_PARAM_RE, p)
+        ]
+        rest = path + ("?" + "&".join(params) if params else "")
+    return lp + rest
+
+
+def _ref_domain(url: str) -> str | None:
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", url)
+    if not m:
+        return None
+    host = re.sub(r":[0-9]*$", "", re.sub(r"^[^/?#]*@", "", m.group(1))).lower()
+    if host == "":
+        return None
+    if re.match(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$", host):
+        return host
+    labels = host.split(".")
+    n = len(labels)
+    if n >= 3 and ".".join(labels[-2:]) in urlops.MULTI_SUFFIXES:
+        return ".".join(labels[-3:])
+    if n >= 2:
+        return ".".join(labels[-2:])
+    return host
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _urlish = st.lists(
+        st.one_of(
+            st.sampled_from(
+                ["http://", "HTTPS://", "ftp://", "Example.COM", "a.b",
+                 ":80", ":443", ":8080", "/path", "?", "&", "=", "#frag",
+                 "utm_source=x", "gclid=1", "id=7", "user@", "10.0.0.1",
+                 "co.uk", ".", "", "xn--", "%20", "//", "a b"]
+            ),
+            st.text(alphabet="abC.:/?&=#@0", min_size=0, max_size=8),
+        ),
+        min_size=0,
+        max_size=8,
+    ).map("".join)
+
+    @given(st.lists(_urlish, min_size=1, max_size=6))
+    @settings(max_examples=25, deadline=None)
+    def test_urlops_match_python_reference(spark, batch):
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(batch)], "i long, u string"
+        )
+        rows = df.select(
+            "i",
+            urlops.canonicalize_url_expr(F.col("u")).alias("c"),
+            urlops.registered_domain_expr(F.col("u")).alias("d"),
+        ).orderBy("i").collect()
+        for r, u in zip(rows, batch):
+            assert r["c"] == _ref_canon(u), f"canon {u!r}"
+            assert r["d"] == _ref_domain(u), f"domain {u!r}"
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+# ---------------------------------------------------------------------------
+# plan + composition
+# ---------------------------------------------------------------------------
+
+def test_urlops_plan_is_codegen_only(spark):
+    df = spark.createDataFrame([(1, "http://a.b/c")], "doc_id long, url string")
+    plan = (
+        df.select(
+            urlops.canonicalize_url_expr(F.col("url")).alias("c"),
+            urlops.registered_domain_expr(F.col("url")).alias("d"),
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange",
+                "MapInPandas", "Join"):
+        assert bad not in plan, bad
+
+
+def test_cap_per_domain_composed(spark, sf_dir):
+    """The per-domain crawl cap: synthesize provenance URLs from doc_id,
+    cap at 3 docs/domain, verify the cap, NULL-domain grouping, and
+    determinism (hash-order subsample is partitioning-independent)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    urls = docs.withColumn("url", _url_expr_spark())
+    capped = urlops.cap_per_domain(urls, cap=3)
+    per = {
+        r["domain"]: r["n"]
+        for r in capped.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per and all(n <= 3 for n in per.values())
+    assert None in per  # the not-a-url share forms its own capped group
+    # deterministic: same kept ids under a different partitioning
+    again = urlops.cap_per_domain(urls.repartition(7), cap=3)
+    ids1 = sorted(r["doc_id"] for r in capped.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in again.select("doc_id").collect())
+    assert ids1 == ids2
+    # stats table agrees with a direct group-count
+    stats = {
+        r["domain"]: r["n_docs"]
+        for r in urlops.domain_stats(urls, text_col="text").collect()
+    }
+    direct = {
+        r["d"]: r["n"]
+        for r in urls.groupBy(
+            urlops.registered_domain_expr(F.col("url")).alias("d")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert stats == direct
