@@ -153,39 +153,74 @@ def main() -> None:
     # carry ~0.3 s scheduler jitter, which best-of-2 couldn't average out
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
-    def time_all(n_runs: int) -> dict[str, float]:
-        out: dict[str, float] = {}
+    def time_all(n_runs: int) -> tuple[dict[str, float], dict[str, float]]:
+        """Per-query (best, median) over n_runs samples. Best
+        approximates steady-state; the median is the drift detector
+        (VERDICT r8 task #5): a real single-query regression moves
+        best AND median together, while scheduler/page-cache weather
+        moves individual samples — the median absorbs one outlier
+        (including the JIT-warm first sample) at runs>=3."""
+        best_out: dict[str, float] = {}
+        med_out: dict[str, float] = {}
         for name, thunk in bench_queries.items():
-            best = float("inf")
+            samples = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 thunk()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
-        return out
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            best_out[name] = round(samples[0], 2)
+            mid = len(samples) // 2
+            med = (
+                samples[mid]
+                if len(samples) % 2
+                else (samples[mid - 1] + samples[mid]) / 2
+            )
+            med_out[name] = round(med, 2)
+        return best_out, med_out
 
-    cal_best = float("inf")
-    for _ in range(max(2, min(runs, 3))):
-        t0 = time.perf_counter()
-        calibration()
-        cal_best = min(cal_best, time.perf_counter() - t0)
+    def run_calibration(n: int) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            calibration()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    timings = time_all(runs)
+    # BRACKETING calibrations (VERDICT r8 task #5): one before and one
+    # after the headliners. The r8 adjudication showed a single pre-run
+    # calibration does not cancel drift that develops DURING the
+    # minutes-long query loop (three same-binary records normalized to
+    # 39.3/42.7/49.2); the average of the brackets estimates mid-run
+    # box speed and cal_post/cal_pre flags intra-run drift explicitly.
+    cal_pre = run_calibration(max(2, min(runs, 3)))
+    timings, medians = time_all(runs)
+    cal_post = run_calibration(2)
+    cal_mid = (cal_pre + cal_post) / 2
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "dmds_headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # medians as a list aligned with queries' key order — a dict
+        # would blow the driver's 2000-char stdout tail window
+        "med": [medians[k] for k in timings],
         "sf": sf,
         "cpus": cpus,
-        "calibration": round(cal_best, 3),
+        # calibration = mean of the two brackets (records before r9
+        # carried a single pre-run value; the comparison rule update is
+        # documented in SURVEY §9)
+        "calibration": round(cal_mid, 3),
+        "cal_pre": round(cal_pre, 3),
+        "cal_post": round(cal_post, 3),
         # box-drift-normalized total: raw seconds divided by the pinned
-        # pure-codegen calibration workload's seconds on the SAME box at
-        # the SAME time. Compare THIS number round-over-round; the raw
-        # total also moves with host load/cpu-steal (r6 read 1.24x r5
-        # on raw with zero plan changes — pure box signature).
-        "normalized": round(total / cal_best, 2) if cal_best else None,
+        # pure-codegen calibration workload's seconds on the SAME box
+        # bracketing the SAME run. Compare THIS number round-over-round;
+        # the raw total also moves with host load/cpu-steal (r6 read
+        # 1.24x r5 on raw with zero plan changes — pure box signature).
+        "normalized": round(total / cal_mid, 2) if cal_mid else None,
     }
 
     # Scaling pass: if a generated sf1 dataset exists (tools/gen_scale_data.py,
@@ -202,7 +237,7 @@ def main() -> None:
         # run_query/flagship_diff close over the *variable* sf_dir, so
         # rebinding it repoints every bench thunk at the sf1 data
         sf_dir = sf1_dir
-        sf1_timings = time_all(min(runs, 2))
+        sf1_timings, _sf1_med = time_all(min(runs, 2))
         sf1_total = round(sum(sf1_timings.values()), 3)
         result["sf1"] = {
             "value": sf1_total,
@@ -231,11 +266,15 @@ def main() -> None:
     compact = {
         k: result[k]
         for k in (
-            "metric", "value", "unit", "queries", "sf", "cpus",
-            "calibration", "normalized",
+            "metric", "value", "unit", "queries", "med", "sf", "cpus",
+            "calibration", "cal_pre", "cal_post", "normalized",
         )
     }
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    if len(line) > 1950:  # the driver tail window is ~2000 chars
+        compact.pop("med")
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
