@@ -934,7 +934,24 @@ def classify_media(
     \\r\\n\\x1a\\n, so it can never co-match ftyp. Unknown/corrupt
     blobs get NULL format and NULL props — triage never throws (the
     parsers' contract). Returns (doc_id, media_format, props)."""
-    c = F.col(content_col)
+    t = media_triage_expr(F.col(content_col))
+    return media.select(
+        F.col(id_col).alias("doc_id"), t.alias("_t")
+    ).select(
+        "doc_id",
+        F.col("_t.fmt").alias("media_format"),
+        F.col("_t.props").alias("props"),
+    )
+
+
+def media_triage_expr(c):
+    """The classify_media triage as a bare column expression —
+    struct<fmt string, props map<string,string>> — for callers that
+    thread a format verdict into an existing projection (e.g. the
+    curation pipeline's media_col stage) instead of materializing a
+    separate triage frame. Same cost contract as classify_media: one
+    gated CaseWhen, each family's walk evaluated only for its
+    magic-matching rows."""
 
     def pmap(pairs):
         cols = []
@@ -945,7 +962,7 @@ def classify_media(
     def fp(fmt, pairs):
         return F.struct(F.lit(fmt).alias("fmt"), pmap(pairs).alias("props"))
 
-    t = (
+    return (
         F.when(
             _png_magic(c),
             fp("png", [("width", _i32be(c, 17)), ("height", _i32be(c, 21)),
@@ -968,13 +985,6 @@ def classify_media(
                 "mp4", [("major_brand", _mp4_brand(c)), ("timescale", ts),
                         ("duration_ticks", dur)])),
         )
-    )
-    return media.select(
-        F.col(id_col).alias("doc_id"), t.alias("_t")
-    ).select(
-        "doc_id",
-        F.col("_t.fmt").alias("media_format"),
-        F.col("_t.props").alias("props"),
     )
 
 

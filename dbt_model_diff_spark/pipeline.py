@@ -56,6 +56,11 @@ class CurationConfig:
     # PII redaction (pii.scrub_expr: email/IP/phone), applied right
     # after normalization so dedup hashes see the scrubbed text
     scrub_pii: bool = False
+    # binary media column: when set, multimodal.media_triage_expr adds
+    # a `media_format` routing column and a per-format breakdown row to
+    # the stage report (ingest triage for a mixed text+media corpus) —
+    # no rows are dropped, triage never throws (the parsers' contract)
+    media_col: str | None = None
     # language allowlist (documents carry a lang column; None = keep all)
     keep_langs: tuple[str, ...] | None = None
     lang_col: str = "lang"
@@ -179,6 +184,40 @@ def curate_corpus(
     # NULL-text drop + normalization token shrinkage from gate drops
     # (later stages count tokens on NORMALIZED text)
     account("normalize", cur)
+
+    # 1b. media triage (multimodal.media_triage_expr): a `media_format`
+    # routing column plus a per-format breakdown report row. Row-local
+    # map work fused into the scan; one extra count-by-format agg for
+    # the report. Drops nothing — routing is downstream's decision.
+    if c.media_col is not None:
+        if c.media_col not in cur.columns:
+            raise ValueError(
+                f"CurationConfig.media_col={c.media_col!r} is not a"
+                f" column of the input frame ({cur.columns})"
+            )
+        from dbt_model_diff_spark.operators import multimodal
+
+        cur = cur.withColumn(
+            "media_format",
+            multimodal.media_triage_expr(F.col(c.media_col))["fmt"],
+        )
+        fmt_rows = (
+            cur.groupBy("media_format").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        formats = {
+            (r["media_format"] or "unknown"): int(r["n"]) for r in fmt_rows
+        }
+        report.append(
+            {
+                "stage": "media_triage",
+                "docs": sum(formats.values()),
+                # triage does not touch text; the normalize row's token
+                # count is exact here and saves a second corpus agg
+                "tokens": report[-1]["tokens"],
+                "formats": formats,
+            }
+        )
 
     # 2. language allowlist (a scan-fused filter — runs before the
     # token arithmetic so dropped languages cost nothing)

@@ -483,3 +483,44 @@ def test_layout_rejects_bad_args(spark):
         zvalue(F.lit(1), F.lit(1), bits=0)
     with pytest.raises(ValueError):
         bucketize(F.lit(1.0), 5, 5)
+
+
+def test_curate_corpus_media_triage(spark):
+    """CurationConfig.media_col threads a classify_media verdict into
+    the run: a media_format routing column on the output and a
+    per-format breakdown row in the stage report — no rows dropped."""
+    import struct
+
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 8, 8) + bytes([8, 2, 0, 0, 0]) + bytes(4))
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 24 + 12) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 4) + bytes(4))
+    body = ("the quick brown fox jumps over a lazy dog and runs with "
+            "great speed that day from home to have some real fun ")
+    rows = [
+        (1, body + "one", "src0", "en", png),
+        (2, body + "two", "src0", "en", wav),
+        (3, body + "three", "src0", "en", b"garbage"),
+        (4, body + "four", "src0", "en", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string,"
+              " content binary"
+    )
+    cfg = CurationConfig(media_col="content", dedup="none", min_tokens=5)
+    kept, report = curate_corpus(df, cfg)
+    out = {r["doc_id"]: r["media_format"] for r in kept.collect()}
+    assert out == {1: "png", 2: "wav", 3: None, 4: None}
+    triage = [r for r in report if r["stage"] == "media_triage"]
+    assert len(triage) == 1
+    assert triage[0]["formats"] == {"png": 1, "wav": 1, "unknown": 2}
+    assert triage[0]["docs"] == 4  # triage drops nothing
+    # a bad column name fails loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_corpus(df, CurationConfig(media_col="nope"))
