@@ -530,11 +530,17 @@ def parse_audio_headers(
     id_col: str = "doc_id",
     max_chunks: int = 8,
 ) -> DataFrame:
-    """REAL audio-format header parsing, the WAV/RIFF companion to
+    """REAL audio-format header parsing, the audio companion to
     :func:`parse_image_headers`: channels / sample rate / bit depth
     straight from the binary column with pure codegen byte
     expressions — zero UDFs, zero shuffles, DuckDB-replayable
     (tests/test_multimodal.py::test_parse_audio_headers_duckdb_parity).
+    Covers the audio family's three common containers, mutually
+    exclusive by first bytes: WAV/RIFF (the chunk walk below), FLAC
+    (fixed-offset STREAMINFO — :func:`_flac_result`) and MPEG audio
+    (frame header behind an optional ID3v2 hop — :func:`_mp3_result`;
+    bits_per_sample NULL, lossy audio has no PCM width). format is
+    'wav' / 'flac' / 'mp3'.
 
     Layout: ``RIFF <u32le size> WAVE`` then a chunk list of
     ``<id:4> <u32le size> <data...>`` with chunks padded to EVEN
@@ -667,22 +673,136 @@ def _wav_result(c, max_chunks: int, make):
     )
 
 
+def _flac_magic(c):
+    # "fLaC" + the complete 34-byte STREAMINFO block (4-byte block
+    # header + 34 bytes of data ends at byte 42)
+    return (F.octet_length(c) >= 42) & (
+        F.hex(F.substring(c, 1, 4)) == F.lit("664C6143")
+    )
+
+
+def _flac_result(c, make):
+    """FLAC STREAMINFO fields (r9): the spec mandates STREAMINFO as the
+    FIRST metadata block, so everything is fixed-offset — no walk.
+    Block header at byte 5 (last-block flag 0x80 | type, type 0 =
+    STREAMINFO) + u24 length (= 34); the packed audio fields start at
+    byte 19: sample_rate is 20 bits (b19<<12 | b20<<4 | b21>>4),
+    channels-1 the next 3 bits ((b21>>1)&7), bits_per_sample-1 the
+    next 5 ((b21&1)<<4 | b22>>4). Exact shift/mask integer arithmetic,
+    identical in the DuckDB twin. A declared non-STREAMINFO first
+    block, wrong block length, or sample_rate 0 (spec-invalid for
+    audio) yields NULL — never fabricated fields."""
+    btype = _u8(c, 5)
+    blength = (
+        _u8(c, 6).cast("long") * 65536 + _u8(c, 7) * 256 + _u8(c, 8)
+    )
+    sr = (
+        F.shiftleft(_u8(c, 19).cast("long"), 12)
+        + F.shiftleft(_u8(c, 20).cast("long"), 4)
+        + F.shiftright(_u8(c, 21), 4)
+    )
+    ch = F.shiftright(_u8(c, 21), 1).bitwiseAND(7) + 1
+    bps = (
+        F.shiftleft(_u8(c, 21).bitwiseAND(1), 4)
+        + F.shiftright(_u8(c, 22), 4)
+        + 1
+    )
+    ok = (btype.bitwiseAND(127) == 0) & (blength == 34) & (sr > 0)
+    return F.when(ok, make(ch, sr, bps))
+
+
+def _mp3_magic(c):
+    """MPEG audio: a bare 11-bit frame sync (0xFF + top-3-bits set —
+    disjoint from JPEG's FFD8: 0xD8 & 0xE0 = 0xC0) or an ID3v2 tag
+    prefix ("ID3" + the 10-byte tag header)."""
+    blen = F.octet_length(c)
+    bare = (blen >= 4) & (_u8(c, 1) == 255) & (
+        _u8(c, 2).bitwiseAND(0xE0) == 0xE0
+    )
+    id3 = (blen >= 14) & (F.hex(F.substring(c, 1, 3)) == F.lit("494433"))
+    return bare | id3
+
+
+def _mp3_result(c, make):
+    """MPEG audio frame-header fields (r9). For ID3v2-prefixed files
+    the frame starts after the tag: 10-byte header + the SYNCSAFE
+    28-bit size at bytes 7-10 (each byte < 0x80, else the tag is
+    malformed -> NULL). At the frame: version bits (b2>>3)&3 (3=MPEG1,
+    2=MPEG2, 0=MPEG2.5, 1=reserved), layer bits (b2>>1)&3 (0=reserved),
+    sample-rate index (b3>>2)&3 (3=reserved) through the per-version
+    table, and channel mode b4>>6 (3=mono -> 1, else 2).
+    bits_per_sample is NULL by nature — MPEG audio is lossy, there is
+    no PCM width to report (the honest-fields contract). Reserved
+    version/layer/rate-index combinations yield NULL throughout."""
+    blen = F.octet_length(c)
+    has_id3 = F.hex(F.substring(c, 1, 3)) == F.lit("494433")
+    s1, s2, s3, s4 = (_u8(c, p) for p in (7, 8, 9, 10))
+    syncsafe_ok = (s1 < 128) & (s2 < 128) & (s3 < 128) & (s4 < 128)
+    tag_size = (
+        s1.cast("long") * 2097152 + s2 * 16384 + s3 * 128 + s4
+    )
+    fpos = F.when(has_id3, (F.lit(11) + tag_size)).otherwise(
+        F.lit(1).cast("long")
+    )
+    fp = fpos.cast("int")
+    b1, b2, b3, b4 = (_u8(c, fp + i) for i in range(4))
+    frame_ok = (
+        ((fpos + 3) <= blen.cast("long"))
+        & (b1 == 255)
+        & (b2.bitwiseAND(0xE0) == 0xE0)
+        & (~has_id3 | syncsafe_ok)
+    )
+    ver = F.shiftright(b2, 3).bitwiseAND(3)
+    layer = F.shiftright(b2, 1).bitwiseAND(3)
+    sr_idx = F.shiftright(b3, 2).bitwiseAND(3)
+    base = (
+        F.when(sr_idx == 0, F.lit(44100))
+        .when(sr_idx == 1, F.lit(48000))
+        .when(sr_idx == 2, F.lit(32000))
+    )
+    sr = (
+        F.when(ver == 3, base)
+        .when(ver == 2, (base / 2).cast("long"))
+        .when(ver == 0, (base / 4).cast("long"))
+    ).cast("long")
+    ch = F.when(F.shiftright(b4, 6) == 3, F.lit(1)).otherwise(F.lit(2))
+    ok = frame_ok & (ver != 1) & (layer != 0) & (sr_idx != 3)
+    return F.when(ok, make(ch, sr))
+
+
 def _audio_triage_struct(c, max_chunks: int = 8):
-    """One gated struct<fmt,ch,sr,bps> per row: the chunk walk only
-    evaluates for RIFF/WAVE-magic rows. Shared by
-    :func:`parse_audio_headers` and :func:`classify_media`."""
-    return F.when(
-        _wav_magic(c),
-        _wav_result(
-            c,
-            max_chunks,
-            lambda ch, sr, bps: F.struct(
-                F.lit("wav").alias("fmt"),
-                ch.alias("ch"),
-                sr.alias("sr"),
-                bps.alias("bps"),
+    """One gated struct<fmt,ch,sr,bps> per row for the audio family —
+    WAV (bounded chunk walk), FLAC (fixed-offset STREAMINFO) and MPEG
+    audio (frame header, behind an optional ID3v2 hop); each family's
+    decode evaluates only for its magic-matching rows, and the three
+    magics are mutually exclusive by their first bytes (RIFF / fLaC /
+    0xFF-sync-or-ID3). Shared by :func:`parse_audio_headers` and
+    :func:`classify_media`."""
+
+    def st(fmt, ch, sr, bps):
+        return F.struct(
+            F.lit(fmt).alias("fmt"),
+            ch.alias("ch"),
+            sr.alias("sr"),
+            bps.alias("bps"),
+        )
+
+    null_bps = F.lit(None).cast("int")
+    return (
+        F.when(
+            _wav_magic(c),
+            _wav_result(
+                c, max_chunks, lambda ch, sr, bps: st("wav", ch, sr, bps)
             ),
-        ),
+        )
+        .when(
+            _flac_magic(c),
+            _flac_result(c, lambda ch, sr, bps: st("flac", ch, sr, bps)),
+        )
+        .when(
+            _mp3_magic(c),
+            _mp3_result(c, lambda ch, sr: st("mp3", ch, sr, null_bps)),
+        )
     )
 
 
@@ -924,13 +1044,14 @@ def classify_media(
     same single-evaluation restructure).
 
     First-match-on-magic equals the previous coalesce-over-parsers
-    semantics exactly for any blob under ~1.3 GiB: the only magic
-    overlaps are (jpeg|wav)-magic blobs that also carry "ftyp" at
-    bytes 5-8, and for those the MP4 top-level walk is structurally
-    dead — its first box size reads the magic bytes themselves
-    (>= 0x52494646, ~1.38 GiB) so the first hop lands past any real
+    semantics exactly for any blob under ~1.2 GiB: the only magic
+    overlaps are (jpeg|wav|flac|mp3)-magic blobs that also carry
+    "ftyp" at bytes 5-8, and for those the MP4 top-level walk is
+    structurally dead — its first box size reads the leading family's
+    magic bytes themselves (>= 0x49443300, ~1.23 GiB, for ID3; higher
+    for RIFF/fLaC/0xFF-sync) so the first hop lands past any real
     blob's end (Spark caps a binary cell at 2 GiB; the agreement test
-    pins both overlap shapes). PNG magic fixes bytes 5-8 to
+    pins the overlap shapes). PNG magic fixes bytes 5-8 to
     \\r\\n\\x1a\\n, so it can never co-match ftyp. Unknown/corrupt
     blobs get NULL format and NULL props — triage never throws (the
     parsers' contract). Returns (doc_id, media_format, props)."""
@@ -978,6 +1099,17 @@ def media_triage_expr(c):
             _wav_result(c, 8, lambda ch, sr, bps: fp(
                 "wav", [("n_channels", ch), ("sample_rate", sr),
                         ("bits_per_sample", bps)])),
+        )
+        .when(
+            _flac_magic(c),
+            _flac_result(c, lambda ch, sr, bps: fp(
+                "flac", [("n_channels", ch), ("sample_rate", sr),
+                         ("bits_per_sample", bps)])),
+        )
+        .when(
+            _mp3_magic(c),
+            _mp3_result(c, lambda ch, sr: fp(
+                "mp3", [("n_channels", ch), ("sample_rate", sr)])),
         )
         .when(
             _mp4_magic(c),

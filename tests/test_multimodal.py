@@ -624,10 +624,13 @@ def test_classify_media_agrees_with_parsers(spark):
         (301, b"RIFF" + b"ftyp" + b"WAVE" + b"junk" + bytes(32)),
         (302, b"\xff\xd8\xff\xe0" + b"ftypisom\x00\x00\x02\x00" + bytes(16)),
     ]
+    from tests.test_round9_audio import _AUDIO_FIXTURE
+
     fixture = (
         [(i, b) for i, b in _HEADER_FIXTURE]
         + [(100 + i, b) for i, b in _WAV_FIXTURE]
         + [(200 + i, b) for i, b in _MP4_FIXTURE]
+        + [(400 + i, b) for i, b in _AUDIO_FIXTURE]
         + overlaps
     )
     df = spark.createDataFrame(fixture, "doc_id long, content binary")

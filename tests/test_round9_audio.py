@@ -1,0 +1,278 @@
+"""Round-9 FLAC / MPEG-audio triage certification: the audio family of
+parse_audio_headers / classify_media grows its two remaining common
+containers (VERDICT r8 "what's missing" #3). Fixed-offset shift/mask
+arithmetic — pinned fixtures, a DuckDB arithmetic twin, and a
+hypothesis referee on independent pure-Python byte parsing."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import multimodal as mm
+
+
+# ---------------------------------------------------------------------------
+# fixture builders (spec layouts)
+# ---------------------------------------------------------------------------
+
+def _flac_blob(ch, sr, bps, last=True, btype=0, blength=34, total=12345):
+    hdr = bytes([(0x80 if last else 0) | btype]) + blength.to_bytes(3, "big")
+    packed = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    info = (
+        (4096).to_bytes(2, "big") * 2
+        + bytes(3) + bytes(3)
+        + packed.to_bytes(8, "big")
+        + bytes(16)
+    )
+    return b"fLaC" + hdr + info
+
+
+def _mp3_frame(ver=3, layer=1, sr_idx=0, mode=0, bitrate=9):
+    b2 = 0xE0 | (ver << 3) | (layer << 1) | 1
+    b3 = (bitrate << 4) | (sr_idx << 2)
+    b4 = mode << 6
+    return bytes([0xFF, b2, b3, b4]) + bytes(32)
+
+
+def _id3(payload_size, pad=True):
+    ss = bytes((payload_size >> s) & 0x7F for s in (21, 14, 7, 0))
+    tag = b"ID3\x04\x00\x00" + ss
+    return tag + (bytes(payload_size) if pad else b"")
+
+
+_AUDIO_FIXTURE = [
+    (1, _flac_blob(2, 44100, 16)),
+    (2, _flac_blob(1, 8000, 8)),
+    (3, _flac_blob(8, 655350, 32)),                 # 20-bit sr ceiling region
+    (4, _flac_blob(2, 44100, 16, btype=4)),         # first block not STREAMINFO
+    (5, _flac_blob(2, 44100, 16, blength=20)),      # wrong declared length
+    (6, _flac_blob(2, 0, 16)),                      # sr 0: spec-invalid
+    (7, _flac_blob(2, 44100, 16)[:30]),             # truncated
+    (8, _mp3_frame(ver=3, layer=1, sr_idx=0, mode=0)),       # MPEG1 44100 stereo
+    (9, _mp3_frame(ver=3, layer=1, sr_idx=1, mode=3)),       # 48000 mono
+    (10, _mp3_frame(ver=2, layer=1, sr_idx=0)),              # MPEG2 -> 22050
+    (11, _mp3_frame(ver=0, layer=1, sr_idx=2)),              # MPEG2.5 -> 8000
+    (12, _mp3_frame(ver=1)),                                 # reserved version
+    (13, _mp3_frame(layer=0)),                               # reserved layer
+    (14, _mp3_frame(sr_idx=3)),                              # reserved rate idx
+    (15, _id3(40) + _mp3_frame(ver=3, layer=1, sr_idx=0, mode=1)),
+    (16, _id3(40, pad=False)),                     # tag claims 40, no frame
+    (17, b"ID3\x04\x00\x00\x80\x00\x00\x00" + bytes(40)),  # non-syncsafe size
+    (18, b"ID3"),                                  # too short for the header
+    (19, None),
+    (20, b"absolutely not audio"),
+]
+
+
+def test_flac_mp3_expected_values(spark):
+    df = spark.createDataFrame(_AUDIO_FIXTURE, "doc_id long, content binary")
+    got = {r["doc_id"]: (r["format"], r["n_channels"], r["sample_rate"],
+                         r["bits_per_sample"])
+           for r in mm.parse_audio_headers(df).collect()}
+    assert got[1] == ("flac", 2, 44100, 16)
+    assert got[2] == ("flac", 1, 8000, 8)
+    assert got[3] == ("flac", 8, 655350, 32)
+    for bad in (4, 5, 6, 7):
+        assert got[bad] == (None, None, None, None), bad
+    assert got[8] == ("mp3", 2, 44100, None)
+    assert got[9] == ("mp3", 1, 48000, None)
+    assert got[10] == ("mp3", 2, 22050, None)
+    assert got[11] == ("mp3", 2, 8000, None)
+    for bad in (12, 13, 14, 16, 17, 18, 19, 20):
+        assert got[bad] == (None, None, None, None), bad
+    assert got[15] == ("mp3", 2, 44100, None)  # behind the ID3v2 hop
+    # classify_media agrees and routes props
+    cls = {r["doc_id"]: (r["media_format"], r["props"])
+           for r in mm.classify_media(df).collect()}
+    assert cls[1] == ("flac", {"n_channels": "2", "sample_rate": "44100",
+                               "bits_per_sample": "16"})
+    assert cls[15] == ("mp3", {"n_channels": "2", "sample_rate": "44100"})
+    assert cls[20] == (None, None)
+
+
+def test_flac_mp3_duckdb_parity(spark, tmp_path):
+    """Same blobs, same shift/mask arithmetic replayed in DuckDB over
+    hex(content) — fixed offsets (FLAC) and one computed hop (ID3)."""
+    import duckdb
+
+    df = spark.createDataFrame(_AUDIO_FIXTURE, "doc_id long, content binary")
+    path = str(tmp_path / "audio.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    got = sorted(
+        map(tuple, mm.parse_audio_headers(spark.read.parquet(path)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE MACRO u8(h, p) AS"
+        " TRY_CAST('0x' || substr(h, p*2-1, 2) AS INT)"
+    )
+    exp = sorted(map(tuple, con.sql(f"""
+WITH src AS (
+  SELECT doc_id, hex(content) AS h, octet_length(content) AS n
+  FROM read_parquet('{path}/*.parquet')),
+flac AS (
+  SELECT doc_id,
+    (n >= 42 AND substr(h, 1, 8) = '664C6143') AS is_flac,
+    ((u8(h,19) << 12) + (u8(h,20) << 4) + (u8(h,21) >> 4))::BIGINT AS sr,
+    ((u8(h,21) >> 1) & 7) + 1 AS ch,
+    ((u8(h,21) & 1) << 4) + (u8(h,22) >> 4) + 1 AS bps,
+    (u8(h,5) & 127) = 0
+      AND (u8(h,6)*65536 + u8(h,7)*256 + u8(h,8)) = 34 AS blk_ok
+  FROM src),
+mp3pos AS (
+  SELECT doc_id, h, n,
+    (n >= 4 AND u8(h,1) = 255 AND (u8(h,2) & 224) = 224) AS bare,
+    (n >= 14 AND substr(h, 1, 6) = '494433') AS has_id3,
+    (u8(h,7) < 128 AND u8(h,8) < 128 AND u8(h,9) < 128 AND u8(h,10) < 128)
+      AS ss_ok,
+    CASE WHEN n >= 14 AND substr(h, 1, 6) = '494433'
+         THEN 11 + u8(h,7)::BIGINT*2097152 + u8(h,8)*16384
+              + u8(h,9)*128 + u8(h,10)
+         ELSE 1 END AS fpos
+  FROM src),
+mp3 AS (
+  SELECT doc_id, (bare OR has_id3) AS is_mp3,
+    (fpos + 3 <= n AND u8(h, fpos) = 255 AND (u8(h, fpos+1) & 224) = 224
+     AND (NOT has_id3 OR ss_ok)) AS frame_ok,
+    (u8(h, fpos+1) >> 3) & 3 AS ver,
+    (u8(h, fpos+1) >> 1) & 3 AS layer,
+    (u8(h, fpos+2) >> 2) & 3 AS sr_idx,
+    CASE WHEN (u8(h, fpos+3) >> 6) = 3 THEN 1 ELSE 2 END AS ch
+  FROM mp3pos),
+w AS (
+  SELECT s.doc_id,
+    CASE WHEN f.is_flac AND f.blk_ok AND f.sr > 0 THEN 'flac'
+         WHEN NOT coalesce(f.is_flac, FALSE) AND m.is_mp3 AND m.frame_ok
+              AND m.ver <> 1 AND m.layer <> 0 AND m.sr_idx <> 3 THEN 'mp3'
+    END AS format,
+    f.*, m.ver AS mver, m.sr_idx AS msr, m.ch AS mch
+  FROM src s LEFT JOIN flac f USING (doc_id) LEFT JOIN mp3 m USING (doc_id))
+SELECT doc_id,
+  format,
+  CASE WHEN format = 'flac' THEN ch WHEN format = 'mp3' THEN mch END
+    AS n_channels,
+  CASE WHEN format = 'flac' THEN sr
+       WHEN format = 'mp3' THEN CAST(
+         (CASE msr WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 32000 END)
+         / (CASE mver WHEN 3 THEN 1 WHEN 2 THEN 2 WHEN 0 THEN 4 END)
+         AS BIGINT) END AS sample_rate,
+  CASE WHEN format = 'flac' THEN bps END AS bits_per_sample
+FROM w
+""").fetchall()))
+    assert got == exp
+    assert len([t for t in got if t[1] == "flac"]) == 3
+    assert len([t for t in got if t[1] == "mp3"]) == 5
+
+
+# ---------------------------------------------------------------------------
+# hypothesis referee: independent pure-Python byte parsing
+# ---------------------------------------------------------------------------
+
+def _ref_flac_mp3(blob: bytes | None):
+    """(format, ch, sr, bps) for FLAC/MPEG blobs; 'wav' marker for
+    RIFF-magic blobs (covered by the r8 WAV referee, skipped here)."""
+    nul = (None, None, None, None)
+    if blob is None:
+        return nul
+    n = len(blob)
+    if n >= 36 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return ("wav-skip", None, None, None)
+    if n >= 42 and blob[:4] == b"fLaC":
+        btype = blob[4]
+        blength = int.from_bytes(blob[5:8], "big")
+        sr = (blob[18] << 12) | (blob[19] << 4) | (blob[20] >> 4)
+        ch = ((blob[20] >> 1) & 7) + 1
+        bps = (((blob[20] & 1) << 4) | (blob[21] >> 4)) + 1
+        if (btype & 0x7F) == 0 and blength == 34 and sr > 0:
+            return ("flac", ch, sr, bps)
+        return nul
+    bare = n >= 4 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
+    has_id3 = n >= 14 and blob[:3] == b"ID3"
+    if not (bare or has_id3):
+        return nul
+    if has_id3:
+        ss = blob[6:10]
+        if any(b >= 0x80 for b in ss):
+            return nul
+        fpos = 11 + (ss[0] << 21 | ss[1] << 14 | ss[2] << 7 | ss[3])
+    else:
+        fpos = 1
+    if fpos + 3 > n:
+        return nul
+    b1, b2, b3, b4 = blob[fpos - 1 : fpos + 3]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return nul
+    ver = (b2 >> 3) & 3
+    layer = (b2 >> 1) & 3
+    sr_idx = (b3 >> 2) & 3
+    if ver == 1 or layer == 0 or sr_idx == 3:
+        return nul
+    base = [44100, 48000, 32000][sr_idx]
+    sr = {3: base, 2: base // 2, 0: base // 4}[ver]
+    ch = 1 if (b4 >> 6) == 3 else 2
+    return ("mp3", ch, sr, None)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def _mutate(args):
+        blob, cut, flip_at, flip_to = args
+        b = bytearray(blob[:cut] if cut is not None else blob)
+        if b and flip_at is not None:
+            b[flip_at % len(b)] = flip_to
+        return bytes(b)
+
+    _blobs = st.lists(
+        st.one_of(
+            st.builds(
+                _flac_blob,
+                st.integers(1, 8), st.integers(0, (1 << 20) - 1),
+                st.integers(1, 32),
+                st.booleans(),
+                st.integers(0, 127),
+                st.integers(0, 64),
+            ),
+            st.builds(
+                lambda v, l, s, m, pre: (_id3(pre) if pre else b"")
+                + _mp3_frame(v, l, s, m),
+                st.integers(0, 3), st.integers(0, 3), st.integers(0, 3),
+                st.integers(0, 3), st.integers(0, 48),
+            ),
+            st.binary(min_size=0, max_size=48),
+        ).flatmap(
+            lambda blob: st.tuples(
+                st.just(blob),
+                st.one_of(st.none(), st.integers(0, max(len(blob), 1))),
+                st.one_of(st.none(), st.integers(0, 63)),
+                st.integers(0, 255),
+            )
+        ).map(_mutate),
+        min_size=1,
+        max_size=24,
+    )
+
+    @given(_blobs)
+    @settings(max_examples=25, deadline=None)
+    def test_flac_mp3_match_python_reference(spark, blobs):
+        df = spark.createDataFrame(
+            [(i, b) for i, b in enumerate(blobs)], "i long, content binary"
+        )
+        got = {
+            r["doc_id"]: (r["format"], r["n_channels"], r["sample_rate"],
+                          r["bits_per_sample"])
+            for r in mm.parse_audio_headers(
+                df.withColumnRenamed("i", "doc_id")
+            ).collect()
+        }
+        for i, b in enumerate(blobs):
+            ref = _ref_flac_mp3(b)
+            if ref[0] == "wav-skip":
+                continue
+            assert got[i] == ref, f"blob {i}: {b!r}"
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
