@@ -61,6 +61,14 @@ class CurationConfig:
     # the stage report (ingest triage for a mixed text+media corpus) —
     # no rows are dropped, triage never throws (the parsers' contract)
     media_col: str | None = None
+    # URL provenance: when both are set, urlops.registered_domain_expr
+    # keys a per-registered-domain cap (sampling.cap_per_group's
+    # deterministic hash-order subsample) applied AFTER
+    # dedup/decontamination — cap the clean pool, not the raw crawl —
+    # and BEFORE budget selection, so the budget sees the
+    # diversity-balanced mix. A `domain` column stays on the output.
+    url_col: str | None = None
+    max_docs_per_domain: int | None = None
     # language allowlist (documents carry a lang column; None = keep all)
     keep_langs: tuple[str, ...] | None = None
     lang_col: str = "lang"
@@ -129,6 +137,14 @@ class CurationConfig:
             # match the operator's contract instead of silently skipping
             # the budget stage on an empty mixture table
             raise ValueError("token_budgets_by_lang must name at least one lang")
+        if self.max_docs_per_domain is not None:
+            if self.max_docs_per_domain <= 0:
+                raise ValueError("max_docs_per_domain must be positive")
+            if self.url_col is None:
+                raise ValueError(
+                    "max_docs_per_domain requires url_col (the domain"
+                    " cap needs a provenance column to key on)"
+                )
 
 
 def curate_corpus(
@@ -404,6 +420,27 @@ def curate_corpus(
             how="left_anti",
         )
         account("decontaminate", cur)
+
+    # 5b. per-domain cap (urlops + sampling.cap_per_group): the
+    # standard crawl-diversity knob, applied to the deduped,
+    # decontaminated pool. One window shuffle on the domain key;
+    # non-absolute URLs (NULL domain) form one capped group of their
+    # own, which is the honest default for provenance-less rows.
+    if c.max_docs_per_domain is not None:
+        from dbt_model_diff_spark.operators import urlops
+
+        if c.url_col not in cur.columns:
+            raise ValueError(
+                f"CurationConfig.url_col={c.url_col!r} is not a column"
+                f" of the input frame ({cur.columns})"
+            )
+        cur = cur.withColumn(
+            "domain", urlops.registered_domain_expr(F.col(c.url_col))
+        )
+        cur = sampling.cap_per_group(
+            cur, "domain", c.id_col, c.max_docs_per_domain
+        )
+        account("domain_cap", cur)
 
     # 6. optional token-budget selection: keep best-quality docs until
     # the budget (sampling.select_within_token_budget — distributed

@@ -350,3 +350,39 @@ def test_cap_per_domain_composed(spark, sf_dir):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert stats == direct
+
+
+def test_curation_config_domain_cap(spark, sf_dir):
+    """CurationConfig.url_col + max_docs_per_domain: the per-domain cap
+    runs on the deduped pool with its own report row, keeps the domain
+    routing column, and fails loudly on a missing column."""
+    import pytest as _pytest
+
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "url", _url_expr_spark()
+    )
+    cfg = CurationConfig(
+        dedup="none", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None, url_col="url", max_docs_per_domain=2,
+    )
+    kept, report = curate_corpus(docs, cfg)
+    per = {
+        r["domain"]: r["n"]
+        for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per and all(n <= 2 for n in per.values())
+    row = next(r for r in report if r["stage"] == "domain_cap")
+    assert row["docs"] == sum(per.values())
+    with _pytest.raises(ValueError, match="url_col"):
+        CurationConfig(max_docs_per_domain=2)
+    with _pytest.raises(ValueError, match="positive"):
+        CurationConfig(url_col="url", max_docs_per_domain=0)
+    with _pytest.raises(ValueError, match="not a column"):
+        curate_corpus(
+            docs.drop("url"),
+            CurationConfig(dedup="none", min_tokens=1, min_stopwords=0,
+                           max_dup_token_frac=None, url_col="url",
+                           max_docs_per_domain=2),
+        )
