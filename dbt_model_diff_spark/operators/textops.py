@@ -1623,6 +1623,99 @@ def html_extract(
     )
 
 
+def remove_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_line_chars: int = 6,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Line-level boilerplate removal — the CCNet/RefinedWeb paragraph-
+    dedup stage that document-level dedup cannot express: navigation
+    bars, cookie banners and footer lines repeat across MANY documents
+    whose bodies differ, so whole-doc hashing never collapses them.
+    A line (``\\n``-separated; run after :func:`html_extract_expr`,
+    whose block-tag stripping is what yields meaningful lines) is
+    boilerplate when its TRIMMED form (space/tab/CR) appears in at
+    least ``min_docs`` DISTINCT documents; all its occurrences are
+    removed from every document. Lines shorter than ``min_line_chars``
+    after trimming are never counted or removed — "Yes", "-", "" are
+    legitimately common. Run BEFORE :func:`normalize_text`, whose
+    whitespace collapse destroys the line structure this stage keys
+    on.
+
+    Scale shape: posexplode lines (one pass), hash-aggregate distinct-
+    doc counts per md5(line) (one exchange; partial agg applies), then
+    an anti-join of the line stream against the over-common key set —
+    the boilerplate vocabulary is the heavy-hitter tail, orders of
+    magnitude smaller than the line stream, so AQE broadcasts it —
+    and order-preserving reassembly via array_sort(collect_list(
+    struct(pos, line))) grouped by doc (one exchange on the id).
+    Exact-SQL semantics end to end, DuckDB-replayable
+    (tests/test_round9_lines.py). Emits the original frame plus
+    ``out_col`` and ``n_lines_removed``; NULL-text docs pass through
+    with NULL ``out_col`` and 0 removed."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would drop every line)")
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    # explicit trim set: Spark's bare trim() strips SPACES only, which
+    # would make "\tfooter" and "footer" distinct boilerplate keys —
+    # btrim with space/tab/CR matches the DuckDB twin and the referee
+    trimmed = F.btrim(F.col("__line"), F.lit(" \t\r"))
+    key = F.md5(trimmed)
+    countable = F.length(trimmed) >= min_line_chars
+    common = (
+        lines.filter(countable)
+        .groupBy(key.alias("__lk"))
+        .agg(F.count_distinct(F.col("__id")).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__lk")
+    )
+    kept = lines.withColumn("__lk", F.when(countable, key)).join(
+        common, on="__lk", how="left_anti"
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("__kept_n"),
+    )
+    n_orig = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        df.join(
+            rebuilt, on=F.col(id_col) == F.col("__id"), how="left"
+        )
+        .withColumn(
+            # a doc whose EVERY line was boilerplate keeps an EMPTY
+            # string (it existed; downstream gates drop it on merit),
+            # while a NULL-text doc stays NULL
+            out_col,
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.coalesce(F.col(out_col), F.lit("")),
+            ),
+        )
+        .withColumn(
+            "n_lines_removed",
+            F.when(
+                F.col(text_col).isNotNull(),
+                n_orig - F.coalesce(F.col("__kept_n"), F.lit(0)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__id", "__kept_n")
+    )
+
+
 def nfc_expr(col):
     """Unicode NFC normalization as an Arrow-batched column expression.
 

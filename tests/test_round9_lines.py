@@ -1,0 +1,171 @@
+"""Round-9 line-level boilerplate removal certification
+(textops.remove_common_lines — the CCNet/RefinedWeb paragraph-dedup
+stage): pinned fixture, DuckDB semantic twin over the boilerplate-
+decorated documents corpus, hypothesis referee in pure Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import textops
+
+_BANNER = "This site uses cookies to improve your experience"
+_NAV = "Home | About | Contact | Privacy"
+
+
+def test_remove_common_lines_expected(spark):
+    rows = [
+        (1, f"{_BANNER}\nunique first body\n{_NAV}"),
+        (2, f"{_BANNER}\nsecond body differs\n{_NAV}\nok"),
+        (3, f"third body alone\n{_BANNER}"),
+        (4, "entirely unique document text"),
+        (5, f"{_BANNER}\n{_NAV}"),          # all-boilerplate -> empty
+        (6, None),                           # null passes through
+        (7, "ok\nok\nunique seventh"),       # "ok" < min chars: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+        for r in textops.remove_common_lines(df).collect()
+    }
+    assert got[1] == ("unique first body", 2)
+    assert got[2] == ("second body differs\nok", 2)
+    assert got[3] == ("third body alone", 1)
+    assert got[4] == ("entirely unique document text", 0)
+    assert got[5] == ("", 2)
+    assert got[6] == (None, 0)
+    assert got[7] == ("ok\nok\nunique seventh", 0)
+    # min_docs=4: the nav line (3 docs) survives, the banner (4) dies
+    got3 = {
+        r["doc_id"]: r["text_clean"]
+        for r in textops.remove_common_lines(df, min_docs=4).collect()
+    }
+    assert got3[1] == f"unique first body\n{_NAV}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textops.remove_common_lines(df, min_docs=1)
+
+
+def test_remove_common_lines_duckdb_parity(spark, sf_dir):
+    """Same rules over the documents corpus decorated with doc_id-
+    derived boilerplate lines in BOTH engines."""
+    import duckdb
+
+    banner = _BANNER.replace("'", "''")
+    nav = _NAV.replace("'", "''")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    decorated = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BANNER + "\n"), F.col("text"),
+                     F.lit("\n" + _NAV)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit("\n" + _BANNER)),
+        )
+        .otherwise(F.col("text")),
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+        for r in textops.remove_common_lines(decorated).collect()
+    }
+    con = duckdb.connect()
+    q = f"""
+WITH docs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN '{banner}' || chr(10) || text
+                                  || chr(10) || '{nav}'
+         WHEN doc_id % 3 = 1 THEN text || chr(10) || '{banner}'
+         ELSE text END AS text
+  FROM read_parquet('{sf_dir}/documents.parquet')),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls
+  FROM docs WHERE text IS NOT NULL),
+lines AS (
+  SELECT doc_id, ls[g.i] AS line, g.i AS pos
+  FROM split, unnest(generate_series(1, len(ls))) AS g(i)),
+common AS (
+  SELECT md5(trim(line, ' ' || chr(9) || chr(13))) AS lk FROM lines
+  WHERE length(trim(line, ' ' || chr(9) || chr(13))) >= 6
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT * FROM lines
+  WHERE NOT (length(trim(line, ' ' || chr(9) || chr(13))) >= 6
+             AND md5(trim(line, ' ' || chr(9) || chr(13))) IN (SELECT lk FROM common))),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS tc,
+         count(*) AS kn
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NOT NULL THEN coalesce(r.tc, '') END AS text_clean,
+  CASE WHEN d.text IS NOT NULL
+       THEN len(string_split(d.text, chr(10))) - coalesce(r.kn, 0)
+       ELSE 0 END AS n
+FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+"""
+    exp = {r[0]: (r[1], r[2]) for r in con.execute(q).fetchall()}
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k] == exp[k], f"doc {k}: {got[k]!r} != {exp[k]!r}"
+    # the decoration actually exercised removal
+    assert sum(n for _, n in got.values()) > 0
+
+
+def _ref_remove(rows, min_docs=2, min_chars=6):
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, t in rows:
+        if t is None:
+            continue
+        for ln in t.split("\n"):
+            k = ln.strip(" \t\r")
+            if len(k) >= min_chars:
+                seen[k].add(i)
+    common = {k for k, v in seen.items() if len(v) >= min_docs}
+    out = {}
+    for i, t in rows:
+        if t is None:
+            out[i] = (None, 0)
+            continue
+        lines = t.split("\n")
+        kept = [
+            ln for ln in lines
+            if not (len(ln.strip(" \t\r")) >= min_chars and ln.strip(" \t\r") in common)
+        ]
+        out[i] = ("\n".join(kept), len(lines) - len(kept))
+    return out
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _line = st.one_of(
+        st.sampled_from(
+            ["shared boilerplate line", "another common footer",
+             "ok", "-", "", "   ", "unique-ish text fragment",
+             "shared boilerplate line ", "\tshared boilerplate line"]
+        ),
+        st.text(alphabet="ab c.\t", min_size=0, max_size=14),
+    )
+    _doc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
+
+    @given(st.lists(st.one_of(st.none(), _doc), min_size=1, max_size=8))
+    @settings(max_examples=25, deadline=None)
+    def test_remove_common_lines_matches_python_reference(spark, texts):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+            for r in textops.remove_common_lines(df).collect()
+        }
+        assert got == _ref_remove(rows)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
