@@ -47,6 +47,17 @@ class CurationConfig:
     # (VERDICT r8 task #2). Pure-codegen regex chain; off by default
     # for already-extracted corpora.
     html_extract: bool = False
+    # line-level boilerplate removal (textops.remove_common_lines):
+    # drop ALL occurrences of lines whose trimmed form appears in >=
+    # this many distinct docs (the RefinedWeb-style filter — not
+    # CCNet's keep-first paragraph dedup; a verbatim body line shared
+    # by >= min_docs docs is removed everywhere too, so size the
+    # threshold to the corpus: tens-to-hundreds at web scale). Runs
+    # BEFORE normalize_text — its whitespace collapse destroys the
+    # line structure this stage keys on — and therefore before the
+    # dedup hashes, so boilerplate noise never reaches them. None
+    # disables (default).
+    boilerplate_min_docs: int | None = None
     # Unicode NFC canonical fold (textops.nfc_expr) as the first
     # post-extraction normalization step — composed vs decomposed
     # accents must hash identically before dedup on a multilingual
@@ -176,6 +187,27 @@ def curate_corpus(
 
     account("input", df)  # pre-filter: NULL-text docs count as input
     base = df.filter(F.col(c.text_col).isNotNull())
+
+    # 0b. line-level boilerplate removal — BEFORE normalize_text, whose
+    # whitespace collapse destroys the line structure this keys on.
+    # Docs reduced to nothing keep an empty string here and die on
+    # merit at the quality gate, visible as this row's token delta.
+    if c.boilerplate_min_docs is not None:
+        cleaned = textops.remove_common_lines(
+            base,
+            text_col=c.text_col,
+            id_col=c.id_col,
+            min_docs=c.boilerplate_min_docs,
+        )
+        base = cleaned.select(
+            *[
+                F.col("text_clean").alias(c.text_col)
+                if col == c.text_col
+                else F.col(col)
+                for col in df.columns
+            ]
+        )
+        account("boilerplate_lines", base)
 
     # 1. normalize (textops.normalize_text) — dedup hashes see the
     # normalized text, so trivially-different copies collide; markup

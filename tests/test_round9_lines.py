@@ -169,3 +169,43 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_curation_config_boilerplate_lines(spark):
+    """CurationConfig.boilerplate_min_docs threads line removal ahead
+    of normalize (and therefore ahead of the dedup hashes), with its
+    own report row: the banner shared by 3 docs dies at min_docs=3,
+    the nav shared by 2 survives, distinct bodies are untouched."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    def body(tag):
+        return (f"the quick {tag} fox jumps over a lazy dog and runs "
+                f"with great speed that day from home to have fun")
+
+    rows = [
+        (1, f"{_BANNER}\n{body('brown')}", "src0", "en"),
+        (2, f"{body('black')}\n{_NAV}\n{_BANNER}", "src0", "en"),
+        (3, f"{_NAV}\n{body('white')}\n{_BANNER}", "src0", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    cfg = CurationConfig(
+        boilerplate_min_docs=3, dedup="exact", min_tokens=5
+    )
+    kept, report = curate_corpus(df, cfg)
+    out = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert len(out) == 3
+    for i, t in out.items():
+        assert _BANNER.lower() not in t, i   # 3-doc banner removed
+        assert "fox jumps" in t, i           # distinct bodies intact
+    assert _NAV.lower() in out[2]            # 2-doc nav survives
+    row = next(r for r in report if r["stage"] == "boilerplate_lines")
+    assert row["docs"] == 3
+    stages = [r["stage"] for r in report]
+    assert stages.index("boilerplate_lines") < stages.index("normalize")
+    # off by default: the banner reaches the output
+    kept2, _ = curate_corpus(df, CurationConfig(dedup="exact", min_tokens=5))
+    assert any(
+        _BANNER.lower() in r["text"] for r in kept2.collect()
+    )
