@@ -1549,8 +1549,13 @@ def corpus_frequency_score(
 _HTML_STRIP_PATTERNS: list[str] = [
     r"(?s)<!\[CDATA\[.*?\]\]>",           # CDATA sections (non-rendered)
     r"(?s)<!--.*?-->",                     # comments
-    r"(?is)<script[^>]*>.*?</script[^>]*>",  # script incl. payload
-    r"(?is)<style[^>]*>.*?</style[^>]*>",    # style incl. payload
+    # script/style payloads vanish; the tag NAME needs a boundary —
+    # '<script[^>]*>' would also swallow the rendered text of legal
+    # custom elements like <script-widget> (r9 code-review live
+    # repro). [ \t\r\n] instead of \s: Java/RE2/Python disagree on
+    # \x0B membership in \s, and this subset must match in all three.
+    r"(?is)<script([ \t\r\n][^>]*)?>.*?</script[ \t\r\n]*>",
+    r"(?is)<style([ \t\r\n][^>]*)?>.*?</style[ \t\r\n]*>",
     r"(?s)<\?.*?\?>",                      # processing instructions
     r"(?s)<![a-zA-Z][^>]*>",               # DOCTYPE / declarations
     r"(?s)</?[a-zA-Z][^>]*>",              # tags (must START like one:
@@ -1616,10 +1621,16 @@ def html_extract(
     """Frame-level wrapper over :func:`html_extract_expr`: emits the
     original frame plus ``out_col`` and a NULL-SAFE ``markup_changed``
     flag (the curation-report signal — did the doc carry any markup).
-    """
+    The flag compares the COLLAPSE-FREE chain against the input:
+    comparing the collapsed output would read every whitespace run in
+    markup-free prose as "carried markup" and saturate the signal at
+    ~100% (r9 code-review live repro)."""
     c = html_extract_expr(F.col(text_col))
+    strip_only = html_extract_expr(
+        F.col(text_col), collapse_whitespace=False
+    )
     return df.withColumn(out_col, c).withColumn(
-        "markup_changed", ~F.col(out_col).eqNullSafe(F.col(text_col))
+        "markup_changed", ~strip_only.eqNullSafe(F.col(text_col))
     )
 
 
@@ -1655,10 +1666,16 @@ def remove_common_lines(
     Exact-SQL semantics end to end, DuckDB-replayable
     (tests/test_round9_lines.py). Emits the original frame plus
     ``out_col`` and ``n_lines_removed``; NULL-text docs pass through
-    with NULL ``out_col`` and 0 removed."""
+    with NULL ``out_col`` and 0 removed. NULL-id docs pass through
+    UNCHANGED (0 removed) and contribute nothing to the counts: a
+    rebuild keyed on NULL would merge every id-less doc into one
+    group, and an equi-join would wipe their text to '' (r9
+    code-review live repro) — pass-through is the only honest
+    row-local answer; ids are otherwise assumed unique, as everywhere
+    in this module."""
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would drop every line)")
-    lines = df.select(
+    lines = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     )
@@ -1697,10 +1714,11 @@ def remove_common_lines(
         )
         .withColumn(
             # a doc whose EVERY line was boilerplate keeps an EMPTY
-            # string (it existed; downstream gates drop it on merit),
-            # while a NULL-text doc stays NULL
+            # string (it existed; downstream gates drop it on merit);
+            # a NULL-text doc stays NULL; a NULL-id doc keeps its
+            # ORIGINAL text (see the docstring's pass-through contract)
             out_col,
-            F.when(
+            F.when(F.col(id_col).isNull(), F.col(text_col)).when(
                 F.col(text_col).isNotNull(),
                 F.coalesce(F.col(out_col), F.lit("")),
             ),
@@ -1708,7 +1726,7 @@ def remove_common_lines(
         .withColumn(
             "n_lines_removed",
             F.when(
-                F.col(text_col).isNotNull(),
+                F.col(id_col).isNotNull() & F.col(text_col).isNotNull(),
                 n_orig - F.coalesce(F.col("__kept_n"), F.lit(0)),
             ).otherwise(F.lit(0)),
         )

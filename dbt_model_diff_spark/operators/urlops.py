@@ -123,9 +123,12 @@ def registered_domain_expr(
     last two host labels, or three when the last two form a known
     second-level public suffix (:data:`MULTI_SUFFIXES` +
     ``extra_suffixes``); IPv4 literals pass through whole; NULL for
-    non-absolute inputs. Exact string arithmetic, identical in the
-    DuckDB twin."""
-    host = host_expr(url)
+    non-absolute inputs. A trailing root-dot (RFC-valid FQDN form,
+    'example.com.') is stripped before splitting — otherwise the
+    empty trailing label would map every such .com URL to the shared
+    bogus domain 'com.' (r9 code-review live repro). Exact string
+    arithmetic, identical in the DuckDB twin."""
+    host = F.regexp_replace(host_expr(url), "\\.+$", "")
     labels = F.split(host, "\\.")
     n = F.size(labels)
     is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")

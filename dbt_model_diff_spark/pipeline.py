@@ -192,28 +192,52 @@ def curate_corpus(
     # whitespace collapse destroys the line structure this keys on.
     # Docs reduced to nothing keep an empty string here and die on
     # merit at the quality gate, visible as this row's token delta.
+    # If html_extract is also on, extraction happens HERE (newline-
+    # preserving, collapse deferred to normalize) rather than inside
+    # normalize_text: remove_common_lines's own contract says it keys
+    # on EXTRACTED lines — raw markup varying per page (per-page ids/
+    # classes in the wrapping tags) would give identical banners
+    # different hashes and let them through (r9 code-review).
+    # Extraction must not run twice: decoded "&lt;tag&gt;" text would
+    # re-read as markup on a second pass, so normalize gets html=False.
+    html_in_normalize = c.html_extract
     if c.boilerplate_min_docs is not None:
+        if c.html_extract:
+            base = base.withColumn(
+                c.text_col,
+                textops.html_extract_expr(
+                    F.col(c.text_col), collapse_whitespace=False
+                ),
+            )
+            html_in_normalize = False
         cleaned = textops.remove_common_lines(
             base,
             text_col=c.text_col,
             id_col=c.id_col,
             min_docs=c.boilerplate_min_docs,
         )
-        base = cleaned.select(
-            *[
-                F.col("text_clean").alias(c.text_col)
-                if col == c.text_col
-                else F.col(col)
-                for col in df.columns
-            ]
+        # pin: the explode/agg/anti-join/rebuild chain above feeds the
+        # several eager report aggregations below — re-deriving it from
+        # implicit shuffle-stage reuse is the fragility the dedup-stage
+        # pin comment documents (r9 code-review)
+        base = sampling.pin(
+            cleaned.select(
+                *[
+                    F.col("text_clean").alias(c.text_col)
+                    if col == c.text_col
+                    else F.col(col)
+                    for col in df.columns
+                ]
+            )
         )
         account("boilerplate_lines", base)
 
     # 1. normalize (textops.normalize_text) — dedup hashes see the
     # normalized text, so trivially-different copies collide; markup
-    # extraction (if on) runs inside as the very first expression
+    # extraction (if on and not already done in 0b) runs inside as the
+    # very first expression
     normed = textops.normalize_text(
-        base, text_col=c.text_col, nfc=c.nfc, html=c.html_extract
+        base, text_col=c.text_col, nfc=c.nfc, html=html_in_normalize
     )
     text_out = F.col("text_norm")
     if c.scrub_pii:

@@ -47,6 +47,12 @@ _CASES = [
     # unclosed script: container match fails, opening tag stripped,
     # payload passes through as text (no fabricated boundary)
     ("a<script>orphan payload", "a orphan payload"),
+    # r9 code-review live repros: custom elements whose names merely
+    # START with script/style are ordinary tags — their rendered text
+    # must survive; only the name-boundary forms swallow payloads
+    ("a<script-widget>visible text</script-widget>b", "a visible text b"),
+    ("x<style-guide>rules here</style-guide>y", "x rules here y"),
+    ("a<script >still js</script >b", "a b"),
     # block boundaries must not weld words
     ("one</p><p>two", "one two"),
     ("", ""),

@@ -22,6 +22,10 @@ def test_remove_common_lines_expected(spark):
         (5, f"{_BANNER}\n{_NAV}"),          # all-boilerplate -> empty
         (6, None),                           # null passes through
         (7, "ok\nok\nunique seventh"),       # "ok" < min chars: kept
+        # r9 code-review live repro: a NULL-id doc must pass through
+        # UNCHANGED (an equi-join rebuild would wipe it to ""), and its
+        # lines must not feed the common-line counts
+        (None, f"{_BANNER}\nnull-id body stays intact"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -35,6 +39,7 @@ def test_remove_common_lines_expected(spark):
     assert got[5] == ("", 2)
     assert got[6] == (None, 0)
     assert got[7] == ("ok\nok\nunique seventh", 0)
+    assert got[None] == (f"{_BANNER}\nnull-id body stays intact", 0)
     # min_docs=4: the nav line (3 docs) survives, the banner (4) dies
     got3 = {
         r["doc_id"]: r["text_clean"]

@@ -48,6 +48,11 @@ _DOMAIN_CASES = [
     ("http://user@blog.example.org:99/p", "example.org"),
     ("not a url", None),
     ("http://a.b.c.d.co.jp/", "d.co.jp"),
+    # r9 code-review live repro: RFC-valid trailing root-dot FQDNs must
+    # not collapse every .com site into the shared bogus domain "com."
+    ("http://www.example.com./x", "example.com"),
+    ("HTTP://Example.ORG.:8080/", "example.org"),
+    ("http://./x", None),
 ]
 
 
@@ -180,9 +185,9 @@ FROM (
          len(string_split(host, '.')) AS n
   FROM (
     SELECT doc_id,
-      lower(regexp_replace(regexp_replace(
+      regexp_replace(lower(regexp_replace(regexp_replace(
         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
-        '^[^/?#]*@', ''), ':[0-9]*$', '')) AS host
+        '^[^/?#]*@', ''), ':[0-9]*$', '')), '\.+$', '') AS host
     FROM urls) h) l
 """
 
@@ -251,6 +256,7 @@ def _ref_domain(url: str) -> str | None:
     if not m:
         return None
     host = re.sub(r":[0-9]*$", "", re.sub(r"^[^/?#]*@", "", m.group(1))).lower()
+    host = re.sub(r"\.+$", "", host)
     if host == "":
         return None
     if re.match(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$", host):
