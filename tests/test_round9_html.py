@@ -308,3 +308,16 @@ def test_curation_config_html_extract(spark):
     assert "<p>" not in out[0]["text"]
     stages = [r["stage"] for r in report]
     assert stages[0] == "input" and "normalize" in stages
+
+
+def test_markup_changed_ignores_whitespace_runs(spark):
+    """markup_changed must answer 'did the doc carry markup', not 'did
+    whitespace collapse' — a collapse-inclusive comparison saturates
+    the signal at ~100% on normal prose (r9 code-review)."""
+    rows = [(1, "a  b"), (2, " lead and trail "), (3, "<p>real</p>"),
+            (4, "fish &amp; chips"), (5, "plain"), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["markup_changed"]
+           for r in textops.html_extract(df).collect()}
+    assert got == {1: False, 2: False, 3: True, 4: True, 5: False,
+                   6: False}

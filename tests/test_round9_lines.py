@@ -214,3 +214,35 @@ def test_curation_config_boilerplate_lines(spark):
     assert any(
         _BANNER.lower() in r["text"] for r in kept2.collect()
     )
+
+
+def test_boilerplate_sees_extracted_lines(spark):
+    """With html_extract AND boilerplate_min_docs both on, the line
+    keys must come from EXTRACTED text: the same banner wrapped in
+    per-page tag attributes (different raw bytes per doc) must still
+    count as one common line (r9 code-review)."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    def body(tag):
+        return (f"the quick {tag} fox jumps over a lazy dog and runs "
+                f"with great speed that day from home to have fun")
+
+    rows = [
+        (i, f"<div id='page-{i}' class='c{i}'>{_BANNER}</div>\n"
+            f"<p>{body(tag)}</p>", "src0", "en")
+        for i, tag in ((1, "brown"), (2, "black"), (3, "white"))
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    cfg = CurationConfig(
+        html_extract=True, boilerplate_min_docs=3, dedup="exact",
+        min_tokens=5,
+    )
+    kept, report = curate_corpus(df, cfg)
+    out = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert len(out) == 3
+    for i, t in out.items():
+        assert "cookies" not in t, i        # banner removed despite
+        assert "fox jumps" in t, i          # per-page raw wrappers
+        assert "<" not in t, i              # and extraction happened
