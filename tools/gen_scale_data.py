@@ -20,6 +20,19 @@ in data volume rather than artificially super-linearly):
   sets are disjoint — so MinHash/LSH/SimHash candidate pairs grow ~10x
   with 10x docs instead of ~100x (which a verbatim copy would cause,
   every doc colliding with its 9 clones).
+
+  PERIODICITY CAVEAT (measured, round 9): the rotation alphabet has
+  26 classes, so the linear-candidate-growth contract holds only to
+  ``--factor`` ~26. Beyond that, replicas i and i+26 carry IDENTICAL
+  text: at factor 1000 every doc has ~38 exact twins, which makes the
+  output a deliberate HIGH-DUPLICATE stress corpus — exact-dedup-first
+  pipelines collapse it cheaply (curate at sf100: 5M docs -> 129,792
+  after the exact pass, 529 s end-to-end), while uncapped all-pairs
+  near-dup verification faces a ~38^2x candidate blowup (the sf100
+  probe measured the uncapped components query spilling >50 GB at the
+  verify join — the failure mode the pipeline's exact-first ordering
+  and LSH bucket cap exist to prevent). Embeddings have the same
+  period in the vector dimension (circular shift wraps at dim).
 - ``embeddings.embedding`` is circular-shifted by ``i`` positions:
   norms and within-replica geometry are preserved, cross-replica cosine
   of a vector vs its shifted clone is low, so ANN bucket sizes and
