@@ -449,10 +449,17 @@ def curate_corpus(
             if c.id_col in benchmark.columns
             else F.md5(F.col("text_norm"))
         )
+        # html=c.html_extract (NOT html_in_normalize): the corpus text
+        # has been extracted by this point regardless of WHICH stage
+        # did it (0b or normalize), and the benchmark must pass through
+        # the same treatment — a markup-wrapped benchmark shingled raw
+        # would never match extracted corpus shingles, the silent
+        # decontamination no-op of the r7 normalize repro (r9 fix)
         bench_base = textops.normalize_text(
             benchmark.filter(F.col(c.text_col).isNotNull()),
             text_col=c.text_col,
             nfc=c.nfc,
+            html=c.html_extract,
         ).select(
             bench_id.alias("doc_id"),
             F.col("text_norm").alias(c.text_col),

@@ -321,3 +321,30 @@ def test_markup_changed_ignores_whitespace_runs(spark):
            for r in textops.html_extract(df).collect()}
     assert got == {1: False, 2: False, 3: True, 4: True, 5: False,
                    6: False}
+
+
+def test_decontamination_sees_extracted_benchmark(spark):
+    """With html_extract=True, a markup-wrapped benchmark must still
+    decontaminate the corpus: both sides shingle EXTRACTED text. Raw
+    benchmark shingles would never match and the stage would silently
+    no-op (the r7 normalize-repro class, r9 fix)."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    secret = ("the secret benchmark passage with many unique answer "
+              "tokens nobody else has anywhere")
+    other = ("a perfectly ordinary training document with its own "
+             "distinct vocabulary and plenty of words to keep")
+    docs = spark.createDataFrame(
+        [(1, f"<p>{secret}</p>", "src0", "en"),
+         (2, f"<p>{other}</p>", "src0", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    bench = spark.createDataFrame(
+        [(900, f"<div class='q'>{secret}</div>")], "doc_id long, text string"
+    )
+    cfg = CurationConfig(html_extract=True, dedup="none", min_tokens=5,
+                         decontam_shingle_n=5)
+    kept, report = curate_corpus(docs, cfg, benchmark=bench)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {2}  # the contaminated doc is gone, the clean one stays
+    assert any(r["stage"] == "decontaminate" for r in report)
