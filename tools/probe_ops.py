@@ -1,0 +1,149 @@
+"""Reproducible probe harness behind the SURVEY §9 round-9 numbers.
+
+Runs named probes against a generated scale directory (see
+tools/gen_scale_data.py; SURVEY quotes sf10 = factor 100 and sf100 =
+factor 1000) with the §9 methodology: warm page cache, best-of-2, noop
+sink. Each probe is self-contained — synthesized decorations (media
+blobs, markup, boilerplate lines, provenance URLs) derive
+deterministically from doc_id, so re-runs measure the same work.
+
+Usage:
+    python tools/probe_ops.py [SF_DIR] [probe ...]
+    python tools/probe_ops.py .localdata/sf10 classify_media html urls lines
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import multimodal as mm
+from dbt_model_diff_spark.operators import textops, urlops
+from dbt_model_diff_spark.session import get_spark
+
+_BANNER = "This site uses cookies to improve your experience"
+_NAV = "Home | About | Contact | Privacy"
+
+
+def _box(btype, payload):
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _blobs():
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + bytes([8, 2, 0, 0, 0])
+           + bytes(4) + b"idatpayload" * 4)
+    jpeg = (b"\xff\xd8" + b"\xff\xe0\x00\x07" + bytes(5)
+            + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 480, 640)
+            + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+            + b"\xff\xda\x00\x02" + b"entropy" * 8)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 24 + 12) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 4) + bytes(4))
+    hdr = bytes([0x80]) + (34).to_bytes(3, "big")
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 12345
+    flac = (b"fLaC" + hdr + (4096).to_bytes(2, "big") * 2 + bytes(6)
+            + packed.to_bytes(8, "big") + bytes(16))
+    ss = bytes(((40 >> s) & 0x7F) for s in (21, 14, 7, 0))
+    mp3 = (b"ID3\x04\x00\x00" + ss + bytes(40)
+           + bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(32))
+    mp4 = (_box(b"ftyp", b"isom\x00\x00\x02\x00")
+           + _box(b"moov", _box(b"mvhd", b"\x00\x00\x00\x00"
+                  + struct.pack(">IIII", 1, 2, 1000, 60000) + bytes(12)))
+           + _box(b"mdat", b"payload" * 8))
+    return png, jpeg, wav, flac, mp3, mp4
+
+
+def _media_frame(docs):
+    png, jpeg, wav, flac, mp3, mp4 = _blobs()
+    m = F.col("doc_id") % 12
+    content = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit(b"\xff\xd8"))
+        .when(m < 2, F.lit(png)).when(m < 4, F.lit(jpeg))
+        .when(m < 6, F.lit(wav)).when(m < 8, F.lit(flac))
+        .when(m < 10, F.lit(mp3)).otherwise(F.lit(mp4))
+    )
+    return docs.select("doc_id", content.alias("content"))
+
+
+def _url_frame(docs):
+    return docs.select("doc_id", F.concat(
+        F.lit("HTTP://Sub"), (F.col("doc_id") % 5000).cast("string"),
+        F.lit(".Example.COM:80/p/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&id="), F.col("doc_id").cast("string"),
+        F.lit("#f"),
+    ).alias("url"), "text")
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and Path(args[0]).exists() else ".localdata/sf10"
+    wanted = set(args[1:] if args and Path(args[0]).exists() else args) or {
+        "parsers", "classify_media", "html", "urls", "lines"
+    }
+    spark = get_spark(app_name="probe_ops")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    print(f"corpus: {docs.count()} docs at {sf_dir}")
+
+    def bench(label, df):
+        best = None
+        for _ in range(2):
+            t = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t
+            best = dt if best is None else min(best, dt)
+        print(f"PROBE {label}: {best:.2f} s")
+
+    if wanted & {"parsers", "classify_media"}:
+        media = _media_frame(docs)
+        media.count()  # materialize-warm the synthesized frame inputs
+        if "parsers" in wanted:
+            bench("parse_image", mm.parse_image_headers(media))
+            bench("parse_audio", mm.parse_audio_headers(media))
+            bench("parse_video", mm.parse_video_headers(media))
+        if "classify_media" in wanted:
+            bench("classify_media", mm.classify_media(media))
+    if "html" in wanted:
+        decorated = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.concat(
+                F.lit("<!DOCTYPE html><body><style>p{}</style>"
+                      "<script>x()</script><p class='a'>"),
+                F.col("text"),
+                F.lit("</p><!-- c --> &amp; tail</body>"))
+            ).otherwise(F.col("text")),
+        )
+        bench("normalize_plain", textops.normalize_text(decorated))
+        bench("normalize_html", textops.normalize_text(decorated, html=True))
+    if "urls" in wanted:
+        urls = _url_frame(docs)
+        bench("url_canonicalize", urls.select(
+            "doc_id", urlops.canonicalize_url_expr(F.col("url")).alias("c")))
+        bench("url_domain", urls.select(
+            "doc_id", urlops.registered_domain_expr(F.col("url")).alias("d")))
+        bench("domain_stats", urlops.domain_stats(urls, text_col="text"))
+        bench("cap_per_domain", urlops.cap_per_domain(urls, cap=50))
+    if "lines" in wanted:
+        dec = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.concat(
+                F.lit(_BANNER + "\n"), F.col("text"), F.lit("\n" + _NAV))
+            ).when(F.col("doc_id") % 3 == 1, F.concat(
+                F.col("text"), F.lit("\n" + _BANNER))
+            ).otherwise(F.col("text")),
+        )
+        bench("remove_common_lines", textops.remove_common_lines(dec))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
