@@ -2604,22 +2604,25 @@ def text_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_round8_properties.py). Round-9 surfaces likewise pytest-parity
 # certified, NOT registered: HTML/markup extraction, URL
 # canonicalization + registered-domain ops (tests/test_round9_*.py).
+# Round-10 surfaces likewise pytest-parity certified, NOT registered:
+# PSL registered-domain, numeric/named entity decode, keep-first
+# line-dedup (tests/test_round10_*.py).
 #
-# ROUND-10 WINDOW PLAN (mechanical, execute first thing after
-# CORRECTNESS_r09 lands): the mandatory tier is every query whose
-# newest green row is r7 — the 50 r7-certified queries MINUS the four
-# re-certified as r9 anchor fillers (diff_counts_orders,
-# diff_profile_orders, diff_schema_drift, model_order_agg) = 46
-# queries, which INCLUDES the two anchors left out of r9
-# (diff_partitioned_orders, pricing_summary — the anchor clause makes
-# them hard-mandatory the moment CORRECTNESS_r09 lands); plus any
-# never-certified r10 registrations first. Fill the remaining ~4
-# slots from the r8-certified tier (the stalest outside; greedy
-# tie-split allows choosing among them) — prefer the other two
-# flagship anchors' companions or queries riding r10's churned code
-# paths. This is the steady-state 3-round carousel at 146 registered
-# (hard cap 150): each round's mandatory tier is ~46 + new
-# registrations, leaving ~4 discretionary slots.
+# ROUND-11 WINDOW PLAN (mechanical, execute first thing after
+# CORRECTNESS_r10 lands): the mandatory tier is every query whose
+# newest green row is r8 — the 50 r8-certified queries MINUS the four
+# re-certified as r10 churned-path fillers (dedup_lsh_pairs,
+# dedup_jaccard_verified, pipeline_curation_report,
+# pipeline_training_data) = 46 queries; plus any never-certified r11
+# registrations first. Fill the remaining ~4 slots from the
+# r9-certified tier (the stalest outside; greedy tie-split allows
+# choosing among them) — prefer the four r9 anchor fillers
+# (diff_counts_orders, diff_profile_orders, diff_schema_drift,
+# model_order_agg keep the flagship family on a 2-round cadence) or
+# queries riding r11's churned code paths. This is the steady-state
+# 3-round carousel at 146 registered (hard cap 150): each round's
+# mandatory tier is ~46 + new registrations, leaving ~4 discretionary
+# slots.
 
 
 _BM25_TERMS = ["vector", "spark", "customer", "join"]
@@ -6204,71 +6207,76 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-9 window (executes the ROUND-9 WINDOW PLAN written in r8;
-    # see the plan comment above for the derivation).
-    # Tier 1: the 46 queries whose newest green row is r6 — they hit
-    # the 3-round staleness bound this round (all 46 were additionally
-    # judge re-verified green via tools/oracle_check.py in the r8
-    # session, so this is pure rotation). No never-certified tier:
-    # round 9 registers nothing (growth policy — HTML extract and URL
-    # provenance ops are pytest-DuckDB-parity certified instead).
-    "bpe_train_merges",
-    "dedup_components",
-    "dedup_exact_groups",
-    "dedup_incremental_batch",
-    "dedup_minhash_signatures",
-    "dedup_oph_signatures",
-    "dedup_simhash",
-    "dedup_simhash_near_pairs",
-    "diff_counts_embeddings",
-    "diff_distribution_drift_orders",
-    "embedding_stats",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_props_typed",
-    "events_sessionize",
-    "jsonl_roundtrip_documents",
-    "knn_bruteforce",
-    "pivot_status_by_priority",
-    "q11_high_value_suppliers",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_predicates",
-    "q20_excess_stock_suppliers",
-    "q22_rich_idle_customers",
-    "q2_min_retail_parts",
-    "sample_mixture_temperature",
-    "semantic_dedup_embeddings",
-    "setop_except_intersect",
-    "sketch_count_min_terms",
-    "split_leakage_safe_documents",
-    "stream_incremental_dedup",
-    "text_bpe_tokenize",
-    "text_classifier_score",
-    "text_fingerprint",
-    "text_language_id",
-    "text_lm_bigram_score",
-    "text_quality_features",
-    "text_rebuild_dedup_chunks",
-    "text_shingle_stats",
-    "text_token_length_deciles",
-    "top_revenue_orders",
-    "topk_orders",
-    "window_dedup_keep_latest",
-    "window_running_total",
-    # Tier 2: four of the six flagship anchors for the remaining slots
-    # (r7-certified = the stalest tier outside the mandatory set; the
-    # greedy clause allows splitting the r7 tie either way). The two
-    # anchors left out (diff_partitioned_orders, pricing_summary) stay
-    # legal during round 9 — they are green in CORRECTNESS_r07, i.e.
-    # within the two newest records — and become mandatory in round 10
-    # (see the ROUND-10 WINDOW PLAN above).
-    "diff_counts_orders",
-    "diff_profile_orders",
-    "diff_schema_drift",
-    "model_order_agg",
+    # Round-10 window (executes the ROUND-10 WINDOW PLAN written in
+    # r9; see the plan comment above for the derivation).
+    # Tier 1: the 46 queries whose newest green row is r7 — the 50
+    # r7-certified queries minus the four re-certified as r9 anchor
+    # fillers (diff_counts_orders, diff_profile_orders,
+    # diff_schema_drift, model_order_agg). Includes the two flagship
+    # anchors the plan made hard-mandatory the moment CORRECTNESS_r09
+    # landed (diff_partitioned_orders, pricing_summary). No
+    # never-certified tier: round 10 registers nothing (growth policy
+    # — PSL domains, numeric entity decode, and keep-first line-dedup
+    # are pytest-DuckDB-parity certified instead).
+    "agg_cube_orders",
+    "agg_grouping_sets_orders",
+    "agg_rollup_orders",
+    "asof_latest_purchase",
+    "bpe_train_merges_batched",
+    "cap_per_group_documents",
+    "csv_roundtrip_orders",
+    "decontaminate_source_report",
+    "dedup_cross_doc_chunks",
+    "dedup_intra_doc_tokens",
+    "dedup_oph_components",
+    "dedup_rep_by_quality",
+    "dedup_source_overlap_matrix",
+    "diff_partitioned_orders",
+    "dsir_importance_weights",
+    "events_rolling_features",
+    "join_anti_customers",
+    "join_salted_skew",
+    "join_semi_customers",
+    "knn_hard_negatives",
+    "median_price_by_priority",
+    "merge_apply_changes_orders",
+    "pack_sequences_documents",
+    "pipeline_bpe_train_apply",
+    "pricing_summary",
+    "prune_prototypes_embeddings",
+    "quality_checks_orders",
+    "quality_fk_orders_customer",
+    "range_join_value_bands",
+    "sample_weighted_documents",
+    "scd2_orders_changelog",
+    "skew_salted_status_totals",
+    "stream_dedup_bounded_state",
+    "text_bm25_topk",
+    "text_chunk_stride",
+    "text_corpus_frequency_score",
+    "text_dup_substring_spans",
+    "text_lm_backoff_score",
+    "text_pii_scrub",
+    "text_remove_dup_substrings",
+    "text_remove_dup_substrings_keep1",
+    "text_repetition_signals",
+    "text_rolling_fingerprint",
+    "text_token_stats",
+    "text_top_terms",
+    "zorder_orders_layout",
+    # Tier 2: four r8-certified fillers (the stalest tier outside the
+    # mandatory set; the greedy clause allows splitting the 50-way r8
+    # tie) chosen because they ride round 10's churned code paths: the
+    # LSH standalone queries gain the default-on max_bucket_size guard
+    # (VERDICT r9 task #6) and the pipeline queries exercise the
+    # CurationConfig surface where the keep-first / entity-decode /
+    # PSL knobs land. The 46 r8 queries left outside are green in
+    # CORRECTNESS_r08 (within the two newest records) and become
+    # round 11's mandatory tier (see the ROUND-11 WINDOW PLAN).
+    "dedup_lsh_pairs",
+    "dedup_jaccard_verified",
+    "pipeline_curation_report",
+    "pipeline_training_data",
 ]
 
 
