@@ -1569,9 +1569,18 @@ _HTML_STRIP_PATTERNS: list[str] = [
 # unknown entities pass through verbatim, documented and pinned by
 # test. &amp;/&#38; decode LAST (the HTML unescape rule), so double-
 # escaped text like "&amp;lt;" yields the literal "&lt;" and is never
-# re-decoded. Entity names are case-sensitive per the HTML5 standard
-# set. NBSP decodes to a plain space: the collapse step and every
-# downstream token/stopword gate treat it as whitespace.
+# re-decoded. Both ampersand spellings go through a NUL sentinel
+# (ADVICE r9): a direct '&#38;' -> '&' replace would turn the mixed
+# double-escape '&#38;amp;' into '&amp;', which the later
+# '&amp;' -> '&' rule re-decodes — and the reverse order has the
+# mirror problem ('&amp;#38;'), so no ordering of direct replaces can
+# honor the never-re-decoded rule for both spellings. The sentinel
+# cannot appear in the stripped text: U+0000 is a parse error HTML5
+# replaces on sight, and none of our corpora carry it (a literal NUL
+# in the input would decode to '&' — documented trade). The final
+# pair MUST stay last. Entity names are case-sensitive per the HTML5
+# standard set. NBSP decodes to a plain space: the collapse step and
+# every downstream token/stopword gate treat it as whitespace.
 HTML_ENTITIES: list[tuple[str, str]] = [
     ("&lt;", "<"),
     ("&#60;", "<"),
@@ -1583,8 +1592,9 @@ HTML_ENTITIES: list[tuple[str, str]] = [
     ("&#39;", "'"),
     ("&nbsp;", " "),
     ("&#160;", " "),
-    ("&#38;", "&"),
-    ("&amp;", "&"),
+    ("&#38;", "\x00"),
+    ("&amp;", "\x00"),
+    ("\x00", "&"),
 ]
 
 

@@ -66,9 +66,11 @@ def canonicalize_url_expr(
     """Canonical URL form as a codegen column expression:
 
     - fragment stripped (never sent to the server);
-    - scheme and authority lowercased (RFC 3986: both are
-      case-insensitive; path/query case is preserved — it is
-      significant);
+    - scheme and host lowercased (RFC 3986 makes exactly those two
+      case-insensitive); userinfo keeps its case — it is
+      case-SENSITIVE, so 'http://Alice@h/' and 'http://alice@h/'
+      must stay distinct provenance keys (ADVICE r9); path/query
+      case is preserved — it is significant;
     - default ports dropped (http:80, https:443);
     - tracking query parameters removed (``drop_params``, tested
       anchored against each split ``k=v`` element), empty elements
@@ -84,7 +86,15 @@ def canonicalize_url_expr(
     base = F.regexp_replace(url, "(?s)#.*", "")
     prefix = F.regexp_extract(base, _PREFIX_RE, 1)
     rest = F.substring(base, F.length(prefix) + 1, F.length(base))
-    lp = F.lower(prefix)
+    # fold case on scheme and host only: split the authority on its
+    # LAST '@' (greedy .*@ — '@' is legal inside userinfo) and carry
+    # the userinfo through verbatim. (?s) because [^/?#] in the
+    # prefix capture admits newlines, so the authority can hold them.
+    schemep = F.regexp_extract(prefix, "^([a-zA-Z][a-zA-Z0-9+.-]*://)", 1)
+    auth = F.substring(prefix, F.length(schemep) + 1, F.length(prefix))
+    userinfo = F.regexp_extract(auth, "(?s)^(.*@)", 1)
+    hostport = F.substring(auth, F.length(userinfo) + 1, F.length(auth))
+    lp = F.concat(F.lower(schemep), userinfo, F.lower(hostport))
     lp = (
         F.when(lp.rlike("^http://[^/?#]*:80$"), F.regexp_replace(lp, ":80$", ""))
         .when(lp.rlike("^https://[^/?#]*:443$"), F.regexp_replace(lp, ":443$", ""))

@@ -285,8 +285,13 @@ def curate_corpus(
                 "stage": "media_triage",
                 "docs": sum(formats.values()),
                 # triage does not touch text; the normalize row's token
-                # count is exact here and saves a second corpus agg
-                "tokens": report[-1]["tokens"],
+                # count is exact here and saves a second corpus agg —
+                # looked up by stage name, not list position (ADVICE
+                # r9: report[-1] silently mis-attributes the moment a
+                # stage lands between normalize and triage)
+                "tokens": next(
+                    r for r in report if r["stage"] == "normalize"
+                )["tokens"],
                 "formats": formats,
             }
         )

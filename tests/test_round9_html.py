@@ -40,6 +40,12 @@ _CASES = [
     ("non&nbsp;breaking&#160;space", "non breaking space"),
     ("&amp;lt; stays escaped", "&lt; stays escaped"),
     ("&#38;lt; also stays", "&lt; also stays"),
+    # mixed double-escapes (ADVICE r9): both ampersand spellings decode
+    # through the NUL sentinel, so neither output is ever re-decoded
+    ("&#38;amp; mixed", "&amp; mixed"),
+    ("&amp;#38; mirror", "&#38; mirror"),
+    ("&#38;#38; numeric-numeric", "&#38; numeric-numeric"),
+    ("&amp;amp; named-named", "&amp; named-named"),
     ("unknown &copy; passes &#9731; through", "unknown &copy; passes &#9731; through"),
     # things that must NOT be treated as markup
     ("math: 3 < 5 and x<y stay", "math: 3 < 5 and x<y stay"),
@@ -108,12 +114,22 @@ def test_html_extract_expected_values(spark):
 def _duckdb_extract_sql(col: str) -> str:
     """The exact Spark chain as DuckDB SQL: same pattern strings under
     the 'g' flag, same replace() entity chain, same collapse + trim."""
+    def lit(s: str) -> str:
+        # control chars (the NUL sentinel pair) can't sit in a plain
+        # SQL literal — render them via chr(N) concatenation
+        if any(ord(c) < 32 for c in s):
+            return " || ".join(
+                f"chr({ord(c)})" if ord(c) < 32
+                else "'" + c.replace("'", "''") + "'"
+                for c in s
+            )
+        return "'" + s.replace("'", "''") + "'"
+
     out = col
     for pattern in textops._HTML_STRIP_PATTERNS:
         out = f"regexp_replace({out}, '{pattern}', ' ', 'g')"
     for entity, char in textops.HTML_ENTITIES:
-        lit = char.replace("'", "''")
-        out = f"replace({out}, '{entity.replace(chr(39), chr(39) * 2)}', '{lit}')"
+        out = f"replace({out}, {lit(entity)}, {lit(char)})"
     return f"trim(regexp_replace({out}, '[ \\t\\r\\n]+', ' ', 'g'))"
 
 
@@ -230,6 +246,7 @@ try:
                     "<style>", "</style>", "<!--", "-->", "<![CDATA[", "]]>",
                     "<!DOCTYPE html>", "<?pi ?>", "&amp;", "&lt;", "&gt;",
                     "&quot;", "&#39;", "&nbsp;", "&#160;", "&copy;", "&#x41;",
+                    "&#38;", "&#38;amp;", "&amp;#38;",
                     "< notatag", "a<b", "<", ">", "&", ";",
                 ]
             ),

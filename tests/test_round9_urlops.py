@@ -29,7 +29,12 @@ _CANON_CASES = [
     ("http://example.com/?utm_source=only", "http://example.com/"),
     ("http://example.com/a?x=1&&y=2", "http://example.com/a?x=1&y=2"),
     ("http://example.com/a?gclid=1&fbclid=2&_ga=3", "http://example.com/a"),
-    ("http://user:PW@Host.COM/p?q=Case", "http://user:pw@host.com/p?q=Case"),
+    # userinfo is case-SENSITIVE per RFC 3986 — only scheme and host
+    # fold (ADVICE r9); 'PW' must survive while 'Host.COM' folds
+    ("http://user:PW@Host.COM/p?q=Case", "http://user:PW@host.com/p?q=Case"),
+    ("HTTP://Alice@Example.COM:80/x", "http://Alice@example.com/x"),
+    # '@' is legal inside userinfo: split on the LAST '@'
+    ("http://A@B@Host.COM/x", "http://A@B@host.com/x"),
     ("ftp://Files.ORG:21/f", "ftp://files.org:21/f"),
     ("no scheme here", "no scheme here"),
     ("relative/path?utm_source=x", "relative/path?utm_source=x"),
@@ -159,14 +164,27 @@ FROM (
              THEN regexp_replace(lp, ':443$', '')
            ELSE lp END AS lp2
     FROM (
-      SELECT doc_id, url, lower(prefix) AS lp,
-             substr(base, length(prefix) + 1) AS rest
+      SELECT doc_id, url,
+             lower(schemep) || ui
+               || lower(substr(auth, length(ui) + 1)) AS lp,
+             rest
       FROM (
-        SELECT doc_id, url,
-               regexp_replace(url, '(?s)#.*', '', 'g') AS base,
-               regexp_extract(regexp_replace(url, '(?s)#.*', '', 'g'),
-                              '{_PREFIX_RE_SQL}', 1) AS prefix
-        FROM urls) q0) q1) q2) q3
+        SELECT doc_id, url, rest, schemep,
+               substr(prefix, length(schemep) + 1) AS auth,
+               regexp_extract(substr(prefix, length(schemep) + 1),
+                              '(?s)^(.*@)', 1) AS ui
+        FROM (
+          SELECT doc_id, url, prefix,
+                 regexp_extract(prefix,
+                                '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1)
+                   AS schemep,
+                 substr(base, length(prefix) + 1) AS rest
+          FROM (
+            SELECT doc_id, url,
+                   regexp_replace(url, '(?s)#.*', '', 'g') AS base,
+                   regexp_extract(regexp_replace(url, '(?s)#.*', '', 'g'),
+                                  '{_PREFIX_RE_SQL}', 1) AS prefix
+            FROM urls) q0) q0a) q0b) q1) q2) q3
 """
 
 
@@ -235,7 +253,11 @@ def _ref_canon(url: str) -> str:
     base = re.sub(r"(?s)#.*", "", url)
     prefix = re.match(urlops._PREFIX_RE, base).group(1)
     rest = base[len(prefix):]
-    lp = prefix.lower()
+    schemep = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*://)", prefix).group(1)
+    auth = prefix[len(schemep):]
+    mu = re.match(r"(?s)^(.*@)", auth)
+    ui = mu.group(1) if mu else ""
+    lp = schemep.lower() + ui + auth[len(ui):].lower()
     if re.match(r"^http://[^/?#]*:80$", lp):
         lp = re.sub(r":80$", "", lp)
     elif re.match(r"^https://[^/?#]*:443$", lp):
