@@ -23,6 +23,9 @@ case: pre-thin giant domains with ``hash_sample`` first at 100 TB).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +61,171 @@ MULTI_SUFFIXES: tuple[str, ...] = (
 
 _ABS_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
 _PREFIX_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+# Vendored abridged Public Suffix List snapshot (standard upstream
+# format; see the file header for scope and how to swap in the full
+# https://publicsuffix.org/list/ file). VERDICT r9 task #2.
+PSL_SNAPSHOT_PATH = (
+    Path(__file__).resolve().parent.parent / "data" / "psl_snapshot.dat"
+)
+
+
+@dataclass(frozen=True)
+class PslRules:
+    """Parsed Public Suffix List rules, grouped by kind.
+
+    ``normal`` holds plain suffix rules ('com', 'co.uk'); ``wildcard``
+    holds the BASE of each wildcard rule ('*.ck' is stored as 'ck' —
+    the rule's effective suffix length is base labels + 1);
+    ``exception`` holds exception rules with the '!' stripped
+    ('!www.ck' -> 'www.ck' — per the spec the prevailing exception
+    rule minus its leftmost label is the public suffix, so the rule
+    name itself IS the registered domain of every host it matches).
+    All rules are lowercase ASCII; punycode internationalized hosts
+    upstream of the matcher."""
+
+    normal: frozenset[str]
+    wildcard: frozenset[str]
+    exception: frozenset[str]
+    version: str = ""
+
+
+def load_psl(
+    path: str | Path | None = None, include_private: bool = False
+) -> PslRules:
+    """Parse a Public Suffix List file in the standard upstream format
+    (https://publicsuffix.org/list/ — one rule per line up to the
+    first whitespace, '//' comments, '*.' wildcards, '!' exceptions,
+    ICANN/PRIVATE section markers). Defaults to the vendored abridged
+    snapshot (:data:`PSL_SNAPSHOT_PATH`); pass the full upstream
+    ``public_suffix_list.dat`` for production coverage. Private-domain
+    rules (github.io-style hosting platforms) are skipped unless
+    ``include_private`` — per-domain caps usually WANT them (distinct
+    users own sibling subdomains), mixture weights may not."""
+    p = Path(path) if path is not None else PSL_SNAPSHOT_PATH
+    normal: set[str] = set()
+    wildcard: set[str] = set()
+    exception: set[str] = set()
+    version = ""
+    in_private = False
+    for raw in p.read_text(encoding="utf-8").splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if "===BEGIN PRIVATE DOMAINS===" in line:
+                in_private = True
+            elif "===END PRIVATE DOMAINS===" in line:
+                in_private = False
+            elif "snapshot-version:" in line:
+                version = line.split("snapshot-version:", 1)[1].strip()
+            continue
+        if in_private and not include_private:
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            exception.add(rule[1:])
+        elif rule.startswith("*."):
+            wildcard.add(rule[2:])
+        else:
+            normal.add(rule)
+    return PslRules(
+        normal=frozenset(normal),
+        wildcard=frozenset(wildcard),
+        exception=frozenset(exception),
+        version=version,
+    )
+
+
+def _last_k(labels: Column, k: int) -> Column:
+    """Dot-joined last ``k`` labels. Every use MUST be guarded by a
+    preceding ``n >= k`` conjunct / branch condition: element_at
+    throws on out-of-bounds under ANSI mode, and only CaseWhen's and
+    And's lazy evaluation keeps the unguarded form from firing."""
+    return F.concat_ws(".", *[F.element_at(labels, i) for i in range(-k, 0)])
+
+
+def psl_registered_domain_expr(url: Column, rules: PslRules) -> Column:
+    """Registered domain (eTLD+1) under full Public Suffix List
+    semantics, as a pure-codegen column expression — the scale path
+    for per-domain caps and mixture weights when the compact
+    :data:`MULTI_SUFFIXES` heuristic is too coarse (it mis-groups the
+    ~10k real second-level suffixes: co.il, com.pl, github.io-style
+    private platforms — VERDICT r9 task #2).
+
+    Implements the publicsuffix.org algorithm: the prevailing rule is
+    the matching EXCEPTION rule if any (checked longest-first — the
+    rule name itself is the registered domain), else the LONGEST
+    matching normal/wildcard rule (a wildcard base of k labels has
+    effective suffix length k+1), else the default rule '*' (suffix =
+    last label). Registered domain = suffix + one label; a host that
+    IS a public suffix ('foo.ck' under '*.ck', bare 'github.io' with
+    private rules on) has none -> NULL, as do single-label hosts
+    (which the compact heuristic passes through instead — documented
+    divergence, pinned in tests/test_round10_psl.py).
+
+    Execution shape: row-local string arithmetic + set membership.
+    Each rule tier compiles to one guarded `lastK IN (<literals>)`
+    branch of a single CaseWhen; Catalyst converts the big literal
+    lists to hashed InSet, so the full 10k-rule PSL costs O(1) hash
+    probes per row, zero joins, zero shuffles, and the expression
+    fuses into the surrounding projection/scan. 1-label normal rules
+    are elided: they decide exactly what the default rule '*' already
+    decides. DuckDB-replayable (same CASE/IN arithmetic,
+    tests/test_round10_psl.py)."""
+    host = F.regexp_replace(host_expr(url), "\\.+$", "")
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+    null = F.lit(None).cast("string")
+
+    by_exc: dict[int, list[str]] = {}
+    for e in rules.exception:
+        by_exc.setdefault(e.count(".") + 1, []).append(e)
+    by_wild: dict[int, list[str]] = {}
+    for b in rules.wildcard:
+        by_wild.setdefault(b.count(".") + 1, []).append(b)
+    by_norm: dict[int, list[str]] = {}
+    for r in rules.normal:
+        k = r.count(".") + 1
+        if k >= 2:  # 1-label rules decide the same as the default '*'
+            by_norm.setdefault(k, []).append(r)
+
+    expr = F.when(host == "", null).when(is_ip, host)
+    # exception rules first (they defeat the wildcard they annotate);
+    # a matching exception's own name is the registered domain
+    for k in sorted(by_exc, reverse=True):
+        expr = expr.when(
+            (n >= k) & _last_k(labels, k).isin(sorted(by_exc[k])),
+            _last_k(labels, k),
+        )
+    # suffix tiers by effective suffix length L, longest first:
+    # wildcard bases of L-1 labels and normal rules of L labels both
+    # pin the public suffix at L labels
+    max_len = max(
+        [k + 1 for k in by_wild] + list(by_norm) + [1]
+    )
+    for length in range(max_len, 1, -1):
+        conds = []
+        wl = by_wild.get(length - 1)
+        if wl:
+            conds.append(
+                (n >= length) & _last_k(labels, length - 1).isin(sorted(wl))
+            )
+        nl = by_norm.get(length)
+        if nl:
+            conds.append((n >= length) & _last_k(labels, length).isin(sorted(nl)))
+        if not conds:
+            continue
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        expr = expr.when(
+            cond,
+            F.when(n >= length + 1, _last_k(labels, length + 1)).otherwise(null),
+        )
+    # default rule '*': public suffix = the last label
+    return expr.when(n >= 2, _last_k(labels, 2)).otherwise(null)
 
 
 def canonicalize_url_expr(
@@ -126,7 +294,9 @@ def host_expr(url: Column) -> Column:
 
 
 def registered_domain_expr(
-    url: Column, extra_suffixes: tuple[str, ...] = ()
+    url: Column,
+    extra_suffixes: tuple[str, ...] = (),
+    psl: PslRules | None = None,
 ) -> Column:
     """Registered domain (eTLD+1) of an absolute URL: the grouping key
     of every per-domain crawl-curation knob. Heuristic by design — the
@@ -137,7 +307,14 @@ def registered_domain_expr(
     'example.com.') is stripped before splitting — otherwise the
     empty trailing label would map every such .com URL to the shared
     bogus domain 'com.' (r9 code-review live repro). Exact string
-    arithmetic, identical in the DuckDB twin."""
+    arithmetic, identical in the DuckDB twin.
+
+    ``psl`` switches to full Public Suffix List semantics
+    (:func:`psl_registered_domain_expr` with :func:`load_psl` rules) —
+    same signature, stricter grouping (single-label and
+    public-suffix-only hosts become NULL there)."""
+    if psl is not None:
+        return psl_registered_domain_expr(url, psl)
     host = F.regexp_replace(host_expr(url), "\\.+$", "")
     labels = F.split(host, "\\.")
     n = F.size(labels)
@@ -160,13 +337,17 @@ def registered_domain_expr(
 
 
 def domain_stats(
-    df: DataFrame, url_col: str = "url", text_col: str | None = None
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str | None = None,
+    psl: PslRules | None = None,
 ) -> DataFrame:
     """Per-registered-domain corpus accounting: doc counts (+ whitespace
     tokens when ``text_col`` given) — the table a curation run consults
     before choosing per-domain caps / mixture weights. One partial-agg
-    exchange on the domain key."""
-    d = registered_domain_expr(F.col(url_col)).alias("domain")
+    exchange on the domain key. ``psl`` keys the grouping on full
+    Public Suffix List semantics instead of the compact heuristic."""
+    d = registered_domain_expr(F.col(url_col), psl=psl).alias("domain")
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if text_col is not None:
         aggs.append(
@@ -183,6 +364,7 @@ def cap_per_domain(
     url_col: str = "url",
     id_col: str = "doc_id",
     domain_col: str = "domain",
+    psl: PslRules | None = None,
 ) -> DataFrame:
     """At most ``cap`` docs per registered domain, deterministic
     hash-order subsample — :func:`registered_domain_expr` composed
@@ -193,6 +375,6 @@ def cap_per_domain(
     from dbt_model_diff_spark.operators.sampling import cap_per_group
 
     with_domain = df.withColumn(
-        domain_col, registered_domain_expr(F.col(url_col))
+        domain_col, registered_domain_expr(F.col(url_col), psl=psl)
     )
     return cap_per_group(with_domain, domain_col, id_col, cap)

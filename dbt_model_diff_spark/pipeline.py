@@ -80,6 +80,16 @@ class CurationConfig:
     # diversity-balanced mix. A `domain` column stays on the output.
     url_col: str | None = None
     max_docs_per_domain: int | None = None
+    # Public Suffix List grouping for the per-domain cap (VERDICT r9
+    # task #2): False = the compact zero-dependency MULTI_SUFFIXES
+    # heuristic; True = urlops.load_psl on the vendored abridged
+    # snapshot; a path string = a full upstream public_suffix_list.dat.
+    # Private suffixes (github.io-style platforms) default ON for the
+    # cap — distinct users own sibling subdomains, so capping at the
+    # platform's registrable domain would collapse them all into one
+    # budget.
+    psl: bool | str = False
+    psl_include_private: bool = True
     # language allowlist (documents carry a lang column; None = keep all)
     keep_langs: tuple[str, ...] | None = None
     lang_col: str = "lang"
@@ -502,8 +512,15 @@ def curate_corpus(
                 f"CurationConfig.url_col={c.url_col!r} is not a column"
                 f" of the input frame ({cur.columns})"
             )
+        psl_rules = None
+        if c.psl:
+            psl_rules = urlops.load_psl(
+                None if c.psl is True else c.psl,
+                include_private=c.psl_include_private,
+            )
         cur = cur.withColumn(
-            "domain", urlops.registered_domain_expr(F.col(c.url_col))
+            "domain",
+            urlops.registered_domain_expr(F.col(c.url_col), psl=psl_rules),
         )
         cur = sampling.cap_per_group(
             cur, "domain", c.id_col, c.max_docs_per_domain

@@ -1,0 +1,409 @@
+"""Round-10 Public Suffix List certification (VERDICT r9 task #2).
+
+`urlops.load_psl` + `urlops.psl_registered_domain_expr` are
+pytest-DuckDB-parity certified, NOT catalog-registered (growth policy):
+pinned trap-case fixture, a DuckDB semantic twin generated from the
+same parsed rules, a hypothesis referee against a pure-Python matcher
+implementing the publicsuffix.org spec algorithm (structurally
+different from the Spark CaseWhen builder: it scores ALL matching
+rules and takes the longest, instead of walking pre-sorted tiers),
+a loader contract, a codegen-only plan check, and the composed
+per-domain cap."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import urlops
+
+RULES = urlops.load_psl(include_private=True)
+RULES_ICANN = urlops.load_psl(include_private=False)
+
+
+# ---------------------------------------------------------------------------
+# loader contract
+# ---------------------------------------------------------------------------
+
+def test_load_psl_sections_and_shapes():
+    assert RULES.version == "2026-08-15-abridged-1"
+    # every rule shape present
+    assert "com" in RULES.normal and "co.uk" in RULES.normal
+    assert "co.il" in RULES.normal and "com.pl" in RULES.normal
+    assert "ck" in RULES.wildcard and "kobe.jp" in RULES.wildcard
+    assert "sch.uk" in RULES.wildcard
+    assert "www.ck" in RULES.exception and "city.kobe.jp" in RULES.exception
+    # private section gating
+    assert "github.io" in RULES.normal
+    assert "compute.amazonaws.com" in RULES.wildcard
+    assert "github.io" not in RULES_ICANN.normal
+    assert "compute.amazonaws.com" not in RULES_ICANN.wildcard
+    # ICANN rules present in both
+    assert "co.uk" in RULES_ICANN.normal and "ck" in RULES_ICANN.wildcard
+
+
+# ---------------------------------------------------------------------------
+# ground truth: pinned trap-case fixture (include_private=True)
+# ---------------------------------------------------------------------------
+
+_PSL_CASES = [
+    # second-level ccTLD suffixes the compact heuristic mis-groups
+    ("http://www.example.co.il/x", "example.co.il"),
+    ("http://sub.shop.com.pl/", "shop.com.pl"),
+    ("HTTPS://Deep.Sub.Example.CO.UK:443/y", "example.co.uk"),
+    # private platform suffixes: sibling user sites must NOT merge
+    ("https://USER.GitHub.IO/repo", "user.github.io"),
+    ("http://a.b.user.github.io/", "user.github.io"),
+    ("http://github.io/", None),  # the host IS a (private) suffix
+    ("http://b.s3.amazonaws.com/", "b.s3.amazonaws.com"),
+    ("http://s3.amazonaws.com/bucket", None),
+    # wildcard rules: any label under the base is itself a suffix
+    ("http://foo.ck/", None),
+    ("http://bar.foo.ck/", "bar.foo.ck"),
+    ("http://x.a.sch.uk/", "x.a.sch.uk"),
+    ("http://a.sch.uk/", None),
+    ("http://x.vm.compute.amazonaws.com/", "x.vm.compute.amazonaws.com"),
+    ("http://vm.compute.amazonaws.com/", None),
+    # exception rules defeat their wildcard
+    ("http://www.ck/x", "www.ck"),
+    ("http://a.www.ck/x", "www.ck"),
+    ("http://city.kobe.jp/", "city.kobe.jp"),
+    ("http://w.city.kobe.jp/", "city.kobe.jp"),
+    ("http://x.pref.kobe.jp/", "x.pref.kobe.jp"),
+    ("http://pref.kobe.jp/", None),
+    ("http://kobe.jp/", "kobe.jp"),  # only the 'jp' tier matches
+    # host normalization + defaults
+    ("http://example.com./", "example.com"),  # FQDN trailing root dot
+    ("http://10.1.2.3:8080/", "10.1.2.3"),
+    ("http://user@blog.example.org:99/p", "example.org"),
+    ("http://example.zz/x", "example.zz"),  # unlisted TLD: default '*'
+    ("http://a.b.example.zz/x", "example.zz"),
+    # strict-PSL divergences from the compact heuristic (which passes
+    # single-label hosts through): a bare label has no eTLD+1
+    ("http://localhost/", None),
+    ("not a url", None),
+    ("http://./x", None),
+]
+
+
+def test_psl_registered_domain_expected_values(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_PSL_CASES)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i",
+            urlops.psl_registered_domain_expr(F.col("u"), RULES).alias("d"),
+        ).collect()
+    }
+    for i, (raw, expected) in enumerate(_PSL_CASES):
+        assert got[i] == expected, f"case {i}: {raw!r} -> {got[i]!r}"
+
+
+def test_psl_private_gating(spark):
+    df = spark.createDataFrame([(0, "http://user.github.io/")], "i long, u string")
+    on = df.select(
+        urlops.psl_registered_domain_expr(F.col("u"), RULES).alias("d")
+    ).collect()[0]["d"]
+    off = df.select(
+        urlops.psl_registered_domain_expr(F.col("u"), RULES_ICANN).alias("d")
+    ).collect()[0]["d"]
+    assert on == "user.github.io"
+    assert off == "github.io"  # without private rules, io is the suffix
+
+
+def test_registered_domain_expr_psl_delegation(spark):
+    df = spark.createDataFrame([(0, "http://a.example.co.il/")], "i long, u string")
+    via_kw = df.select(
+        urlops.registered_domain_expr(F.col("u"), psl=RULES).alias("d")
+    ).collect()[0]["d"]
+    compact = df.select(
+        urlops.registered_domain_expr(F.col("u")).alias("d")
+    ).collect()[0]["d"]
+    assert via_kw == "example.co.il"
+    assert compact == "co.il"  # the documented compact-set mis-grouping
+
+
+# ---------------------------------------------------------------------------
+# pure-Python referee: the publicsuffix.org spec algorithm, scoring
+# ALL matching rules (different construction from the tiered CaseWhen)
+# ---------------------------------------------------------------------------
+
+def _ref_psl_domain(url: str, rules: urlops.PslRules) -> str | None:
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", url)
+    if not m:
+        return None
+    host = re.sub(
+        r":[0-9]*$", "", re.sub(r"^[^/?#]*@", "", m.group(1))
+    ).lower()
+    host = re.sub(r"\.+$", "", host)
+    if host == "":
+        return None
+    if re.match(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$", host):
+        return host
+    labels = host.split(".")
+
+    def matches(rule_labels: list[str]) -> bool:
+        if len(rule_labels) > len(labels):
+            return False
+        tail = labels[-len(rule_labels):]
+        return all(rl == "*" or rl == hl for rl, hl in zip(rule_labels, tail))
+
+    best_exc: list[str] | None = None
+    for e in rules.exception:
+        rl = e.split(".")
+        if matches(rl) and (best_exc is None or len(rl) > len(best_exc)):
+            best_exc = rl
+    if best_exc is not None:
+        # prevailing exception minus its leftmost label is the public
+        # suffix, so the rule name itself is the registered domain
+        return ".".join(labels[-len(best_exc):])
+    suffix_len = 1  # the default rule '*'
+    for r in rules.normal:
+        rl = r.split(".")
+        if matches(rl):
+            suffix_len = max(suffix_len, len(rl))
+    for b in rules.wildcard:
+        rl = ["*"] + b.split(".")
+        if matches(rl):
+            suffix_len = max(suffix_len, len(rl))
+    if len(labels) <= suffix_len:
+        return None
+    return ".".join(labels[-(suffix_len + 1):])
+
+
+def test_referee_agrees_on_fixture():
+    for raw, expected in _PSL_CASES:
+        assert _ref_psl_domain(raw, RULES) == expected, raw
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _label = st.sampled_from(
+        [
+            "www", "city", "pref", "kobe", "jp", "ck", "foo", "co", "uk",
+            "il", "github", "io", "com", "pl", "example", "a", "sch",
+            "compute", "amazonaws", "s3", "zz", "10", "1", "localhost", "",
+        ]
+    )
+    _host = st.lists(_label, min_size=1, max_size=6).map(".".join)
+
+    @given(_host, st.booleans(), st.booleans())
+    @settings(max_examples=40, deadline=None)
+    def test_psl_matches_python_reference(spark, host, private, trailing_dot):
+        rules = RULES if private else RULES_ICANN
+        url = f"http://{host}{'.' if trailing_dot else ''}/x"
+        df = spark.createDataFrame([(0, url)], "i long, u string")
+        got = df.select(
+            urlops.psl_registered_domain_expr(F.col("u"), rules).alias("d")
+        ).collect()[0]["d"]
+        assert got == _ref_psl_domain(url, rules), url
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+# ---------------------------------------------------------------------------
+# DuckDB parity: the same tiered CASE/IN arithmetic generated from the
+# same parsed rules, over doc_id-derived URLs on the documents corpus
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+CASE doc_id % 10
+  WHEN 0 THEN 'http://www.example' || (doc_id % 7) || '.co.il/x'
+  WHEN 1 THEN 'http://sub' || doc_id || '.shop.com.pl/'
+  WHEN 2 THEN 'https://User' || (doc_id % 5) || '.GitHub.IO/repo'
+  WHEN 3 THEN 'http://b' || (doc_id % 3) || '.foo.ck/'
+  WHEN 4 THEN 'http://www.ck/x' || doc_id
+  WHEN 5 THEN 'http://w' || (doc_id % 4) || '.city.kobe.jp/'
+  WHEN 6 THEN 'http://x.pref' || (doc_id % 6) || '.kobe.jp/'
+  WHEN 7 THEN 'http://10.0.' || (doc_id % 9) || '.3:80/z'
+  WHEN 8 THEN 'not a url ' || doc_id
+  ELSE 'http://deep.example' || (doc_id % 8) || '.zz./q'
+END
+"""
+
+
+def _url_expr_spark():
+    i = F.col("doc_id")
+    s = i.cast("string")
+    m = i % 10
+    return (
+        F.when(m == 0, F.concat(F.lit("http://www.example"),
+                                (i % 7).cast("string"), F.lit(".co.il/x")))
+        .when(m == 1, F.concat(F.lit("http://sub"), s, F.lit(".shop.com.pl/")))
+        .when(m == 2, F.concat(F.lit("https://User"), (i % 5).cast("string"),
+                               F.lit(".GitHub.IO/repo")))
+        .when(m == 3, F.concat(F.lit("http://b"), (i % 3).cast("string"),
+                               F.lit(".foo.ck/")))
+        .when(m == 4, F.concat(F.lit("http://www.ck/x"), s))
+        .when(m == 5, F.concat(F.lit("http://w"), (i % 4).cast("string"),
+                               F.lit(".city.kobe.jp/")))
+        .when(m == 6, F.concat(F.lit("http://x.pref"), (i % 6).cast("string"),
+                               F.lit(".kobe.jp/")))
+        .when(m == 7, F.concat(F.lit("http://10.0."), (i % 9).cast("string"),
+                               F.lit(".3:80/z")))
+        .when(m == 8, F.concat(F.lit("not a url "), s))
+        .otherwise(F.concat(F.lit("http://deep.example"),
+                            (i % 8).cast("string"), F.lit(".zz./q")))
+    )
+
+
+def _duck_psl_select(rules: urlops.PslRules) -> str:
+    """The Spark CaseWhen builder's arithmetic as DuckDB SQL over view
+    `urls` — same parsed rules, same tier order, list_slice instead of
+    element_at."""
+
+    def lastk(k: int) -> str:
+        return f"array_to_string(list_slice(labels, n - {k} + 1, n), '.')"
+
+    def inlist(vals: list[str]) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    by_exc: dict[int, list[str]] = {}
+    for e in rules.exception:
+        by_exc.setdefault(e.count(".") + 1, []).append(e)
+    by_wild: dict[int, list[str]] = {}
+    for b in rules.wildcard:
+        by_wild.setdefault(b.count(".") + 1, []).append(b)
+    by_norm: dict[int, list[str]] = {}
+    for r in rules.normal:
+        k = r.count(".") + 1
+        if k >= 2:
+            by_norm.setdefault(k, []).append(r)
+
+    branches = [
+        "WHEN host = '' THEN NULL",
+        "WHEN regexp_matches(host,"
+        " '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN host",
+    ]
+    for k in sorted(by_exc, reverse=True):
+        branches.append(
+            f"WHEN n >= {k} AND {lastk(k)} IN ({inlist(by_exc[k])})"
+            f" THEN {lastk(k)}"
+        )
+    max_len = max([k + 1 for k in by_wild] + list(by_norm) + [1])
+    for length in range(max_len, 1, -1):
+        conds = []
+        wl = by_wild.get(length - 1)
+        if wl:
+            conds.append(
+                f"(n >= {length} AND {lastk(length - 1)} IN ({inlist(wl)}))"
+            )
+        nl = by_norm.get(length)
+        if nl:
+            conds.append(
+                f"(n >= {length} AND {lastk(length)} IN ({inlist(nl)}))"
+            )
+        if not conds:
+            continue
+        branches.append(
+            f"WHEN {' OR '.join(conds)} THEN CASE WHEN n >= {length + 1}"
+            f" THEN {lastk(length + 1)} END"
+        )
+    branches.append(f"WHEN n >= 2 THEN {lastk(2)}")
+    case = "CASE " + " ".join(branches) + " ELSE NULL END"
+    return f"""
+SELECT doc_id, {case} AS d
+FROM (
+  SELECT doc_id, host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM (
+    SELECT doc_id,
+      regexp_replace(lower(regexp_replace(regexp_replace(
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+        '^[^/?#]*@', ''), ':[0-9]*$', '')), '\\.+$', '') AS host
+    FROM urls) h) l
+"""
+
+
+def test_psl_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    urls = docs.select("doc_id", _url_expr_spark().alias("url"))
+    got = {
+        r["doc_id"]: r["d"]
+        for r in urls.select(
+            "doc_id",
+            urlops.psl_registered_domain_expr(F.col("url"), RULES).alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW urls AS
+        SELECT doc_id, ({_URL_SQL}) AS url
+        FROM read_parquet('{sf_dir}/documents.parquet')"""
+    )
+    exp = dict(con.execute(_duck_psl_select(RULES)).fetchall())
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k] == exp[k], f"doc {k}: {got[k]!r} != {exp[k]!r}"
+
+
+# ---------------------------------------------------------------------------
+# plan + composition
+# ---------------------------------------------------------------------------
+
+def test_psl_plan_is_codegen_only(spark):
+    df = spark.createDataFrame(
+        [(1, "http://a.example.co.il/")], "doc_id long, url string"
+    )
+    plan = (
+        df.select(
+            urlops.psl_registered_domain_expr(F.col("url"), RULES).alias("d")
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+        assert bad not in plan, f"{bad} in PSL domain plan"
+
+
+def test_cap_per_domain_with_psl(spark):
+    # 30 docs on one github.io USER site + 10 on another: with PSL
+    # rules the cap keys on user.github.io (two groups), with the
+    # compact heuristic everything merges into the github.io group
+    rows = [(i, f"http://u{i % 2 if i >= 30 else 0}.github.io/p{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    capped = urlops.cap_per_domain(df, cap=5, psl=RULES)
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in capped.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_dom == {"u0.github.io": 5, "u1.github.io": 5}
+    merged = urlops.cap_per_domain(df, cap=5)  # compact heuristic
+    assert merged.count() == 5  # one merged github.io group
+
+
+def test_curation_config_psl_domain_cap(spark):
+    """CurationConfig.psl=True keys the per-domain cap on PSL
+    semantics: sibling github.io user sites stay distinct groups."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (i, "common words appear here so the gate keeps the doc "
+            f"plus unique token t{i}",
+         f"http://u{i % 3}.github.io/p{i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CurationConfig(
+        dedup="none", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None, url_col="url", max_docs_per_domain=4,
+        psl=True,
+    )
+    kept, _ = curate_corpus(docs, cfg)
+    per = {
+        r["domain"]: r["n"]
+        for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {
+        "u0.github.io": 4, "u1.github.io": 4, "u2.github.io": 4
+    }
