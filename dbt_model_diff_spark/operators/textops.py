@@ -1598,7 +1598,52 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
-def html_extract_expr(col, collapse_whitespace: bool = True):
+def html_unescape_expr(col):
+    """Single-pass FULL HTML entity decode as an Arrow-batched column
+    expression — the opt-in scale path for real crawl HTML, where
+    numeric character references the literal chain cannot express
+    dominate (&#8217; curly quotes, &#8212; em-dashes: regexp_replace
+    cannot compute chr() of a captured group — VERDICT r9 task #3).
+
+    Wraps Python's ``html.unescape``: the complete HTML5 named set,
+    ``&#NNN;`` / ``&#xHH;`` numeric references (including the spec's
+    Windows-1252 remapping of the C1 range), and the legacy
+    no-trailing-semicolon named forms — all in ONE pass, so the
+    never-re-decoded rule holds exactly as in the literal chain
+    ('&amp;lt;' -> '&lt;', '&#38;amp;' -> '&amp;').
+
+    Divergences from the literal chain, both by design: the full
+    named set decodes (the chain passes unknown entities through
+    verbatim), and legacy semicolon-less forms like '&amp' decode per
+    the HTML5 parser rules. NBSP normalization to a plain space is
+    applied by the caller (:func:`html_extract_expr`) so the collapse
+    step and downstream token gates keep treating it as whitespace.
+
+    Shape: scalar ``pandas_udf`` kept as a COLUMN expression (the
+    :func:`nfc_expr` pattern) — Arrow batch transfer, fuses into the
+    surrounding projection, zero shuffles; the per-row step is
+    ``Series.map(html.unescape)`` dispatch around CPython's C-level
+    regex sub. Certified by pytest referee + hypothesis (no SQL twin
+    ships the HTML5 named table, so like ``compression_ratio`` this
+    is referee-certified rather than DuckDB-oracled:
+    tests/test_round10_entities.py)."""
+    import html as _html
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # lambda + explicit returnType: `from __future__ import
+    # annotations` stringifies hints, breaking pandas_udf inference.
+    # na_action='ignore' preserves nulls (None stays None).
+    _un = pandas_udf(
+        lambda s: s.map(_html.unescape, na_action="ignore"), StringType()
+    )
+    return _un(col)
+
+
+def html_extract_expr(
+    col, collapse_whitespace: bool = True, full_entities: bool = False
+):
     """Markup-to-text extraction as a pure-codegen column expression:
     strip CDATA/comments/script/style (including payloads), processing
     instructions, DOCTYPE and tags — each construct replaced by a
@@ -1614,19 +1659,35 @@ def html_extract_expr(col, collapse_whitespace: bool = True):
     Python's third regex engine). Unclosed script/style blocks fail
     their container match by design (no fabricated boundary): the tag
     strip still removes the opening tag and the payload passes
-    through as text, pinned by fixture."""
+    through as text, pinned by fixture.
+
+    ``full_entities=True`` swaps the literal entity chain for the
+    Arrow-batched :func:`html_unescape_expr` (complete named set +
+    numeric references) followed by an NBSP->space fold, preserving
+    the chain's whitespace contract; the zero-UDF chain stays the
+    default for already-mostly-ASCII corpora and oracle replays."""
     out = col
     for pattern in _HTML_STRIP_PATTERNS:
         out = F.regexp_replace(out, pattern, " ")
-    for entity, char in HTML_ENTITIES:
-        out = F.replace(out, F.lit(entity), F.lit(char))
+    if full_entities:
+        # NBSP (U+00A0, what &nbsp;/&#160; decode to) folds to a plain
+        # space, preserving the literal chain's whitespace contract
+        out = F.replace(
+            html_unescape_expr(out), F.lit("\u00a0"), F.lit(" ")
+        )
+    else:
+        for entity, char in HTML_ENTITIES:
+            out = F.replace(out, F.lit(entity), F.lit(char))
     if collapse_whitespace:
         out = F.trim(F.regexp_replace(out, "[ \\t\\r\\n]+", " "))
     return out
 
 
 def html_extract(
-    df: DataFrame, text_col: str = "text", out_col: str = "text_extracted"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_extracted",
+    full_entities: bool = False,
 ) -> DataFrame:
     """Frame-level wrapper over :func:`html_extract_expr`: emits the
     original frame plus ``out_col`` and a NULL-SAFE ``markup_changed``
@@ -1635,9 +1696,10 @@ def html_extract(
     comparing the collapsed output would read every whitespace run in
     markup-free prose as "carried markup" and saturate the signal at
     ~100% (r9 code-review live repro)."""
-    c = html_extract_expr(F.col(text_col))
+    c = html_extract_expr(F.col(text_col), full_entities=full_entities)
     strip_only = html_extract_expr(
-        F.col(text_col), collapse_whitespace=False
+        F.col(text_col), collapse_whitespace=False,
+        full_entities=full_entities,
     )
     return df.withColumn(out_col, c).withColumn(
         "markup_changed", ~strip_only.eqNullSafe(F.col(text_col))
@@ -1784,6 +1846,7 @@ def normalize_text(
     strip_control: bool = True,
     nfc: bool = False,
     html: bool = False,
+    html_full_entities: bool = False,
     out_col: str = "text_norm",
 ) -> DataFrame:
     """Deterministic text normalization — the first pass of every
@@ -1816,7 +1879,10 @@ def normalize_text(
     """
     c = F.col(text_col)
     if html:
-        c = html_extract_expr(c, collapse_whitespace=False)
+        c = html_extract_expr(
+            c, collapse_whitespace=False,
+            full_entities=html_full_entities,
+        )
     if nfc:
         c = nfc_expr(c)
     if strip_control:

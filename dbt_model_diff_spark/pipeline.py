@@ -47,6 +47,13 @@ class CurationConfig:
     # (VERDICT r8 task #2). Pure-codegen regex chain; off by default
     # for already-extracted corpora.
     html_extract: bool = False
+    # Full HTML entity decode for the extraction step (VERDICT r9
+    # task #3): swaps the literal entity chain for the Arrow-batched
+    # html_unescape_expr leg (complete named set + &#NNN;/&#xHH;
+    # numeric references — curly quotes and em-dashes in real crawl
+    # HTML). Off by default: the codegen chain stays zero-UDF and
+    # oracle-replayable. Only meaningful with html_extract=True.
+    html_full_entities: bool = False
     # line-level boilerplate removal (textops.remove_common_lines):
     # drop ALL occurrences of lines whose trimmed form appears in >=
     # this many distinct docs (the RefinedWeb-style filter — not
@@ -216,7 +223,8 @@ def curate_corpus(
             base = base.withColumn(
                 c.text_col,
                 textops.html_extract_expr(
-                    F.col(c.text_col), collapse_whitespace=False
+                    F.col(c.text_col), collapse_whitespace=False,
+                    full_entities=c.html_full_entities,
                 ),
             )
             html_in_normalize = False
@@ -247,7 +255,8 @@ def curate_corpus(
     # extraction (if on and not already done in 0b) runs inside as the
     # very first expression
     normed = textops.normalize_text(
-        base, text_col=c.text_col, nfc=c.nfc, html=html_in_normalize
+        base, text_col=c.text_col, nfc=c.nfc, html=html_in_normalize,
+        html_full_entities=c.html_full_entities,
     )
     text_out = F.col("text_norm")
     if c.scrub_pii:
@@ -475,6 +484,7 @@ def curate_corpus(
             text_col=c.text_col,
             nfc=c.nfc,
             html=c.html_extract,
+            html_full_entities=c.html_full_entities,
         ).select(
             bench_id.alias("doc_id"),
             F.col("text_norm").alias(c.text_col),

@@ -86,7 +86,8 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args and Path(args[0]).exists() else ".localdata/sf10"
     wanted = set(args[1:] if args and Path(args[0]).exists() else args) or {
-        "parsers", "classify_media", "html", "urls", "lines"
+        "parsers", "classify_media", "html", "urls", "lines",
+        "entities", "psl",
     }
     spark = get_spark(app_name="probe_ops")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -132,6 +133,32 @@ def main() -> None:
             "doc_id", urlops.registered_domain_expr(F.col("url")).alias("d")))
         bench("domain_stats", urlops.domain_stats(urls, text_col="text"))
         bench("cap_per_domain", urlops.cap_per_domain(urls, cap=50))
+    if "entities" in wanted:
+        # r10: full-entity decode surcharge vs the literal chain, on a
+        # corpus decorated with the numeric refs real crawl HTML carries
+        decorated = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.concat(
+                F.lit("<p>It&#8217;s &#8220;"), F.col("text"),
+                F.lit("&#8221; &#8212; &copy; &amp; tail</p>"))
+            ).otherwise(F.col("text")),
+        )
+        bench("extract_literal_chain", textops.normalize_text(
+            decorated, html=True))
+        bench("extract_full_entities", textops.normalize_text(
+            decorated, html=True, html_full_entities=True))
+    if "psl" in wanted:
+        # r10: full-PSL registered-domain vs the compact heuristic —
+        # both row-local; PSL adds InSet hash probes per tier
+        urls = _url_frame(docs)
+        rules = urlops.load_psl(include_private=True)
+        bench("url_domain_compact", urls.select(
+            "doc_id", urlops.registered_domain_expr(F.col("url")).alias("d")))
+        bench("url_domain_psl", urls.select(
+            "doc_id",
+            urlops.psl_registered_domain_expr(F.col("url"), rules).alias("d")))
+        bench("cap_per_domain_psl", urlops.cap_per_domain(
+            urls, cap=50, psl=rules))
     if "lines" in wanted:
         dec = docs.withColumn(
             "text",
