@@ -1713,6 +1713,7 @@ def remove_common_lines(
     min_docs: int = 2,
     min_line_chars: int = 6,
     out_col: str = "text_clean",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Line-level boilerplate removal — the CCNet/RefinedWeb paragraph-
     dedup stage that document-level dedup cannot express: navigation
@@ -1744,7 +1745,19 @@ def remove_common_lines(
     group, and an equi-join would wipe their text to '' (r9
     code-review live repro) — pass-through is the only honest
     row-local answer; ids are otherwise assumed unique, as everywhere
-    in this module."""
+    in this module.
+
+    Policy (VERDICT r9 task #4): the default removes ALL occurrences
+    of a boilerplate line — the RefinedWeb reading, under which a
+    verbatim body line shared by >= min_docs docs also dies
+    everywhere. ``keep_first=True`` is the CCNet keep-first variant:
+    the globally FIRST occurrence (ordered by (id, position) —
+    deterministic, partition-independent) of each boilerplate line
+    survives, every later occurrence is removed. Costs nothing extra
+    in exchanges: the first-occurrence min(struct(id, pos)) rides the
+    SAME line-key aggregation as the distinct-doc count, and the
+    anti-join becomes a left join + row-identity filter against the
+    same AQE-broadcast heavy-hitter set."""
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would drop every line)")
     lines = df.filter(F.col(id_col).isNotNull()).select(
@@ -1757,16 +1770,42 @@ def remove_common_lines(
     trimmed = F.btrim(F.col("__line"), F.lit(" \t\r"))
     key = F.md5(trimmed)
     countable = F.length(trimmed) >= min_line_chars
-    common = (
-        lines.filter(countable)
-        .groupBy(key.alias("__lk"))
-        .agg(F.count_distinct(F.col("__id")).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__lk")
-    )
-    kept = lines.withColumn("__lk", F.when(countable, key)).join(
-        common, on="__lk", how="left_anti"
-    )
+    tagged = lines.withColumn("__lk", F.when(countable, key))
+    if keep_first:
+        common = (
+            lines.filter(countable)
+            .groupBy(key.alias("__lk"))
+            .agg(
+                F.count_distinct(F.col("__id")).alias("__nd"),
+                F.min(
+                    F.struct(
+                        F.col("__id").alias("i"), F.col("__pos").alias("p")
+                    )
+                ).alias("__first"),
+            )
+            .filter(F.col("__nd") >= min_docs)
+            .select("__lk", "__first")
+        )
+        kept = (
+            tagged.join(common, on="__lk", how="left")
+            .filter(
+                F.col("__first").isNull()
+                | (
+                    (F.col("__first.i") == F.col("__id"))
+                    & (F.col("__first.p") == F.col("__pos"))
+                )
+            )
+            .drop("__first")
+        )
+    else:
+        common = (
+            lines.filter(countable)
+            .groupBy(key.alias("__lk"))
+            .agg(F.count_distinct(F.col("__id")).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__lk")
+        )
+        kept = tagged.join(common, on="__lk", how="left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
             F.transform(

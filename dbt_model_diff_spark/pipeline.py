@@ -65,6 +65,11 @@ class CurationConfig:
     # dedup hashes, so boilerplate noise never reaches them. None
     # disables (default).
     boilerplate_min_docs: int | None = None
+    # CCNet keep-first variant (VERDICT r9 task #4): the globally
+    # first occurrence of each boilerplate line survives, later
+    # occurrences die. Default False = RefinedWeb remove-ALL. Only
+    # meaningful with boilerplate_min_docs set.
+    boilerplate_keep_first: bool = False
     # Unicode NFC canonical fold (textops.nfc_expr) as the first
     # post-extraction normalization step — composed vs decomposed
     # accents must hash identically before dedup on a multilingual
@@ -233,6 +238,7 @@ def curate_corpus(
             text_col=c.text_col,
             id_col=c.id_col,
             min_docs=c.boilerplate_min_docs,
+            keep_first=c.boilerplate_keep_first,
         )
         # pin: the explode/agg/anti-join/rebuild chain above feeds the
         # several eager report aggregations below — re-deriving it from

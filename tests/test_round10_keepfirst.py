@@ -1,0 +1,241 @@
+"""Round-10 CCNet keep-first line-dedup certification (VERDICT r9
+task #4): `textops.remove_common_lines(keep_first=True)` — pinned
+which-occurrence-survives fixture, DuckDB semantic twin, hypothesis
+referee in pure Python, pipeline knob."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import textops
+
+_BANNER = "This site uses cookies to improve your experience"
+_NAV = "Home | About | Contact | Privacy"
+
+
+def test_keep_first_expected(spark):
+    rows = [
+        (1, f"{_BANNER}\nunique first body\n{_NAV}"),
+        (2, f"{_BANNER}\nsecond body differs\n{_NAV}\nok"),
+        (3, f"third body alone\n{_BANNER}"),
+        (4, "entirely unique document text"),
+        (5, f"{_BANNER}\n{_NAV}"),
+        (6, None),
+        # repeated boilerplate INSIDE the first doc: only position 0
+        # survives, the same doc's later copy dies too
+        (0, f"{_BANNER}\nzeroth body\n{_BANNER}"),
+        (None, f"{_BANNER}\nnull-id body stays intact"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+        for r in textops.remove_common_lines(df, keep_first=True).collect()
+    }
+    # doc 0 is globally first for the banner (id order): keeps ONE copy
+    assert got[0] == (f"{_BANNER}\nzeroth body", 1)
+    # doc 1 is globally first for the nav line
+    assert got[1] == (f"unique first body\n{_NAV}", 1)
+    assert got[2] == ("second body differs\nok", 2)
+    assert got[3] == ("third body alone", 1)
+    assert got[4] == ("entirely unique document text", 0)
+    assert got[5] == ("", 2)
+    assert got[6] == (None, 0)
+    assert got[None] == (f"{_BANNER}\nnull-id body stays intact", 0)
+    # remove-all differs exactly at the two first occurrences
+    all_got = {
+        r["doc_id"]: r["text_clean"]
+        for r in textops.remove_common_lines(df).collect()
+    }
+    assert all_got[0] == "zeroth body"
+    assert all_got[1] == "unique first body"
+
+
+def test_keep_first_partitioning_independent(spark):
+    """The surviving occurrence is (min id, min pos), not an accident
+    of partitioning: identical results at 1 and 32 partitions."""
+    rows = [(i, f"{_BANNER}\nbody {i}") for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: r["text_clean"]
+        for r in textops.remove_common_lines(
+            df.coalesce(1), keep_first=True
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["text_clean"]
+        for r in textops.remove_common_lines(
+            df.repartition(32), keep_first=True
+        ).collect()
+    }
+    assert a == b
+    assert a[0] == f"{_BANNER}\nbody 0"
+    assert all(a[i] == f"body {i}" for i in range(1, 64))
+
+
+def test_keep_first_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    banner = _BANNER.replace("'", "''")
+    nav = _NAV.replace("'", "''")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    decorated = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BANNER + "\n"), F.col("text"),
+                     F.lit("\n" + _NAV)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit("\n" + _BANNER)),
+        )
+        .otherwise(F.col("text")),
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+        for r in textops.remove_common_lines(
+            decorated, keep_first=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    q = f"""
+WITH docs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN '{banner}' || chr(10) || text
+                                  || chr(10) || '{nav}'
+         WHEN doc_id % 3 = 1 THEN text || chr(10) || '{banner}'
+         ELSE text END AS text
+  FROM read_parquet('{sf_dir}/documents.parquet')),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls
+  FROM docs WHERE text IS NOT NULL),
+lines AS (
+  SELECT doc_id, ls[g.i] AS line, g.i AS pos
+  FROM split, unnest(generate_series(1, len(ls))) AS g(i)),
+counted AS (
+  SELECT doc_id, pos, line,
+         trim(line, ' ' || chr(9) || chr(13)) AS t
+  FROM lines),
+common AS (
+  SELECT md5(t) AS lk,
+         min(ROW(doc_id, pos)) AS first
+  FROM counted WHERE length(t) >= 6
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT c.doc_id, c.pos, c.line FROM counted c
+  LEFT JOIN common m
+    ON length(c.t) >= 6 AND md5(c.t) = m.lk
+  WHERE m.lk IS NULL
+     OR (m.first = ROW(c.doc_id, c.pos))),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS tc,
+         count(*) AS kn
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NOT NULL THEN coalesce(r.tc, '') END AS text_clean,
+  CASE WHEN d.text IS NOT NULL
+       THEN len(string_split(d.text, chr(10))) - coalesce(r.kn, 0)
+       ELSE 0 END AS n
+FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+"""
+    exp = {r[0]: (r[1], r[2]) for r in con.execute(q).fetchall()}
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k] == exp[k], f"doc {k}: {got[k]!r} != {exp[k]!r}"
+    # exactly the boilerplate first-occurrences survived: one banner
+    # and one nav line remain corpus-wide
+    kept_banner = sum(
+        1 for t, _ in got.values() if t is not None and _BANNER in t
+    )
+    kept_nav = sum(1 for t, _ in got.values() if t is not None and _NAV in t)
+    assert kept_banner == 1 and kept_nav == 1
+
+
+# ---------------------------------------------------------------------------
+# hypothesis referee: pure-Python keep-first over random small corpora
+# ---------------------------------------------------------------------------
+
+def _ref_keep_first(
+    rows: list[tuple[int, str | None]], min_docs: int = 2,
+    min_chars: int = 6,
+) -> dict[int, tuple[str | None, int]]:
+    from collections import defaultdict
+
+    per_key_docs: dict[str, set[int]] = defaultdict(set)
+    first: dict[str, tuple[int, int]] = {}
+    for i, text in sorted(rows, key=lambda r: r[0]):
+        if text is None:
+            continue
+        for p, line in enumerate(text.split("\n")):
+            t = line.strip(" \t\r")
+            if len(t) < min_chars:
+                continue
+            per_key_docs[t].add(i)
+            if t not in first:
+                first[t] = (i, p)
+    boiler = {t for t, ds in per_key_docs.items() if len(ds) >= min_docs}
+    out: dict[int, tuple[str | None, int]] = {}
+    for i, text in rows:
+        if text is None:
+            out[i] = (None, 0)
+            continue
+        kept = []
+        removed = 0
+        for p, line in enumerate(text.split("\n")):
+            t = line.strip(" \t\r")
+            if len(t) >= min_chars and t in boiler and first[t] != (i, p):
+                removed += 1
+            else:
+                kept.append(line)
+        out[i] = ("\n".join(kept), removed)
+    return out
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _line = st.sampled_from(
+        [_BANNER, _NAV, "short", "a much longer unique-ish line",
+         "another body line here", "", "  \t ", "Yes", _BANNER + " ",
+         "\t" + _NAV]
+    )
+    _doc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
+
+    @given(st.lists(_doc, min_size=1, max_size=8))
+    @settings(max_examples=25, deadline=None)
+    def test_keep_first_matches_python_reference(spark, docs):
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+            for r in textops.remove_common_lines(
+                df, keep_first=True
+            ).collect()
+        }
+        assert got == _ref_keep_first(rows)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+def test_curation_config_keep_first(spark):
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (i, f"{_BANNER}\nthe quick brown fox body number {i} with words")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(
+        dedup="none", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None, boilerplate_min_docs=2,
+        boilerplate_keep_first=True,
+    )
+    kept, report = curate_corpus(docs, cfg)
+    texts = {r["doc_id"]: r["text"] for r in kept.collect()}
+    # normalize lowercases: the banner survives only in doc 0
+    assert sum(1 for t in texts.values() if _BANNER.lower() in t) == 1
+    assert _BANNER.lower() in texts[0]
