@@ -852,6 +852,36 @@ _BANDS_PRED = " OR ".join(
     f"(a.mh{2*b} = b.mh{2*b} AND a.mh{2*b+1} = b.mh{2*b+1})" for b in range(4)
 )
 
+# Default-on LSH degenerate-bucket cap, mirrored into the oracle
+# (VERDICT r9 task #6): the registered LSH queries used to override
+# max_bucket_size to effectively-uncapped because the oracle had no
+# guard — and the r9 sf100 probe measured exactly what that shape does
+# at scale (the 38x-duplicate stress corpus multiplied candidates
+# ~38^2x and the uncapped jaccard-verify join spilled >50 GB of
+# shuffle before dying). The operators' default cap (1000, sized so
+# the guard is a no-op until a bucket is genuinely degenerate — the
+# sf100 stress families are 38-wide, real boilerplate families are
+# millions-wide) is now default-on in the registered chain too, and
+# the oracle replays it: each band disjunct additionally requires the
+# band bucket's population (a correlated count over the signature
+# table) to be within the cap, which is exactly the postings-removal
+# semantics of the Spark-side windowed guard. At gate scale (<= 15k
+# docs) no bucket approaches the cap, so values are unchanged; the
+# drop semantics themselves are certified by the tiny-cap DuckDB
+# parity test in tests/test_round10_lshcap.py.
+_LSH_CAP = 1000
+
+
+def _bands_pred_capped(prefix: str, sigs: str, cap: int = _LSH_CAP) -> str:
+    return " OR ".join(
+        f"(a.{prefix}{2 * b} = b.{prefix}{2 * b}"
+        f" AND a.{prefix}{2 * b + 1} = b.{prefix}{2 * b + 1}"
+        f" AND {cap} >= (SELECT count(*) FROM {sigs} s"
+        f" WHERE s.{prefix}{2 * b} = a.{prefix}{2 * b}"
+        f" AND s.{prefix}{2 * b + 1} = a.{prefix}{2 * b + 1}))"
+        for b in range(4)
+    )
+
 
 @register(
     "dedup_lsh_pairs",
@@ -859,7 +889,7 @@ _BANDS_PRED = " OR ".join(
     + f"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sigs a, sigs b
-WHERE a.doc_id < b.doc_id AND ({_BANDS_PRED})
+WHERE a.doc_id < b.doc_id AND ({_bands_pred_capped("mh", "sigs")})
 """,
 )
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,9 +899,11 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle scale."""
     sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
-    # max_bucket_size high: the oracle has no bucket-size guard
+    # default-on cap, mirrored in the oracle's per-band correlated
+    # count (see the _LSH_CAP note): the r9 sf100 probe measured the
+    # uncapped shape spilling >50 GB in the verify join before dying
     return dedup.lsh_candidate_pairs(
-        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
 
 
@@ -884,7 +916,7 @@ sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sigs a, sigs b
-  WHERE a.doc_id < b.doc_id AND ({_BANDS_PRED})
+  WHERE a.doc_id < b.doc_id AND ({_bands_pred_capped("mh", "sigs")})
 ),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -918,7 +950,7 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(
-        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
     return dedup.ngram_jaccard_pairs(sh, cand)
 
@@ -931,7 +963,7 @@ sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sigs a, sigs b
-  WHERE a.doc_id < b.doc_id AND ({_BANDS_PRED})
+  WHERE a.doc_id < b.doc_id AND ({_bands_pred_capped("mh", "sigs")})
 ),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -981,7 +1013,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(
-        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
     ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
     comp = dedup.connected_components(ver)
@@ -1040,7 +1072,7 @@ def dedup_rep_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = textops.shingles(docs, n=3)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(
-        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
     ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
     comp = dedup.connected_components(ver)
@@ -1178,7 +1210,7 @@ _OPH_BANDS_PRED = " OR ".join(
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM osigs a, osigs b
-  WHERE a.doc_id < b.doc_id AND ({_OPH_BANDS_PRED})
+  WHERE a.doc_id < b.doc_id AND ({_bands_pred_capped("oph", "osigs")})
 ),
 edges AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
 reach(a, r) AS (
@@ -1209,7 +1241,7 @@ def dedup_oph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs,
         bands=4,
         rows_per_band=2,
-        max_bucket_size=1_000_000_000,
+        max_bucket_size=_LSH_CAP,
         sig_prefix="oph",
     )
     comp = dedup.connected_components(pairs)
@@ -1400,7 +1432,7 @@ def split_leakage_safe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = textops.shingles(docs, n=3)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     cand = dedup.lsh_candidate_pairs(
-        sigs, bands=4, rows_per_band=2, max_bucket_size=1_000_000_000
+        sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
     ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
     out = sampling.leakage_safe_split(docs, ver, eval_sixteenths=2)

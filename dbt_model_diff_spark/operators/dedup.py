@@ -192,7 +192,16 @@ def lsh_candidate_pairs(
     Shuffle key = (band_id, band_hash); self-join inside buckets with
     ``id < id`` dedup, then distinct on pairs. Buckets larger than
     ``max_bucket_size`` are dropped — at web scale a single boilerplate
-    bucket can be O(millions) and its self-join O(n^2).
+    bucket can be O(millions) and its self-join O(n^2). The default is
+    ON (1000) everywhere including the registered catalog queries
+    (VERDICT r9 task #6), and the rationale is measured, not
+    hypothetical: at the sf100 stress decade (5M docs, ~38 exact twins
+    per doc) the uncapped chain multiplied candidates ~38^2x and the
+    downstream jaccard-verify join spilled >50 GB of shuffle before
+    dying on disk, while the capped pipeline ran end-to-end in 529 s
+    (SURVEY §9 r9). Callers who genuinely need the uncapped pair set
+    must opt OUT explicitly and should pass ``guard_stats`` so coverage
+    holes are visible either way.
 
     Coverage accounting (VERDICT r6 task #8): pass a dict as
     ``guard_stats`` and the guard reports what it dropped —

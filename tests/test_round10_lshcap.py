@@ -1,0 +1,139 @@
+"""Round-10 default-on LSH bucket cap certification (VERDICT r9
+task #6): the registered standalone LSH chain now runs with
+`dedup.lsh_candidate_pairs`'s default `max_bucket_size` (catalog
+`_LSH_CAP`), and the oracle replays the guard as a per-band correlated
+count. Rationale measured at sf100: the uncapped chain's 38x-family
+candidates spilled >50 GB in the jaccard-verify join before dying
+(SURVEY §9, r9).
+
+Certifies: (1) tiny-cap DuckDB parity where the guard actually DROPS
+buckets, (2) the capped standalone chain reproduces the pipeline
+near-dedup stage's survivor set on the same corpus, (3) guard ledger
+coverage on the standalone call path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark import catalog
+from dbt_model_diff_spark.operators import dedup, sampling, textops
+
+
+def test_catalog_lsh_queries_use_default_cap():
+    """The registered chain's cap equals the operator default — the
+    guard is default-ON, not a pipeline-only opt-in."""
+    import inspect
+
+    assert catalog._LSH_CAP == 1000
+    sig = inspect.signature(dedup.lsh_candidate_pairs)
+    assert sig.parameters["max_bucket_size"].default == catalog._LSH_CAP
+    # and the oracle SQL for every pair-generating LSH query carries
+    # the correlated-count guard
+    for q in ("dedup_lsh_pairs", "dedup_jaccard_verified",
+              "dedup_components", "dedup_rep_by_quality",
+              "dedup_oph_components", "split_leakage_safe_documents"):
+        assert "1000 >= (SELECT count(*)" in catalog.ORACLES[q], q
+
+
+def test_tiny_cap_duckdb_parity(spark):
+    """cap=2 on a corpus with a 4-doc duplicate family: both engines
+    must drop the family's shared buckets and keep the 2-doc pairs."""
+    import duckdb
+
+    # 4 exact near-twins (family A, bucket size 4 > cap), 2 near-twins
+    # (family B, bucket size 2 <= cap), 2 unique docs
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "alpha beta gamma delta epsilon zeta"),
+        (5, "one two three four five six seven"),
+        (6, "one two three four five six seven"),
+        (7, "totally different document body here"),
+        (8, "another unrelated piece of text entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = textops.shingles(df, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    stats: dict = {}
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, bands=4, rows_per_band=2, max_bucket_size=2,
+            guard_stats=stats,
+        ).collect()
+    )
+    # family A (4 docs, every band bucket size 4) is fully suppressed;
+    # family B (2 docs) survives
+    assert got == [(5, 6)]
+    assert stats["dropped_buckets"] > 0 and stats["dropped_rows"] >= 16
+    # DuckDB replay with the same correlated-count guard (the catalog
+    # _bands_pred_capped shape at cap=2)
+    sigs_pd = sigs.toPandas()
+    con = duckdb.connect()
+    con.register("sigs", sigs_pd)
+    pred = catalog._bands_pred_capped("mh", "sigs", cap=2)
+    exp = sorted(
+        tuple(r) for r in con.execute(
+            f"""SELECT a.doc_id, b.doc_id FROM sigs a, sigs b
+                WHERE a.doc_id < b.doc_id AND ({pred})"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_capped_standalone_matches_pipeline_stage(spark):
+    """The standalone chain (shingles -> minhash -> capped LSH ->
+    jaccard verify -> near_dedup) with the pipeline's parameters
+    reproduces curate_corpus's near-dedup survivor set on a
+    pre-normalized corpus (normalize is an identity there, so the
+    only transformation between the two paths is the dedup stage
+    itself)."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far",
+        "a completely different document about spark and data",
+        "yet another unique body of text with many common words",
+        "short shared banner text appears in several documents here",
+    ]
+    rows = []
+    for i in range(40):
+        # 10 copies of each base text with a tiny suffix variation on
+        # some -> exact dups + near dups + uniques
+        t = base[i % 4]
+        if i >= 36:
+            t = t + f" extra token{i}"
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cfg = CurationConfig(
+        dedup="near", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None,
+    )
+    kept, report = curate_corpus(docs, cfg)
+    pipeline_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+
+    # standalone replay with the same knobs (defaults of the config)
+    cur = sampling.pin(dedup.exact_dedup(docs, text_col="text"))
+    sh = textops.shingles(cur, n=cfg.shingle_n)
+    sigs = dedup.minhash_signatures(sh, num_hashes=cfg.num_hashes)
+    stats: dict = {}
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band,
+        max_bucket_size=cfg.max_bucket_size, guard_stats=stats,
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        sh, pairs, threshold=cfg.jaccard_threshold
+    ).select("id_a", "id_b")
+    standalone_ids = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup(cur, verified).select("doc_id").collect()
+    )
+    assert standalone_ids == pipeline_ids
+    # the pipeline report carries the same ledger keys the standalone
+    # guard_stats dict exposes
+    near_row = next(r for r in report if r["stage"] == "dedup_near")
+    for k in ("dropped_rows", "dropped_buckets", "dropped_pairs_x2"):
+        assert k in near_row and k in stats
+        assert near_row[k] == stats[k] == 0  # no degenerate buckets here
