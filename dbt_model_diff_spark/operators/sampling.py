@@ -221,7 +221,8 @@ def reservoir_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
 
 
 def cap_per_group(
-    df: DataFrame, group_col: str, id_col: str, cap: int
+    df: DataFrame, group_col: str, id_col: str, cap: int,
+    split: int | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen by deterministic hash
     order (md5 of the id, id as tie-break) — the standard per-domain /
@@ -230,18 +231,39 @@ def cap_per_group(
 
     Hash order (rather than "first N by id") makes the cap an unbiased
     subsample of each group. One shuffle on the group key; within each
-    group the window ranks by a cheap codegen'd md5. Skew note: a single
-    pathological group (half the corpus) serializes its window into one
-    task — for that shape, pre-thin with ``hash_sample`` to ~cap*K rows
-    per group first, which is shuffle-free, then apply the exact cap.
-    """
+    group the window ranks by a cheap codegen'd md5.
+
+    Skew (VERDICT r9 task #5): a single pathological group — one domain
+    owning half a web crawl is real, not hypothetical — serializes its
+    window into ONE task. ``split=S`` switches to an EXACT two-stage
+    top-C: stage 1 ranks within (group, salt) where salt =
+    xxhash64(id) % S — S-way parallelism for the giant group — and
+    keeps at most ``cap`` per salt; stage 2 applies the exact global
+    window to the <= cap*S survivors per group. Any row in a group's
+    global hash-order top-C is in its salt's top-C (dropping other-salt
+    rows only improves its local rank), so the output is IDENTICAL to
+    the single-window form — pinned by property test
+    (tests/test_round10_skew.py) — at the cost of a second (much
+    smaller) exchange. Measured on the 50%-skew 5M-doc probe: see
+    SURVEY §9 r10. Prefer split over the docstring's former
+    ``hash_sample`` pre-thin suggestion: the pre-thin is probabilistic
+    (an unlucky threshold under-fills the cap), the salted split is
+    exact."""
     if cap <= 0:
         raise ValueError("cap must be positive")
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    out = df
+    if split is not None and split > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(split))
+        w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+        out = (
+            out.withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= cap)
+            .drop("__rn1")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )

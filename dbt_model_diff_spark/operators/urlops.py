@@ -274,37 +274,92 @@ def canonicalize_url_expr(
     semantics are preserved as-is (a trailing-slash fold changes
     semantics for non-root paths; not this operator's call).
     DuckDB-replayable with the same regex strings and list ops
-    (tests/test_round9_urlops.py)."""
-    base = F.regexp_replace(url, "(?s)#.*", "")
-    prefix = F.regexp_extract(base, _PREFIX_RE, 1)
-    rest = F.substring(base, F.length(prefix) + 1, F.length(base))
-    # fold case on scheme and host only: split the authority on its
-    # LAST '@' (greedy .*@ — '@' is legal inside userinfo) and carry
-    # the userinfo through verbatim. (?s) because [^/?#] in the
-    # prefix capture admits newlines, so the authority can hold them.
-    schemep = F.regexp_extract(prefix, "^([a-zA-Z][a-zA-Z0-9+.-]*://)", 1)
-    auth = F.substring(prefix, F.length(schemep) + 1, F.length(prefix))
-    userinfo = F.regexp_extract(auth, "(?s)^(.*@)", 1)
-    hostport = F.substring(auth, F.length(userinfo) + 1, F.length(auth))
-    lp = F.concat(F.lower(schemep), userinfo, F.lower(hostport))
-    lp = (
-        F.when(lp.rlike("^http://[^/?#]*:80$"), F.regexp_replace(lp, ":80$", ""))
-        .when(lp.rlike("^https://[^/?#]*:443$"), F.regexp_replace(lp, ":443$", ""))
-        .otherwise(lp)
+    (tests/test_round9_urlops.py).
+
+    Every intermediate (prefix, rest, authority, userinfo, the folded
+    prefix, the surviving params) is LAMBDA-BOUND via single-element
+    ``transform`` wrappers: the chain's pieces feed each other and
+    live under conditional branches, where codegen CSE never hoists —
+    the unbound r10 userinfo split re-ran the prefix regex chain
+    multiplicatively (measured sf100: 20.2 s unbound vs 12.2 s for
+    the r9 pre-userinfo shape; bound: see SURVEY §9 r10)."""
+
+    def _bind(col: Column, fn) -> Column:
+        return F.element_at(F.transform(F.array(col), fn), 1)
+
+    def _finish(prefix, rest, schemep, auth, userinfo):
+        # fold case on scheme and host only: the authority splits on
+        # its LAST '@' (greedy .*@ — '@' is legal inside userinfo) and
+        # userinfo passes through verbatim (ADVICE r9)
+        hostport = F.substring(
+            auth, F.length(userinfo) + 1, F.length(auth)
+        )
+        lp0 = F.concat(F.lower(schemep), userinfo, F.lower(hostport))
+        lp = _bind(
+            lp0,
+            lambda p: F.when(
+                p.rlike("^http://[^/?#]*:80$"),
+                F.regexp_replace(p, ":80$", ""),
+            )
+            .when(
+                p.rlike("^https://[^/?#]*:443$"),
+                F.regexp_replace(p, ":443$", ""),
+            )
+            .otherwise(p),
+        )
+
+        def _tail(qpos):
+            path = F.when(
+                qpos > 0, F.substring(rest, 1, qpos - 1)
+            ).otherwise(rest)
+            query = F.when(
+                qpos > 0, F.substring(rest, qpos + 1, F.length(rest))
+            )
+            params = F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(drop_params),
+            )
+            return _bind(
+                params,
+                lambda ps: F.concat(
+                    path,
+                    F.when(
+                        F.size(ps) > 0,
+                        F.concat(F.lit("?"), F.array_join(ps, "&")),
+                    ).otherwise(F.lit("")),
+                ),
+            )
+
+        return F.concat(lp, _bind(F.instr(rest, "?"), _tail))
+
+    canonical = _bind(
+        F.regexp_replace(url, "(?s)#.*", ""),
+        lambda base: _bind(
+            F.regexp_extract(base, _PREFIX_RE, 1),
+            lambda prefix: _bind(
+                F.substring(base, F.length(prefix) + 1, F.length(base)),
+                lambda rest: _bind(
+                    F.regexp_extract(
+                        prefix, "^([a-zA-Z][a-zA-Z0-9+.-]*://)", 1
+                    ),
+                    lambda schemep: _bind(
+                        F.substring(
+                            prefix, F.length(schemep) + 1, F.length(prefix)
+                        ),
+                        lambda auth: _bind(
+                            # (?s): [^/?#] in the prefix capture admits
+                            # newlines, so the authority can hold them
+                            F.regexp_extract(auth, "(?s)^(.*@)", 1),
+                            lambda ui: _finish(
+                                prefix, rest, schemep, auth, ui
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ),
     )
-    qpos = F.instr(rest, "?")
-    path = F.when(qpos > 0, F.substring(rest, 1, qpos - 1)).otherwise(rest)
-    query = F.when(qpos > 0, F.substring(rest, qpos + 1, F.length(rest)))
-    params = F.filter(
-        F.split(query, "&"), lambda p: (p != "") & ~p.rlike(drop_params)
-    )
-    rebuilt = F.concat(
-        path,
-        F.when(
-            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
-        ).otherwise(F.lit("")),
-    )
-    return F.when(url.rlike(_ABS_RE), F.concat(lp, rebuilt)).otherwise(url)
+    return F.when(url.rlike(_ABS_RE), canonical).otherwise(url)
 
 
 def host_expr(url: Column) -> Column:
@@ -389,16 +444,19 @@ def cap_per_domain(
     id_col: str = "doc_id",
     domain_col: str = "domain",
     psl: PslRules | None = None,
+    split: int | None = None,
 ) -> DataFrame:
     """At most ``cap`` docs per registered domain, deterministic
     hash-order subsample — :func:`registered_domain_expr` composed
     into :func:`sampling.cap_per_group` (which carries the skew note
-    for boilerplate-scale domains). Non-absolute URLs (NULL domain)
-    form one capped group of their own. The domain column is kept on
-    the output (``domain_col``) — downstream mixture stages key on it."""
+    for boilerplate-scale domains: pass ``split=S`` for the exact
+    two-stage salted top-C when one domain owns a large corpus share).
+    Non-absolute URLs (NULL domain) form one capped group of their
+    own. The domain column is kept on the output (``domain_col``) —
+    downstream mixture stages key on it."""
     from dbt_model_diff_spark.operators.sampling import cap_per_group
 
     with_domain = df.withColumn(
         domain_col, registered_domain_expr(F.col(url_col), psl=psl)
     )
-    return cap_per_group(with_domain, domain_col, id_col, cap)
+    return cap_per_group(with_domain, domain_col, id_col, cap, split=split)

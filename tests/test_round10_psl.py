@@ -100,6 +100,14 @@ def test_psl_registered_domain_expected_values(spark):
     }
     for i, (raw, expected) in enumerate(_PSL_CASES):
         assert got[i] == expected, f"case {i}: {raw!r} -> {got[i]!r}"
+    # NULL url passes through the lambda-bound chain as NULL
+    dfn = spark.createDataFrame([(0, None)], "i long, u string")
+    assert (
+        dfn.select(
+            urlops.psl_registered_domain_expr(F.col("u"), RULES).alias("d")
+        ).collect()[0]["d"]
+        is None
+    )
 
 
 def test_psl_private_gating(spark):

@@ -1,0 +1,89 @@
+"""Round-10 cap_per_group skew path certification (VERDICT r9 task
+#5): `sampling.cap_per_group(split=S)` — the exact two-stage salted
+top-C for boilerplate-scale groups. The split output must be
+IDENTICAL to the single-window form (it is a containment argument,
+not an approximation), partition-independent, and composed through
+cap_per_domain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import sampling, urlops
+
+
+def test_split_equals_single_window(spark):
+    """Exactness: for every (cap, split) the two-stage result is the
+    same ROW SET as the single window, including tie/boundary cases
+    (group smaller than cap, group exactly cap, giant group)."""
+    rows = []
+    for i in range(2000):
+        g = "big" if i % 2 == 0 else f"g{i % 7}"
+        rows.append((i, g))
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    for cap in (1, 5, 100, 3000):
+        base = sorted(
+            (r["doc_id"], r["grp"])
+            for r in sampling.cap_per_group(df, "grp", "doc_id", cap).collect()
+        )
+        for split in (2, 7, 32):
+            got = sorted(
+                (r["doc_id"], r["grp"])
+                for r in sampling.cap_per_group(
+                    df, "grp", "doc_id", cap, split=split
+                ).collect()
+            )
+            assert got == base, f"cap={cap} split={split}"
+
+
+def test_split_partition_independent(spark):
+    rows = [(i, "only") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    a = sorted(
+        r["doc_id"]
+        for r in sampling.cap_per_group(
+            df.coalesce(1), "grp", "doc_id", 20, split=8
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.cap_per_group(
+            df.repartition(32), "grp", "doc_id", 20, split=8
+        ).collect()
+    )
+    assert a == b and len(a) == 20
+
+
+def test_cap_per_domain_split_composition(spark):
+    """cap_per_domain(split=) keeps the exact same survivors as the
+    unsplit form, NULL-domain group included."""
+    rows = [
+        (i, f"http://dom{i % 3}.example.com/p{i}" if i % 5 else "no url")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    base = sorted(
+        (r["doc_id"], r["domain"])
+        for r in urlops.cap_per_domain(df, cap=10).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["domain"])
+        for r in urlops.cap_per_domain(df, cap=10, split=16).collect()
+    )
+    assert got == base
+    by_dom: dict = {}
+    for _, d in got:
+        by_dom[d] = by_dom.get(d, 0) + 1
+    assert all(n <= 10 for n in by_dom.values())
+    assert None in by_dom  # the provenance-less group is capped too
+
+
+def test_split_noop_values(spark):
+    # split=None and split=1 take the single-window path
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    a = sorted(r["doc_id"] for r in sampling.cap_per_group(
+        df, "grp", "doc_id", 4).collect())
+    b = sorted(r["doc_id"] for r in sampling.cap_per_group(
+        df, "grp", "doc_id", 4, split=1).collect())
+    assert a == b

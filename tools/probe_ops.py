@@ -159,6 +159,23 @@ def main() -> None:
             urlops.psl_registered_domain_expr(F.col("url"), rules).alias("d")))
         bench("cap_per_domain_psl", urlops.cap_per_domain(
             urls, cap=50, psl=rules))
+    if "domain_skew" in wanted:
+        # r10 (VERDICT r9 task #5): one domain owns 50% of the corpus —
+        # the boilerplate-domain shape that serializes the cap window
+        # into one task. Measures the single-window form vs the exact
+        # two-stage salted split at the same cap.
+        skewed = docs.select("doc_id", F.concat(
+            F.lit("http://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("giant.example.com"))
+            .otherwise(F.concat(
+                F.lit("dom"), (F.col("doc_id") % 5000).cast("string"),
+                F.lit(".example.org"))),
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"))
+        skewed.count()
+        bench("cap_skew_single_window", urlops.cap_per_domain(skewed, cap=100))
+        bench("cap_skew_split64", urlops.cap_per_domain(
+            skewed, cap=100, split=64))
     if "lines" in wanted:
         dec = docs.withColumn(
             "text",
@@ -169,6 +186,8 @@ def main() -> None:
             ).otherwise(F.col("text")),
         )
         bench("remove_common_lines", textops.remove_common_lines(dec))
+        bench("remove_common_lines_keep1", textops.remove_common_lines(
+            dec, keep_first=True))
     spark.stop()
 
 
