@@ -1198,11 +1198,6 @@ def dedup_oph_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.oph_signatures(sh, num_bins=8)
 
 
-_OPH_BANDS_PRED = " OR ".join(
-    f"(a.oph{2*b} = b.oph{2*b} AND a.oph{2*b+1} = b.oph{2*b+1})" for b in range(4)
-)
-
-
 @register(
     "dedup_oph_components",
     _oph_sigs_cte(8).replace("\nWITH ", "\nWITH RECURSIVE ", 1)

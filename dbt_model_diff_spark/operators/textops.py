@@ -1695,12 +1695,19 @@ def html_extract(
     The flag compares the COLLAPSE-FREE chain against the input:
     comparing the collapsed output would read every whitespace run in
     markup-free prose as "carried markup" and saturate the signal at
-    ~100% (r9 code-review live repro)."""
-    c = html_extract_expr(F.col(text_col), full_entities=full_entities)
+    ~100% (r9 code-review live repro).
+
+    The collapsed output column DERIVES from the collapse-free chain
+    (one extraction, two consumers) rather than calling the chain
+    twice: two separate html_extract_expr calls construct two distinct
+    pandas_udf objects under full_entities=True, which
+    ExtractPythonUDFs cannot dedupe — the unescape leg would run twice
+    per row (r10 code-review)."""
     strip_only = html_extract_expr(
         F.col(text_col), collapse_whitespace=False,
         full_entities=full_entities,
     )
+    c = F.trim(F.regexp_replace(strip_only, "[ \\t\\r\\n]+", " "))
     return df.withColumn(out_col, c).withColumn(
         "markup_changed", ~strip_only.eqNullSafe(F.col(text_col))
     )

@@ -18,7 +18,8 @@ Scale: canonicalize/domain are row-local map work fused into the scan;
 ``cap_per_domain`` composes into :func:`sampling.cap_per_group` (one
 shuffle, deterministic hash-order subsample — see its skew note for
 the pathological-domain shape, which is exactly the per-domain-cap use
-case: pre-thin giant domains with ``hash_sample`` first at 100 TB).
+case: pass ``split=S`` for the exact salted two-stage top-C when one
+domain owns a large corpus share).
 """
 
 from __future__ import annotations
@@ -137,6 +138,18 @@ def load_psl(
     )
 
 
+def _bind(col: Column, fn) -> Column:
+    """Lambda-bind ``col`` so ``fn``'s uses share ONE evaluation: wrap
+    it in a single-element array, apply ``fn`` via ``transform`` (the
+    lambda variable is a bound value), take the element back out.
+    Needed because codegen CSE never hoists expressions that live only
+    in CaseWhen branch values or chained conditional projections — the
+    unbound forms of both the PSL matcher and the canonicalizer
+    measurably re-ran their regex chains per branch (SURVEY §9 r10:
+    1.03 -> 0.43 s and 20.2 -> 2.3 s)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _last_k(labels: Column, k: int) -> Column:
     """Dot-joined last ``k`` labels. Every use MUST be guarded by a
     preceding ``n >= k`` conjunct / branch condition: element_at
@@ -238,17 +251,9 @@ def psl_registered_domain_expr(url: Column, rules: PslRules) -> Column:
         return expr.when(n >= 2, _last_k(labels, 2)).otherwise(null)
 
     host0 = F.regexp_replace(host_expr(url), "\\.+$", "")
-    return F.element_at(
-        F.transform(
-            F.array(host0),
-            lambda h: F.element_at(
-                F.transform(
-                    F.array(F.split(h, "\\.")), lambda ls: _core(h, ls)
-                ),
-                1,
-            ),
-        ),
-        1,
+    return _bind(
+        host0,
+        lambda h: _bind(F.split(h, "\\."), lambda ls: _core(h, ls)),
     )
 
 
@@ -284,10 +289,7 @@ def canonicalize_url_expr(
     multiplicatively (measured sf100: 20.2 s unbound vs 12.2 s for
     the r9 pre-userinfo shape; bound: see SURVEY §9 r10)."""
 
-    def _bind(col: Column, fn) -> Column:
-        return F.element_at(F.transform(F.array(col), fn), 1)
-
-    def _finish(prefix, rest, schemep, auth, userinfo):
+    def _finish(rest, schemep, auth, userinfo):
         # fold case on scheme and host only: the authority splits on
         # its LAST '@' (greedy .*@ — '@' is legal inside userinfo) and
         # userinfo passes through verbatim (ADVICE r9)
@@ -350,9 +352,7 @@ def canonicalize_url_expr(
                             # (?s): [^/?#] in the prefix capture admits
                             # newlines, so the authority can hold them
                             F.regexp_extract(auth, "(?s)^(.*@)", 1),
-                            lambda ui: _finish(
-                                prefix, rest, schemep, auth, ui
-                            ),
+                            lambda ui: _finish(rest, schemep, auth, ui),
                         ),
                     ),
                 ),
@@ -391,8 +391,18 @@ def registered_domain_expr(
     ``psl`` switches to full Public Suffix List semantics
     (:func:`psl_registered_domain_expr` with :func:`load_psl` rules) —
     same signature, stricter grouping (single-label and
-    public-suffix-only hosts become NULL there)."""
+    public-suffix-only hosts become NULL there). ``extra_suffixes``
+    still apply under ``psl``: they merge into the rule set as plain
+    suffix rules (silently dropping them would regroup a migrating
+    caller's domains — r10 code-review)."""
     if psl is not None:
+        if extra_suffixes:
+            psl = PslRules(
+                normal=psl.normal | frozenset(extra_suffixes),
+                wildcard=psl.wildcard,
+                exception=psl.exception,
+                version=psl.version,
+            )
         return psl_registered_domain_expr(url, psl)
     host = F.regexp_replace(host_expr(url), "\\.+$", "")
     labels = F.split(host, "\\.")

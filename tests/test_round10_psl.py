@@ -132,6 +132,21 @@ def test_registered_domain_expr_psl_delegation(spark):
     ).collect()[0]["d"]
     assert via_kw == "example.co.il"
     assert compact == "co.il"  # the documented compact-set mis-grouping
+    # extra_suffixes merge into the PSL rule set as plain suffix rules
+    # instead of being silently dropped (r10 code-review)
+    dfx = spark.createDataFrame(
+        [(0, "http://a.example.co.zz/")], "i long, u string"
+    )
+    merged = dfx.select(
+        urlops.registered_domain_expr(
+            F.col("u"), extra_suffixes=("co.zz",), psl=RULES
+        ).alias("d")
+    ).collect()[0]["d"]
+    without = dfx.select(
+        urlops.registered_domain_expr(F.col("u"), psl=RULES).alias("d")
+    ).collect()[0]["d"]
+    assert merged == "example.co.zz"
+    assert without == "co.zz"  # default rule: last-2 only
 
 
 # ---------------------------------------------------------------------------

@@ -87,7 +87,7 @@ def main() -> None:
     sf_dir = args[0] if args and Path(args[0]).exists() else ".localdata/sf10"
     wanted = set(args[1:] if args and Path(args[0]).exists() else args) or {
         "parsers", "classify_media", "html", "urls", "lines",
-        "entities", "psl",
+        "entities", "psl", "domain_skew",
     }
     spark = get_spark(app_name="probe_ops")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
