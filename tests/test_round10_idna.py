@@ -1,0 +1,120 @@
+"""Round-10 IDN/punycode host fold certification: `urlops.
+idna_fold_expr` + `psl_registered_domain_expr(idna=True)` — closes
+the PSL matcher's documented ASCII-rules gap. Referee-certified
+(Python idna codec replay; no SQL twin ships nameprep), pinned
+fixture, Arrow-not-rowwise plan check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import urlops
+
+RULES = urlops.load_psl(include_private=True)
+
+_CASES = [
+    # unicode label -> punycode; ASCII labels lowercase
+    ("münchen.de", "xn--mnchen-3ya.de"),
+    ("WWW.MÜNCHEN.DE", "www.xn--mnchen-3ya.de"),
+    ("bücher.example.co.il", "xn--bcher-kva.example.co.il"),
+    ("ascii.example.com", "ascii.example.com"),
+    # already-punycode labels are ASCII: pass through lowercased
+    ("xn--mnchen-3ya.de", "xn--mnchen-3ya.de"),
+    ("", ""),
+]
+
+
+def test_idna_fold_expected(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(_CASES)], "i long, h string"
+    )
+    got = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i", urlops.idna_fold_expr(F.col("h")).alias("f")
+        ).collect()
+    }
+    for i, (raw, expected) in enumerate(_CASES):
+        assert got[i] == expected, f"case {i}: {raw!r} -> {got[i]!r}"
+    # NULL passes through
+    dfn = spark.createDataFrame([(0, None)], "i long, h string")
+    assert (
+        dfn.select(urlops.idna_fold_expr(F.col("h")).alias("f"))
+        .collect()[0]["f"]
+        is None
+    )
+
+
+def test_psl_idna_grouping(spark):
+    """The point of the fold: unicode and punycode spellings of the
+    same registrable domain yield the SAME grouping key."""
+    urls = [
+        (0, "http://www.münchen.de/a"),
+        (1, "http://www.xn--mnchen-3ya.de/b"),
+        (2, "http://MÜNCHEN.DE/c"),
+    ]
+    df = spark.createDataFrame(urls, "i long, u string")
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i",
+            urlops.psl_registered_domain_expr(
+                F.col("u"), RULES, idna=True
+            ).alias("d"),
+        ).collect()
+    }
+    assert got == {k: "xn--mnchen-3ya.de" for k in (0, 1, 2)}
+    # without the fold, the unicode spellings form distinct keys —
+    # the documented gap the option closes
+    raw = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i",
+            urlops.psl_registered_domain_expr(F.col("u"), RULES).alias("d"),
+        ).collect()
+    }
+    assert raw[1] == "xn--mnchen-3ya.de"
+    assert raw[0] != raw[1]
+
+
+def test_idna_fold_matches_python_reference(spark):
+    """Plumbing referee: the Spark column output equals the same
+    per-label codec replay in local Python over a mixed corpus."""
+
+    def ref(s):
+        out = []
+        for label in s.split("."):
+            if label.isascii():
+                out.append(label.lower())
+            else:
+                try:
+                    out.append(label.encode("idna").decode("ascii"))
+                except UnicodeError:
+                    out.append(label)
+        return ".".join(out)
+
+    hosts = [
+        "münchen.de", "ümlaut.über.example", "a.b.c", "ß.de",
+        "xn--already.com", "MIXED.Ünicode.ORG", "trailing.",
+        ".leading", "..", "漢字.jp", "é.com",  # decomposed accent
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, h string"
+    )
+    got = [
+        r["f"]
+        for r in df.select(
+            "i", urlops.idna_fold_expr(F.col("h")).alias("f")
+        ).orderBy("i").collect()
+    ]
+    assert got == [ref(h) for h in hosts]
+
+
+def test_idna_plan_is_arrow_not_rowwise(spark):
+    df = spark.createDataFrame([(1, "münchen.de")], "i long, h string")
+    plan = (
+        df.select(urlops.idna_fold_expr(F.col("h")).alias("f"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
