@@ -41,12 +41,12 @@ TRACKING_PARAM_RE = (
 )
 
 # Common second-level public suffixes for the eTLD+1 heuristic. This
-# is deliberately a COMPACT built-in, not the full Mozilla Public
-# Suffix List (~10k entries, externally versioned): the default covers
-# the high-traffic ccTLD patterns, and deployments needing the full
-# PSL pass it via registered_domain_expr(extra_suffixes=...) — the
-# expression shape (set membership on the last two labels) is the
-# same at any set size (broadcast-literal isin).
+# is deliberately a COMPACT zero-dependency built-in; deployments
+# needing real coverage use the full Public Suffix List machinery
+# (load_psl + psl_registered_domain_expr / registered_domain_expr's
+# psl=, r10) — extra_suffixes remains for one-off additions to either
+# path. The expression shape (set membership on the last two labels)
+# is the same at any set size (broadcast-literal isin).
 MULTI_SUFFIXES: tuple[str, ...] = (
     "ac.uk", "co.uk", "gov.uk", "org.uk", "net.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
