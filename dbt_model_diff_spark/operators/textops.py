@@ -1699,10 +1699,10 @@ def html_extract(
 
     The collapsed output column DERIVES from the collapse-free chain
     (one extraction, two consumers) rather than calling the chain
-    twice: two separate html_extract_expr calls construct two distinct
-    pandas_udf objects under full_entities=True, which
-    ExtractPythonUDFs cannot dedupe — the unescape leg would run twice
-    per row (r10 code-review)."""
+    twice — clarity refactor from the r10 review; NOTE the review's
+    double-UDF claim was REFUTED on verification: ExtractPythonUDFs
+    dedupes the two identical-bytecode pandas_udf objects anyway (one
+    pythonUDF0 attr in both plans, timings equal)."""
     strip_only = html_extract_expr(
         F.col(text_col), collapse_whitespace=False,
         full_entities=full_entities,
