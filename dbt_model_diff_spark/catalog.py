@@ -848,10 +848,6 @@ _SIGS_SQL = (
     + " FROM sh GROUP BY doc_id)"
 )
 
-_BANDS_PRED = " OR ".join(
-    f"(a.mh{2*b} = b.mh{2*b} AND a.mh{2*b+1} = b.mh{2*b+1})" for b in range(4)
-)
-
 # Default-on LSH degenerate-bucket cap, mirrored into the oracle
 # (VERDICT r9 task #6): the registered LSH queries used to override
 # max_bucket_size to effectively-uncapped because the oracle had no
@@ -1255,9 +1251,13 @@ ex AS (
   SELECT doc_id FROM documents
   WHERE doc_id % 2 = 1 AND md5(text) IN (SELECT h FROM hh)),
 nr AS (
+  -- near = shares a band bucket with history, where the HISTORY side
+  -- of the bucket is within the default-on guard (mirrors
+  -- incremental_dedup's max_history_bucket_size window — see the
+  -- _LSH_CAP note)
   SELECT DISTINCT a.doc_id
   FROM sigs a JOIN sigs b
-    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND ({_BANDS_PRED}))
+    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND {_LSH_CAP} >= (SELECT count(*) FROM sigs s WHERE s.doc_id % 2 = 0 AND s.mh0 = a.mh0 AND s.mh1 = a.mh1)) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND {_LSH_CAP} >= (SELECT count(*) FROM sigs s WHERE s.doc_id % 2 = 0 AND s.mh2 = a.mh2 AND s.mh3 = a.mh3)) OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND {_LSH_CAP} >= (SELECT count(*) FROM sigs s WHERE s.doc_id % 2 = 0 AND s.mh4 = a.mh4 AND s.mh5 = a.mh5)) OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7 AND {_LSH_CAP} >= (SELECT count(*) FROM sigs s WHERE s.doc_id % 2 = 0 AND s.mh6 = a.mh6 AND s.mh7 = a.mh7))))
 SELECT d.doc_id,
        d.doc_id IN (SELECT doc_id FROM ex) AS is_exact_dup,
        d.doc_id IN (SELECT doc_id FROM nr) AS is_near_candidate,
@@ -1277,7 +1277,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
-        max_history_bucket_size=10**9,
+        max_history_bucket_size=_LSH_CAP,
     )
 
 

@@ -31,8 +31,12 @@ def test_catalog_lsh_queries_use_default_cap():
     # the correlated-count guard
     for q in ("dedup_lsh_pairs", "dedup_jaccard_verified",
               "dedup_components", "dedup_rep_by_quality",
-              "dedup_oph_components", "split_leakage_safe_documents"):
+              "dedup_oph_components", "split_leakage_safe_documents",
+              "dedup_incremental_batch"):
         assert "1000 >= (SELECT count(*)" in catalog.ORACLES[q], q
+    # the incremental guard counts the HISTORY side only (even ids),
+    # mirroring max_history_bucket_size's window
+    assert "s.doc_id % 2 = 0" in catalog.ORACLES["dedup_incremental_batch"]
 
 
 def test_tiny_cap_duckdb_parity(spark):

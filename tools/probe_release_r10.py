@@ -1,0 +1,99 @@
+"""Round-10 composed-pipeline probe: what do the three r10 curation
+knobs (html_full_entities, boilerplate_keep_first, psl per-domain
+grouping) cost END-TO-END on a decorated release-scale corpus?
+
+Methodology matches the r9 sf30 release probe (SURVEY §9): decorate
+the documents corpus deterministically from doc_id (markup with
+numeric entity refs, a cross-doc boilerplate banner, provenance URLs
+with github.io sibling users + a skewed giant domain), run
+curate_corpus twice — base config (r9 feature set: html extract,
+boilerplate removal, domain cap, near dedup) vs the same config with
+the r10 knobs ON — and time each leg to a count() sink. The stage
+reports print for cross-leg sanity.
+
+Usage: python tools/probe_release_r10.py [SF_DIR]   (default sf30)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+from dbt_model_diff_spark.session import get_spark
+
+_BANNER = "This site uses cookies to improve your experience"
+
+
+def decorated_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    i = F.col("doc_id")
+    s = i.cast("string")
+    wrapped = (
+        F.when(i % 3 == 0, F.concat(
+            F.lit("<p>It&#8217;s &#8220;"), F.col("text"),
+            F.lit("&#8221; &#8212; &amp; more</p>")))
+        .when(i % 3 == 1, F.concat(
+            F.lit(_BANNER + "\n"), F.col("text"),
+            F.lit("\n<div>tail &copy;</div>")))
+        .otherwise(F.col("text"))
+    )
+    url = F.concat(
+        F.lit("http://"),
+        F.when(i % 4 == 0, F.lit("giant.example.com"))
+        .when(i % 4 == 1, F.concat(F.lit("u"), (i % 50).cast("string"),
+                                   F.lit(".github.io")))
+        .otherwise(F.concat(F.lit("dom"), (i % 2000).cast("string"),
+                            F.lit(".example.co.uk"))),
+        F.lit("/p/"), s,
+    )
+    return docs.select(
+        "doc_id", wrapped.alias("text"), url.alias("url"), "lang", "source"
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf30"
+    spark = get_spark(app_name="probe_release_r10")
+    docs = decorated_docs(spark, sf_dir)
+    n = docs.count()
+    print(f"corpus: {n} docs at {sf_dir}")
+
+    base_kw = dict(
+        html_extract=True,
+        boilerplate_min_docs=50,
+        url_col="url",
+        max_docs_per_domain=2000,
+        dedup="near",
+        min_tokens=5,
+        min_stopwords=0,
+        max_dup_token_frac=None,
+    )
+    legs = [
+        ("r9_knobs", CurationConfig(**base_kw)),
+        ("r10_knobs", CurationConfig(
+            **base_kw,
+            html_full_entities=True,
+            boilerplate_keep_first=True,
+            psl=True,
+        )),
+    ]
+    for label, cfg in legs:
+        t0 = time.time()
+        kept, report = curate_corpus(docs, cfg)
+        n_kept = kept.count()
+        dt = time.time() - t0
+        print(f"PROBE curate_{label}: {dt:.1f} s, kept {n_kept}")
+        print("  stages:", [(r["stage"], r["docs"]) for r in report])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
