@@ -473,6 +473,75 @@ def registered_domain_expr(
     )
 
 
+def filter_by_domain(
+    df: DataFrame,
+    blocklist: tuple[str, ...] | DataFrame = (),
+    allowlist: tuple[str, ...] | DataFrame = (),
+    url_col: str = "url",
+    psl: PslRules | None = None,
+    keep_null_domain: bool = True,
+) -> DataFrame:
+    """Provenance gate keyed on the registered domain — the
+    UT1-blocklist stage of RefinedWeb/C4-style curation (adult/fraud
+    domain lists are maintained at eTLD+1 granularity, which is why
+    this keys on :func:`registered_domain_expr`, not the raw host).
+    Exactly one of ``blocklist`` / ``allowlist`` may be non-empty:
+    block drops listed domains, allow keeps ONLY listed domains.
+
+    Two list shapes, two plans:
+
+    - a small tuple (hand-curated exceptions) compiles to a row-local
+      ``isin`` — InSet hash probes fused into the scan, zero shuffles;
+    - a DataFrame with a ``domain`` column (the real UT1 dump is ~4M
+      entries — far past sane literal-expression size) becomes a
+      LEFT ANTI (block) / LEFT SEMI (allow) join; AQE broadcasts the
+      list side when it fits, so the corpus is still never shuffled
+      for any list that fits in memory.
+
+    THE TRAP (it bit this operator's own test fixtures three times):
+    list entries must be REGISTERED domains, not hosts —
+    'bad.example.com' is a host whose eTLD+1 key is 'example.com', so
+    listing it never matches anything; listing 'example.com' blocks
+    every host under it. Pre-fold a host-granularity list through
+    :func:`registered_domain_expr` semantics (or distinct() the
+    ``domain_stats`` output) before using it here.
+
+    Docs with no extractable domain (non-absolute URLs) follow
+    ``keep_null_domain`` — True (default) for blocklists (no evidence
+    against them), and typically False for allowlists (no evidence
+    FOR them; still the caller's call). NULL-safe: the isin path wraps
+    the NULL case explicitly so block mode never silently drops
+    provenance-less rows via three-valued logic."""
+    block_df = isinstance(blocklist, DataFrame)
+    allow_df = isinstance(allowlist, DataFrame)
+    has_block = block_df or len(blocklist) > 0
+    has_allow = allow_df or len(allowlist) > 0
+    if has_block == has_allow:
+        raise ValueError(
+            "pass exactly one of blocklist / allowlist (non-empty)"
+        )
+    d = registered_domain_expr(F.col(url_col), psl=psl)
+    lst = blocklist if has_block else allowlist
+    if isinstance(lst, DataFrame):
+        tagged = df.withColumn("__fbd_domain", d)
+        keyed = lst.select(F.col("domain").alias("__fbd_domain")).distinct()
+        if has_block:
+            kept = tagged.join(keyed, on="__fbd_domain", how="left_anti")
+            if not keep_null_domain:
+                kept = kept.filter(F.col("__fbd_domain").isNotNull())
+        else:
+            kept = tagged.join(keyed, on="__fbd_domain", how="left_semi")
+            if keep_null_domain:
+                kept = kept.unionByName(
+                    tagged.filter(F.col("__fbd_domain").isNull())
+                )
+        return kept.drop("__fbd_domain")
+    member = d.isin(sorted(lst))
+    cond = ~member if has_block else member
+    cond = F.when(d.isNull(), F.lit(keep_null_domain)).otherwise(cond)
+    return df.filter(cond)
+
+
 def domain_stats(
     df: DataFrame,
     url_col: str = "url",

@@ -92,6 +92,13 @@ class CurationConfig:
     # diversity-balanced mix. A `domain` column stays on the output.
     url_col: str | None = None
     max_docs_per_domain: int | None = None
+    # UT1/RefinedWeb-style domain blocklist (urlops.filter_by_domain):
+    # docs whose registered domain is listed are dropped as the VERY
+    # FIRST stage — the cheapest gate runs before any text work. A
+    # small hand-curated tuple (row-local isin); a full ~4M-entry UT1
+    # dump should go through urlops.filter_by_domain's DataFrame form
+    # directly. Keys on the same psl setting as the cap.
+    blocked_domains: tuple[str, ...] | None = None
     # Public Suffix List grouping for the per-domain cap (VERDICT r9
     # task #2): False = the compact zero-dependency MULTI_SUFFIXES
     # heuristic; True = urlops.load_psl on the vendored abridged
@@ -178,6 +185,16 @@ class CurationConfig:
                     "max_docs_per_domain requires url_col (the domain"
                     " cap needs a provenance column to key on)"
                 )
+        if self.blocked_domains is not None:
+            if not self.blocked_domains:
+                raise ValueError(
+                    "blocked_domains must name at least one domain"
+                )
+            if self.url_col is None:
+                raise ValueError(
+                    "blocked_domains requires url_col (the domain gate"
+                    " needs a provenance column to key on)"
+                )
 
 
 def curate_corpus(
@@ -209,6 +226,38 @@ def curate_corpus(
 
     account("input", df)  # pre-filter: NULL-text docs count as input
     base = df.filter(F.col(c.text_col).isNotNull())
+
+    # PSL rules load once, shared by the domain gate and the
+    # per-domain cap (both key on the same grouping)
+    psl_rules = None
+    if c.psl and (
+        c.blocked_domains is not None or c.max_docs_per_domain is not None
+    ):
+        from dbt_model_diff_spark.operators import urlops
+
+        psl_rules = urlops.load_psl(
+            None if c.psl is True else c.psl,
+            include_private=c.psl_include_private,
+        )
+
+    # 0a. domain blocklist gate — the cheapest filter runs FIRST,
+    # before any text work (RefinedWeb applies its UT1 gate at the
+    # very top of the funnel for the same reason)
+    if c.blocked_domains is not None:
+        from dbt_model_diff_spark.operators import urlops
+
+        if c.url_col not in base.columns:
+            raise ValueError(
+                f"CurationConfig.url_col={c.url_col!r} is not a column"
+                f" of the input frame ({base.columns})"
+            )
+        base = urlops.filter_by_domain(
+            base,
+            blocklist=c.blocked_domains,
+            url_col=c.url_col,
+            psl=psl_rules,
+        )
+        account("domain_gate", base)
 
     # 0b. line-level boilerplate removal — BEFORE normalize_text, whose
     # whitespace collapse destroys the line structure this keys on.
@@ -527,12 +576,6 @@ def curate_corpus(
             raise ValueError(
                 f"CurationConfig.url_col={c.url_col!r} is not a column"
                 f" of the input frame ({cur.columns})"
-            )
-        psl_rules = None
-        if c.psl:
-            psl_rules = urlops.load_psl(
-                None if c.psl is True else c.psl,
-                include_private=c.psl_include_private,
             )
         cur = cur.withColumn(
             "domain",

@@ -1,0 +1,186 @@
+"""Round-10 domain blocklist gate certification:
+`urlops.filter_by_domain` (UT1/RefinedWeb-style provenance gate keyed
+on the registered domain) — pinned fixture for both list shapes and
+both polarities, NULL-domain three-valued-logic contract, DuckDB
+parity, pipeline knob."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import urlops
+
+RULES = urlops.load_psl(include_private=True)
+
+_ROWS = [
+    (0, "http://bad-site.com/x"),
+    (1, "http://www.bad-site.com/y"),      # same registered domain
+    (2, "http://good-site.org/z"),
+    (3, "http://u1.github.io/a"),
+    (4, "not a url"),                      # NULL domain
+    (5, "http://other-site.net/b"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(_ROWS, "doc_id long, url string")
+
+
+def test_blocklist_tuple(spark):
+    kept = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            _df(spark), blocklist=("bad-site.com",)
+        ).collect()
+    )
+    # both spellings of the registered domain die; NULL-domain kept
+    assert kept == [2, 3, 4, 5]
+    strict = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            _df(spark), blocklist=("bad-site.com",),
+            keep_null_domain=False,
+        ).collect()
+    )
+    assert strict == [2, 3, 5]
+
+
+def test_allowlist_tuple(spark):
+    kept = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            _df(spark), allowlist=("good-site.org", "github.io"),
+            keep_null_domain=False,
+        ).collect()
+    )
+    # compact heuristic: u1.github.io -> github.io, allowed
+    assert kept == [2, 3]
+    with_null = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            _df(spark), allowlist=("good-site.org",),
+        ).collect()
+    )
+    assert with_null == [2, 4]
+
+
+def test_dataframe_list_shapes(spark):
+    """The ~4M-entry UT1 shape: list as a DataFrame -> anti/semi join.
+    Results must equal the tuple form exactly."""
+    lst = spark.createDataFrame(
+        [("bad-site.com",), ("other-site.net",)], "domain string"
+    )
+    via_df = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(_df(spark), blocklist=lst).collect()
+    )
+    via_tuple = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            _df(spark), blocklist=("bad-site.com", "other-site.net")
+        ).collect()
+    )
+    assert via_df == via_tuple == [2, 3, 4]
+    allow_df = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            _df(spark), allowlist=lst, keep_null_domain=False
+        ).collect()
+    )
+    assert allow_df == [0, 1, 5]
+    # NULL-domain rows rejoin the allow output when requested
+    allow_null = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            _df(spark), allowlist=lst
+        ).collect()
+    )
+    assert allow_null == [0, 1, 4, 5]
+    # the original columns survive the tagged join untouched
+    out = urlops.filter_by_domain(_df(spark), blocklist=lst)
+    assert out.columns == ["doc_id", "url"]
+
+
+def test_psl_grouping_changes_the_gate(spark):
+    """With PSL rules, github.io sibling users are distinct domains:
+    blocking one user must not block the others (the compact heuristic
+    groups them all as github.io and would)."""
+    df = spark.createDataFrame(
+        [(i, f"http://u{i % 3}.github.io/p") for i in range(9)],
+        "doc_id long, url string",
+    )
+    kept_psl = urlops.filter_by_domain(
+        df, blocklist=("u0.github.io",), psl=RULES
+    ).count()
+    kept_compact = urlops.filter_by_domain(
+        df, blocklist=("github.io",)
+    ).count()
+    assert kept_psl == 6      # u1/u2 survive
+    assert kept_compact == 0  # the merged key kills everything
+
+
+def test_arg_validation(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        urlops.filter_by_domain(_df(spark))
+    with _pytest.raises(ValueError, match="exactly one"):
+        urlops.filter_by_domain(
+            _df(spark), blocklist=("a.com",), allowlist=("b.com",)
+        )
+
+
+def test_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # www. prefix so the registered domain (eTLD+1) is the varying
+    # part: www.dom3-site.com -> dom3-site.com
+    urls = docs.select("doc_id", F.concat(
+        F.lit("http://www.dom"), (F.col("doc_id") % 40).cast("string"),
+        F.lit("-site.com/p"), F.col("doc_id").cast("string"),
+    ).alias("url"))
+    block = tuple(f"dom{i}-site.com" for i in (3, 7, 11))
+    got = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(urls, blocklist=block).collect()
+    )
+    con = duckdb.connect()
+    lst = ", ".join(f"'{b}'" for b in block)
+    exp = sorted(r[0] for r in con.execute(f"""
+        SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE doc_id % 40 NOT IN (3, 7, 11)
+          AND ('dom' || (doc_id % 40) || '-site.com') NOT IN ({lst})
+    """).fetchall())
+    # the NOT IN on the synthesized name is redundant with the modulo
+    # filter — it documents that both engines key on the same string
+    assert got == exp
+
+
+def test_curation_config_domain_gate(spark):
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (i, "the quick brown fox with several words here token "
+            f"t{i}",
+         f"http://{'spam-site' if i % 2 else 'ok-site'}.com/p{i}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CurationConfig(
+        dedup="none", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None, url_col="url",
+        blocked_domains=("spam-site.com",),
+    )
+    kept, report = curate_corpus(docs, cfg)
+    assert kept.count() == 10
+    row = next(r for r in report if r["stage"] == "domain_gate")
+    assert row["docs"] == 10
+    # gate runs FIRST (right after input)
+    assert [r["stage"] for r in report][:2] == ["input", "domain_gate"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="url_col"):
+        CurationConfig(blocked_domains=("a.com",))
+    with _pytest.raises(ValueError, match="at least one"):
+        CurationConfig(url_col="url", blocked_domains=())
