@@ -424,6 +424,7 @@ def registered_domain_expr(
     url: Column,
     extra_suffixes: tuple[str, ...] = (),
     psl: PslRules | None = None,
+    idna: bool = False,
 ) -> Column:
     """Registered domain (eTLD+1) of an absolute URL: the grouping key
     of every per-domain crawl-curation knob. Heuristic by design — the
@@ -442,7 +443,9 @@ def registered_domain_expr(
     public-suffix-only hosts become NULL there). ``extra_suffixes``
     still apply under ``psl``: they merge into the rule set as plain
     suffix rules (silently dropping them would regroup a migrating
-    caller's domains — r10 code-review)."""
+    caller's domains — r10 code-review). ``idna`` folds unicode hosts
+    to punycode first (:func:`idna_fold_expr`, Arrow leg) in BOTH
+    modes, so 'münchen.de' and 'xn--mnchen-3ya.de' share a key."""
     if psl is not None:
         if extra_suffixes:
             psl = PslRules(
@@ -451,8 +454,13 @@ def registered_domain_expr(
                 exception=psl.exception,
                 version=psl.version,
             )
-        return psl_registered_domain_expr(url, psl)
+        return psl_registered_domain_expr(url, psl, idna=idna)
     host = F.regexp_replace(host_expr(url), "\\.+$", "")
+    if idna:
+        # unicode hosts fold to punycode so they key like their ASCII
+        # spellings (and like blocklist entries, which real UT1 dumps
+        # carry in punycode) — r10 code-review composition gap
+        host = idna_fold_expr(host)
     labels = F.split(host, "\\.")
     n = F.size(labels)
     is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
@@ -480,6 +488,7 @@ def filter_by_domain(
     url_col: str = "url",
     psl: PslRules | None = None,
     keep_null_domain: bool = True,
+    idna: bool = False,
 ) -> DataFrame:
     """Provenance gate keyed on the registered domain — the
     UT1-blocklist stage of RefinedWeb/C4-style curation (adult/fraud
@@ -511,7 +520,21 @@ def filter_by_domain(
     against them), and typically False for allowlists (no evidence
     FOR them; still the caller's call). NULL-safe: the isin path wraps
     the NULL case explicitly so block mode never silently drops
-    provenance-less rows via three-valued logic."""
+    provenance-less rows via three-valued logic.
+
+    Safety hardening (r10 review): list entries case-fold to lowercase
+    on BOTH plan shapes (the grouping key is always lowercase — an
+    uppercase entry would silently match nothing); a bare string where
+    a tuple belongs raises instead of iterating into single-character
+    "domains" that keep everything; ``idna=True`` folds unicode hosts
+    to punycode so they match the ASCII entries real UT1 dumps carry."""
+    for name, lst_arg in (("blocklist", blocklist), ("allowlist", allowlist)):
+        if isinstance(lst_arg, str):
+            raise TypeError(
+                f"{name} must be a tuple of domains or a DataFrame, got a"
+                f" bare string {lst_arg!r} (which would gate on its"
+                " individual characters)"
+            )
     block_df = isinstance(blocklist, DataFrame)
     allow_df = isinstance(allowlist, DataFrame)
     has_block = block_df or len(blocklist) > 0
@@ -520,11 +543,18 @@ def filter_by_domain(
         raise ValueError(
             "pass exactly one of blocklist / allowlist (non-empty)"
         )
-    d = registered_domain_expr(F.col(url_col), psl=psl)
+    d = registered_domain_expr(F.col(url_col), psl=psl, idna=idna)
     lst = blocklist if has_block else allowlist
     if isinstance(lst, DataFrame):
+        if "__fbd_domain" in df.columns:
+            raise ValueError(
+                "input frame already has a __fbd_domain column — rename"
+                " it; the DataFrame-list join uses that name internally"
+            )
         tagged = df.withColumn("__fbd_domain", d)
-        keyed = lst.select(F.col("domain").alias("__fbd_domain")).distinct()
+        keyed = lst.select(
+            F.lower(F.col("domain")).alias("__fbd_domain")
+        ).distinct()
         if has_block:
             kept = tagged.join(keyed, on="__fbd_domain", how="left_anti")
             if not keep_null_domain:
@@ -536,7 +566,7 @@ def filter_by_domain(
                     tagged.filter(F.col("__fbd_domain").isNull())
                 )
         return kept.drop("__fbd_domain")
-    member = d.isin(sorted(lst))
+    member = d.isin(sorted({x.lower() for x in lst}))
     cond = ~member if has_block else member
     cond = F.when(d.isNull(), F.lit(keep_null_domain)).otherwise(cond)
     return df.filter(cond)

@@ -109,6 +109,12 @@ class CurationConfig:
     # budget.
     psl: bool | str = False
     psl_include_private: bool = True
+    # IDN/punycode host fold (urlops.idna_fold_expr) for BOTH
+    # domain-keyed stages: unicode and punycode spellings of the same
+    # registrable domain share one grouping/blocking key (real UT1
+    # dumps carry punycode entries). Off by default — it adds an Arrow
+    # leg to otherwise pure-codegen expressions.
+    url_idna: bool = False
     # language allowlist (documents carry a lang column; None = keep all)
     keep_langs: tuple[str, ...] | None = None
     lang_col: str = "lang"
@@ -227,35 +233,37 @@ def curate_corpus(
     account("input", df)  # pre-filter: NULL-text docs count as input
     base = df.filter(F.col(c.text_col).isNotNull())
 
-    # PSL rules load once, shared by the domain gate and the
-    # per-domain cap (both key on the same grouping)
+    # Shared setup for the two domain-keyed stages (gate + cap): one
+    # import, one url_col validation, one PSL load (r10 review: the
+    # gate and cap blocks each duplicated all three)
     psl_rules = None
-    if c.psl and (
+    needs_url = (
         c.blocked_domains is not None or c.max_docs_per_domain is not None
-    ):
+    )
+    if needs_url:
         from dbt_model_diff_spark.operators import urlops
 
-        psl_rules = urlops.load_psl(
-            None if c.psl is True else c.psl,
-            include_private=c.psl_include_private,
-        )
+        if c.url_col not in df.columns:
+            raise ValueError(
+                f"CurationConfig.url_col={c.url_col!r} is not a column"
+                f" of the input frame ({df.columns})"
+            )
+        if c.psl:
+            psl_rules = urlops.load_psl(
+                None if c.psl is True else c.psl,
+                include_private=c.psl_include_private,
+            )
 
     # 0a. domain blocklist gate — the cheapest filter runs FIRST,
     # before any text work (RefinedWeb applies its UT1 gate at the
     # very top of the funnel for the same reason)
     if c.blocked_domains is not None:
-        from dbt_model_diff_spark.operators import urlops
-
-        if c.url_col not in base.columns:
-            raise ValueError(
-                f"CurationConfig.url_col={c.url_col!r} is not a column"
-                f" of the input frame ({base.columns})"
-            )
         base = urlops.filter_by_domain(
             base,
             blocklist=c.blocked_domains,
             url_col=c.url_col,
             psl=psl_rules,
+            idna=c.url_idna,
         )
         account("domain_gate", base)
 
@@ -570,16 +578,11 @@ def curate_corpus(
     # non-absolute URLs (NULL domain) form one capped group of their
     # own, which is the honest default for provenance-less rows.
     if c.max_docs_per_domain is not None:
-        from dbt_model_diff_spark.operators import urlops
-
-        if c.url_col not in cur.columns:
-            raise ValueError(
-                f"CurationConfig.url_col={c.url_col!r} is not a column"
-                f" of the input frame ({cur.columns})"
-            )
         cur = cur.withColumn(
             "domain",
-            urlops.registered_domain_expr(F.col(c.url_col), psl=psl_rules),
+            urlops.registered_domain_expr(
+                F.col(c.url_col), psl=psl_rules, idna=c.url_idna
+            ),
         )
         cur = sampling.cap_per_group(
             cur, "domain", c.id_col, c.max_docs_per_domain

@@ -184,3 +184,75 @@ def test_curation_config_domain_gate(spark):
         CurationConfig(blocked_domains=("a.com",))
     with _pytest.raises(ValueError, match="at least one"):
         CurationConfig(url_col="url", blocked_domains=())
+
+
+def test_gate_hardening(spark):
+    """r10 review fixes: case-folded entries, bare-string rejection,
+    __fbd_domain collision guard, idna composition."""
+    import pytest as _pytest
+
+    # uppercase entries fold to the (always-lowercase) grouping key
+    kept = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            _df(spark), blocklist=("Bad-Site.COM",)
+        ).collect()
+    )
+    assert kept == [2, 3, 4, 5]
+    lst = spark.createDataFrame([("BAD-SITE.com",)], "domain string")
+    kept_df = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(_df(spark), blocklist=lst).collect()
+    )
+    assert kept_df == [2, 3, 4, 5]
+    # a bare string is a loud error, not a character-wise no-op gate
+    with _pytest.raises(TypeError, match="bare string"):
+        urlops.filter_by_domain(_df(spark), blocklist="bad-site.com")
+    # reserved internal column name collides loudly
+    with _pytest.raises(ValueError, match="__fbd_domain"):
+        urlops.filter_by_domain(
+            _df(spark).withColumn("__fbd_domain", F.lit("x")),
+            blocklist=lst,
+        )
+    # idna composition: a punycode blocklist entry blocks the
+    # unicode-spelled URL (the UT1 shape; silent pass without idna)
+    dfu = spark.createDataFrame(
+        [(0, "http://münchen.de/x"), (1, "http://other.de/y")],
+        "doc_id long, url string",
+    )
+    blocked = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            dfu, blocklist=("xn--mnchen-3ya.de",), idna=True
+        ).collect()
+    )
+    assert blocked == [1]
+    without = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(
+            dfu, blocklist=("xn--mnchen-3ya.de",)
+        ).collect()
+    )
+    assert without == [0, 1]  # the documented gap when idna is off
+
+
+def test_curation_config_url_idna(spark):
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (i, f"plenty of words in this body here token t{i}",
+         "http://münchen.de/p" if i % 2 else "http://ok-site.com/p")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CurationConfig(
+        dedup="none", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None, url_col="url",
+        blocked_domains=("xn--mnchen-3ya.de",), url_idna=True,
+    )
+    kept, report = curate_corpus(docs, cfg)
+    assert kept.count() == 5
+    assert all(
+        r["url"] == "http://ok-site.com/p"
+        for r in kept.select("url").collect()
+    )
