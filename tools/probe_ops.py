@@ -159,6 +159,13 @@ def main() -> None:
             urlops.psl_registered_domain_expr(F.col("url"), rules).alias("d")))
         bench("cap_per_domain_psl", urlops.cap_per_domain(
             urls, cap=50, psl=rules))
+        # r10: the url_idna knob's price — the Arrow punycode fold on
+        # an (ASCII-dominant, the realistic crawl mix) corpus
+        bench("url_domain_psl_idna", urls.select(
+            "doc_id",
+            urlops.psl_registered_domain_expr(
+                F.col("url"), rules, idna=True
+            ).alias("d")))
     if "domain_skew" in wanted:
         # r10 (VERDICT r9 task #5): one domain owns 50% of the corpus —
         # the boilerplate-domain shape that serializes the cap window
