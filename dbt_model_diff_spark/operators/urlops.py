@@ -455,29 +455,33 @@ def registered_domain_expr(
                 version=psl.version,
             )
         return psl_registered_domain_expr(url, psl, idna=idna)
-    host = F.regexp_replace(host_expr(url), "\\.+$", "")
+    host0 = F.regexp_replace(host_expr(url), "\\.+$", "")
     if idna:
         # unicode hosts fold to punycode so they key like their ASCII
         # spellings (and like blocklist entries, which real UT1 dumps
         # carry in punycode) — r10 code-review composition gap
-        host = idna_fold_expr(host)
-    labels = F.split(host, "\\.")
-    n = F.size(labels)
-    is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2),
-        F.element_at(labels, -1),
-    )
-    suffixes = list(MULTI_SUFFIXES) + list(extra_suffixes)
-    return (
-        F.when(host == "", F.lit(None).cast("string"))
-        .when(is_ip, host)
-        .when((n >= 3) & last2.isin(suffixes), last3)
-        .when(n >= 2, last2)
-        .otherwise(host)
+        host0 = idna_fold_expr(host0)
+    suffixes = sorted(set(MULTI_SUFFIXES) | set(extra_suffixes))
+
+    # host and labels lambda-bound (the _bind rationale): the four
+    # branches otherwise re-run the host regex chain each
+    def _compact(host: Column, labels: Column) -> Column:
+        n = F.size(labels)
+        is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+        return (
+            F.when(host == "", F.lit(None).cast("string"))
+            .when(is_ip, host)
+            .when(
+                (n >= 3) & _last_k(labels, 2).isin(suffixes),
+                _last_k(labels, 3),
+            )
+            .when(n >= 2, _last_k(labels, 2))
+            .otherwise(host)
+        )
+
+    return _bind(
+        host0,
+        lambda h: _bind(F.split(h, "\\."), lambda ls: _compact(h, ls)),
     )
 
 
