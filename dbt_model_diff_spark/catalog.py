@@ -2633,23 +2633,26 @@ def text_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonicalization + registered-domain ops (tests/test_round9_*.py).
 # Round-10 surfaces likewise pytest-parity certified, NOT registered:
 # PSL registered-domain, numeric/named entity decode, keep-first
-# line-dedup (tests/test_round10_*.py).
+# line-dedup (tests/test_round10_*.py). Round-11 surfaces likewise
+# pytest-parity certified, NOT registered: full upstream PSL data,
+# host/path-level blocklist entries, UTS#46 fold leg
+# (tests/test_round11_*.py).
 #
-# ROUND-11 WINDOW PLAN (mechanical, execute first thing after
-# CORRECTNESS_r10 lands): the mandatory tier is every query whose
-# newest green row is r8 — the 50 r8-certified queries MINUS the four
-# re-certified as r10 churned-path fillers (dedup_lsh_pairs,
-# dedup_jaccard_verified, pipeline_curation_report,
-# pipeline_training_data) = 46 queries; plus any never-certified r11
-# registrations first. Fill the remaining ~4 slots from the
-# r9-certified tier (the stalest outside; greedy tie-split allows
-# choosing among them) — prefer the four r9 anchor fillers
-# (diff_counts_orders, diff_profile_orders, diff_schema_drift,
-# model_order_agg keep the flagship family on a 2-round cadence) or
-# queries riding r11's churned code paths. This is the steady-state
-# 3-round carousel at 146 registered (hard cap 150): each round's
-# mandatory tier is ~46 + new registrations, leaving ~4 discretionary
-# slots.
+# ROUND-12 WINDOW PLAN (mechanical, execute first thing after
+# CORRECTNESS_r11 lands): the mandatory tier is every query whose
+# newest green row is r9 — the 50 r9-certified queries MINUS the four
+# re-certified as r11 anchor fillers (diff_counts_orders,
+# diff_profile_orders, diff_schema_drift, model_order_agg) = 46
+# queries; plus any never-certified r12 registrations first. Fill the
+# remaining ~4 slots from the r10-certified tier (the stalest outside;
+# greedy tie-split allows choosing among them) — the anchor-cadence
+# clause makes diff_partitioned_orders and pricing_summary (both r10)
+# hard-mandatory the moment CORRECTNESS_r11 lands, so seat them first,
+# then prefer queries riding r12's churned code paths (or the LSH /
+# pipeline fillers to keep that family on a 2-round cadence). This is
+# the steady-state 3-round carousel at 146 registered (hard cap 150):
+# each round's mandatory tier is ~46 + new registrations, leaving ~4
+# discretionary slots.
 
 
 _BM25_TERMS = ["vector", "spark", "customer", "join"]
@@ -6234,77 +6237,77 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-10 window (executes the ROUND-10 WINDOW PLAN written in
-    # r9; see the plan comment above for the derivation).
-    # Tier 1: the 46 queries whose newest green row is r7 — the 50
-    # r7-certified queries minus the four re-certified as r9 anchor
-    # fillers (diff_counts_orders, diff_profile_orders,
-    # diff_schema_drift, model_order_agg). Includes the two flagship
-    # anchors the plan made hard-mandatory the moment CORRECTNESS_r09
-    # landed (diff_partitioned_orders, pricing_summary). No
-    # never-certified tier: round 10 registers nothing (growth policy
-    # — PSL domains, numeric entity decode, and keep-first line-dedup
-    # are pytest-DuckDB-parity certified instead).
-    "agg_cube_orders",
-    "agg_grouping_sets_orders",
-    "agg_rollup_orders",
-    "asof_latest_purchase",
-    "bpe_train_merges_batched",
-    "cap_per_group_documents",
-    "csv_roundtrip_orders",
-    "decontaminate_source_report",
-    "dedup_cross_doc_chunks",
-    "dedup_intra_doc_tokens",
-    "dedup_oph_components",
-    "dedup_rep_by_quality",
-    "dedup_source_overlap_matrix",
-    "diff_partitioned_orders",
-    "dsir_importance_weights",
-    "events_rolling_features",
-    "join_anti_customers",
-    "join_salted_skew",
-    "join_semi_customers",
-    "knn_hard_negatives",
-    "median_price_by_priority",
-    "merge_apply_changes_orders",
-    "pack_sequences_documents",
-    "pipeline_bpe_train_apply",
-    "pricing_summary",
-    "prune_prototypes_embeddings",
-    "quality_checks_orders",
-    "quality_fk_orders_customer",
-    "range_join_value_bands",
-    "sample_weighted_documents",
-    "scd2_orders_changelog",
-    "skew_salted_status_totals",
-    "stream_dedup_bounded_state",
-    "text_bm25_topk",
-    "text_chunk_stride",
-    "text_corpus_frequency_score",
-    "text_dup_substring_spans",
-    "text_lm_backoff_score",
-    "text_pii_scrub",
-    "text_remove_dup_substrings",
-    "text_remove_dup_substrings_keep1",
-    "text_repetition_signals",
-    "text_rolling_fingerprint",
-    "text_token_stats",
-    "text_top_terms",
-    "zorder_orders_layout",
-    # Tier 2: four r8-certified fillers (the stalest tier outside the
-    # mandatory set; the greedy clause allows splitting the 50-way r8
-    # tie) chosen because they ride round 10's churned code paths: the
-    # LSH standalone queries gain the default-on max_bucket_size guard
-    # (VERDICT r9 task #6) and the pipeline queries exercise the
-    # CurationConfig surface where the keep-first / entity-decode /
-    # PSL knobs land. The 46 r8 queries left outside are green in
-    # CORRECTNESS_r08 (within the two newest records) and become
-    # round 11's mandatory tier (see the ROUND-11 WINDOW PLAN).
-    "dedup_lsh_pairs",
-    "dedup_jaccard_verified",
-    "pipeline_curation_report",
-    "pipeline_training_data",
+    # Round-11 window (executes the ROUND-11 WINDOW PLAN written in
+    # r10; see the plan comment above for the derivation).
+    # Tier 1: the 46 queries whose newest green row is r8 — the 50
+    # r8-certified queries minus the four re-certified as r10
+    # churned-path fillers (dedup_lsh_pairs, dedup_jaccard_verified,
+    # pipeline_curation_report, pipeline_training_data). They hit the
+    # 3-round staleness bound the moment CORRECTNESS_r10 landed. No
+    # never-certified tier: round 11 registers nothing (growth
+    # policy — full-PSL data, path-level blocklist entries, and the
+    # UTS#46 fold leg are pytest-DuckDB-parity certified instead).
+    "approx_profile_orders",
+    "budget_select_documents",
+    "decontaminate_train_docs",
+    "dedup_impact_report",
+    "dedup_prioritized_sources",
+    "diff_changed_sample_keys",
+    "diff_counts_lineitem_multikey",
+    "diff_rowcount_where",
+    "embedding_near_dup",
+    "epoch_shuffle_documents",
+    "filter_project_lineitem",
+    "join_bloom_pruned_lineitem",
+    "kmeans_embedding_clusters",
+    "knn_ivf",
+    "knn_ivf_pq",
+    "model_case_when",
+    "model_int_orders",
+    "model_stg_customers",
+    "multimodal_decode_features",
+    "multimodal_resize_frames",
+    "orc_roundtrip_orders",
+    "q10_returned_revenue_by_customer",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_sole_problem_supplier",
+    "q4_priority_with_returns",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q8_share_by_year",
+    "q9_product_profit_by_nation",
+    "quantize_embeddings_int8",
+    "sample_stratified_documents",
+    "source_mixture_weights",
+    "split_train_eval_documents",
+    "stats_moments_lineitem",
+    "stream_cdc_apply_orders",
+    "stream_click_attribution",
+    "stream_hourly_rollup",
+    "stream_running_max",
+    "stream_sessionize",
+    "text_lm_quality_bands",
+    "text_normalize_documents",
+    "text_top_terms_by_group",
+    "unpivot_orders_metrics",
+    # Tier 2: the four r9-certified flagship anchors (the stalest
+    # tier outside the mandatory set; the greedy clause allows
+    # splitting the 50-way r9 tie). The anchor-cadence clause in
+    # test_driver_priority_window requires each flagship to be in
+    # the window or green within the two newest records — these
+    # four are r9, so without a seat their driver signal would age
+    # past two rounds. The 46 r9 queries left outside are green in
+    # CORRECTNESS_r09 (within the two newest records) and become
+    # round 12's mandatory tier (see the ROUND-12 WINDOW PLAN).
+    "diff_counts_orders",
+    "diff_profile_orders",
+    "diff_schema_drift",
+    "model_order_agg",
 ]
+
 
 
 def _reorder_for_driver() -> None:
