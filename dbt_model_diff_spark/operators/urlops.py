@@ -64,10 +64,21 @@ _ABS_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
 _PREFIX_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
 
 # Vendored abridged Public Suffix List snapshot (standard upstream
-# format; see the file header for scope and how to swap in the full
-# https://publicsuffix.org/list/ file). VERDICT r9 task #2.
+# format; kept for fixtures that want a small rule set). VERDICT r9
+# task #2.
 PSL_SNAPSHOT_PATH = (
     Path(__file__).resolve().parent.parent / "data" / "psl_snapshot.dat"
+)
+
+# Vendored FULL upstream Public Suffix List (VERDICT r10 task #2):
+# the real ~9.5k-rule https://publicsuffix.org/list/ file, taken
+# verbatim from this build environment's Debian `publicsuffix`
+# package (see the file header for provenance + version pin). This is
+# the load_psl() default — the r10 probe proved per-row match cost is
+# rule-count-independent (9,892 synthetic rules = snapshot cost,
+# SURVEY §9), so full coverage is pure data.
+PSL_FULL_PATH = (
+    Path(__file__).resolve().parent.parent / "data" / "psl_full.dat"
 )
 
 
@@ -92,19 +103,51 @@ class PslRules:
     version: str = ""
 
 
+def _rule_ascii(rule: str) -> str:
+    """Best-effort ASCII (punycode) spelling of a PSL rule: fold each
+    non-ASCII label through UTS#46 (the `idna` package) when present,
+    else the stdlib IDNA-2003 codec, else keep the label — the same
+    preference order as :func:`idna_fold_expr`, so hosts folded there
+    land on these rule spellings."""
+    out = []
+    for label in rule.split("."):
+        if label.isascii():
+            out.append(label)
+            continue
+        try:
+            import idna
+
+            out.append(idna.encode(label, uts46=True).decode("ascii"))
+            continue
+        except Exception:
+            pass
+        try:
+            out.append(label.encode("idna").decode("ascii"))
+        except UnicodeError:
+            out.append(label)
+    return ".".join(out)
+
+
 def load_psl(
     path: str | Path | None = None, include_private: bool = False
 ) -> PslRules:
     """Parse a Public Suffix List file in the standard upstream format
     (https://publicsuffix.org/list/ — one rule per line up to the
     first whitespace, '//' comments, '*.' wildcards, '!' exceptions,
-    ICANN/PRIVATE section markers). Defaults to the vendored abridged
-    snapshot (:data:`PSL_SNAPSHOT_PATH`); pass the full upstream
-    ``public_suffix_list.dat`` for production coverage. Private-domain
-    rules (github.io-style hosting platforms) are skipped unless
-    ``include_private`` — per-domain caps usually WANT them (distinct
-    users own sibling subdomains), mixture weights may not."""
-    p = Path(path) if path is not None else PSL_SNAPSHOT_PATH
+    ICANN/PRIVATE section markers). Defaults to the vendored FULL
+    upstream list (:data:`PSL_FULL_PATH`, ~9.5k rules, version pinned
+    in its header); :data:`PSL_SNAPSHOT_PATH` keeps the abridged
+    fixture set. Private-domain rules (github.io-style hosting
+    platforms) are skipped unless ``include_private`` — per-domain
+    caps usually WANT them (distinct users own sibling subdomains),
+    mixture weights may not.
+
+    The upstream file spells IDN rules as unicode U-labels ('中国',
+    'xn--' forms appear only in the private section); each non-ASCII
+    rule is kept under BOTH its unicode spelling and its punycode fold
+    (:func:`_rule_ascii`), so raw unicode hosts and
+    :func:`idna_fold_expr`-folded hosts both match."""
+    p = Path(path) if path is not None else PSL_FULL_PATH
     normal: set[str] = set()
     wildcard: set[str] = set()
     exception: set[str] = set()
@@ -126,11 +169,14 @@ def load_psl(
             continue
         rule = line.split()[0].lower()
         if rule.startswith("!"):
-            exception.add(rule[1:])
+            target, body = exception, rule[1:]
         elif rule.startswith("*."):
-            wildcard.add(rule[2:])
+            target, body = wildcard, rule[2:]
         else:
-            normal.add(rule)
+            target, body = normal, rule
+        target.add(body)
+        if not body.isascii():
+            target.add(_rule_ascii(body))
     return PslRules(
         normal=frozenset(normal),
         wildcard=frozenset(wildcard),
@@ -219,6 +265,13 @@ def psl_registered_domain_expr(
     private rules on) has none -> NULL, as do single-label hosts
     (which the compact heuristic passes through instead — documented
     divergence, pinned in tests/test_round10_psl.py).
+
+    Cost model at full-list size (measured r11, SURVEY §9): building
+    the expression for the ~9.9k-rule vendored list costs ~5.5 s of
+    driver-side Py4J literal marshaling plus ~4.8 s of one-time
+    Catalyst optimize/codegen per query — irrelevant against any real
+    scan, but worth knowing in tight test loops (batch your cases into
+    one job). Per-ROW cost is rule-count-independent (hashed InSet).
 
     Execution shape: row-local string arithmetic + set membership.
     Each rule tier compiles to one guarded `lastK IN (<literals>)`

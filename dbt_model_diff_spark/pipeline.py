@@ -101,8 +101,11 @@ class CurationConfig:
     blocked_domains: tuple[str, ...] | None = None
     # Public Suffix List grouping for the per-domain cap (VERDICT r9
     # task #2): False = the compact zero-dependency MULTI_SUFFIXES
-    # heuristic; True = urlops.load_psl on the vendored abridged
-    # snapshot; a path string = a full upstream public_suffix_list.dat.
+    # heuristic; True = urlops.load_psl on the vendored FULL upstream
+    # list (~9.5k rules, r10 task #2); a path string = a different
+    # public_suffix_list.dat. Note the full-rule expression costs a
+    # one-time ~10 s of driver build + optimize per query (per-ROW
+    # cost is rule-count-independent; SURVEY §9).
     # Private suffixes (github.io-style platforms) default ON for the
     # cap — distinct users own sibling subdomains, so capping at the
     # platform's registrable domain would collapse them all into one

@@ -27,7 +27,22 @@ RULES_ICANN = urlops.load_psl(include_private=False)
 # ---------------------------------------------------------------------------
 
 def test_load_psl_sections_and_shapes():
-    assert RULES.version == "2026-08-15-abridged-1"
+    # default is now the FULL vendored upstream list (r10 VERDICT #2);
+    # the abridged snapshot stays loadable by explicit path
+    assert RULES.version == "upstream-20230209.2326"
+    assert len(RULES.normal) > 9000 and len(RULES.wildcard) > 100
+    abridged = urlops.load_psl(urlops.PSL_SNAPSHOT_PATH, include_private=True)
+    assert abridged.version == "2026-08-15-abridged-1"
+    assert len(abridged.normal) < 500
+    # the abridged rule set is a subset of the full one, modulo its
+    # three honest divergences: the real list spells nom.br as the
+    # WILDCARD *.nom.br (the r10-verdict misgrouping example), drops
+    # bare-TLD za (second levels are enumerated; 1-label rules decide
+    # like the default '*' anyway), and no longer carries the
+    # wordpress.com private rule
+    assert abridged.normal - {"nom.br", "wordpress.com", "za"} <= RULES.normal
+    assert abridged.wildcard <= RULES.wildcard
+    assert abridged.exception <= RULES.exception
     # every rule shape present
     assert "com" in RULES.normal and "co.uk" in RULES.normal
     assert "co.il" in RULES.normal and "com.pl" in RULES.normal
@@ -84,6 +99,18 @@ _PSL_CASES = [
     ("http://localhost/", None),
     ("not a url", None),
     ("http://./x", None),
+    # full-list-only rules absent from the abridged snapshot (VERDICT
+    # r10 task #2 done-criteria): the *.nom.br wildcard the r9/r10
+    # verdicts used as the misgrouping example, and the
+    # githubusercontent.com private suffix
+    ("http://x.y.nom.br/", "x.y.nom.br"),
+    ("http://y.nom.br/", None),  # the host IS a *.nom.br suffix
+    ("http://raw.githubusercontent.com/u/r", "raw.githubusercontent.com"),
+    ("http://githubusercontent.com/", None),
+    # IDN rules load under BOTH spellings (_rule_ascii): the unicode
+    # host and its punycode twin each land on the 公司.cn rule
+    ("http://x.公司.cn/", "x.公司.cn"),
+    ("http://x.xn--55qx5d.cn/", "x.xn--55qx5d.cn"),
 ]
 
 
@@ -202,32 +229,46 @@ def test_referee_agrees_on_fixture():
         assert _ref_psl_domain(raw, RULES) == expected, raw
 
 
-try:
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
+_REF_LABELS = [
+    "www", "city", "pref", "kobe", "jp", "ck", "foo", "co", "uk",
+    "il", "github", "io", "com", "pl", "example", "a", "sch",
+    "compute", "amazonaws", "s3", "zz", "10", "1", "localhost", "",
+    "nom", "br", "githubusercontent",
+]
 
-    _label = st.sampled_from(
-        [
-            "www", "city", "pref", "kobe", "jp", "ck", "foo", "co", "uk",
-            "il", "github", "io", "com", "pl", "example", "a", "sch",
-            "compute", "amazonaws", "s3", "zz", "10", "1", "localhost", "",
-        ]
+
+def _referee_hosts() -> list[str]:
+    """Deterministic pseudo-random host sample over the label pool —
+    the r10 hypothesis strategy BATCHED: one Spark analysis of the
+    9.8k-literal full-PSL expression per rules-set instead of one per
+    example (the per-example shape cost 40 x ~4 s of driver-side
+    expression analysis once the full list became the default)."""
+    import hashlib
+
+    hosts = []
+    for seed in range(400):
+        h = hashlib.sha256(f"psl-{seed}".encode()).digest()
+        n = 1 + h[0] % 6
+        labels = [_REF_LABELS[h[1 + j] % len(_REF_LABELS)] for j in range(n)]
+        hosts.append(".".join(labels) + ("." if h[7] % 4 == 0 else ""))
+    return hosts
+
+
+def test_psl_matches_python_reference(spark):
+    urls = [f"http://{h}/x" for h in _referee_hosts()]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, u string"
     )
-    _host = st.lists(_label, min_size=1, max_size=6).map(".".join)
-
-    @given(_host, st.booleans(), st.booleans())
-    @settings(max_examples=40, deadline=None)
-    def test_psl_matches_python_reference(spark, host, private, trailing_dot):
-        rules = RULES if private else RULES_ICANN
-        url = f"http://{host}{'.' if trailing_dot else ''}/x"
-        df = spark.createDataFrame([(0, url)], "i long, u string")
-        got = df.select(
-            urlops.psl_registered_domain_expr(F.col("u"), rules).alias("d")
-        ).collect()[0]["d"]
-        assert got == _ref_psl_domain(url, rules), url
-
-except ImportError:  # pragma: no cover - hypothesis is baked in
-    pass
+    for rules in (RULES, RULES_ICANN):
+        got = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i",
+                urlops.psl_registered_domain_expr(F.col("u"), rules).alias("d"),
+            ).collect()
+        }
+        for i, u in enumerate(urls):
+            assert got[i] == _ref_psl_domain(u, rules), u
 
 
 # ---------------------------------------------------------------------------
