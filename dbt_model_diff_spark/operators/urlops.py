@@ -205,20 +205,32 @@ def _last_k(labels: Column, k: int) -> Column:
     return F.concat_ws(".", *[F.element_at(labels, i) for i in range(-k, 0)])
 
 
-def idna_fold_expr(host: Column) -> Column:
+def idna_fold_expr(host: Column, uts46: bool = False) -> Column:
     """Fold internationalized hostnames to their ASCII/punycode form,
     per label, as an Arrow-batched column expression — the upstream
     step the PSL matcher documents (its rules are ASCII; 'münchen.de'
     must group as 'xn--mnchen-3ya.de', not as a distinct unicode key).
 
-    Per label: ASCII labels lowercase (RFC 3986 host fold); non-ASCII
-    labels encode via Python's ``idna`` codec (IDNA 2003 ToASCII with
-    nameprep). Labels the codec rejects (over-long, empty under
-    nameprep, already-mixed punycode) PASS THROUGH unchanged — the
-    honest row-local answer; they then group under the default rule
-    like any unlisted name. IDNA 2008 differences (ß, ZWJ) are out of
-    scope and documented: the 2003 fold is what the stdlib ships and
-    is deterministic, which is what a grouping key needs.
+    Default leg, per label: ASCII labels lowercase (RFC 3986 host
+    fold); non-ASCII labels encode via Python's ``idna`` codec
+    (IDNA 2003 ToASCII with nameprep). Labels the codec rejects
+    (over-long, empty under nameprep, already-mixed punycode) PASS
+    THROUGH unchanged — the honest row-local answer; they then group
+    under the default rule like any unlisted name.
+
+    ``uts46=True`` (VERDICT r10 task #4) switches non-ASCII labels to
+    UTS #46 non-transitional mapping via the ``idna`` package
+    (IDNA 2008 + the UTS #46 map): 'faß.de' keeps its ß
+    ('xn--fa-hia.de', where the 2003 codec folds to 'fass.de'), and
+    newer-script labels the 2003 nameprep tables reject fold properly.
+    Labels UTS #46 rejects (emoji, underscores inside U-labels, bidi
+    violations) fall back to the 2003 chain, then pass through — the
+    same determinism contract. ASCII labels still just lowercase on
+    both legs (for a valid hostname label that IS the UTS #46
+    mapping; for junk ASCII it is the documented pass-through). The
+    two legs are distinct grouping keys for the ß/ZWJ divergence
+    classes — pick ONE per corpus (pinned divergence fixture:
+    tests/test_round11_uts46.py).
 
     Shape: scalar ``pandas_udf`` column expression (the nfc_expr
     pattern) — Arrow batches, fuses into the projection, zero
@@ -227,16 +239,35 @@ def idna_fold_expr(host: Column) -> Column:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
+    if uts46:
+        try:
+            import idna as _idna  # noqa: F401  (import-gated: third-party)
+        except ImportError as e:  # pragma: no cover - baked into this env
+            raise ImportError(
+                "idna_fold_expr(uts46=True) needs the 'idna' package;"
+                " install it or use the default IDNA-2003 leg"
+            ) from e
+
     def _fold_one(s):
         out = []
         for label in s.split("."):
             if label.isascii():
                 out.append(label.lower())
-            else:
+                continue
+            if uts46:
                 try:
-                    out.append(label.encode("idna").decode("ascii"))
-                except UnicodeError:
-                    out.append(label)
+                    import idna
+
+                    out.append(
+                        idna.encode(label, uts46=True).decode("ascii")
+                    )
+                    continue
+                except Exception:
+                    pass  # fall back to the 2003 chain
+            try:
+                out.append(label.encode("idna").decode("ascii"))
+            except UnicodeError:
+                out.append(label)
         return ".".join(out)
 
     _fold = pandas_udf(
@@ -246,7 +277,7 @@ def idna_fold_expr(host: Column) -> Column:
 
 
 def psl_registered_domain_expr(
-    url: Column, rules: PslRules, idna: bool = False
+    url: Column, rules: PslRules, idna: bool | str = False
 ) -> Column:
     """Registered domain (eTLD+1) under full Public Suffix List
     semantics, as a pure-codegen column expression — the scale path
@@ -350,8 +381,9 @@ def psl_registered_domain_expr(
     if idna:
         # internationalized hosts fold to punycode FIRST so they group
         # under the (ASCII) rules; opt-in — it adds an Arrow leg to an
-        # otherwise pure-codegen expression
-        host0 = idna_fold_expr(host0)
+        # otherwise pure-codegen expression. "uts46" picks the
+        # UTS #46 / IDNA-2008 mapping leg (r10 task #4).
+        host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
     return _bind(
         host0,
         lambda h: _bind(F.split(h, "\\."), lambda ls: _core(h, ls)),
@@ -477,7 +509,7 @@ def registered_domain_expr(
     url: Column,
     extra_suffixes: tuple[str, ...] = (),
     psl: PslRules | None = None,
-    idna: bool = False,
+    idna: bool | str = False,
 ) -> Column:
     """Registered domain (eTLD+1) of an absolute URL: the grouping key
     of every per-domain crawl-curation knob. Heuristic by design — the
@@ -498,7 +530,9 @@ def registered_domain_expr(
     suffix rules (silently dropping them would regroup a migrating
     caller's domains — r10 code-review). ``idna`` folds unicode hosts
     to punycode first (:func:`idna_fold_expr`, Arrow leg) in BOTH
-    modes, so 'münchen.de' and 'xn--mnchen-3ya.de' share a key."""
+    modes, so 'münchen.de' and 'xn--mnchen-3ya.de' share a key; pass
+    the string "uts46" instead of True for the UTS #46 / IDNA-2008
+    mapping leg."""
     if psl is not None:
         if extra_suffixes:
             psl = PslRules(
@@ -512,8 +546,9 @@ def registered_domain_expr(
     if idna:
         # unicode hosts fold to punycode so they key like their ASCII
         # spellings (and like blocklist entries, which real UT1 dumps
-        # carry in punycode) — r10 code-review composition gap
-        host0 = idna_fold_expr(host0)
+        # carry in punycode) — r10 code-review composition gap.
+        # "uts46" picks the UTS #46 / IDNA-2008 leg.
+        host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
     suffixes = sorted(set(MULTI_SUFFIXES) | set(extra_suffixes))
 
     # host and labels lambda-bound (the _bind rationale): the four
@@ -545,7 +580,7 @@ def filter_by_domain(
     url_col: str = "url",
     psl: PslRules | None = None,
     keep_null_domain: bool = True,
-    idna: bool = False,
+    idna: bool | str = False,
 ) -> DataFrame:
     """Provenance gate keyed on the registered domain — the
     UT1-blocklist stage of RefinedWeb/C4-style curation (adult/fraud

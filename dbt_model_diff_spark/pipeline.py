@@ -116,8 +116,11 @@ class CurationConfig:
     # domain-keyed stages: unicode and punycode spellings of the same
     # registrable domain share one grouping/blocking key (real UT1
     # dumps carry punycode entries). Off by default — it adds an Arrow
-    # leg to otherwise pure-codegen expressions.
-    url_idna: bool = False
+    # leg to otherwise pure-codegen expressions. True = the stdlib
+    # IDNA-2003 leg; the string "uts46" = the UTS #46 / IDNA-2008
+    # mapping leg (r10 task #4; the two diverge on ß/ZWJ classes —
+    # pick ONE per corpus).
+    url_idna: bool | str = False
     # language allowlist (documents carry a lang column; None = keep all)
     keep_langs: tuple[str, ...] | None = None
     lang_col: str = "lang"
