@@ -248,32 +248,39 @@ def idna_fold_expr(host: Column, uts46: bool = False) -> Column:
                 " install it or use the default IDNA-2003 leg"
             ) from e
 
-    def _fold_one(s):
-        out = []
-        for label in s.split("."):
-            if label.isascii():
-                out.append(label.lower())
-                continue
-            if uts46:
-                try:
-                    import idna
-
-                    out.append(
-                        idna.encode(label, uts46=True).decode("ascii")
-                    )
-                    continue
-                except Exception:
-                    pass  # fall back to the 2003 chain
-            try:
-                out.append(label.encode("idna").decode("ascii"))
-            except UnicodeError:
-                out.append(label)
-        return ".".join(out)
-
     _fold = pandas_udf(
-        lambda s: s.map(_fold_one, na_action="ignore"), StringType()
+        lambda s: s.map(
+            lambda h: _idna_fold_host(h, uts46), na_action="ignore"
+        ),
+        StringType(),
     )
     return _fold(host)
+
+
+def _idna_fold_host(s: str, uts46: bool = False) -> str:
+    """Pure-Python body of :func:`idna_fold_expr` — per-label ASCII
+    fold with the documented pass-through on rejected labels. Shared
+    by the Arrow leg above and the driver-side blocklist-entry keying
+    (:func:`registered_domain_of_host`), so list entries fold exactly
+    like the corpus hosts they must match."""
+    out = []
+    for label in s.split("."):
+        if label.isascii():
+            out.append(label.lower())
+            continue
+        if uts46:
+            try:
+                import idna
+
+                out.append(idna.encode(label, uts46=True).decode("ascii"))
+                continue
+            except Exception:
+                pass  # fall back to the 2003 chain
+        try:
+            out.append(label.encode("idna").decode("ascii"))
+        except UnicodeError:
+            out.append(label)
+    return ".".join(out)
 
 
 def psl_registered_domain_expr(
@@ -505,6 +512,93 @@ def host_expr(url: Column) -> Column:
     return F.lower(host)
 
 
+def url_path_expr(url: Column) -> Column:
+    """Path component of an absolute URL (everything after the
+    authority up to '?' or '#', leading '/' included). Empty string
+    for non-absolute inputs and for authority-only URLs
+    ('http://example.com' has path '') — regexp_extract's no-match
+    value in both engines. The negated classes admit newlines, the
+    same (?s)-free portability trick the canonicalizer uses."""
+    return F.regexp_extract(
+        url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+
+
+def registered_domain_of_host(
+    host: str,
+    extra_suffixes: tuple[str, ...] = (),
+    psl: PslRules | None = None,
+    idna: bool | str = False,
+) -> str | None:
+    """Driver-side Python twin of :func:`registered_domain_expr`, for
+    a bare HOST string (no scheme): the fold :func:`filter_by_domain`
+    applies to blocklist ENTRIES so they key exactly like the corpus
+    rows they must match, and the reference implementation the
+    round-11 blocklist referee replays. Same contract, mirrored
+    branch-for-branch: lowercase + trailing-dot/port strip, optional
+    IDNA fold (``idna="uts46"`` for the UTS #46 leg), IPv4 literals
+    pass through whole, empty -> None; compact heuristic = last two
+    labels (three over a known second-level suffix, single label
+    passes through), PSL = exception-first / longest-rule semantics
+    where public-suffix-only and single-label hosts return None."""
+    import re as _re
+
+    h = host.strip().lower()
+    h = _re.sub(r":[0-9]*$", "", h)
+    h = _re.sub(r"\.+$", "", h)
+    if idna:
+        h = _idna_fold_host(h, uts46=(idna == "uts46"))
+    if h == "":
+        return None
+    if _re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", h):
+        return h
+    labels = h.split(".")
+    n = len(labels)
+
+    def last_k(k: int) -> str:
+        return ".".join(labels[-k:])
+
+    if psl is None:
+        suffixes = set(MULTI_SUFFIXES) | set(extra_suffixes)
+        if n >= 3 and last_k(2) in suffixes:
+            return last_k(3)
+        return last_k(2) if n >= 2 else h
+    normal = psl.normal | frozenset(extra_suffixes)
+    for k in sorted({e.count(".") + 1 for e in psl.exception}, reverse=True):
+        if n >= k and last_k(k) in psl.exception:
+            return last_k(k)
+    by_wild = {b.count(".") + 1 for b in psl.wildcard}
+    by_norm = {r.count(".") + 1 for r in normal if r.count(".") + 1 >= 2}
+    max_len = max([k + 1 for k in by_wild] + list(by_norm) + [1])
+    for length in range(max_len, 1, -1):
+        hit = (
+            n >= length
+            and length - 1 in by_wild
+            and last_k(length - 1) in psl.wildcard
+        ) or (n >= length and length in by_norm and last_k(length) in normal)
+        if hit:
+            return last_k(length + 1) if n >= length + 1 else None
+    return last_k(2) if n >= 2 else None
+
+
+def parse_blocklist_entry(entry: str) -> tuple[str, str | None]:
+    """Split a UT1-style blocklist line into ``(host, path_prefix)``.
+    Grammar: ``host[/path...]`` — an optional ``scheme://`` prefix is
+    tolerated and stripped (real dumps occasionally carry it), the
+    host lowercases with trailing dots and any ``:port`` removed, and
+    the path keeps its leading '/' verbatim (case preserved — URL
+    paths are case-significant). No '/' -> path None (matches every
+    path; the NULL-path contract pinned in
+    tests/test_round11_blocklist.py)."""
+    import re as _re
+
+    e = entry.strip()
+    e = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", e)
+    host, sep, rest = e.partition("/")
+    host = _re.sub(r"\.+$", "", _re.sub(r":[0-9]*$", "", host.lower()))
+    return host, ("/" + rest) if sep else None
+
+
 def registered_domain_expr(
     url: Column,
     extra_suffixes: tuple[str, ...] = (),
@@ -589,29 +683,55 @@ def filter_by_domain(
     Exactly one of ``blocklist`` / ``allowlist`` may be non-empty:
     block drops listed domains, allow keeps ONLY listed domains.
 
+    ENTRY GRAMMAR (r11, VERDICT r10 task #3 — real UT1 dumps carry
+    all three granularities): ``host[/path-prefix]``.
+
+    - ``example.com`` — registered domain: blocks every host under it;
+    - ``bad.example.com`` — host deeper than its eTLD+1: blocks that
+      host AND its subdomains (``x.bad.example.com``), nothing else
+      under ``example.com``;
+    - ``example.com/ads/`` — path prefix: blocks URLs whose host
+      matches (as above) AND whose raw path starts with ``/ads/`` —
+      so ``example.com/ads/x`` is gated, bare ``example.com/`` is
+      not. An entry with NO '/' carries a NULL path and matches every
+      path (the NULL-path contract, pinned in
+      tests/test_round11_blocklist.py). Paths compare
+      case-sensitively and verbatim (no canonicalization) — pre-pipe
+      URLs through :func:`canonicalize_url_expr` when the corpus
+      carries tracking params before the prefix.
+
     Two list shapes, two plans:
 
-    - a small tuple (hand-curated exceptions) compiles to a row-local
-      ``isin`` — InSet hash probes fused into the scan, zero shuffles;
-    - a DataFrame with a ``domain`` column (the real UT1 dump is ~4M
-      entries — far past sane literal-expression size) becomes a
-      LEFT ANTI (block) / LEFT SEMI (allow) join; AQE broadcasts the
-      list side when it fits, so the corpus is still never shuffled
-      for any list that fits in memory.
+    - a small tuple (hand-curated exceptions) compiles to row-local
+      predicates — InSet hash probes for the domain-level entries plus
+      an OR'd host/path clause per deeper entry, all fused into the
+      scan, zero shuffles (the host and path are lambda-bound so N
+      entries share one extraction);
+    - a DataFrame (the real UT1 dump is ~4M entries — far past sane
+      literal-expression size) with EITHER a ``domain`` column
+      (registered domains only, the legacy shape: pure equi anti/semi
+      join) OR an ``entry`` column (full grammar: equi join on the
+      entry host's registered domain + residual host-suffix /
+      path-prefix predicates). AQE broadcasts the list side when it
+      fits, so the corpus is never shuffled for any list that fits in
+      memory.
 
-    THE TRAP (it bit this operator's own test fixtures three times):
-    list entries must be REGISTERED domains, not hosts —
-    'bad.example.com' is a host whose eTLD+1 key is 'example.com', so
-    listing it never matches anything; listing 'example.com' blocks
-    every host under it. Pre-fold a host-granularity list through
-    :func:`registered_domain_expr` semantics (or distinct() the
-    ``domain_stats`` output) before using it here.
+    Entry keying: each entry's host folds to its registered domain
+    with the SAME ``psl``/``idna`` settings as the corpus rows
+    (:func:`registered_domain_of_host` driver-side for tuples, the
+    column expression for DataFrames). A tuple entry whose host has
+    no registered domain under the rules (a public-suffix-only host
+    like bare ``github.io`` with private PSL rules) raises — a
+    suffix-wide gate is not expressible at eTLD+1 keying and silently
+    never matching is the failure mode this operator exists to
+    prevent; such DataFrame entries are dropped by the NOT NULL key
+    filter (same reason, join-side).
 
     Docs with no extractable domain (non-absolute URLs) follow
     ``keep_null_domain`` — True (default) for blocklists (no evidence
     against them), and typically False for allowlists (no evidence
-    FOR them; still the caller's call). NULL-safe: the isin path wraps
-    the NULL case explicitly so block mode never silently drops
+    FOR them; still the caller's call). NULL-safe: the row-local path
+    wraps the NULL case explicitly so block mode never silently drops
     provenance-less rows via three-valued logic.
 
     Safety hardening (r10 review): list entries case-fold to lowercase
@@ -619,7 +739,8 @@ def filter_by_domain(
     uppercase entry would silently match nothing); a bare string where
     a tuple belongs raises instead of iterating into single-character
     "domains" that keep everything; ``idna=True`` folds unicode hosts
-    to punycode so they match the ASCII entries real UT1 dumps carry."""
+    to punycode so they match the ASCII entries real UT1 dumps carry
+    (``"uts46"`` for the UTS #46 leg on both rows and entries)."""
     for name, lst_arg in (("blocklist", blocklist), ("allowlist", allowlist)):
         if isinstance(lst_arg, str):
             raise TypeError(
@@ -636,31 +757,162 @@ def filter_by_domain(
             "pass exactly one of blocklist / allowlist (non-empty)"
         )
     d = registered_domain_expr(F.col(url_col), psl=psl, idna=idna)
+    # row host (folded exactly like the domain key's host leg) and raw
+    # path, for host-/path-granularity entries
+    host0 = F.regexp_replace(host_expr(F.col(url_col)), "\\.+$", "")
+    if idna:
+        host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
+    path0 = url_path_expr(F.col(url_col))
     lst = blocklist if has_block else allowlist
     if isinstance(lst, DataFrame):
-        if "__fbd_domain" in df.columns:
+        internal = ("__fbd_domain", "__fbd_host", "__fbd_path")
+        clash = [c for c in internal if c in df.columns]
+        if clash:
             raise ValueError(
-                "input frame already has a __fbd_domain column — rename"
-                " it; the DataFrame-list join uses that name internally"
+                f"input frame already has {clash} column(s) — rename"
+                " them; the DataFrame-list join uses those names"
+                " internally"
             )
-        tagged = df.withColumn("__fbd_domain", d)
-        keyed = lst.select(
-            F.lower(F.col("domain")).alias("__fbd_domain")
-        ).distinct()
+        if "entry" in lst.columns and "domain" in lst.columns:
+            raise ValueError(
+                "list DataFrame has BOTH 'entry' and 'domain' columns —"
+                " keep exactly one (entry = host[/path] grammar,"
+                " domain = registered domains)"
+            )
+        if "entry" in lst.columns:
+            # full UT1 grammar: derive (registered-domain key, host,
+            # path) per entry with the same fold the corpus rows get
+            # host lowercases; the path keeps its case verbatim (URL
+            # paths are case-significant — same contract as
+            # parse_blocklist_entry on the tuple side)
+            e0 = F.regexp_replace(
+                F.trim(F.col("entry")),
+                "^[a-zA-Z][a-zA-Z0-9+.-]*://",
+                "",
+            )
+            eh0 = F.regexp_extract(F.col("__fbd_e"), "^([^/]*)", 1)
+            ep = F.when(
+                F.length(F.col("__fbd_e")) > F.length(F.col("__fbd_eh0")),
+                F.substring(
+                    F.col("__fbd_e"),
+                    F.length(F.col("__fbd_eh0")) + 1,
+                    F.length(F.col("__fbd_e")),
+                ),
+            )
+            eh = F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.col("__fbd_eh0")), ":[0-9]*$", ""
+                ),
+                "\\.+$",
+                "",
+            )
+            if idna:
+                eh = idna_fold_expr(eh, uts46=(idna == "uts46"))
+            keyed = (
+                lst.select(e0.alias("__fbd_e"))
+                .select("__fbd_e", eh0.alias("__fbd_eh0"))
+                .select(eh.alias("__fbd_ehost"), ep.alias("__fbd_epath"))
+                .select(
+                    registered_domain_expr(
+                        F.concat(F.lit("http://"), F.col("__fbd_ehost")),
+                        psl=psl,
+                    ).alias("__fbd_key"),
+                    "__fbd_ehost",
+                    "__fbd_epath",
+                )
+                .filter(F.col("__fbd_key").isNotNull())
+                .distinct()
+            )
+            tagged = (
+                df.withColumn("__fbd_domain", d)
+                .withColumn("__fbd_host", host0)
+                .withColumn("__fbd_path", path0)
+            )
+            cond = (
+                (F.col("__fbd_domain") == F.col("__fbd_key"))
+                & (
+                    (F.col("__fbd_host") == F.col("__fbd_ehost"))
+                    | F.col("__fbd_host").endswith(
+                        F.concat(F.lit("."), F.col("__fbd_ehost"))
+                    )
+                )
+                & (
+                    F.col("__fbd_epath").isNull()
+                    | F.col("__fbd_path").startswith(F.col("__fbd_epath"))
+                )
+            )
+        else:
+            keyed = lst.select(
+                F.lower(F.col("domain")).alias("__fbd_domain")
+            ).distinct()
+            tagged = df.withColumn("__fbd_domain", d)
+            cond = None  # pure equi join on __fbd_domain
+        join_args = (
+            {"on": "__fbd_domain"} if cond is None else {"on": cond}
+        )
         if has_block:
-            kept = tagged.join(keyed, on="__fbd_domain", how="left_anti")
+            kept = tagged.join(keyed, how="left_anti", **join_args)
             if not keep_null_domain:
                 kept = kept.filter(F.col("__fbd_domain").isNotNull())
         else:
-            kept = tagged.join(keyed, on="__fbd_domain", how="left_semi")
+            kept = tagged.join(keyed, how="left_semi", **join_args)
             if keep_null_domain:
                 kept = kept.unionByName(
                     tagged.filter(F.col("__fbd_domain").isNull())
                 )
-        return kept.drop("__fbd_domain")
-    member = d.isin(sorted({x.lower() for x in lst}))
-    cond = ~member if has_block else member
-    cond = F.when(d.isNull(), F.lit(keep_null_domain)).otherwise(cond)
+        return kept.drop("__fbd_domain", "__fbd_host", "__fbd_path")
+    # tuple path: split entries into registered-domain-level (isin)
+    # and deeper host/path entries (OR'd row-local predicates)
+    plain: set[str] = set()
+    hostpath: list[tuple[str, str, str | None]] = []
+    for raw in lst:
+        ehost, epath = parse_blocklist_entry(raw)
+        if idna:
+            ehost = _idna_fold_host(ehost, uts46=(idna == "uts46"))
+        key = registered_domain_of_host(ehost, psl=psl)
+        if key is None:
+            raise ValueError(
+                f"blocklist entry {raw!r}: host {ehost!r} has no"
+                " registered domain under the active rules"
+                " (public-suffix-only or empty) — an eTLD+1-keyed gate"
+                " cannot express a suffix-wide block and the entry"
+                " would silently never match"
+            )
+        if epath is None and ehost == key:
+            plain.add(key)
+        else:
+            hostpath.append((key, ehost, epath))
+    # the domain (a full PSL CaseWhen under psl=), host and path are
+    # lambda-bound TOGETHER as one struct so the NULL wrapper, the
+    # isin probe and every per-entry conjunct share one evaluation —
+    # and so the optional idna pandas_udf stays in the bound value
+    # (the array element), never inside the transform lambda body,
+    # which Spark forbids (LAMBDA_FUNCTION_WITH_PYTHON_UDF)
+    def _cond(dd: Column, rh: Column, rp: Column) -> Column:
+        member = dd.isin(sorted(plain)) if plain else F.lit(False)
+        # each deeper entry stays eTLD+1-KEYED (the domain-equality
+        # conjunct, matching the DataFrame join's equi key): a
+        # host-suffix test alone would give a single-label entry host
+        # ('uk/p') suffix-wide reach the grammar forbids
+        for key, ehost, epath in sorted(
+            hostpath, key=lambda t: (t[1], t[2] or "")
+        ):
+            c = (dd == key) & ((rh == ehost) | rh.endswith("." + ehost))
+            if epath is not None:
+                c = c & rp.startswith(epath)
+            member = member | c
+        c = ~member if has_block else member
+        return F.when(dd.isNull(), F.lit(keep_null_domain)).otherwise(c)
+
+    if hostpath:
+        bundle = F.struct(
+            d.alias("d"), host0.alias("h"), path0.alias("p")
+        )
+        cond = _bind(
+            bundle, lambda t: _cond(t["d"], t["h"], t["p"])
+        )
+    else:
+        cond = _bind(d, lambda dd: _cond(dd, None, None))
     return df.filter(cond)
 
 

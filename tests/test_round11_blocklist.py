@@ -1,0 +1,447 @@
+"""Round-11 host/path-level blocklist certification (VERDICT r10
+task #3).
+
+`urlops.filter_by_domain`'s UT1-style entry grammar
+(``host[/path-prefix]``) is pytest-DuckDB-parity certified, NOT
+catalog-registered (growth policy, catalog.py round-11 note): pinned
+fixture ground truth incl. the NULL-path contract, tuple == DataFrame
+plan equivalence, a DuckDB semantic twin over doc_id-derived URLs, a
+hypothesis referee against the driver-side Python reference
+(`registered_domain_of_host` + `parse_blocklist_entry`), and plan
+shape checks (tuple: fused row-local predicates, zero joins; DataFrame:
+AQE-broadcast anti/semi join on the registered-domain key with
+residual host/path predicates).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import urlops
+
+
+# ---------------------------------------------------------------------------
+# ground truth: pinned fixture
+# ---------------------------------------------------------------------------
+
+_ENTRIES = (
+    "blocked.io",                 # registered-domain level
+    "bad.example.org",            # host level (deeper than eTLD+1)
+    "example.com/ads/",           # domain host + path prefix
+    "tracker.example.net/pix",    # deep host + path prefix
+    "http://schemed.org",         # tolerated scheme prefix
+    "Ported.COM:8080",            # case + port folds away
+    "dotted.net.",                # trailing root-dot folds away
+)
+
+# (url, kept-under-block?) — allow mode is the complement for rows
+# with a domain; NULL-domain rows follow keep_null_domain in BOTH.
+_CASES = [
+    ("http://example.com/", True),             # bare root: /ads/ not hit
+    ("http://example.com/ads/x", False),       # the VERDICT done-case
+    ("http://www.example.com/ads/y", False),   # subdomain inherits path block
+    ("http://example.com/ads", True),          # prefix means '/ads/': '/ads' survives
+    ("http://example.com/ads?q=1", True),      # query is not path
+    ("http://example.com/ADS/x", True),        # path is case-SENSITIVE
+    ("http://example.com/other", True),
+    ("http://bad.example.org/a", False),       # host-level block
+    ("http://x.bad.example.org/b", False),     # subdomain of the blocked host
+    ("http://good.example.org/c", True),       # sibling host, same eTLD+1
+    ("http://example.org/", True),             # the eTLD+1 itself survives
+    ("http://tracker.example.net/pixel", False),  # '/pix' prefixes '/pixel'
+    ("http://tracker.example.net/img", True),
+    ("http://example.net/pixel", True),        # path entry is host-scoped
+    ("http://blocked.io/q", False),            # domain-level: NULL-path matches all
+    ("http://blocked.io", False),              # ...including the empty path
+    ("http://sub.blocked.io/deep/p?x#f", False),
+    ("http://SCHEMED.org/x", False),           # scheme-stripped entry matched
+    ("http://ported.com/x", False),            # ':8080' folded off the entry
+    ("http://dotted.net/x", False),            # trailing dot folded off
+    ("http://keep.net/", True),
+    ("not a url", True),                       # NULL domain, keep_null default
+]
+
+
+def _fixture_df(spark):
+    return spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_CASES)], "i long, url string"
+    )
+
+
+def test_blocklist_pinned_fixture(spark):
+    out = urlops.filter_by_domain(_fixture_df(spark), blocklist=_ENTRIES)
+    kept = {r["i"] for r in out.collect()}
+    for i, (u, keep) in enumerate(_CASES):
+        assert (i in kept) == keep, f"block {u!r}: kept={i in kept}"
+
+
+def test_allowlist_pinned_fixture(spark):
+    # allow = complement for domain-bearing rows; NULL-domain row obeys
+    # keep_null_domain on both settings
+    out = urlops.filter_by_domain(_fixture_df(spark), allowlist=_ENTRIES)
+    kept = {r["i"] for r in out.collect()}
+    for i, (u, keep_block) in enumerate(_CASES):
+        expect = (not keep_block) or u == "not a url"
+        assert (i in kept) == expect, f"allow {u!r}"
+    out2 = urlops.filter_by_domain(
+        _fixture_df(spark), allowlist=_ENTRIES, keep_null_domain=False
+    )
+    kept2 = {r["i"] for r in out2.collect()}
+    for i, (u, keep_block) in enumerate(_CASES):
+        expect = (not keep_block) and u != "not a url"
+        assert (i in kept2) == expect, f"allow/no-null {u!r}"
+
+
+def test_blocklist_null_path_contract(spark):
+    """An entry with NO '/' matches every path of its host scope; an
+    entry ending at '/' requires the path to start with '/' — the bare
+    authority-only URL (path '') survives it."""
+    df = spark.createDataFrame(
+        [("http://a.com",), ("http://a.com/",), ("http://a.com/x",)],
+        ["url"],
+    )
+    no_slash = urlops.filter_by_domain(df, blocklist=("a.com",))
+    assert no_slash.count() == 0
+    slash = urlops.filter_by_domain(df, blocklist=("a.com/",))
+    assert [r["url"] for r in slash.collect()] == ["http://a.com"]
+
+
+def test_blocklist_tuple_vs_dataframe_equivalence(spark):
+    df = _fixture_df(spark)
+    lst = spark.createDataFrame([(e,) for e in _ENTRIES], ["entry"])
+    for kw in ({"blocklist": _ENTRIES}, {"allowlist": _ENTRIES}):
+        (arg,) = kw
+        tup = urlops.filter_by_domain(df, **kw)
+        dfl = urlops.filter_by_domain(df, **{arg: lst})
+        assert sorted(r["i"] for r in tup.collect()) == sorted(
+            r["i"] for r in dfl.collect()
+        ), arg
+
+
+def test_blocklist_legacy_domain_dataframe_regression(spark):
+    """The legacy `domain`-column DataFrame shape keeps its pure
+    equi-join contract: registered domains only, no entry parsing."""
+    df = _fixture_df(spark)
+    legacy = spark.createDataFrame([("blocked.io",), ("KEEP.net",)], ["domain"])
+    out = urlops.filter_by_domain(df, blocklist=legacy)
+    kept_urls = {r["url"] for r in out.collect()}
+    assert not any("blocked.io" in u for u in kept_urls)
+    assert not any("keep.net" in u for u in kept_urls)  # case-folded entry
+    assert "http://example.com/ads/x" in kept_urls  # no path semantics here
+    both = spark.createDataFrame([("a.com", "a.com")], ["domain", "entry"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BOTH"):
+        urlops.filter_by_domain(df, blocklist=both)
+
+
+def test_blocklist_suffix_only_entry_raises(spark):
+    import pytest as _pytest
+
+    rules = urlops.load_psl(include_private=True)
+    df = _fixture_df(spark)
+    with _pytest.raises(ValueError, match="no.*registered domain"):
+        urlops.filter_by_domain(df, blocklist=("github.io",), psl=rules)
+    with _pytest.raises(ValueError, match="no.*registered domain"):
+        urlops.filter_by_domain(df, blocklist=("",))
+    # the same entry is DROPPED (never matches) on the DataFrame side
+    lst = spark.createDataFrame([("github.io",), ("blocked.io",)], ["entry"])
+    out = urlops.filter_by_domain(df, blocklist=lst, psl=rules)
+    kept = {r["url"] for r in out.collect()}
+    assert not any("blocked.io" in u for u in kept)
+    assert "http://keep.net/" in kept
+
+
+def test_blocklist_psl_and_idna_composition(spark):
+    """PSL keying + the uts46 fold on BOTH rows and entries: a unicode
+    entry ('faß.de/x') gates the punycode spelling of the same host,
+    and PSL-deep suffixes key correctly (user.github.io is its own
+    registered domain under private rules, so blocking one user site
+    leaves the sibling alone)."""
+    rules = urlops.load_psl(include_private=True)
+    df = spark.createDataFrame(
+        [
+            ("http://xn--fa-hia.de/xyz",),
+            ("http://xn--fa-hia.de/keep",),
+            ("http://faSS.de/xyz",),        # IDNA-2003 would fold ß here; uts46 must NOT
+            ("http://evil.github.io/a",),
+            ("http://fine.github.io/b",),
+        ],
+        ["url"],
+    )
+    out = urlops.filter_by_domain(
+        df, blocklist=("faß.de/x", "evil.github.io"), psl=rules, idna="uts46"
+    )
+    kept = {r["url"] for r in out.collect()}
+    assert kept == {
+        "http://xn--fa-hia.de/keep",
+        "http://faSS.de/xyz",
+        "http://fine.github.io/b",
+    }
+
+
+def test_registered_domain_of_host_twin(spark):
+    """The driver-side Python fold agrees with the column expression on
+    a host matrix spanning every branch (compact + PSL), so blocklist
+    entries key exactly like corpus rows."""
+    hosts = [
+        "www.example.com", "example.com", "com", "localhost",
+        "a.b.co.uk", "co.uk", "10.1.2.3", "x.10.1.2.3",
+        "Example.COM.", "h.example.com:8080", "",
+        "foo.ck", "www.ck", "a.www.ck", "b.foo.ck",
+        "city.kawasaki.jp", "x.city.kawasaki.jp", "a.b.kawasaki.jp",
+        "user.github.io", "deep.user.github.io", "github.io",
+    ]
+    rules = urlops.load_psl(include_private=True)
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, h string"
+    )
+    url = F.concat(F.lit("http://"), F.col("h"))
+    rows = df.select(
+        "i",
+        urlops.registered_domain_expr(url).alias("c"),
+        urlops.registered_domain_expr(url, psl=rules).alias("p"),
+    ).collect()
+    for r in rows:
+        h = hosts[r["i"]]
+        # the expression sees '' host for 'http://' + '' (no authority)
+        assert r["c"] == urlops.registered_domain_of_host(h), f"compact {h!r}"
+        assert r["p"] == urlops.registered_domain_of_host(h, psl=rules), (
+            f"psl {h!r}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB semantic twin over doc_id-derived URLs
+# ---------------------------------------------------------------------------
+
+_TWIN_URL_SPARK_SQL = """
+CASE CAST(doc_id % 8 AS INT)
+  WHEN 0 THEN concat('http://example.com/ads/', doc_id)
+  WHEN 1 THEN concat('http://example.com/p/', doc_id)
+  WHEN 2 THEN concat('http://', CAST(doc_id % 5 AS STRING),
+                     '.bad.example.org/x', doc_id)
+  WHEN 3 THEN concat('http://good.example.org/y', doc_id)
+  WHEN 4 THEN concat('http://blocked.io/q', doc_id)
+  WHEN 5 THEN concat('not a url ', doc_id)
+  WHEN 6 THEN concat('http://Sub.Example.CO.UK/ads/', doc_id)
+  ELSE concat('http://tracker.example.net/pix', doc_id)
+END
+"""
+
+_TWIN_URL_DUCK_SQL = _TWIN_URL_SPARK_SQL.replace(
+    "AS STRING", "AS VARCHAR"
+)
+
+_TWIN_ENTRIES = (
+    "blocked.io",
+    "bad.example.org",
+    "example.com/ads/",
+    "example.co.uk/ads/",
+    "tracker.example.net/pix",
+)
+
+
+def _duck_gate_where(entries: tuple[str, ...]) -> str:
+    """The gate's WHERE clause as independent DuckDB arithmetic: domain
+    via the compact-heuristic SQL shape (test_round9_urlops twin), host
+    suffix via ends_with, path prefix via starts_with."""
+    suffixes = ", ".join(f"'{s}'" for s in urlops.MULTI_SUFFIXES)
+    conds = []
+    for raw in entries:
+        h, p = urlops.parse_blocklist_entry(raw)
+        key = urlops.registered_domain_of_host(h)
+        if p is None and h == key:
+            conds.append(f"d = '{key}'")
+        else:
+            c = (
+                f"d = '{key}' AND"
+                f" (host = '{h}' OR ends_with(host, '.{h}'))"
+            )
+            if p is not None:
+                c += f" AND starts_with(path, '{p}')"
+            conds.append(f"({c})")
+    member = " OR ".join(conds)
+    return f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+    CASE WHEN host = '' THEN NULL
+         WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
+           THEN host
+         WHEN n >= 3 AND (labels[n-1] || '.' || labels[n]) IN ({suffixes})
+           THEN labels[n-2] || '.' || labels[n-1] || '.' || labels[n]
+         WHEN n >= 2 THEN labels[n-1] || '.' || labels[n]
+         ELSE host END AS d,
+    host, path
+  FROM (
+    SELECT doc_id, host, path, string_split(host, '.') AS labels,
+           len(string_split(host, '.')) AS n
+    FROM (
+      SELECT doc_id,
+        regexp_replace(lower(regexp_replace(regexp_replace(
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+          '^[^/?#]*@', ''), ':[0-9]*$', '')), '\\.+$', '') AS host,
+        regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      FROM urls) h) l) g
+WHERE d IS NULL OR NOT ({member})
+"""
+
+
+def test_blocklist_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    urls = docs.select("doc_id", F.expr(_TWIN_URL_SPARK_SQL).alias("url"))
+    got = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(urls, blocklist=_TWIN_ENTRIES)
+        .select("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW urls AS
+        SELECT doc_id, ({_TWIN_URL_DUCK_SQL}) AS url
+        FROM read_parquet('{sf_dir}/documents.parquet')"""
+    )
+    exp = sorted(x[0] for x in con.execute(_duck_gate_where(_TWIN_ENTRIES)).fetchall())
+    assert got == exp and len(got) > 0
+    # DataFrame-entry plan shape over the same data agrees too
+    lst = spark.createDataFrame([(e,) for e in _TWIN_ENTRIES], ["entry"])
+    got_df = sorted(
+        r["doc_id"]
+        for r in urlops.filter_by_domain(urls, blocklist=lst)
+        .select("doc_id")
+        .collect()
+    )
+    assert got_df == exp
+
+
+# ---------------------------------------------------------------------------
+# hypothesis referee against the Python reference
+# ---------------------------------------------------------------------------
+
+def _ref_host_path(url: str) -> tuple[str, str]:
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)([^?#]*)", url)
+    if not m:
+        return "", ""
+    host = re.sub(r"^[^/?#]*@", "", m.group(1))
+    host = re.sub(r":[0-9]*$", "", host).lower()
+    host = re.sub(r"\.+$", "", host)
+    return host, m.group(2)
+
+
+def _ref_gate_keep(
+    url: str, entries: tuple[str, ...], block: bool, keep_null: bool
+) -> bool:
+    host, path = _ref_host_path(url)
+    d = urlops.registered_domain_of_host(host) if host else None
+    if d is None:
+        return keep_null
+    member = False
+    for raw in entries:
+        eh, ep = urlops.parse_blocklist_entry(raw)
+        key = urlops.registered_domain_of_host(eh)
+        if ep is None and eh == key:
+            member = member or d == key
+        else:
+            hit = host == eh or host.endswith("." + eh)
+            if ep is not None:
+                hit = hit and path.startswith(ep)
+            member = member or (d == key and hit)
+    return (not member) if block else member
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _hostish = st.lists(
+        st.sampled_from(
+            ["example", "bad", "x", "a", "b", "co.uk", "com", "org", "io"]
+        ),
+        min_size=1,
+        max_size=4,
+    ).map(".".join)
+    _urlish = st.builds(
+        lambda h, p, junk: junk if junk else f"http://{h}{p}",
+        _hostish,
+        st.sampled_from(["", "/", "/ads/x", "/ads", "/pix/1", "/A/b", "?q", "/x?y#z"]),
+        st.sampled_from([None, "", "not a url", "relative/x"]).map(
+            lambda j: j if j else None
+        ),
+    ).map(lambda u: u or "http://example.com/")
+    _entryish = st.builds(
+        lambda h, p: h + p,
+        _hostish,
+        st.sampled_from(["", "/", "/ads/", "/pix", "/A/"]),
+    )
+
+    @given(
+        st.lists(_urlish, min_size=1, max_size=8),
+        st.lists(_entryish, min_size=1, max_size=5),
+        st.booleans(),
+        st.booleans(),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_blocklist_matches_python_reference(
+        spark, batch, raw_entries, block, keep_null
+    ):
+        entries = tuple(
+            e
+            for e in dict.fromkeys(raw_entries)
+            if urlops.registered_domain_of_host(
+                urlops.parse_blocklist_entry(e)[0]
+            )
+            is not None
+        )
+        if not entries:
+            return
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(batch)], "i long, url string"
+        )
+        kw = {"blocklist" if block else "allowlist": entries}
+        kept = {
+            r["i"]
+            for r in urlops.filter_by_domain(
+                df, keep_null_domain=keep_null, **kw
+            ).collect()
+        }
+        for i, u in enumerate(batch):
+            exp = _ref_gate_keep(u, entries, block, keep_null)
+            assert (i in kept) == exp, f"{u!r} vs {entries}"
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+# ---------------------------------------------------------------------------
+# plan shape
+# ---------------------------------------------------------------------------
+
+def test_blocklist_tuple_plan_is_rowlocal(spark):
+    df = spark.createDataFrame([(1, "http://a.example.com/x")], "i long, url string")
+    out = urlops.filter_by_domain(
+        df, blocklist=("bad.org", "h.bad.net", "x.com/p/")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "Join"):
+        assert bad not in plan, bad
+
+
+def test_blocklist_dataframe_plan_broadcasts(spark):
+    df = spark.createDataFrame(
+        [(i, f"http://h{i}.example.com/p{i}") for i in range(50)],
+        "i long, url string",
+    )
+    lst = spark.createDataFrame(
+        [("bad.org",), ("x.example.com/p/",)], ["entry"]
+    )
+    out = urlops.filter_by_domain(df, blocklist=lst)
+    out.collect()  # let AQE finalize the join strategy
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
