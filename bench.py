@@ -180,12 +180,24 @@ def main() -> None:
         return best_out, med_out
 
     def run_calibration(n: int) -> float:
-        best = float("inf")
+        """MEDIAN of n samples (VERDICT r10 task #6): the r10
+        self-measurement showed best-of-N calibration denominators
+        spreading 0.54-1.02 s same-day purely from which sample got
+        lucky, which alone moved the normalized metric 40.3-54.0; the
+        median absorbs one outlier per bracket the same way the
+        per-query med column does."""
+        samples = []
         for _ in range(n):
             t0 = time.perf_counter()
             calibration()
-            best = min(best, time.perf_counter() - t0)
-        return best
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        mid = len(samples) // 2
+        return (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
 
     # BRACKETING calibrations (VERDICT r8 task #5): one before and one
     # after the headliners. The r8 adjudication showed a single pre-run
@@ -193,9 +205,15 @@ def main() -> None:
     # minutes-long query loop (three same-binary records normalized to
     # 39.3/42.7/49.2); the average of the brackets estimates mid-run
     # box speed and cal_post/cal_pre flags intra-run drift explicitly.
-    cal_pre = run_calibration(max(2, min(runs, 3)))
+    # Both brackets are median-of-3 as of r11 (task #6) — records
+    # before r11 carried best-of-N brackets, which read ~equal or LOW
+    # relative to a median (so pre-r11 normalized values are a floor,
+    # not 1:1 comparable; SURVEY §9 documents the comparison rule).
+    load_pre = os.getloadavg()[0]
+    cal_pre = run_calibration(3)
     timings, medians = time_all(runs)
-    cal_post = run_calibration(2)
+    cal_post = run_calibration(3)
+    load_post = os.getloadavg()[0]
     cal_mid = (cal_pre + cal_post) / 2
 
     total = round(sum(timings.values()), 3)
@@ -215,6 +233,11 @@ def main() -> None:
         "calibration": round(cal_mid, 3),
         "cal_pre": round(cal_pre, 3),
         "cal_post": round(cal_post, 3),
+        # 1-min loadavg at each bracket: a drifted record (competing
+        # load on the box) is machine-detectable without re-running —
+        # loadavg far above `cpus` at either bracket means external
+        # contention was squeezing the run.
+        "load": [round(load_pre, 2), round(load_post, 2)],
         # box-drift-normalized total: raw seconds divided by the pinned
         # pure-codegen calibration workload's seconds on the SAME box
         # bracketing the SAME run. Compare THIS number round-over-round;
@@ -267,7 +290,7 @@ def main() -> None:
         k: result[k]
         for k in (
             "metric", "value", "unit", "queries", "med", "sf", "cpus",
-            "calibration", "cal_pre", "cal_post", "normalized",
+            "calibration", "cal_pre", "cal_post", "normalized", "load",
         )
     }
     line = json.dumps(compact)
