@@ -2634,24 +2634,28 @@ def text_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-10 surfaces likewise pytest-parity certified, NOT registered:
 # PSL registered-domain, numeric/named entity decode, keep-first
 # line-dedup (tests/test_round10_*.py). Round-11 surfaces likewise
-# pytest-parity certified, NOT registered: full upstream PSL data,
+# pytest-parity certified, NOT registered — full upstream PSL data,
 # host/path-level blocklist entries, UTS#46 fold leg
-# (tests/test_round11_*.py).
+# (tests/test_round11_*.py) — EXCEPT the one sanctioned composed
+# registration, pipeline_domain_gate (VERDICT r10 task #8), which
+# took the 147th slot and model_order_agg's planned r11 seat.
 #
 # ROUND-12 WINDOW PLAN (mechanical, execute first thing after
 # CORRECTNESS_r11 lands): the mandatory tier is every query whose
-# newest green row is r9 — the 50 r9-certified queries MINUS the four
-# re-certified as r11 anchor fillers (diff_counts_orders,
-# diff_profile_orders, diff_schema_drift, model_order_agg) = 46
-# queries; plus any never-certified r12 registrations first. Fill the
-# remaining ~4 slots from the r10-certified tier (the stalest outside;
-# greedy tie-split allows choosing among them) — the anchor-cadence
-# clause makes diff_partitioned_orders and pricing_summary (both r10)
-# hard-mandatory the moment CORRECTNESS_r11 lands, so seat them first,
-# then prefer queries riding r12's churned code paths (or the LSH /
-# pipeline fillers to keep that family on a 2-round cadence). This is
-# the steady-state 3-round carousel at 146 registered (hard cap 150):
-# each round's mandatory tier is ~46 + new registrations, leaving ~4
+# newest green row is r9 — the 50 r9-certified queries MINUS the
+# three re-certified as r11 anchor fillers (diff_counts_orders,
+# diff_profile_orders, diff_schema_drift) = 47 queries (incl.
+# model_order_agg, which ceded its r11 seat to pipeline_domain_gate);
+# plus any never-certified r12 registrations first. Fill the
+# remaining ~3 slots from the r10-certified tier (the stalest
+# outside; greedy tie-split allows choosing among them) — the
+# anchor-cadence clause makes diff_partitioned_orders and
+# pricing_summary (both r10) hard-mandatory the moment
+# CORRECTNESS_r11 lands, so seat them first, then prefer queries
+# riding r12's churned code paths (or the LSH / pipeline fillers to
+# keep that family on a 2-round cadence). This is the steady-state
+# 3-round carousel at 147 registered (hard cap 150): each round's
+# mandatory tier is ~47 + new registrations, leaving ~3
 # discretionary slots.
 
 
@@ -6211,6 +6215,184 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pipeline_domain_gate: the composed provenance gate (round 11).
+#
+# The one registration VERDICT r10 task #8 sanctioned: a
+# flagship-grade composition of the round's surfaces — full-grammar
+# UT1 blocklist entries (domain / deeper-host / path-prefix) keyed on
+# Public Suffix List registered domains, then per-domain corpus
+# accounting. Uses the ABRIDGED snapshot rules (grammar-complete:
+# wildcard, exception, private sections) so the oracle's generated
+# CASE/IN SQL stays compact; the full ~9.5k-rule list is certified by
+# tests/test_round10_psl.py at identical per-row cost (SURVEY §9).
+# ---------------------------------------------------------------------------
+
+from dbt_model_diff_spark.operators import urlops as _urlops
+
+_GATE_RULES = _urlops.load_psl(
+    _urlops.PSL_SNAPSHOT_PATH, include_private=True
+)
+
+# one entry per grammar shape: registered-domain level (com.pl,
+# github.io private-suffix, *.ck wildcard, bare IPv4), deeper host
+# (under a normal 2-level suffix and under the !city.kobe.jp
+# exception), and a path prefix
+_GATE_ENTRIES = (
+    "blocked0.com.pl",
+    "blocked1.com.pl",
+    "sub1.news.co.il",
+    "user2.github.io",
+    "mall.com/ads/",
+    "w1.city.kobe.jp",
+    "b1.foo.ck",
+    "10.0.4.3",
+)
+
+# identical synthesis both engines modulo the STRING/VARCHAR cast
+_GATE_URL_SQL = """
+CASE doc_id % 10
+  WHEN 0 THEN 'http://www.blocked' || CAST(doc_id % 3 AS STRING)
+              || '.com.pl/a/' || CAST(doc_id AS STRING)
+  WHEN 1 THEN 'http://sub' || CAST(doc_id % 4 AS STRING)
+              || '.news.co.il/p'
+  WHEN 2 THEN 'https://User' || CAST(doc_id % 5 AS STRING)
+              || '.GitHub.IO/repo' || CAST(doc_id AS STRING)
+  WHEN 3 THEN 'http://mall.com/ads/b' || CAST(doc_id AS STRING)
+  WHEN 4 THEN 'http://mall.com/shop/b' || CAST(doc_id AS STRING)
+  WHEN 5 THEN 'http://w' || CAST(doc_id % 4 AS STRING)
+              || '.city.kobe.jp/'
+  WHEN 6 THEN 'http://b' || CAST(doc_id % 3 AS STRING) || '.foo.ck/'
+  WHEN 7 THEN 'http://10.0.' || CAST(doc_id % 9 AS STRING) || '.3:80/z'
+  WHEN 8 THEN 'not a url ' || CAST(doc_id AS STRING)
+  ELSE 'http://keep.example' || CAST(doc_id % 6 AS STRING)
+       || '.org.uk/ok'
+END
+"""
+
+
+def _duck_psl_case(rules) -> str:
+    """The psl_registered_domain_expr tier arithmetic as a DuckDB CASE
+    over (host, labels, n) — same parsed rules, same tier order
+    (exceptions longest-first, suffix tiers by effective length, the
+    default '*' rule). The twin the round-10 parity test generates,
+    here feeding a registered oracle."""
+
+    def lastk(k: int) -> str:
+        return f"array_to_string(list_slice(labels, n - {k} + 1, n), '.')"
+
+    def inlist(vals) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    by_exc: dict[int, list[str]] = {}
+    for e in rules.exception:
+        by_exc.setdefault(e.count(".") + 1, []).append(e)
+    by_wild: dict[int, list[str]] = {}
+    for b in rules.wildcard:
+        by_wild.setdefault(b.count(".") + 1, []).append(b)
+    by_norm: dict[int, list[str]] = {}
+    for r in rules.normal:
+        k = r.count(".") + 1
+        if k >= 2:
+            by_norm.setdefault(k, []).append(r)
+    branches = [
+        "WHEN host = '' THEN NULL",
+        "WHEN regexp_matches(host,"
+        " '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN host",
+    ]
+    for k in sorted(by_exc, reverse=True):
+        branches.append(
+            f"WHEN n >= {k} AND {lastk(k)} IN ({inlist(by_exc[k])})"
+            f" THEN {lastk(k)}"
+        )
+    max_len = max([k + 1 for k in by_wild] + list(by_norm) + [1])
+    for length in range(max_len, 1, -1):
+        conds = []
+        wl = by_wild.get(length - 1)
+        if wl:
+            conds.append(
+                f"(n >= {length} AND {lastk(length - 1)} IN ({inlist(wl)}))"
+            )
+        nl = by_norm.get(length)
+        if nl:
+            conds.append(
+                f"(n >= {length} AND {lastk(length)} IN ({inlist(nl)}))"
+            )
+        if not conds:
+            continue
+        branches.append(
+            f"WHEN {' OR '.join(conds)} THEN CASE WHEN n >= {length + 1}"
+            f" THEN {lastk(length + 1)} END"
+        )
+    branches.append(f"WHEN n >= 2 THEN {lastk(2)}")
+    return "CASE " + " ".join(branches) + " ELSE NULL END"
+
+
+def _domain_gate_oracle() -> str:
+    """Block-gate membership replayed entry-by-entry from the SAME
+    driver-side keying (parse_blocklist_entry +
+    registered_domain_of_host) the Spark tuple path compiles."""
+    conds = []
+    for raw in _GATE_ENTRIES:
+        h, p = _urlops.parse_blocklist_entry(raw)
+        key = _urlops.registered_domain_of_host(h, psl=_GATE_RULES)
+        if p is None and h == key:
+            conds.append(f"d = '{key}'")
+        else:
+            c = (
+                f"d = '{key}' AND"
+                f" (host = '{h}' OR ends_with(host, '.{h}'))"
+            )
+            if p is not None:
+                c += f" AND starts_with(path, '{p}')"
+            conds.append(f"({c})")
+    member = " OR ".join(conds)
+    url_sql = _GATE_URL_SQL.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH urls AS (
+  SELECT doc_id, text, ({url_sql}) AS url FROM documents),
+hp AS (
+  SELECT doc_id, text,
+    regexp_replace(lower(regexp_replace(regexp_replace(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+      '^[^/?#]*@', ''), ':[0-9]*$', '')), '\\.+$', '') AS host,
+    regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM urls),
+dd AS (
+  SELECT doc_id, text, host, path, {_duck_psl_case(_GATE_RULES)} AS d
+  FROM (SELECT doc_id, text, host, path,
+               string_split(host, '.') AS labels,
+               len(string_split(host, '.')) AS n FROM hp) l),
+g AS (SELECT * FROM dd WHERE d IS NULL OR NOT ({member}))
+SELECT d AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+         AS n_tokens
+FROM g GROUP BY d
+"""
+
+
+@register("pipeline_domain_gate", _domain_gate_oracle())
+def pipeline_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed provenance gate: UT1-grammar blocklist entries
+    (registered-domain, deeper-host, path-prefix) keyed on Public
+    Suffix List domains, then per-domain doc/token accounting — the
+    first stage of a crawl-curation run, end to end. The tuple list
+    compiles to ROW-LOCAL predicates over one struct-bound
+    (domain, host, path) evaluation — zero joins, zero UDFs, fused
+    into the scan — and the accounting is one partial-agg exchange on
+    the domain key; the only shuffle in the whole query. At the real
+    ~4M-entry dump scale the list flips to the entry-column DataFrame
+    shape (AQE-broadcast anti join, same semantics, certified
+    equivalent in tests/test_round11_blocklist.py)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    urls = docs.withColumn("url", F.expr(_GATE_URL_SQL))
+    gated = _urlops.filter_by_domain(
+        urls, blocklist=_GATE_ENTRIES, psl=_GATE_RULES
+    )
+    return _urlops.domain_stats(gated, text_col="text", psl=_GATE_RULES)
+
+
+# ---------------------------------------------------------------------------
 # Driver registration order.
 #
 # The driver's correctness harness verifies the first 50 registered
@@ -6239,14 +6421,20 @@ def unpivot_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # Round-11 window (executes the ROUND-11 WINDOW PLAN written in
     # r10; see the plan comment above for the derivation).
+    # Tier 0: the round's ONE registration (the VERDICT r10 task-#8
+    # sanctioned slot — the composed blocklist+PSL gate), never
+    # certified, therefore stalest and mandatory in-window. It takes
+    # the seat the original plan gave model_order_agg; that anchor is
+    # r9-green (within the two-newest-records clause) and becomes
+    # mandatory in round 12. The OTHER r11 surfaces stay
+    # pytest-DuckDB-parity certified, unregistered (growth policy):
+    # full-PSL data, host/path blocklist grammar, the UTS#46 fold leg.
+    "pipeline_domain_gate",
     # Tier 1: the 46 queries whose newest green row is r8 — the 50
     # r8-certified queries minus the four re-certified as r10
     # churned-path fillers (dedup_lsh_pairs, dedup_jaccard_verified,
     # pipeline_curation_report, pipeline_training_data). They hit the
-    # 3-round staleness bound the moment CORRECTNESS_r10 landed. No
-    # never-certified tier: round 11 registers nothing (growth
-    # policy — full-PSL data, path-level blocklist entries, and the
-    # UTS#46 fold leg are pytest-DuckDB-parity certified instead).
+    # 3-round staleness bound the moment CORRECTNESS_r10 landed.
     "approx_profile_orders",
     "budget_select_documents",
     "decontaminate_train_docs",
@@ -6293,19 +6481,20 @@ _DRIVER_PRIORITY = [
     "text_normalize_documents",
     "text_top_terms_by_group",
     "unpivot_orders_metrics",
-    # Tier 2: the four r9-certified flagship anchors (the stalest
-    # tier outside the mandatory set; the greedy clause allows
-    # splitting the 50-way r9 tie). The anchor-cadence clause in
+    # Tier 2: three r9-certified flagship anchors (the stalest tier
+    # outside the mandatory set; the greedy clause allows splitting
+    # the 50-way r9 tie). The anchor-cadence clause in
     # test_driver_priority_window requires each flagship to be in
     # the window or green within the two newest records — these
-    # four are r9, so without a seat their driver signal would age
-    # past two rounds. The 46 r9 queries left outside are green in
-    # CORRECTNESS_r09 (within the two newest records) and become
-    # round 12's mandatory tier (see the ROUND-12 WINDOW PLAN).
+    # are r9, so without a seat their driver signal would age past
+    # two rounds. model_order_agg ceded its planned seat to the
+    # tier-0 registration (never-certified outranks every tie) and
+    # stays satisfied by its r9 row; it joins the 47 r9 queries
+    # outside that become round 12's mandatory tier (see the
+    # ROUND-12 WINDOW PLAN).
     "diff_counts_orders",
     "diff_profile_orders",
     "diff_schema_drift",
-    "model_order_agg",
 ]
 
 
