@@ -92,12 +92,17 @@ class CurationConfig:
     # diversity-balanced mix. A `domain` column stays on the output.
     url_col: str | None = None
     max_docs_per_domain: int | None = None
-    # UT1/RefinedWeb-style domain blocklist (urlops.filter_by_domain):
-    # docs whose registered domain is listed are dropped as the VERY
-    # FIRST stage — the cheapest gate runs before any text work. A
-    # small hand-curated tuple (row-local isin); a full ~4M-entry UT1
-    # dump should go through urlops.filter_by_domain's DataFrame form
-    # directly. Keys on the same psl setting as the cap.
+    # UT1/RefinedWeb-style blocklist (urlops.filter_by_domain): docs
+    # matching a listed entry are dropped as the VERY FIRST stage —
+    # the cheapest gate runs before any text work. Entries take the
+    # full UT1 grammar as of r11: a registered domain blocks every
+    # host under it, a deeper host ('bad.example.com') blocks that
+    # host + its subdomains only, and 'host/path-prefix' additionally
+    # requires the raw path prefix. A small hand-curated tuple
+    # compiles to row-local predicates; a full ~4M-entry UT1 dump
+    # should go through urlops.filter_by_domain's entry-column
+    # DataFrame form directly. Keys on the same psl setting as the
+    # cap.
     blocked_domains: tuple[str, ...] | None = None
     # Public Suffix List grouping for the per-domain cap (VERDICT r9
     # task #2): False = the compact zero-dependency MULTI_SUFFIXES

@@ -419,6 +419,44 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
 
 
 # ---------------------------------------------------------------------------
+# pipeline composition
+# ---------------------------------------------------------------------------
+
+def test_curation_config_hostpath_gate(spark):
+    """CurationConfig.blocked_domains takes the full r11 entry grammar
+    unchanged: a path entry gates only matching paths, a deeper-host
+    entry gates only that host's subtree, and the gate still runs
+    first with its own report row."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (i, "the quick brown fox with several words here token "
+            f"t{i}",
+         [
+             "http://shop.site.com/ads/banner",   # path entry target
+             "http://shop.site.com/item",         # same host, path miss
+             "http://cdn.site.com/x",             # deeper-host target
+             "http://site.com/ads/b",             # domain root, other host
+         ][i % 4])
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CurationConfig(
+        dedup="none", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None, url_col="url",
+        blocked_domains=("shop.site.com/ads/", "cdn.site.com"),
+    )
+    kept, report = curate_corpus(docs, cfg)
+    kept_urls = {r["url"] for r in kept.select("url").collect()}
+    assert kept_urls == {
+        "http://shop.site.com/item",
+        "http://site.com/ads/b",
+    }
+    assert [r["stage"] for r in report][:2] == ["input", "domain_gate"]
+    assert next(r for r in report if r["stage"] == "domain_gate")["docs"] == 10
+
+
+# ---------------------------------------------------------------------------
 # plan shape
 # ---------------------------------------------------------------------------
 
