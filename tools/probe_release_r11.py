@@ -1,0 +1,175 @@
+"""Round-11 probes (SURVEY §9):
+
+A. `components` — the dedup_components bench wobble (VERDICT r10
+   task #5): the EXACT registered chains (dedup_components,
+   dedup_lsh_pairs from catalog.QUERIES) on an idle box, bracketed by
+   median-of-3 calibration runs (the r11 bench.py rule), 6 samples
+   each, at sf0.1 and — when `.localdata/sf1` exists
+   (tools/gen_scale_data.py --factor 10) — at sf1. Decides "box
+   drift" vs "regression": a real regression moves the normalized
+   median at BOTH scales; drift moves raw seconds only.
+
+B. `blocklist` — filter_by_domain at real UT1 scale (task #7): a
+   synthetic 5M-doc corpus (spark.range-derived URLs over 1M distinct
+   registered domains, no parquet needed) gated by an entry-column
+   DataFrame list at 100k / 1M / 4M entries (90% domain-level, 5%
+   host-level, 5% path-level — the real UT1 dump shape), measuring
+   the join strategy AQE picks (broadcast vs shuffle) and the wall
+   cost of each, plus a forced-broadcast leg at 4M to price the flip
+   threshold for the docstring guidance.
+
+Usage:
+    python tools/probe_release_r11.py [components|blocklist ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.session import get_spark
+
+
+def _median(xs):
+    xs = sorted(xs)
+    mid = len(xs) // 2
+    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+
+def _calibration(spark) -> float:
+    # the bench.py pinned pure-codegen workload, median-of-3 (r11 rule)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(200_000_000)
+            .select(((F.col("id") * 2654435761) % 8192).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        samples.append(time.perf_counter() - t0)
+    return _median(samples)
+
+
+def probe_components(spark) -> None:
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    sf_dirs = ["/root/testdata/sf0.1"]
+    if Path(".localdata/sf1/documents.parquet").exists():
+        sf_dirs.append(".localdata/sf1")
+    for sf_dir in sf_dirs:
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
+        for name in ("dedup_components", "dedup_lsh_pairs"):
+            fn = QUERIES[name]
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # JIT warm
+            cal_pre = _calibration(spark)
+            samples = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            cal_post = _calibration(spark)
+            cal = (cal_pre + cal_post) / 2
+            med = _median(samples)
+            print(
+                f"PROBE components {name} @ {sf_dir}: samples={samples}"
+                f" best={min(samples):.2f} med={med:.2f}"
+                f" cal_pre={cal_pre:.3f} cal_post={cal_post:.3f}"
+                f" normalized_med={med / cal:.2f}"
+                f" loadavg={os.getloadavg()[0]:.2f}"
+            )
+
+
+_N_DOCS = 5_000_000
+_N_DOMAINS = 1_000_000
+
+
+def _corpus(spark):
+    i = F.col("id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(i % 11 == 0, F.lit("www."))
+        .when(i % 11 == 1, F.lit("ads."))
+        .otherwise(F.lit("")),
+        F.lit("dom"),
+        (i % _N_DOMAINS).cast("string"),
+        F.lit(".com/p/"),
+        i.cast("string"),
+    )
+    return spark.range(_N_DOCS).select(i.alias("doc_id"), url.alias("url"))
+
+
+def _entries(spark, n: int):
+    # spread entry domains over 4x the corpus domain space: most UT1
+    # entries never appear in a given crawl slice, matches reality
+    i = F.col("id")
+    dom = F.concat(
+        F.lit("dom"), ((i * 4_000_003) % (4 * _N_DOMAINS)).cast("string"),
+        F.lit(".com"),
+    )
+    entry = (
+        F.when(i % 20 == 18, F.concat(F.lit("ads."), dom))
+        .when(i % 20 == 19, F.concat(dom, F.lit("/p/1")))
+        .otherwise(dom)
+    )
+    return spark.range(n).select(entry.alias("entry"))
+
+
+def probe_blocklist(spark) -> None:
+    from dbt_model_diff_spark.operators.urlops import filter_by_domain
+
+    corpus = _corpus(spark)
+    n0 = corpus.count()  # warm codegen
+    print(f"PROBE blocklist corpus: {n0} docs, {_N_DOMAINS} domains")
+    for n_entries in (100_000, 1_000_000, 4_000_000):
+        lst = _entries(spark, n_entries)
+        legs = [("aqe", lst)]
+        if n_entries == 4_000_000:
+            legs.append(("forced_broadcast", F.broadcast(lst)))
+        for tag, the_list in legs:
+            best = None
+            out = filter_by_domain(corpus, blocklist=the_list)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                kept = out.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            join = (
+                "BroadcastHashJoin"
+                if "BroadcastHashJoin" in plan
+                else ("SortMergeJoin" if "SortMergeJoin" in plan else "?")
+            )
+            print(
+                f"PROBE blocklist entries={n_entries} leg={tag}:"
+                f" {best:.2f} s kept={kept} join={join}"
+            )
+
+
+def main() -> None:
+    wanted = set(sys.argv[1:]) or {"components", "blocklist"}
+    spark = get_spark(
+        app_name="probe_release_r11",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 4)}]",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+        ),
+    )
+    if "components" in wanted:
+        probe_components(spark)
+    if "blocklist" in wanted:
+        probe_blocklist(spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
