@@ -6356,7 +6356,7 @@ hp AS (
       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
       '^[^/?#]*@', ''), ':[0-9]*$', '')), '\\.+$', '') AS host,
     regexp_extract(url,
-      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS path
   FROM urls),
 dd AS (
   SELECT doc_id, text, host, path, {_duck_psl_case(_GATE_RULES)} AS d

@@ -524,6 +524,18 @@ def url_path_expr(url: Column) -> Column:
     )
 
 
+def _url_tail_expr(url: Column) -> Column:
+    """Path PLUS query of an absolute URL (everything after the
+    authority up to '#') — what a UT1 ``urls`` entry's prefix actually
+    matches against: real dumps carry query-string prefixes
+    ('example.com/video?id='), which a path-only compare would
+    silently never match (r11 self-review). Fragment excluded — it is
+    never sent to the server, so no blocklist keys on it."""
+    return F.regexp_extract(
+        url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+
+
 def registered_domain_of_host(
     host: str,
     extra_suffixes: tuple[str, ...] = (),
@@ -589,12 +601,21 @@ def parse_blocklist_entry(entry: str) -> tuple[str, str | None]:
     the path keeps its leading '/' verbatim (case preserved — URL
     paths are case-significant). No '/' -> path None (matches every
     path; the NULL-path contract pinned in
-    tests/test_round11_blocklist.py)."""
+    tests/test_round11_blocklist.py). The prefix may carry a query
+    string ('host/video?id=') — it compares against the row's
+    path+query tail. A '?' or '#' in the HOST part (no '/' before it)
+    is malformed — it raises rather than silently widening to a
+    domain block or silently never matching."""
     import re as _re
 
     e = entry.strip()
     e = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", e)
     host, sep, rest = e.partition("/")
+    if "?" in host or "#" in host:
+        raise ValueError(
+            f"blocklist entry {entry!r}: '?'/'#' in the host part —"
+            " write path/query prefixes after a '/'"
+        )
     host = _re.sub(r"\.+$", "", _re.sub(r":[0-9]*$", "", host.lower()))
     return host, ("/" + rest) if sep else None
 
@@ -691,14 +712,17 @@ def filter_by_domain(
       host AND its subdomains (``x.bad.example.com``), nothing else
       under ``example.com``;
     - ``example.com/ads/`` — path prefix: blocks URLs whose host
-      matches (as above) AND whose raw path starts with ``/ads/`` —
-      so ``example.com/ads/x`` is gated, bare ``example.com/`` is
-      not. An entry with NO '/' carries a NULL path and matches every
-      path (the NULL-path contract, pinned in
-      tests/test_round11_blocklist.py). Paths compare
-      case-sensitively and verbatim (no canonicalization) — pre-pipe
-      URLs through :func:`canonicalize_url_expr` when the corpus
-      carries tracking params before the prefix.
+      matches (as above) AND whose path+query tail (everything after
+      the authority, fragment excluded) starts with ``/ads/`` — so
+      ``example.com/ads/x`` is gated, bare ``example.com/`` is not,
+      and a query-string prefix (``example.com/video?id=``, the real
+      UT1 urls-file shape) matches ``/video?id=123``. An entry with
+      NO '/' carries a NULL path and matches every path (the
+      NULL-path contract, pinned in tests/test_round11_blocklist.py).
+      Prefixes compare case-sensitively and verbatim (no
+      canonicalization) — pre-pipe URLs through
+      :func:`canonicalize_url_expr` when the corpus carries tracking
+      params before the prefix.
 
     Two list shapes, two plans:
 
@@ -769,7 +793,7 @@ def filter_by_domain(
     host0 = F.regexp_replace(host_expr(F.col(url_col)), "\\.+$", "")
     if idna:
         host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
-    path0 = url_path_expr(F.col(url_col))
+    path0 = _url_tail_expr(F.col(url_col))
     lst = blocklist if has_block else allowlist
     if isinstance(lst, DataFrame):
         internal = ("__fbd_domain", "__fbd_host", "__fbd_path")
@@ -887,7 +911,7 @@ def filter_by_domain(
             )
         if epath is None and ehost == key:
             plain.add(key)
-        else:
+        elif (key, ehost, epath) not in hostpath:
             hostpath.append((key, ehost, epath))
     # the domain (a full PSL CaseWhen under psl=), host and path are
     # lambda-bound TOGETHER as one struct so the NULL wrapper, the

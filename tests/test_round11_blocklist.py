@@ -34,6 +34,7 @@ _ENTRIES = (
     "http://schemed.org",         # tolerated scheme prefix
     "Ported.COM:8080",            # case + port folds away
     "dotted.net.",                # trailing root-dot folds away
+    "vids.example/watch?id=",     # query-string prefix (UT1 urls shape)
 )
 
 # (url, kept-under-block?) — allow mode is the complement for rows
@@ -61,6 +62,9 @@ _CASES = [
     ("http://dotted.net/x", False),            # trailing dot folded off
     ("http://keep.net/", True),
     ("not a url", True),                       # NULL domain, keep_null default
+    ("http://vids.example/watch?id=99", False),   # query prefix hits the tail
+    ("http://vids.example/watch", True),          # no query: tail is '/watch'
+    ("http://vids.example/watch?idx=1", True),    # '?idx' diverges at '=' vs 'x'
 ]
 
 
@@ -146,6 +150,10 @@ def test_blocklist_suffix_only_entry_raises(spark):
         urlops.filter_by_domain(df, blocklist=("github.io",), psl=rules)
     with _pytest.raises(ValueError, match="no.*registered domain"):
         urlops.filter_by_domain(df, blocklist=("",))
+    # '?'/'#' in the host part (no '/' first) is malformed — loud, not
+    # a silent whole-domain widening or a silent never-match
+    with _pytest.raises(ValueError, match="host part"):
+        urlops.filter_by_domain(df, blocklist=("example.com?x=1",))
     # the same entry is DROPPED (never matches) on the DataFrame side
     lst = spark.createDataFrame([("github.io",), ("blocked.io",)], ["entry"])
     out = urlops.filter_by_domain(df, blocklist=lst, psl=rules)
@@ -284,7 +292,7 @@ SELECT doc_id FROM (
           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
           '^[^/?#]*@', ''), ':[0-9]*$', '')), '\\.+$', '') AS host,
         regexp_extract(url,
-          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS path
       FROM urls) h) l) g
 WHERE d IS NULL OR NOT ({member})
 """
@@ -325,7 +333,9 @@ def test_blocklist_duckdb_parity(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _ref_host_path(url: str) -> tuple[str, str]:
-    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)([^?#]*)", url)
+    # tail = path+query (fragment excluded) — the r11 self-review
+    # match target, so query-string entry prefixes can hit
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)([^#]*)", url)
     if not m:
         return "", ""
     host = re.sub(r"^[^/?#]*@", "", m.group(1))
@@ -377,7 +387,7 @@ try:
     _entryish = st.builds(
         lambda h, p: h + p,
         _hostish,
-        st.sampled_from(["", "/", "/ads/", "/pix", "/A/"]),
+        st.sampled_from(["", "/", "/ads/", "/pix", "/A/", "/w?id="]),
     )
 
     @given(
