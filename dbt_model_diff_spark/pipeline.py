@@ -100,10 +100,11 @@ class CurationConfig:
     # host + its subdomains only, and 'host/path-prefix' additionally
     # requires the raw path prefix. A small hand-curated tuple
     # compiles to row-local predicates; a full ~4M-entry UT1 dump
-    # should go through urlops.filter_by_domain's entry-column
-    # DataFrame form directly. Keys on the same psl setting as the
-    # cap.
-    blocked_domains: tuple[str, ...] | None = None
+    # goes in as a DataFrame with an `entry` column (full grammar;
+    # AQE-broadcast anti join, measured envelope in the
+    # filter_by_domain docstring) or a legacy `domain` column. Keys
+    # on the same psl setting as the cap.
+    blocked_domains: tuple[str, ...] | DataFrame | None = None
     # Public Suffix List grouping for the per-domain cap (VERDICT r9
     # task #2): False = the compact zero-dependency MULTI_SUFFIXES
     # heuristic; True = urlops.load_psl on the vendored FULL upstream
@@ -203,7 +204,9 @@ class CurationConfig:
                     " cap needs a provenance column to key on)"
                 )
         if self.blocked_domains is not None:
-            if not self.blocked_domains:
+            if not isinstance(self.blocked_domains, DataFrame) and not (
+                self.blocked_domains
+            ):
                 raise ValueError(
                     "blocked_domains must name at least one domain"
                 )

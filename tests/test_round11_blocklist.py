@@ -466,6 +466,30 @@ def test_curation_config_hostpath_gate(spark):
     assert next(r for r in report if r["stage"] == "domain_gate")["docs"] == 10
 
 
+def test_curation_config_dataframe_blocklist(spark):
+    """The real ~4M-entry UT1 dump shape: blocked_domains takes an
+    entry-column DataFrame and gates identically to the tuple form."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (i, "the quick brown fox with several words here token "
+            f"t{i}",
+         f"http://{'spam-site' if i % 2 else 'ok-site'}.com/p{i}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    lst = spark.createDataFrame(
+        [("spam-site.com",), ("elsewhere.org/x/",)], ["entry"]
+    )
+    cfg = CurationConfig(
+        dedup="none", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None, url_col="url", blocked_domains=lst,
+    )
+    kept, report = curate_corpus(docs, cfg)
+    assert kept.count() == 10
+    assert next(r for r in report if r["stage"] == "domain_gate")["docs"] == 10
+
+
 # ---------------------------------------------------------------------------
 # plan shape
 # ---------------------------------------------------------------------------
