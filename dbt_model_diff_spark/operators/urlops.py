@@ -952,13 +952,20 @@ def domain_stats(
     url_col: str = "url",
     text_col: str | None = None,
     psl: PslRules | None = None,
+    idna: bool | str = False,
 ) -> DataFrame:
     """Per-registered-domain corpus accounting: doc counts (+ whitespace
     tokens when ``text_col`` given) — the table a curation run consults
     before choosing per-domain caps / mixture weights. One partial-agg
     exchange on the domain key. ``psl`` keys the grouping on full
-    Public Suffix List semantics instead of the compact heuristic."""
-    d = registered_domain_expr(F.col(url_col), psl=psl).alias("domain")
+    Public Suffix List semantics instead of the compact heuristic;
+    ``idna`` folds unicode hosts to punycode first ("uts46" for the
+    UTS #46 leg) — same knobs as the gate and the cap, so the three
+    domain-keyed stages always group identically (r11 API symmetry;
+    the pipeline already threads url_idna into all of them)."""
+    d = registered_domain_expr(
+        F.col(url_col), psl=psl, idna=idna
+    ).alias("domain")
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if text_col is not None:
         aggs.append(
@@ -977,6 +984,7 @@ def cap_per_domain(
     domain_col: str = "domain",
     psl: PslRules | None = None,
     split: int | None = None,
+    idna: bool | str = False,
 ) -> DataFrame:
     """At most ``cap`` docs per registered domain, deterministic
     hash-order subsample — :func:`registered_domain_expr` composed
@@ -985,10 +993,14 @@ def cap_per_domain(
     two-stage salted top-C when one domain owns a large corpus share).
     Non-absolute URLs (NULL domain) form one capped group of their
     own. The domain column is kept on the output (``domain_col``) —
-    downstream mixture stages key on it."""
+    downstream mixture stages key on it. ``idna`` folds unicode hosts
+    before keying ("uts46" for the UTS #46 leg), so a unicode URL and
+    its punycode twin share one cap budget — same knob the gate and
+    domain_stats take."""
     from dbt_model_diff_spark.operators.sampling import cap_per_group
 
     with_domain = df.withColumn(
-        domain_col, registered_domain_expr(F.col(url_col), psl=psl)
+        domain_col,
+        registered_domain_expr(F.col(url_col), psl=psl, idna=idna),
     )
     return cap_per_group(with_domain, domain_col, id_col, cap, split=split)

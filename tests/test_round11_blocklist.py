@@ -466,6 +466,30 @@ def test_curation_config_hostpath_gate(spark):
     assert next(r for r in report if r["stage"] == "domain_gate")["docs"] == 10
 
 
+def test_domain_ops_idna_symmetry(spark):
+    """domain_stats and cap_per_domain take the same idna knob as the
+    gate, so all three domain-keyed stages group a unicode URL and its
+    punycode twin under ONE key."""
+    df = spark.createDataFrame(
+        [(0, "http://münchen.de/a"), (1, "http://xn--mnchen-3ya.de/b"),
+         (2, "http://other.net/c")],
+        "doc_id long, url string",
+    )
+    stats = {
+        r["domain"]: r["n_docs"]
+        for r in urlops.domain_stats(df, idna=True).collect()
+    }
+    assert stats == {"xn--mnchen-3ya.de": 2, "other.net": 1}
+    capped = urlops.cap_per_domain(df, cap=1, idna=True)
+    per = {
+        r["domain"]: r["n"]
+        for r in capped.groupBy("domain")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per == {"xn--mnchen-3ya.de": 1, "other.net": 1}
+
+
 def test_curation_config_dataframe_blocklist(spark):
     """The real ~4M-entry UT1 dump shape: blocked_domains takes an
     entry-column DataFrame and gates identically to the tuple form."""
