@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -168,15 +169,8 @@ def main() -> None:
                 t0 = time.perf_counter()
                 thunk()
                 samples.append(time.perf_counter() - t0)
-            samples.sort()
-            best_out[name] = round(samples[0], 2)
-            mid = len(samples) // 2
-            med = (
-                samples[mid]
-                if len(samples) % 2
-                else (samples[mid - 1] + samples[mid]) / 2
-            )
-            med_out[name] = round(med, 2)
+            best_out[name] = round(min(samples), 2)
+            med_out[name] = round(statistics.median(samples), 2)
         return best_out, med_out
 
     def run_calibration(n: int) -> float:
@@ -191,13 +185,7 @@ def main() -> None:
             t0 = time.perf_counter()
             calibration()
             samples.append(time.perf_counter() - t0)
-        samples.sort()
-        mid = len(samples) // 2
-        return (
-            samples[mid]
-            if len(samples) % 2
-            else (samples[mid - 1] + samples[mid]) / 2
-        )
+        return statistics.median(samples)
 
     # BRACKETING calibrations (VERDICT r8 task #5): one before and one
     # after the headliners. The r8 adjudication showed a single pre-run

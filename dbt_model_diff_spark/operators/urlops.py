@@ -63,6 +63,16 @@ MULTI_SUFFIXES: tuple[str, ...] = (
 _ABS_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
 _PREFIX_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
 
+# module-level gate for the optional `idna` package (UTS #46 leg):
+# imported ONCE — including on executors when the fold UDF unpickles —
+# so an executor missing the package fails loudly inside
+# _idna_fold_host instead of silently downgrading every row to the
+# IDNA-2003 keys (r11 review)
+try:
+    import idna as _IDNA
+except ImportError:  # pragma: no cover - baked into this env
+    _IDNA = None
+
 # Vendored abridged Public Suffix List snapshot (standard upstream
 # format; kept for fixtures that want a small rule set). VERDICT r9
 # task #2.
@@ -93,9 +103,11 @@ class PslRules:
     ('!www.ck' -> 'www.ck' — per the spec the prevailing exception
     rule minus its leftmost label is the public suffix, so the rule
     name itself IS the registered domain of every host it matches).
-    All rules are lowercase ASCII; fold internationalized hosts with
+    All rules are lowercase; IDN rules appear under BOTH their
+    unicode U-label spelling and their punycode fold (load_psl keeps
+    the pair), so raw unicode hosts and hosts folded with
     :func:`idna_fold_expr` (or ``psl_registered_domain_expr``'s
-    ``idna=True``) so they group under the ASCII rules."""
+    ``idna=True``) both match."""
 
     normal: frozenset[str]
     wildcard: frozenset[str]
@@ -104,28 +116,13 @@ class PslRules:
 
 
 def _rule_ascii(rule: str) -> str:
-    """Best-effort ASCII (punycode) spelling of a PSL rule: fold each
-    non-ASCII label through UTS#46 (the `idna` package) when present,
-    else the stdlib IDNA-2003 codec, else keep the label — the same
-    preference order as :func:`idna_fold_expr`, so hosts folded there
-    land on these rule spellings."""
-    out = []
-    for label in rule.split("."):
-        if label.isascii():
-            out.append(label)
-            continue
-        try:
-            import idna
-
-            out.append(idna.encode(label, uts46=True).decode("ascii"))
-            continue
-        except Exception:
-            pass
-        try:
-            out.append(label.encode("idna").decode("ascii"))
-        except UnicodeError:
-            out.append(label)
-    return ".".join(out)
+    """Best-effort ASCII (punycode) spelling of a PSL rule: the same
+    per-label uts46 -> 2003 -> pass-through chain as
+    :func:`_idna_fold_host` (one implementation, r11 review), with the
+    uts46 leg used only when the `idna` package is present — rules
+    must still load without it (load_psl pre-lowercases, so the ASCII
+    lowercase inside the shared fold is a no-op here)."""
+    return _idna_fold_host(rule, uts46=_IDNA is not None)
 
 
 def load_psl(
@@ -239,14 +236,11 @@ def idna_fold_expr(host: Column, uts46: bool = False) -> Column:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
-    if uts46:
-        try:
-            import idna as _idna  # noqa: F401  (import-gated: third-party)
-        except ImportError as e:  # pragma: no cover - baked into this env
-            raise ImportError(
-                "idna_fold_expr(uts46=True) needs the 'idna' package;"
-                " install it or use the default IDNA-2003 leg"
-            ) from e
+    if uts46 and _IDNA is None:  # pragma: no cover - baked into this env
+        raise ImportError(
+            "idna_fold_expr(uts46=True) needs the 'idna' package;"
+            " install it or use the default IDNA-2003 leg"
+        )
 
     _fold = pandas_udf(
         lambda s: s.map(
@@ -260,9 +254,17 @@ def idna_fold_expr(host: Column, uts46: bool = False) -> Column:
 def _idna_fold_host(s: str, uts46: bool = False) -> str:
     """Pure-Python body of :func:`idna_fold_expr` — per-label ASCII
     fold with the documented pass-through on rejected labels. Shared
-    by the Arrow leg above and the driver-side blocklist-entry keying
-    (:func:`registered_domain_of_host`), so list entries fold exactly
-    like the corpus hosts they must match."""
+    by the Arrow leg above, :func:`_rule_ascii`, and the driver-side
+    blocklist-entry keying (:func:`registered_domain_of_host`), so
+    list entries fold exactly like the corpus hosts they must match.
+    ``uts46=True`` without the `idna` package raises — on an executor
+    that means a loud task failure, never a silent downgrade of every
+    row to IDNA-2003 keys (r11 review)."""
+    if uts46 and _IDNA is None:
+        raise ImportError(
+            "the uts46 fold needs the 'idna' package on driver AND"
+            " executors; install it or use the IDNA-2003 leg"
+        )
     out = []
     for label in s.split("."):
         if label.isascii():
@@ -270,9 +272,9 @@ def _idna_fold_host(s: str, uts46: bool = False) -> str:
             continue
         if uts46:
             try:
-                import idna
-
-                out.append(idna.encode(label, uts46=True).decode("ascii"))
+                out.append(
+                    _IDNA.encode(label, uts46=True).decode("ascii")
+                )
                 continue
             except Exception:
                 pass  # fall back to the 2003 chain
@@ -326,6 +328,24 @@ def psl_registered_domain_expr(
     500k rows: 1.03 s unbound -> 0.43 s bound vs 0.26 s for the
     compact heuristic). DuckDB-replayable (same CASE/IN arithmetic,
     tests/test_round10_psl.py)."""
+
+    host0 = F.regexp_replace(host_expr(url), "\\.+$", "")
+    if idna:
+        # internationalized hosts fold to punycode FIRST so they group
+        # under the (ASCII) rules; opt-in — it adds an Arrow leg to an
+        # otherwise pure-codegen expression. "uts46" picks the
+        # UTS #46 / IDNA-2008 mapping leg (r10 task #4).
+        host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
+    return _psl_domain_from_host(host0, rules)
+
+
+def _psl_domain_from_host(host0: Column, rules: PslRules) -> Column:
+    """The PSL tier CaseWhen over an already-normalized host column
+    (lowercased, userinfo/port-free, trailing dots stripped, idna
+    folded by the caller when wanted) — the shared core of
+    :func:`psl_registered_domain_expr` and the host-keyed sites in
+    :func:`filter_by_domain`, where the host is derived ONCE and the
+    optional Arrow fold leg must not be duplicated (r11 review)."""
 
     def _core(host: Column, labels: Column) -> Column:
         n = F.size(labels)
@@ -384,16 +404,60 @@ def psl_registered_domain_expr(
         # default rule '*': public suffix = the last label
         return expr.when(n >= 2, _last_k(labels, 2)).otherwise(null)
 
-    host0 = F.regexp_replace(host_expr(url), "\\.+$", "")
-    if idna:
-        # internationalized hosts fold to punycode FIRST so they group
-        # under the (ASCII) rules; opt-in — it adds an Arrow leg to an
-        # otherwise pure-codegen expression. "uts46" picks the
-        # UTS #46 / IDNA-2008 mapping leg (r10 task #4).
-        host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
     return _bind(
         host0,
         lambda h: _bind(F.split(h, "\\."), lambda ls: _core(h, ls)),
+    )
+
+
+def _compact_domain_from_host(
+    host0: Column, suffixes: "list[str]"
+) -> Column:
+    """The compact-heuristic eTLD+1 over an already-normalized host
+    column — the shared core of :func:`registered_domain_expr` and
+    the host-keyed sites in :func:`filter_by_domain`."""
+
+    # host and labels lambda-bound (the _bind rationale): the four
+    # branches otherwise re-run the host regex chain each
+    def _compact(host: Column, labels: Column) -> Column:
+        n = F.size(labels)
+        is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+        return (
+            F.when(host == "", F.lit(None).cast("string"))
+            .when(is_ip, host)
+            .when(
+                (n >= 3) & _last_k(labels, 2).isin(suffixes),
+                _last_k(labels, 3),
+            )
+            .when(n >= 2, _last_k(labels, 2))
+            .otherwise(host)
+        )
+
+    return _bind(
+        host0,
+        lambda h: _bind(F.split(h, "\\."), lambda ls: _compact(h, ls)),
+    )
+
+
+def _domain_from_host(
+    host0: Column,
+    extra_suffixes: tuple[str, ...] = (),
+    psl: PslRules | None = None,
+) -> Column:
+    """Dispatch to the PSL or compact domain core over a normalized
+    host column, merging ``extra_suffixes`` the same way
+    :func:`registered_domain_expr` does."""
+    if psl is not None:
+        if extra_suffixes:
+            psl = PslRules(
+                normal=psl.normal | frozenset(extra_suffixes),
+                wildcard=psl.wildcard,
+                exception=psl.exception,
+                version=psl.version,
+            )
+        return _psl_domain_from_host(host0, psl)
+    return _compact_domain_from_host(
+        host0, sorted(set(MULTI_SUFFIXES) | set(extra_suffixes))
     )
 
 
@@ -611,6 +675,10 @@ def parse_blocklist_entry(entry: str) -> tuple[str, str | None]:
     e = entry.strip()
     e = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", e)
     host, sep, rest = e.partition("/")
+    # userinfo strips like host_expr does on the row side — a dump
+    # line 'http://user@bad.com/x' must gate bad.com, not silently
+    # never match a 'user@bad.com' host that cannot exist (r11 review)
+    host = _re.sub(r"^[^/?#]*@", "", host)
     if "?" in host or "#" in host:
         raise ValueError(
             f"blocklist entry {entry!r}: '?'/'#' in the host part —"
@@ -648,15 +716,6 @@ def registered_domain_expr(
     modes, so 'münchen.de' and 'xn--mnchen-3ya.de' share a key; pass
     the string "uts46" instead of True for the UTS #46 / IDNA-2008
     mapping leg."""
-    if psl is not None:
-        if extra_suffixes:
-            psl = PslRules(
-                normal=psl.normal | frozenset(extra_suffixes),
-                wildcard=psl.wildcard,
-                exception=psl.exception,
-                version=psl.version,
-            )
-        return psl_registered_domain_expr(url, psl, idna=idna)
     host0 = F.regexp_replace(host_expr(url), "\\.+$", "")
     if idna:
         # unicode hosts fold to punycode so they key like their ASCII
@@ -664,28 +723,7 @@ def registered_domain_expr(
         # carry in punycode) — r10 code-review composition gap.
         # "uts46" picks the UTS #46 / IDNA-2008 leg.
         host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
-    suffixes = sorted(set(MULTI_SUFFIXES) | set(extra_suffixes))
-
-    # host and labels lambda-bound (the _bind rationale): the four
-    # branches otherwise re-run the host regex chain each
-    def _compact(host: Column, labels: Column) -> Column:
-        n = F.size(labels)
-        is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
-        return (
-            F.when(host == "", F.lit(None).cast("string"))
-            .when(is_ip, host)
-            .when(
-                (n >= 3) & _last_k(labels, 2).isin(suffixes),
-                _last_k(labels, 3),
-            )
-            .when(n >= 2, _last_k(labels, 2))
-            .otherwise(host)
-        )
-
-    return _bind(
-        host0,
-        lambda h: _bind(F.split(h, "\\."), lambda ls: _compact(h, ls)),
-    )
+    return _domain_from_host(host0, extra_suffixes, psl)
 
 
 def filter_by_domain(
@@ -787,16 +825,23 @@ def filter_by_domain(
         raise ValueError(
             "pass exactly one of blocklist / allowlist (non-empty)"
         )
-    d = registered_domain_expr(F.col(url_col), psl=psl, idna=idna)
-    # row host (folded exactly like the domain key's host leg) and raw
-    # path, for host-/path-granularity entries
+    # ONE host derivation feeds both the registered-domain key and the
+    # host-suffix predicates (r11 review: computing the domain from
+    # the URL separately instantiated the optional idna Arrow leg — and
+    # the host regex chain — twice per row)
     host0 = F.regexp_replace(host_expr(F.col(url_col)), "\\.+$", "")
     if idna:
         host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
     path0 = _url_tail_expr(F.col(url_col))
     lst = blocklist if has_block else allowlist
     if isinstance(lst, DataFrame):
-        internal = ("__fbd_domain", "__fbd_host", "__fbd_path")
+        internal = (
+            "__fbd_domain", "__fbd_host", "__fbd_path",
+            # keyed-side names: a corpus column with one of these
+            # would make the join condition's bare F.col references
+            # ambiguous — fail here with the clear message instead
+            "__fbd_key", "__fbd_ehost", "__fbd_epath",
+        )
         clash = [c for c in internal if c in df.columns]
         if clash:
             raise ValueError(
@@ -830,9 +875,19 @@ def filter_by_domain(
                     F.length(F.col("__fbd_e")),
                 ),
             )
+            # same normalization order as parse_blocklist_entry:
+            # userinfo strip (dump lines occasionally carry it — it
+            # would otherwise silently never match, r11 review), then
+            # lower/port/root-dot folds
             eh = F.regexp_replace(
                 F.regexp_replace(
-                    F.lower(F.col("__fbd_eh0")), ":[0-9]*$", ""
+                    F.lower(
+                        F.regexp_replace(
+                            F.col("__fbd_eh0"), "^[^/?#]*@", ""
+                        )
+                    ),
+                    ":[0-9]*$",
+                    "",
                 ),
                 "\\.+$",
                 "",
@@ -842,11 +897,15 @@ def filter_by_domain(
             keyed = (
                 lst.select(e0.alias("__fbd_e"))
                 .select("__fbd_e", eh0.alias("__fbd_eh0"))
+                # '?'/'#' in the host part is the malformed class the
+                # tuple path REJECTS; row-wise we DROP it explicitly —
+                # never silently widen to a domain block (the naive
+                # [^/?#] host extraction would)
+                .filter(~F.col("__fbd_eh0").rlike("[?#]"))
                 .select(eh.alias("__fbd_ehost"), ep.alias("__fbd_epath"))
                 .select(
-                    registered_domain_expr(
-                        F.concat(F.lit("http://"), F.col("__fbd_ehost")),
-                        psl=psl,
+                    _domain_from_host(
+                        F.col("__fbd_ehost"), psl=psl
                     ).alias("__fbd_key"),
                     "__fbd_ehost",
                     "__fbd_epath",
@@ -855,8 +914,11 @@ def filter_by_domain(
                 .distinct()
             )
             tagged = (
-                df.withColumn("__fbd_domain", d)
-                .withColumn("__fbd_host", host0)
+                df.withColumn("__fbd_host", host0)
+                .withColumn(
+                    "__fbd_domain",
+                    _domain_from_host(F.col("__fbd_host"), psl=psl),
+                )
                 .withColumn("__fbd_path", path0)
             )
             cond = (
@@ -876,7 +938,10 @@ def filter_by_domain(
             keyed = lst.select(
                 F.lower(F.col("domain")).alias("__fbd_domain")
             ).distinct()
-            tagged = df.withColumn("__fbd_domain", d)
+            tagged = df.withColumn("__fbd_host", host0).withColumn(
+                "__fbd_domain",
+                _domain_from_host(F.col("__fbd_host"), psl=psl),
+            )
             cond = None  # pure equi join on __fbd_domain
         join_args = (
             {"on": "__fbd_domain"} if cond is None else {"on": cond}
@@ -913,12 +978,14 @@ def filter_by_domain(
             plain.add(key)
         elif (key, ehost, epath) not in hostpath:
             hostpath.append((key, ehost, epath))
-    # the domain (a full PSL CaseWhen under psl=), host and path are
-    # lambda-bound TOGETHER as one struct so the NULL wrapper, the
-    # isin probe and every per-entry conjunct share one evaluation —
-    # and so the optional idna pandas_udf stays in the bound value
-    # (the array element), never inside the transform lambda body,
-    # which Spark forbids (LAMBDA_FUNCTION_WITH_PYTHON_UDF)
+    # host and path lambda-bind TOGETHER as one struct, the domain
+    # derives from the BOUND host and is itself bound — so the NULL
+    # wrapper, the isin probe and every per-entry conjunct share one
+    # evaluation, the optional idna pandas_udf stays in the bound
+    # value (the array element, never inside a transform lambda body,
+    # which Spark forbids — LAMBDA_FUNCTION_WITH_PYTHON_UDF), and the
+    # fold runs ONCE per row even though both the domain key and the
+    # host predicates consume it (r11 review)
     def _cond(dd: Column, rh: Column, rp: Column) -> Column:
         member = dd.isin(sorted(plain)) if plain else F.lit(False)
         # each deeper entry stays eTLD+1-KEYED (the domain-equality
@@ -935,15 +1002,14 @@ def filter_by_domain(
         c = ~member if has_block else member
         return F.when(dd.isNull(), F.lit(keep_null_domain)).otherwise(c)
 
-    if hostpath:
-        bundle = F.struct(
-            d.alias("d"), host0.alias("h"), path0.alias("p")
-        )
-        cond = _bind(
-            bundle, lambda t: _cond(t["d"], t["h"], t["p"])
-        )
-    else:
-        cond = _bind(d, lambda dd: _cond(dd, None, None))
+    bundle = F.struct(host0.alias("h"), path0.alias("p"))
+    cond = _bind(
+        bundle,
+        lambda t: _bind(
+            _domain_from_host(t["h"], psl=psl),
+            lambda dd: _cond(dd, t["h"], t["p"]),
+        ),
+    )
     return df.filter(cond)
 
 

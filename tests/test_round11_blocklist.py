@@ -162,6 +162,48 @@ def test_blocklist_suffix_only_entry_raises(spark):
     assert "http://keep.net/" in kept
 
 
+def test_blocklist_userinfo_and_malformed_entries(spark):
+    """r11 review regressions: a dump line carrying userinfo gates its
+    HOST (not a 'user@host' key no row can have) on both plan shapes,
+    and a '?'-in-host entry is dropped inert on the DataFrame side
+    (the tuple side raises — pinned above) instead of silently
+    widening to a domain block."""
+    df = spark.createDataFrame(
+        [("http://bad.org/a",), ("http://sub.bad.org/b",),
+         ("http://example.com/x",), ("http://keep.net/",)],
+        ["url"],
+    )
+    kept_t = {
+        r["url"]
+        for r in urlops.filter_by_domain(
+            df, blocklist=("http://user:pw@bad.org/",)
+        ).collect()
+    }
+    assert kept_t == {"http://example.com/x", "http://keep.net/"}
+    lst = spark.createDataFrame(
+        [("http://user:pw@bad.org/",), ("example.com?x=1",)], ["entry"]
+    )
+    kept_d = {
+        r["url"] for r in urlops.filter_by_domain(df, blocklist=lst).collect()
+    }
+    # bad.org gated via the userinfo-stripped host; the malformed
+    # '?x=1' entry is inert — example.com rows SURVIVE
+    assert kept_d == {"http://example.com/x", "http://keep.net/"}
+
+
+def test_blocklist_idna_single_fold_plan(spark):
+    """The idna leg appears ONCE in the gate's plan even though both
+    the domain key and the host predicates consume the folded host
+    (r11 review: the pre-fix shape instantiated two Arrow legs)."""
+    df = spark.createDataFrame([(1, "http://münchen.de/x")], "i long, url string")
+    out = urlops.filter_by_domain(
+        df, blocklist=("bad.org", "h.bad.net/p/"), idna=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+
+
 def test_blocklist_psl_and_idna_composition(spark):
     """PSL keying + the uts46 fold on BOTH rows and entries: a unicode
     entry ('faß.de/x') gates the punycode spelling of the same host,

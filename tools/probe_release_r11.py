@@ -36,10 +36,7 @@ from pyspark.sql import functions as F
 from dbt_model_diff_spark.session import get_spark
 
 
-def _median(xs):
-    xs = sorted(xs)
-    mid = len(xs) // 2
-    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+from statistics import median as _median
 
 
 def _calibration(spark) -> float:
