@@ -57,15 +57,57 @@ def _calibration(spark) -> float:
     return _median(samples)
 
 
-def probe_components(spark) -> None:
+def probe_watch(spark) -> None:
+    """The r11 self-measurement's two watch items (both untouched by
+    r11 code): same bracketed methodology as `components`."""
+    _run_registered(
+        spark,
+        ["/root/testdata/sf0.1"],
+        ("dsir_importance_weights", "text_dup_substring_spans"),
+        tag="watch",
+    )
+
+
+def probe_idna_gate(spark) -> None:
+    """Price the single-fold gate shape (r11 review fix: the domain
+    key and the host predicates share ONE Arrow idna leg): tuple gate
+    with host/path entries over 1M unicode-mixed URLs, idna off /
+    2003 / uts46."""
+    from dbt_model_diff_spark.operators.urlops import filter_by_domain
+
+    i = F.col("id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(i % 5 == 0, F.lit("münchen"))
+        .when(i % 5 == 1, F.lit("xn--mnchen-3ya"))
+        .otherwise(F.concat(F.lit("dom"), (i % 100_000).cast("string"))),
+        F.lit(".de/p/"),
+        i.cast("string"),
+    )
+    corpus = spark.range(1_000_000).select(url.alias("url"))
+    corpus.count()  # warm
+    entries = ("xn--mnchen-3ya.de/p/1", "dom7.de", "bad.dom8.de")
+    for idna in (False, True, "uts46"):
+        out = filter_by_domain(corpus, blocklist=entries, idna=idna)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        print(
+            f"PROBE idna_gate idna={idna}: {best:.2f} s"
+            f" arrow_legs={plan.count('ArrowEvalPython')}"
+        )
+
+
+def _run_registered(spark, sf_dirs, names, tag) -> None:
     from dbt_model_diff_spark.catalog import QUERIES
 
-    sf_dirs = ["/root/testdata/sf0.1"]
-    if Path(".localdata/sf1/documents.parquet").exists():
-        sf_dirs.append(".localdata/sf1")
     for sf_dir in sf_dirs:
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
-        for name in ("dedup_components", "dedup_lsh_pairs"):
+        for name in names:
             fn = QUERIES[name]
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # JIT warm
             cal_pre = _calibration(spark)
@@ -78,12 +120,22 @@ def probe_components(spark) -> None:
             cal = (cal_pre + cal_post) / 2
             med = _median(samples)
             print(
-                f"PROBE components {name} @ {sf_dir}: samples={samples}"
+                f"PROBE {tag} {name} @ {sf_dir}: samples={samples}"
                 f" best={min(samples):.2f} med={med:.2f}"
                 f" cal_pre={cal_pre:.3f} cal_post={cal_post:.3f}"
                 f" normalized_med={med / cal:.2f}"
                 f" loadavg={os.getloadavg()[0]:.2f}"
             )
+
+
+def probe_components(spark) -> None:
+    sf_dirs = ["/root/testdata/sf0.1"]
+    if Path(".localdata/sf1/documents.parquet").exists():
+        sf_dirs.append(".localdata/sf1")
+    _run_registered(
+        spark, sf_dirs, ("dedup_components", "dedup_lsh_pairs"),
+        tag="components",
+    )
 
 
 _N_DOCS = 5_000_000
@@ -165,6 +217,10 @@ def main() -> None:
         probe_components(spark)
     if "blocklist" in wanted:
         probe_blocklist(spark)
+    if "watch" in wanted:
+        probe_watch(spark)
+    if "idna_gate" in wanted:
+        probe_idna_gate(spark)
     spark.stop()
 
 
