@@ -279,6 +279,16 @@ def curate_corpus(
             psl=psl_rules,
             idna=c.url_idna,
         )
+        # deliberately NOT pinned, even under full-PSL + idna keying:
+        # the r11 release probe measured pinning the gated corpus at
+        # sf30 as a wash (138.6 vs 141.0 s end-to-end — the gate is a
+        # row-local filter whose recompute is scan-bound), and at
+        # release scale persisting a ~90%-of-corpus frame buys that
+        # nothing for a very real storage bill. The r11-knob leg's
+        # +55-60 s vs the r10 leg decomposes as ~15-20 s gate stage
+        # and the rest CHANGED DOWNSTREAM WORK: gating shifts the
+        # survivor mix through near-dedup (SURVEY §9 r11 release
+        # probe; idna threading alone measured FREE end-to-end).
         account("domain_gate", base)
 
     # 0b. line-level boilerplate removal — BEFORE normalize_text, whose

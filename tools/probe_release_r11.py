@@ -204,6 +204,84 @@ def probe_blocklist(spark) -> None:
             )
 
 
+def probe_release(spark, sf_dir: str = ".localdata/sf30") -> None:
+    """End-to-end price of the r11 knobs at release scale: full
+    curate_corpus with the r10 all-knobs config vs the same config
+    plus the UT1 blocklist (all three entry granularities) and the
+    uts46 fold — the composed-knob methodology of
+    probe_release_r10.py, decoration extended with a blocked share,
+    an /ads/ path share on the giant domain, and a unicode/punycode
+    twin-host share."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    i = F.col("doc_id")
+    s = i.cast("string")
+    banner = "This site uses cookies to improve your experience"
+    wrapped = (
+        F.when(i % 3 == 0, F.concat(
+            F.lit("<p>It&#8217;s &#8220;"), F.col("text"),
+            F.lit("&#8221; &#8212; &amp; more</p>")))
+        .when(i % 3 == 1, F.concat(
+            F.lit(banner + "\n"), F.col("text"),
+            F.lit("\n<div>tail &copy;</div>")))
+        .otherwise(F.col("text"))
+    )
+    host = (
+        F.when(i % 10 == 0, F.lit("giant.example.com"))
+        .when(i % 10 == 1, F.concat(F.lit("u"), (i % 50).cast("string"),
+                                    F.lit(".github.io")))
+        .when(i % 10 == 2, F.concat(F.lit("blocked"), (i % 20).cast("string"),
+                                    F.lit(".example.co.uk")))
+        .when(i % 10 == 3, F.lit("münchen.de"))
+        .when(i % 10 == 4, F.lit("xn--mnchen-3ya.de"))
+        .otherwise(F.concat(F.lit("dom"), (i % 2000).cast("string"),
+                            F.lit(".example.co.uk")))
+    )
+    path = F.when(i % 7 == 0, F.concat(F.lit("/ads/"), s)).otherwise(
+        F.concat(F.lit("/p/"), s)
+    )
+    decorated = docs.select(
+        "doc_id", wrapped.alias("text"),
+        F.concat(F.lit("http://"), host, path).alias("url"),
+        "lang", "source",
+    )
+    n = decorated.count()
+    print(f"PROBE release corpus: {n} docs at {sf_dir}")
+    base_kw = dict(
+        html_extract=True, html_full_entities=True,
+        boilerplate_min_docs=50, boilerplate_keep_first=True,
+        url_col="url", max_docs_per_domain=2000, psl=True,
+        dedup="near", min_tokens=5, min_stopwords=0,
+        max_dup_token_frac=None,
+    )
+    entries = tuple(
+        f"blocked{k}.example.co.uk" for k in range(10)  # half the blocked share
+    ) + (
+        "giant.example.com/ads/",   # path share of the giant domain
+        "u7.github.io",             # one private-suffix user site
+        "münchen.de/ads/",          # unicode entry gating both twin spellings
+    )
+    legs = [
+        ("r10_knobs", CurationConfig(**base_kw)),
+        ("r11_knobs", CurationConfig(
+            **base_kw, blocked_domains=entries, url_idna="uts46",
+        )),
+    ]
+    for tag, cfg in legs:
+        t0 = time.perf_counter()
+        kept, report = curate_corpus(decorated, cfg)
+        n_kept = kept.count()
+        dt = time.perf_counter() - t0
+        gate = [r for r in report if r["stage"] == "domain_gate"]
+        print(
+            f"PROBE release leg={tag}: {dt:.1f} s kept={n_kept}"
+            f" gate_row={gate[0] if gate else None}"
+        )
+
+
 def main() -> None:
     wanted = set(sys.argv[1:]) or {"components", "blocklist"}
     spark = get_spark(
@@ -221,6 +299,8 @@ def main() -> None:
         probe_watch(spark)
     if "idna_gate" in wanted:
         probe_idna_gate(spark)
+    if "release" in wanted:
+        probe_release(spark)
     spark.stop()
 
 
