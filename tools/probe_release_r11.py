@@ -261,7 +261,11 @@ def probe_release(spark, sf_dir: str = ".localdata/sf30") -> None:
         f"blocked{k}.example.co.uk" for k in range(10)  # half the blocked share
     ) + (
         "giant.example.com/ads/",   # path share of the giant domain
-        "u7.github.io",             # one private-suffix user site
+        # one private-suffix user site — MUST be reachable from the
+        # generator: hosts are u{i%50}.github.io only when i%10==1,
+        # so i%50 is always ≡1 (mod 10); u7 would gate ZERO docs
+        # (r11 second review pass caught exactly that)
+        "u11.github.io",
         "münchen.de/ads/",          # unicode entry gating both twin spellings
     )
     legs = [
