@@ -329,6 +329,7 @@ def psl_registered_domain_expr(
     compact heuristic). DuckDB-replayable (same CASE/IN arithmetic,
     tests/test_round10_psl.py)."""
 
+    _check_idna(idna)
     host0 = F.regexp_replace(host_expr(url), "\\.+$", "")
     if idna:
         # internationalized hosts fold to punycode FIRST so they group
@@ -576,16 +577,17 @@ def host_expr(url: Column) -> Column:
     return F.lower(host)
 
 
-def url_path_expr(url: Column) -> Column:
-    """Path component of an absolute URL (everything after the
-    authority up to '?' or '#', leading '/' included). Empty string
-    for non-absolute inputs and for authority-only URLs
-    ('http://example.com' has path '') — regexp_extract's no-match
-    value in both engines. The negated classes admit newlines, the
-    same (?s)-free portability trick the canonicalizer uses."""
-    return F.regexp_extract(
-        url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
-    )
+def _check_idna(idna: bool | str) -> None:
+    """Reject idna knob typos loudly: any truthy string other than
+    exactly "uts46" would otherwise pass every truthiness check and
+    silently fold with the IDNA-2003 codec — the same
+    silent-downgrade class the executor-side package gate closes,
+    on the knob-value axis (r11 third review pass)."""
+    if isinstance(idna, str) and idna != "uts46":
+        raise ValueError(
+            f"idna={idna!r}: pass False, True (IDNA-2003 leg), or"
+            " exactly the string 'uts46'"
+        )
 
 
 def _url_tail_expr(url: Column) -> Column:
@@ -619,6 +621,7 @@ def registered_domain_of_host(
     where public-suffix-only and single-label hosts return None."""
     import re as _re
 
+    _check_idna(idna)
     h = host.strip().lower()
     h = _re.sub(r":[0-9]*$", "", h)
     h = _re.sub(r"\.+$", "", h)
@@ -716,6 +719,7 @@ def registered_domain_expr(
     modes, so 'münchen.de' and 'xn--mnchen-3ya.de' share a key; pass
     the string "uts46" instead of True for the UTS #46 / IDNA-2008
     mapping leg."""
+    _check_idna(idna)
     host0 = F.regexp_replace(host_expr(url), "\\.+$", "")
     if idna:
         # unicode hosts fold to punycode so they key like their ASCII
@@ -810,6 +814,7 @@ def filter_by_domain(
     "domains" that keep everything; ``idna=True`` folds unicode hosts
     to punycode so they match the ASCII entries real UT1 dumps carry
     (``"uts46"`` for the UTS #46 leg on both rows and entries)."""
+    _check_idna(idna)
     for name, lst_arg in (("blocklist", blocklist), ("allowlist", allowlist)):
         if isinstance(lst_arg, str):
             raise TypeError(
@@ -861,8 +866,13 @@ def filter_by_domain(
             # host lowercases; the path keeps its case verbatim (URL
             # paths are case-significant — same contract as
             # parse_blocklist_entry on the tuple side)
+            # FULL whitespace trim (regex \s, not F.trim's space-only):
+            # a dump read with CRLF line endings yields 'bad.com\r'
+            # entries whose key never equals any row domain — the
+            # whole list silently never matches (r11 third review
+            # pass, live repro)
             e0 = F.regexp_replace(
-                F.trim(F.col("entry")),
+                F.regexp_replace(F.col("entry"), "^\\s+|\\s+$", ""),
                 "^[a-zA-Z][a-zA-Z0-9+.-]*://",
                 "",
             )
@@ -935,9 +945,22 @@ def filter_by_domain(
                 )
             )
         else:
-            keyed = lst.select(
-                F.lower(F.col("domain")).alias("__fbd_domain")
-            ).distinct()
+            # legacy registered-domain entries normalize like every
+            # other entry shape: full whitespace trim, lowercase,
+            # root-dot strip, and the SAME idna fold as corpus rows —
+            # without the fold a unicode entry under idna=True keyed
+            # against punycode row domains and silently never matched
+            # (r11 third review pass)
+            dom = F.regexp_replace(
+                F.lower(
+                    F.regexp_replace(F.col("domain"), "^\\s+|\\s+$", "")
+                ),
+                "\\.+$",
+                "",
+            )
+            if idna:
+                dom = idna_fold_expr(dom, uts46=(idna == "uts46"))
+            keyed = lst.select(dom.alias("__fbd_domain")).distinct()
             tagged = df.withColumn("__fbd_host", host0).withColumn(
                 "__fbd_domain",
                 _domain_from_host(F.col("__fbd_host"), psl=psl),

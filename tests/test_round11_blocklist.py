@@ -191,6 +191,53 @@ def test_blocklist_userinfo_and_malformed_entries(spark):
     assert kept_d == {"http://example.com/x", "http://keep.net/"}
 
 
+def test_blocklist_crlf_entries_and_legacy_fold(spark):
+    """r11 third review pass regressions: (a) entries read from a
+    CRLF dump ('bad.org\\r') gate on BOTH DataFrame shapes — F.trim
+    strips spaces only, so the pre-fix key 'bad.org\\r' silently never
+    matched; (b) the legacy domain-column shape folds its entries with
+    the same idna knob as corpus rows, so a unicode entry gates the
+    punycode spelling."""
+    df = spark.createDataFrame(
+        [("http://bad.org/a",), ("http://keep.net/",),
+         ("http://xn--mnchen-3ya.de/x",)],
+        ["url"],
+    )
+    entry_lst = spark.createDataFrame([("bad.org\r",), ("  tab.io\t",)], ["entry"])
+    kept = {
+        r["url"]
+        for r in urlops.filter_by_domain(df, blocklist=entry_lst).collect()
+    }
+    assert kept == {"http://keep.net/", "http://xn--mnchen-3ya.de/x"}
+    legacy = spark.createDataFrame([("MÜNCHEN.DE\r",)], ["domain"])
+    kept2 = {
+        r["url"]
+        for r in urlops.filter_by_domain(
+            df, blocklist=legacy, idna=True
+        ).collect()
+    }
+    assert kept2 == {"http://bad.org/a", "http://keep.net/"}
+
+
+def test_idna_knob_typo_raises(spark):
+    """Any truthy idna string other than exactly 'uts46' raises
+    instead of silently downgrading to the IDNA-2003 leg — on every
+    knob surface."""
+    import pytest as _pytest
+
+    from dbt_model_diff_spark.pipeline import CurationConfig
+
+    df = spark.createDataFrame([("http://a.com/x",)], ["url"])
+    with _pytest.raises(ValueError, match="uts46"):
+        urlops.filter_by_domain(df, blocklist=("a.com",), idna="UTS46")
+    with _pytest.raises(ValueError, match="uts46"):
+        urlops.registered_domain_expr(F.col("url"), idna="idna2008")
+    with _pytest.raises(ValueError, match="uts46"):
+        urlops.registered_domain_of_host("a.com", idna="uts-46")
+    with _pytest.raises(ValueError, match="uts46"):
+        CurationConfig(url_idna="uts46 ")
+
+
 def test_blocklist_idna_single_fold_plan(spark):
     """The idna leg appears ONCE in the gate's plan even though both
     the domain key and the host predicates consume the folded host
