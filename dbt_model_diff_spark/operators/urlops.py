@@ -582,8 +582,11 @@ def _check_idna(idna: bool | str) -> None:
     exactly "uts46" would otherwise pass every truthiness check and
     silently fold with the IDNA-2003 codec — the same
     silent-downgrade class the executor-side package gate closes,
-    on the knob-value axis (r11 third review pass)."""
-    if isinstance(idna, str) and idna != "uts46":
+    on the knob-value axis (r11 third review pass). Falsy values —
+    including the empty string — mean 'disabled' everywhere the knob
+    is consumed, so only TRUTHY strings are rejected (fourth pass:
+    the first guard crashed the previously-valid idna='')."""
+    if isinstance(idna, str) and idna and idna != "uts46":
         raise ValueError(
             f"idna={idna!r}: pass False, True (IDNA-2003 leg), or"
             " exactly the string 'uts46'"

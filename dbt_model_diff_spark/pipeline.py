@@ -203,14 +203,13 @@ class CurationConfig:
                     "max_docs_per_domain requires url_col (the domain"
                     " cap needs a provenance column to key on)"
                 )
-        if isinstance(self.url_idna, str) and self.url_idna != "uts46":
-            # a typo'd leg name is truthy and would silently fold with
-            # the IDNA-2003 codec — same loud-failure contract as
-            # urlops._check_idna (r11 review)
-            raise ValueError(
-                f"url_idna={self.url_idna!r}: pass False, True"
-                " (IDNA-2003 leg), or exactly the string 'uts46'"
-            )
+        # a typo'd leg name is truthy and would silently fold with the
+        # IDNA-2003 codec — the ONE source of truth for the knob's
+        # accepted values lives next to the fold (r11 review, pass 4:
+        # the inline copy had already drifted in wording)
+        from dbt_model_diff_spark.operators.urlops import _check_idna
+
+        _check_idna(self.url_idna)
         if self.blocked_domains is not None:
             if not isinstance(self.blocked_domains, DataFrame) and not (
                 self.blocked_domains

@@ -236,6 +236,10 @@ def test_idna_knob_typo_raises(spark):
         urlops.registered_domain_of_host("a.com", idna="uts-46")
     with _pytest.raises(ValueError, match="uts46"):
         CurationConfig(url_idna="uts46 ")
+    # falsy spellings of 'disabled' stay valid (pass 4: the first
+    # guard crashed idna='')
+    assert urlops.registered_domain_of_host("a.com", idna="") == "a.com"
+    CurationConfig(url_idna="")
 
 
 def test_blocklist_idna_single_fold_plan(spark):
