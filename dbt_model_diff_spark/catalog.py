@@ -2640,23 +2640,43 @@ def text_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration, pipeline_domain_gate (VERDICT r10 task #8), which
 # took the 147th slot and model_order_agg's planned r11 seat.
 #
-# ROUND-12 WINDOW PLAN (mechanical, execute first thing after
-# CORRECTNESS_r11 lands): the mandatory tier is every query whose
-# newest green row is r9 — the 50 r9-certified queries MINUS the
-# three re-certified as r11 anchor fillers (diff_counts_orders,
-# diff_profile_orders, diff_schema_drift) = 47 queries (incl.
-# model_order_agg, which ceded its r11 seat to pipeline_domain_gate);
-# plus any never-certified r12 registrations first. Fill the
-# remaining ~3 slots from the r10-certified tier (the stalest
-# outside; greedy tie-split allows choosing among them) — the
-# anchor-cadence clause makes diff_partitioned_orders and
-# pricing_summary (both r10) hard-mandatory the moment
-# CORRECTNESS_r11 lands, so seat them first, then prefer queries
-# riding r12's churned code paths (or the LSH / pipeline fillers to
-# keep that family on a 2-round cadence). This is the steady-state
-# 3-round carousel at 147 registered (hard cap 150): each round's
-# mandatory tier is ~47 + new registrations, leaving ~3
-# discretionary slots.
+# ROUND-12 WINDOW PLAN (EXECUTED in the r12 rotation below): the
+# mandatory tier is every query whose newest green row is r9 — the
+# 50 r9-certified queries MINUS the three re-certified as r11 anchor
+# fillers (diff_counts_orders, diff_profile_orders,
+# diff_schema_drift) = 47 queries (incl. model_order_agg, which
+# ceded its r11 seat to pipeline_domain_gate). Fillers: the
+# hard-mandatory anchors diff_partitioned_orders + pricing_summary
+# seated first, then pipeline_curation_report (keeps the composed-
+# pipeline family on its 2-round cadence, the r10 plan precedent).
+# Round-12 surfaces stay pytest-DuckDB-parity certified, NOT
+# registered (growth policy, 147/150 slots): percent-decoded
+# blocklist path prefixes, CIDR/IP-range entries, the PSL version
+# stamp (tests/test_round12_*.py).
+#
+# ROUND-13 WINDOW PLAN (mechanical, execute first thing after
+# CORRECTNESS_r12 lands): the mandatory tier is every query whose
+# newest green row is r10 — the 50 r10-certified queries MINUS the
+# three re-certified as r12 fillers (diff_partitioned_orders,
+# pricing_summary, pipeline_curation_report) = 47 queries; plus any
+# never-certified r13 registrations first. Fill the remaining ~3
+# slots from the r11-certified tier (the stalest outside; greedy
+# tie-split allows choosing among them) — the anchor-cadence clause
+# makes diff_counts_orders, diff_profile_orders and
+# diff_schema_drift (all r11) hard-mandatory the moment
+# CORRECTNESS_r12 lands, so seat those three first.
+#
+# EFFECTIVE CAP IS 147, NOT 150 (r12 arithmetic): each of the six
+# flagship anchors needs a window seat at least every 2 rounds (its
+# carousel re-certification comes only every 3, and the anchor
+# clause requires staleness >= max_round - 1), so anchors consume
+# 6 / 2 = 3 filler seats per round on average — exactly the
+# 50 - 47 = 3 the period-3 carousel leaves at 147 registered. A
+# 148th registration makes some round's mandatory tier 48 and
+# leaves only 2 filler seats against the anchors' 3-per-round
+# demand: test_driver_priority_window becomes unsatisfiable within
+# two rounds. Registering anything new now requires first retiring
+# a registration or an anchor.
 
 
 _BM25_TERMS = ["vector", "spark", "customer", "join"]
@@ -6419,82 +6439,75 @@ def pipeline_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-11 window (executes the ROUND-11 WINDOW PLAN written in
-    # r10; see the plan comment above for the derivation).
-    # Tier 0: the round's ONE registration (the VERDICT r10 task-#8
-    # sanctioned slot — the composed blocklist+PSL gate), never
-    # certified, therefore stalest and mandatory in-window. It takes
-    # the seat the original plan gave model_order_agg; that anchor is
-    # r9-green (within the two-newest-records clause) and becomes
-    # mandatory in round 12. The OTHER r11 surfaces stay
-    # pytest-DuckDB-parity certified, unregistered (growth policy):
-    # full-PSL data, host/path blocklist grammar, the UTS#46 fold leg.
-    "pipeline_domain_gate",
-    # Tier 1: the 46 queries whose newest green row is r8 — the 50
-    # r8-certified queries minus the four re-certified as r10
-    # churned-path fillers (dedup_lsh_pairs, dedup_jaccard_verified,
-    # pipeline_curation_report, pipeline_training_data). They hit the
-    # 3-round staleness bound the moment CORRECTNESS_r10 landed.
-    "approx_profile_orders",
-    "budget_select_documents",
-    "decontaminate_train_docs",
-    "dedup_impact_report",
-    "dedup_prioritized_sources",
-    "diff_changed_sample_keys",
-    "diff_counts_lineitem_multikey",
-    "diff_rowcount_where",
-    "embedding_near_dup",
-    "epoch_shuffle_documents",
-    "filter_project_lineitem",
-    "join_bloom_pruned_lineitem",
-    "kmeans_embedding_clusters",
-    "knn_ivf",
-    "knn_ivf_pq",
-    "model_case_when",
-    "model_int_orders",
-    "model_stg_customers",
-    "multimodal_decode_features",
-    "multimodal_resize_frames",
-    "orc_roundtrip_orders",
-    "q10_returned_revenue_by_customer",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_sole_problem_supplier",
-    "q4_priority_with_returns",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q7_volume_shipping",
-    "q8_share_by_year",
-    "q9_product_profit_by_nation",
-    "quantize_embeddings_int8",
-    "sample_stratified_documents",
-    "source_mixture_weights",
-    "split_train_eval_documents",
-    "stats_moments_lineitem",
-    "stream_cdc_apply_orders",
-    "stream_click_attribution",
-    "stream_hourly_rollup",
-    "stream_running_max",
-    "stream_sessionize",
-    "text_lm_quality_bands",
-    "text_normalize_documents",
-    "text_top_terms_by_group",
-    "unpivot_orders_metrics",
-    # Tier 2: three r9-certified flagship anchors (the stalest tier
-    # outside the mandatory set; the greedy clause allows splitting
-    # the 50-way r9 tie). The anchor-cadence clause in
-    # test_driver_priority_window requires each flagship to be in
-    # the window or green within the two newest records — these
-    # are r9, so without a seat their driver signal would age past
-    # two rounds. model_order_agg ceded its planned seat to the
-    # tier-0 registration (never-certified outranks every tie) and
-    # stays satisfied by its r9 row; it joins the 47 r9 queries
-    # outside that become round 12's mandatory tier (see the
-    # ROUND-12 WINDOW PLAN).
-    "diff_counts_orders",
-    "diff_profile_orders",
-    "diff_schema_drift",
+    # Round-12 window (executes the ROUND-12 WINDOW PLAN written in
+    # r11; see the plan comment above for the derivation).
+    # Tier 1: the 47 queries whose newest green row is r9 — the 50
+    # r9-certified queries minus the three re-certified as r11 anchor
+    # fillers (diff_counts_orders, diff_profile_orders,
+    # diff_schema_drift). They hit the 3-round staleness bound the
+    # moment CORRECTNESS_r11 landed. Includes model_order_agg, which
+    # ceded its planned r11 seat to the pipeline_domain_gate
+    # registration.
+    "bpe_train_merges",
+    "dedup_components",
+    "dedup_exact_groups",
+    "dedup_incremental_batch",
+    "dedup_minhash_signatures",
+    "dedup_oph_signatures",
+    "dedup_simhash",
+    "dedup_simhash_near_pairs",
+    "diff_counts_embeddings",
+    "diff_distribution_drift_orders",
+    "embedding_stats",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_props_typed",
+    "events_sessionize",
+    "jsonl_roundtrip_documents",
+    "knn_bruteforce",
+    "model_order_agg",
+    "pivot_status_by_priority",
+    "q11_high_value_suppliers",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q22_rich_idle_customers",
+    "q2_min_retail_parts",
+    "sample_mixture_temperature",
+    "semantic_dedup_embeddings",
+    "setop_except_intersect",
+    "sketch_count_min_terms",
+    "split_leakage_safe_documents",
+    "stream_incremental_dedup",
+    "text_bpe_tokenize",
+    "text_classifier_score",
+    "text_fingerprint",
+    "text_language_id",
+    "text_lm_bigram_score",
+    "text_quality_features",
+    "text_rebuild_dedup_chunks",
+    "text_shingle_stats",
+    "text_token_length_deciles",
+    "top_revenue_orders",
+    "topk_orders",
+    "window_dedup_keep_latest",
+    "window_running_total",
+    # Tier 2: three r10-certified fillers (the stalest tier outside
+    # the mandatory set; the greedy clause allows splitting the
+    # 50-way r10 tie). The two hard-mandatory flagship anchors
+    # diff_partitioned_orders and pricing_summary seat first — the
+    # anchor-cadence clause would strand them at r10 the moment
+    # CORRECTNESS_r12 lands — then pipeline_curation_report, which
+    # keeps the composed-pipeline family on its 2-round driver
+    # cadence (r10 plan precedent; round 12's urlops churn —
+    # encoded-path fold, CIDR entries, PSL stamp — is certified by
+    # tests/test_round12_*.py pytest parity, not a registration).
+    "diff_partitioned_orders",
+    "pricing_summary",
+    "pipeline_curation_report",
 ]
 
 
