@@ -205,7 +205,7 @@ FROM (
     SELECT doc_id,
       regexp_replace(lower(regexp_replace(regexp_replace(
         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
-        '^[^/?#]*@', ''), ':[0-9]*$', '')), '\.+$', '') AS host
+        '^[^/?#]*@', ''), ':[0-9]*$', '')), '\\.+$', '') AS host
     FROM urls) h) l
 """
 
