@@ -6347,14 +6347,42 @@ def _duck_psl_case(rules) -> str:
     return "CASE " + " ".join(branches) + " ELSE NULL END"
 
 
+# Hand-pinned (entry, eTLD+1 key, folded host, path) for each gate
+# entry (ADVICE r11: the oracle previously DERIVED these by calling
+# parse_blocklist_entry + registered_domain_of_host — the code under
+# test — so a shared entry-keying bug was invisible to the registered
+# check). The oracle now builds from these literals; the derivation
+# is still replayed at import as a DRIFT TRIPWIRE (a keying change
+# fails the build loudly instead of the oracle silently following it;
+# the independent pure-Python spec referee stays in
+# tests/test_round11_blocklist.py).
+_GATE_TRIPLES = (
+    ("blocked0.com.pl", "blocked0.com.pl", "blocked0.com.pl", None),
+    ("blocked1.com.pl", "blocked1.com.pl", "blocked1.com.pl", None),
+    ("sub1.news.co.il", "news.co.il", "sub1.news.co.il", None),
+    ("user2.github.io", "user2.github.io", "user2.github.io", None),
+    ("mall.com/ads/", "mall.com", "mall.com", "/ads/"),
+    ("w1.city.kobe.jp", "city.kobe.jp", "w1.city.kobe.jp", None),
+    ("b1.foo.ck", "b1.foo.ck", "b1.foo.ck", None),
+    ("10.0.4.3", "10.0.4.3", "10.0.4.3", None),
+)
+
+
 def _domain_gate_oracle() -> str:
-    """Block-gate membership replayed entry-by-entry from the SAME
-    driver-side keying (parse_blocklist_entry +
-    registered_domain_of_host) the Spark tuple path compiles."""
+    """Block-gate membership from the HAND-PINNED entry triples above
+    (the Spark tuple path independently re-derives its keying from
+    parse_blocklist_entry + registered_domain_of_host)."""
+    assert tuple(e for e, _, _, _ in _GATE_TRIPLES) == _GATE_ENTRIES
+    for raw, key, h, p in _GATE_TRIPLES:
+        dh, dp = _urlops.parse_blocklist_entry(raw)
+        dkey = _urlops.registered_domain_of_host(dh, psl=_GATE_RULES)
+        if (dkey, dh, dp) != (key, h, p):
+            raise AssertionError(
+                f"gate entry keying drifted for {raw!r}:"
+                f" derived {(dkey, dh, dp)!r} != pinned {(key, h, p)!r}"
+            )
     conds = []
-    for raw in _GATE_ENTRIES:
-        h, p = _urlops.parse_blocklist_entry(raw)
-        key = _urlops.registered_domain_of_host(h, psl=_GATE_RULES)
+    for _raw, key, h, p in _GATE_TRIPLES:
         if p is None and h == key:
             conds.append(f"d = '{key}'")
         else:
@@ -6366,6 +6394,12 @@ def _domain_gate_oracle() -> str:
                 c += f" AND starts_with(path, '{p}')"
             conds.append(f"({c})")
     member = " OR ".join(conds)
+    # r12 note: the Spark gate now percent-normalizes the row tail and
+    # the entry prefixes (pct_normalize_expr); the synthesized gate
+    # URLs and the '/ads/' prefix are escape-free, so the fold is the
+    # identity on this data and the oracle's raw-path compare remains
+    # an exact twin (the encoded classes are certified by
+    # tests/test_round12_pct.py's own DuckDB twin).
     url_sql = _GATE_URL_SQL.replace("AS STRING", "AS VARCHAR")
     return f"""
 WITH urls AS (

@@ -297,6 +297,12 @@ def curate_corpus(
         # survivor mix through near-dedup (SURVEY §9 r11 release
         # probe; idna threading alone measured FREE end-to-end).
         account("domain_gate", base)
+        # r12 (VERDICT r11 task #4): stamp which suffix list keyed
+        # this gate — a corpus gated under upstream-20230209 must be
+        # distinguishable from one gated under a newer list (suffixes
+        # added since fall to the default '*' rule and group
+        # differently). Empty string = the compact built-in heuristic.
+        report[-1]["psl_version"] = psl_rules.version if psl_rules else ""
 
     # 0b. line-level boilerplate removal — BEFORE normalize_text, whose
     # whitespace collapse destroys the line structure this keys on.
@@ -619,6 +625,10 @@ def curate_corpus(
             cur, "domain", c.id_col, c.max_docs_per_domain
         )
         account("domain_cap", cur)
+        # same provenance stamp as the gate row: the cap groups on
+        # the same rules, and the two stages may disagree with each
+        # other in a mixed-config replay unless both record it
+        report[-1]["psl_version"] = psl_rules.version if psl_rules else ""
 
     # 6. optional token-budget selection: keep best-quality docs until
     # the budget (sampling.select_within_token_budget — distributed

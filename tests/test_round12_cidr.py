@@ -1,0 +1,352 @@
+"""Round-12 CIDR / IP-range blocklist certification (VERDICT r11
+task #3).
+
+`urlops.parse_cidr_entry` + the `filter_by_domain` range legs are
+pytest-DuckDB-parity certified, NOT catalog-registered (growth
+policy, catalog.py round-12 note): pinned grammar-precedence fixture
+(incl. the VERDICT done-case — a /16 that blocks 10.0.4.3 but not
+10.1.0.1), tuple == DataFrame plan equivalence in block AND allow
+mode, a DuckDB semantic twin of the whole mixed gate, the near-miss
+warning contract, the all-entries-dropped guard (ADVICE r11), the
+idna type-axis guard (ADVICE r11), and the PSL provenance stamp
+(VERDICT r11 task #4).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+from dbt_model_diff_spark.operators import urlops
+
+
+# ---------------------------------------------------------------------------
+# parse_cidr_entry: grammar precedence pins
+# ---------------------------------------------------------------------------
+
+def test_parse_cidr_entry_pins():
+    # the VERDICT done-case range
+    assert urlops.parse_cidr_entry("10.0.0.0/16") == (10 << 24, 16)
+    # mask normalization: however the dump spells the range
+    assert urlops.parse_cidr_entry("10.0.4.3/16") == (10 << 24, 16)
+    # scheme prefix tolerated, like every other entry shape
+    assert urlops.parse_cidr_entry("http://10.0.0.0/16") == (10 << 24, 16)
+    # /0 and /32 bounds
+    assert urlops.parse_cidr_entry("1.2.3.4/32") == (
+        (1 << 24) + (2 << 16) + (3 << 8) + 4, 32,
+    )
+    assert urlops.parse_cidr_entry("9.9.9.9/0") == (0, 0)
+    # near-miss shapes are NOT CIDR (they stay host/path entries):
+    assert urlops.parse_cidr_entry("1.2.3.4/40") is None      # mask > 32
+    assert urlops.parse_cidr_entry("999.1.1.1/8") is None     # octet > 255
+    assert urlops.parse_cidr_entry("010.0.0.1/8") is None     # octal ambiguity
+    assert urlops.parse_cidr_entry("1.2.3.4/08") is None      # zero-pad mask
+    # non-CIDR shapes
+    assert urlops.parse_cidr_entry("example.com/16") is None  # not an IP host
+    assert urlops.parse_cidr_entry("1.2.3.4/16/") is None     # escape hatch:
+    #   a literal all-digit path prefix is written with more path
+    assert urlops.parse_cidr_entry("1.2.3.4") is None         # bare IP: host entry
+    assert urlops.parse_cidr_entry("1.2.3.4/ads/") is None
+
+
+def test_cidr_near_miss_warns(spark):
+    df = spark.createDataFrame([("http://10.0.4.3/x",)], ["url"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = urlops.filter_by_domain(df, blocklist=("10.0.0.0/99",))
+        assert any("CIDR" in str(x.message) for x in w)
+    # ...and the entry then behaves as host 10.0.0.0 + path '/99':
+    # the /x row survives
+    assert out.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# gate semantics: pinned fixture, both plan shapes, block + allow
+# ---------------------------------------------------------------------------
+
+# mixed list: CIDR ranges alongside every round-11 grammar shape
+_ENTRIES = (
+    "10.0.0.0/16",            # the VERDICT done-case
+    "172.16.0.0/12",          # non-octet-aligned mask
+    "1.2.3.4/32",             # single-address range
+    "bad.example.org",        # deeper host
+    "blocked.io",             # registered domain
+    "example.com/ads/",       # path prefix
+)
+
+_CASES = [
+    ("http://10.0.4.3/x", False),         # in 10.0.0.0/16
+    ("http://10.0.255.255/y", False),     # range upper edge
+    ("http://10.1.0.1/x", True),          # the VERDICT not-case
+    ("http://10.0.4.3:8080/p", False),    # port folds off the host
+    ("http://172.16.0.1/", False),        # /12 lower edge
+    ("http://172.31.255.254/", False),    # /12 upper edge
+    ("http://172.32.0.1/", True),         # just past the /12
+    ("http://1.2.3.4/q", False),          # /32 exact address
+    ("http://1.2.3.5/q", True),
+    ("http://010.0.4.3/x", True),         # leading-zero quad: not strict,
+    #   never range-matched (octal refusal, pinned)
+    ("http://999.0.4.3/x", True),         # not a strict literal either
+    ("http://bad.example.org/a", False),  # non-CIDR entries still gate
+    ("http://sub.blocked.io/b", False),
+    ("http://example.com/ads/c", False),
+    ("http://example.com/zz", True),
+    ("not a url", True),                  # NULL domain follows keep_null
+    ("http://keep.net/", True),
+]
+
+
+def _fixture_df(spark):
+    return spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_CASES)], "i long, url string"
+    )
+
+
+def test_cidr_pinned_fixture_block(spark):
+    out = urlops.filter_by_domain(_fixture_df(spark), blocklist=_ENTRIES)
+    kept = {r["i"] for r in out.collect()}
+    for i, (u, keep) in enumerate(_CASES):
+        assert (i in kept) == keep, f"block {u!r}"
+
+
+def test_cidr_tuple_vs_dataframe_equivalence(spark):
+    df = _fixture_df(spark)
+    lst = spark.createDataFrame([(e,) for e in _ENTRIES], ["entry"])
+    for kw in ("blocklist", "allowlist"):
+        for null_keep in (True, False):
+            tup = urlops.filter_by_domain(
+                df, **{kw: _ENTRIES}, keep_null_domain=null_keep
+            )
+            dfl = urlops.filter_by_domain(
+                df, **{kw: lst}, keep_null_domain=null_keep
+            )
+            a = sorted(r["i"] for r in tup.collect())
+            b = sorted(r["i"] for r in dfl.collect())
+            assert a == b, (kw, null_keep)
+
+
+def test_cidr_allow_mode_complement(spark):
+    """Allow mode admits exactly the rows block mode drops (for
+    domain-bearing rows), and each row appears exactly ONCE even when
+    several ranges cover one address (the peel contract)."""
+    # 10.0.0.0/8 and 10.0.0.0/16 both cover 10.0.4.3
+    entries = ("10.0.0.0/8", "10.0.0.0/16")
+    df = spark.createDataFrame(
+        [(1, "http://10.0.4.3/x"), (2, "http://11.0.0.1/y")],
+        "i long, url string",
+    )
+    for lst in (
+        entries,
+        df.sparkSession.createDataFrame([(e,) for e in entries], ["entry"]),
+    ):
+        got = [
+            r["i"]
+            for r in urlops.filter_by_domain(
+                df, allowlist=lst, keep_null_domain=False
+            ).collect()
+        ]
+        assert got == [1], type(lst).__name__  # exactly once, no dupes
+
+
+def test_cidr_duckdb_parity(spark):
+    """DuckDB replays the whole mixed gate with the same strict-quad
+    regex, the same ip-long arithmetic, and the same mask math."""
+    import duckdb
+
+    df = _fixture_df(spark)
+    kept_spark = sorted(
+        r["i"]
+        for r in urlops.filter_by_domain(df, blocklist=_ENTRIES).collect()
+    )
+    cidr_conds = []
+    for e in _ENTRIES:
+        c = urlops.parse_cidr_entry(e)
+        if c is not None:
+            net, ml = c
+            mask = (0xFFFFFFFF << (32 - ml)) & 0xFFFFFFFF
+            cidr_conds.append(f"(ip & {mask} = {net})")
+    oct_re = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    strict = f"^({oct_re}\\.){{3}}{oct_re}$"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, url VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, u) for i, (u, _) in enumerate(_CASES)],
+    )
+    # host fold mirrors host_expr; string entries replayed via the
+    # driver twin (registered_domain_of_host/parse_blocklist_entry);
+    # only the RANGE legs differ from the round-11 twin
+    str_conds = []
+    for e in _ENTRIES:
+        if urlops.parse_cidr_entry(e) is not None:
+            continue
+        h, p = urlops.parse_blocklist_entry(e)
+        key = urlops.registered_domain_of_host(h)
+        c = f"(d = '{key}' AND (host = '{h}' OR ends_with(host, '.{h}'))"
+        if p is not None:
+            c += f" AND starts_with(path, '{urlops.pct_normalize(p)}')"
+        str_conds.append(c + ")")
+    member = " OR ".join(str_conds + cidr_conds)
+    got = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH h AS (
+              SELECT i,
+                regexp_replace(lower(regexp_replace(regexp_replace(
+                  regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                  '^[^/?#]*@', ''), ':[0-9]*$', '')), '\\.+$', '')
+                  AS host,
+                regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS path
+              FROM t),
+            d AS (
+              SELECT i, host, path,
+                CASE WHEN host = '' THEN NULL
+                     WHEN regexp_matches(host,
+                       '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN host
+                     WHEN len(string_split(host, '.')) >= 2
+                       THEN array_to_string(
+                         list_slice(string_split(host, '.'),
+                           len(string_split(host, '.')) - 1,
+                           len(string_split(host, '.'))), '.')
+                     ELSE host END AS d,
+                CASE WHEN regexp_matches(host, '{strict}') THEN
+                  CAST(string_split(host, '.')[1] AS BIGINT) * 16777216
+                  + CAST(string_split(host, '.')[2] AS BIGINT) * 65536
+                  + CAST(string_split(host, '.')[3] AS BIGINT) * 256
+                  + CAST(string_split(host, '.')[4] AS BIGINT)
+                END AS ip
+              FROM h)
+            SELECT i FROM d
+            WHERE d IS NULL OR NOT coalesce(({member}), FALSE)
+            ORDER BY i
+            """
+        ).fetchall()
+    )
+    assert got == kept_spark
+
+
+def test_cidr_legs_are_equi_joins(spark):
+    """Plan shape: each distinct prefix length is ONE anti join whose
+    key is `ip & constant` — a hash-joinable equi key, never a range
+    join or BroadcastNestedLoopJoin; the tuple shape stays row-local
+    (zero joins) and UDF-free."""
+    df = _fixture_df(spark)
+    lst = spark.createDataFrame([(e,) for e in _ENTRIES], ["entry"])
+    plan = (
+        urlops.filter_by_domain(df, blocklist=lst)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # 3 distinct masklens (/12, /16, /32) + the string-entry join
+    assert plan.count("Join") >= 4
+    tup_plan = (
+        urlops.filter_by_domain(df, blocklist=_ENTRIES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in tup_plan
+    assert "ArrowEvalPython" not in tup_plan
+
+
+def test_entry_list_all_dropped_raises(spark):
+    """ADVICE r11: a systematically malformed non-empty entry list
+    fails loudly instead of silently gating nothing; an EMPTY list
+    stays a legitimate inert gate."""
+    df = _fixture_df(spark)
+    bad = spark.createDataFrame([("???",), ("  ",), ("#frag",)], ["entry"])
+    with pytest.raises(ValueError, match="every entry.*dropped"):
+        urlops.filter_by_domain(df, blocklist=bad)
+    empty = spark.createDataFrame([], "entry string")
+    assert urlops.filter_by_domain(df, blocklist=empty).count() == len(_CASES)
+    # an all-CIDR list is NOT "all dropped": the keyed side is empty
+    # by design and the ranges still gate
+    cidr_only = spark.createDataFrame([("10.0.0.0/16",)], ["entry"])
+    out = urlops.filter_by_domain(df, blocklist=cidr_only)
+    kept = {r["i"] for r in out.collect()}
+    assert 0 not in kept and 2 in kept
+
+
+def test_idna_knob_type_axis(spark):
+    """ADVICE r11: truthy NON-string knob values raise instead of
+    silently folding with the IDNA-2003 leg."""
+    df = spark.createDataFrame([("http://a.com/x",)], ["url"])
+    for bad in (1, ["uts46"], b"uts46", 2.0):
+        with pytest.raises(ValueError, match="idna="):
+            urlops.filter_by_domain(df, blocklist=("a.com",), idna=bad)
+        with pytest.raises(ValueError, match="idna="):
+            urlops.registered_domain_of_host("a.com", idna=bad)
+    # the documented spellings all stay valid
+    for ok in (False, True, None, "", "uts46"):
+        urlops._check_idna(ok)
+
+
+def test_psl_version_stamp(spark):
+    """VERDICT r11 task #4: the loaded list's snapshot-version header
+    is recorded on the pipeline's domain-keyed report rows, so a
+    corpus keyed under upstream-20230209 is distinguishable from one
+    keyed under a newer list."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    assert urlops.load_psl().version == "upstream-20230209.2326"
+    assert urlops.load_psl(urlops.PSL_SNAPSHOT_PATH).version != ""
+
+    df = spark.createDataFrame(
+        [(1, "keep text one", "http://keep.net/a"),
+         (2, "drop text two", "http://blocked.io/b")],
+        "doc_id long, text string, url string",
+    )
+    for psl_knob, want in ((True, "upstream-20230209.2326"), (False, "")):
+        _, report = curate_corpus(
+            df,
+            config=CurationConfig(
+                blocked_domains=("blocked.io",),
+                max_docs_per_domain=5,
+                url_col="url",
+                psl=psl_knob,
+                min_tokens=0,
+            ),
+        )
+        rows = {r["stage"]: r for r in report}
+        assert rows["domain_gate"]["psl_version"] == want
+        assert rows["domain_cap"]["psl_version"] == want
+        assert rows["domain_gate"]["docs"] == 1
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        octets=st.tuples(*[st.integers(0, 255)] * 4),
+        ml=st.integers(0, 32),
+        probe=st.tuples(*[st.integers(0, 255)] * 4),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_cidr_twin_referee_python(octets, ml, probe):
+        """parse_cidr_entry's value/mask arithmetic agrees with
+        Python's ipaddress module on membership for arbitrary ranges
+        and probe addresses."""
+        import ipaddress
+
+        entry = ".".join(map(str, octets)) + f"/{ml}"
+        net, got_ml = urlops.parse_cidr_entry(entry)
+        assert got_ml == ml
+        mask = (0xFFFFFFFF << (32 - ml)) & 0xFFFFFFFF
+        p_ip = 0
+        for o in probe:
+            p_ip = p_ip * 256 + int(o)
+        want = ipaddress.ip_address(
+            ".".join(map(str, probe))
+        ) in ipaddress.ip_network(entry, strict=False)
+        assert ((p_ip & mask) == net) == want
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass

@@ -1,0 +1,220 @@
+"""Round-12 percent-encoding normalization certification (VERDICT
+r11 task #2).
+
+`urlops.pct_normalize_expr` (RFC 3986 §6.2.2: decode unreserved
+escapes, upcase other escapes' hex digits, pass invalid escapes
+through) is pytest-DuckDB-parity certified, NOT catalog-registered
+(growth policy, catalog.py round-12 note): pinned fixture ground
+truth for the encoded-URL miss classes the r11 VERDICT enumerated,
+three-way engine agreement (Spark expr == pure-Python twin == DuckDB
+twin), a hypothesis referee, the blocklist-gate composition (both
+plan shapes), and the canonicalizer's opt-in ``pct=True`` leg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import urlops
+
+# (raw, normalized) — each pins one class of the contract
+_PCT_CASES = [
+    ("/ads/x", "/ads/x"),                 # no escapes: identity
+    ("/%61ds/x", "/ads/x"),               # unreserved decode (lowercase hex)
+    ("/%41%62%39/x", "/Ab9/x"),           # decoded char keeps ITS case
+    ("/ads%2Fx", "/ads%2Fx"),             # reserved '/' NEVER decodes
+    ("/ads%2fx", "/ads%2Fx"),             # ...but its hex upcases
+    ("/a%7Eb%7eb", "/a~b~b"),             # '~' unreserved both spellings
+    ("/a%2D%2e%5F", "/a-._"),             # the other unreserved marks
+    ("/%3Fq=1", "/%3Fq=1"),               # reserved '?' stays escaped
+    ("/p?q=%61", "/p?q=a"),               # query escapes normalize too
+    ("/p%GGx", "/p%GGx"),                 # invalid escape: verbatim
+    ("/p%2", "/p%2"),                     # truncated escape: verbatim
+    ("/p%", "/p%"),                       # trailing '%': verbatim
+    ("/p%%41", "/p%A"),                   # '%%41': bare '%' then decode
+    ("", ""),
+    (None, None),
+]
+
+
+def test_pct_normalize_pinned_fixture():
+    for raw, want in _PCT_CASES:
+        assert urlops.pct_normalize(raw) == want, raw
+
+
+def test_pct_normalize_idempotent_on_fixture():
+    """Normalization is a canonical form: applying it twice is the
+    same as once (entries and rows may each arrive pre-normalized)."""
+    for raw, want in _PCT_CASES:
+        assert urlops.pct_normalize(want) == want, raw
+
+
+def test_pct_normalize_spark_matches_twin(spark):
+    rows = [(i, raw) for i, (raw, _) in enumerate(_PCT_CASES)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", urlops.pct_normalize_expr(F.col("s")).alias("n")
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(_PCT_CASES):
+        assert got[i] == want, raw
+
+
+def test_pct_normalize_duckdb_parity(spark):
+    """Three-way agreement on fixture rows AND on doc_id-derived
+    synthetic tails exercising every escape class."""
+    import duckdb
+
+    tails = [
+        f"/p%{i % 10}{chr(97 + i % 6)}/d%2F%2f%41x%" for i in range(200)
+    ] + [raw for raw, _ in _PCT_CASES if raw is not None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tails)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", urlops.pct_normalize_expr(F.col("s")).alias("n")
+        ).collect()
+    }
+    inlist = ", ".join(f"'{c}'" for c in urlops.PCT_UNRESERVED_HEX)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, s VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(tails)]
+    )
+    duck = {
+        i: n
+        for i, n in con.execute(
+            f"""
+            SELECT i,
+              p[1] || coalesce(array_to_string(list_transform(p[2:], x ->
+                CASE WHEN NOT regexp_matches(upper(substr(x, 1, 2)),
+                              '^[0-9A-F]{{2}}$')
+                       THEN '%' || x
+                     WHEN upper(substr(x, 1, 2)) IN ({inlist})
+                       THEN decode(unhex(upper(substr(x, 1, 2))))
+                            || substr(x, 3)
+                     ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3)
+                END), ''), '') AS n
+            FROM (SELECT i, s, string_split(s, '%') AS p FROM t)
+            """
+        ).fetchall()
+    }
+    for i, t in enumerate(tails):
+        py = urlops.pct_normalize(t)
+        assert got[i] == py == duck[i], t
+
+
+def test_blocklist_encoded_path_fixture(spark):
+    """The r11 VERDICT miss classes, both plan shapes: an /ads/ entry
+    gates the %61ds spelling, does NOT gate the %2F spelling, and an
+    ENCODED entry gates the plain spelling (the fold applies to both
+    sides)."""
+    cases = [
+        ("http://example.com/ads/x", False),
+        ("http://example.com/%61ds/x", False),     # encoded row path
+        ("http://example.com/%41ds/x", True),      # decodes to /Ads/: case differs
+        ("http://example.com/ads%2Fx", True),      # %2F is not '/'
+        ("http://example.com/ads%2fx", True),
+        ("http://example.com/zzz", True),
+        ("http://enc.net/video?id=9", False),      # encoded ENTRY gates plain row
+        ("http://enc.net/video?idx=9", True),
+        ("http://keep.org/fine", True),
+    ]
+    entries = ("example.com/ads/", "enc.net/%76ideo?id=")
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    for lst in (
+        entries,
+        spark.createDataFrame([(e,) for e in entries], ["entry"]),
+    ):
+        kept = {
+            r["i"]
+            for r in urlops.filter_by_domain(df, blocklist=lst).collect()
+        }
+        for i, (u, keep) in enumerate(cases):
+            assert (i in kept) == keep, (u, type(lst).__name__)
+
+
+def test_canonicalize_pct_leg(spark):
+    """``canonicalize_url_expr(pct=True)`` normalizes the surviving
+    tail; the default leg keeps the pre-r12 canonical keys verbatim
+    (opt-in so certified canonical keys stay stable)."""
+    df = spark.createDataFrame(
+        [
+            ("http://A.com/%61ds/x?q=%2f&utm_source=t",),
+            ("not a url %2f",),
+        ],
+        ["url"],
+    )
+    got = df.select(
+        urlops.canonicalize_url_expr(F.col("url")).alias("c0"),
+        urlops.canonicalize_url_expr(F.col("url"), pct=True).alias("c1"),
+    ).collect()
+    assert got[0]["c0"] == "http://a.com/%61ds/x?q=%2f"
+    assert got[0]["c1"] == "http://a.com/ads/x?q=%2F"
+    # non-absolute inputs pass through unchanged on BOTH legs
+    assert got[1]["c0"] == got[1]["c1"] == "not a url %2f"
+
+
+def test_blocklist_pct_plan_stays_udf_free(spark):
+    """The pct fold is pure codegen: the no-idna gate plan still has
+    ZERO Python evaluation nodes on both plan shapes."""
+    df = spark.createDataFrame([(1, "http://a.com/%61ds/x")], "i long, url string")
+    for lst in (
+        ("a.com/ads/",),
+        None,
+    ):
+        if lst is None:
+            lst = df.sparkSession.createDataFrame([("a.com/ads/",)], ["entry"])
+        out = urlops.filter_by_domain(df, blocklist=lst)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # strings dense in '%', hex digits, and unreserved/reserved chars
+    _tail_st = st.text(
+        alphabet="%0123456789abcdefABCDEF/?=&._~-GZ",
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(s=_tail_st)
+    @settings(max_examples=300, deadline=None)
+    def test_pct_twin_referee_python(s):
+        """Pure-Python properties that need no Spark session: the twin
+        is idempotent, and only touches '%'-escapes (strings without
+        '%' are fixed points)."""
+        n = urlops.pct_normalize(s)
+        assert urlops.pct_normalize(n) == n
+        if "%" not in s:
+            assert n == s
+        # length can only shrink (decode drops 2 chars per escape)
+        assert len(n) <= len(s)
+
+    @given(ss=st.lists(_tail_st, min_size=1, max_size=30))
+    @settings(max_examples=20, deadline=None)
+    def test_pct_spark_referee(spark, ss):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(ss)], "i long, s string"
+        )
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", urlops.pct_normalize_expr(F.col("s")).alias("n")
+            ).collect()
+        }
+        for i, s in enumerate(ss):
+            assert got[i] == urlops.pct_normalize(s), s
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass

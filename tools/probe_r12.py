@@ -1,0 +1,187 @@
+"""Round-12 probes (SURVEY §9):
+
+A. `pct` — the percent-normalization fold's per-row cost at scale:
+   a 5M-row synthetic tail column (20% carrying escapes, the heavy
+   side of real crawls) projected with and without
+   `pct_normalize_expr`, noop-written, 3 samples each. The fold is
+   pure codegen (split/transform/array_join); this prices what
+   turning it always-on inside `filter_by_domain` cost the gate.
+
+B. `cidr` — the CIDR peel legs at dump scale: the r11 probe's 5M-doc
+   corpus reshaped so 20% of hosts are strict IPv4 literals, gated by
+   a 100k-entry DataFrame list carrying 5% CIDR entries over 4
+   distinct prefix lengths (each length = one extra broadcast-equi
+   anti join) — wall cost vs the same list with its CIDR lines
+   dropped, plus the tuple path with a handful of ranges (row-local,
+   zero joins). Decides whether the peel shape holds at 100 TB: the
+   corpus is never shuffled, each peel is one AQE-broadcast probe.
+
+Usage:
+    python tools/probe_r12.py [pct|cidr ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+from statistics import median
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.session import get_spark
+
+_N_DOCS = 5_000_000
+_N_DOMAINS = 1_000_000
+
+
+def _noop_time(df) -> float:
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return median(samples)
+
+
+def _corpus(spark, ip_share_mod: int | None = None):
+    """The r11 probe corpus; with ip_share_mod=5, ids ≡ 0 (mod 5) get
+    strict IPv4-literal hosts inside/outside 10.0.0.0/16 instead of a
+    domain host."""
+    i = F.col("id")
+    dom_host = F.concat(
+        F.when(i % 11 == 0, F.lit("www."))
+        .when(i % 11 == 1, F.lit("ads."))
+        .otherwise(F.lit("")),
+        F.lit("dom"),
+        (i % _N_DOMAINS).cast("string"),
+        F.lit(".com"),
+    )
+    if ip_share_mod is not None:
+        ip_host = F.concat(
+            F.lit("10."),
+            ((i / 256) % 120).cast("int").cast("string"),  # 0-119: /16 ... /9 mix
+            F.lit("."),
+            (i % 250).cast("string"),
+            F.lit(".7"),
+        )
+        host = F.when(i % ip_share_mod == 0, ip_host).otherwise(dom_host)
+    else:
+        host = dom_host
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p/"), i.cast("string")
+    )
+    return spark.range(_N_DOCS).select(i.alias("doc_id"), url.alias("url"))
+
+
+def probe_pct(spark) -> None:
+    from dbt_model_diff_spark.operators.urlops import (
+        _url_tail_expr,
+        pct_normalize_expr,
+    )
+
+    i = F.col("id")
+    tail = F.concat(
+        F.lit("/p"),
+        F.when(i % 5 == 0, F.lit("%61ds%2Fq%zz"))  # 20% escape-bearing
+        .otherwise(F.lit("/plain/seg")),
+        F.lit("/d"),
+        i.cast("string"),
+    )
+    base = spark.range(_N_DOCS).select(tail.alias("t"))
+    raw = _noop_time(base.select(F.length("t").alias("n")))
+    folded = _noop_time(
+        base.select(F.length(pct_normalize_expr(F.col("t"))).alias("n"))
+    )
+    url = F.concat(F.lit("http://h"), i.cast("string"), F.lit(".com"), tail)
+    udf_free = (
+        spark.range(10)
+        .select(pct_normalize_expr(_url_tail_expr(url)).alias("x"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in udf_free
+    print(
+        f"PROBE pct: {_N_DOCS} rows raw={raw:.2f} s folded={folded:.2f} s"
+        f" delta={folded - raw:+.2f} s"
+        f" ({(folded - raw) / _N_DOCS * 1e9:.0f} ns/row), plan UDF-free"
+    )
+
+
+def _entries(spark, n: int, with_cidr: bool):
+    i = F.col("id")
+    dom = F.concat(
+        F.lit("dom"), ((i * 4_000_003) % (4 * _N_DOMAINS)).cast("string"),
+        F.lit(".com"),
+    )
+    cidr = F.concat(
+        F.lit("10."),
+        (i % 100).cast("string"),
+        F.lit(".0.0/"),
+        F.when(i % 4 == 0, F.lit("16"))
+        .when(i % 4 == 1, F.lit("15"))
+        .when(i % 4 == 2, F.lit("12"))
+        .otherwise(F.lit("24")),
+    )
+    entry = (
+        F.when(i % 20 == 18, F.concat(F.lit("ads."), dom))
+        .when(i % 20 == 19, F.concat(dom, F.lit("/p/1")))
+        .otherwise(dom)
+    )
+    if with_cidr:
+        entry = F.when(i % 20 == 17, cidr).otherwise(entry)
+    return spark.range(n).select(entry.alias("entry"))
+
+
+def probe_cidr(spark) -> None:
+    from dbt_model_diff_spark.operators.urlops import filter_by_domain
+
+    corpus = _corpus(spark, ip_share_mod=5)
+    n0 = corpus.count()
+    print(f"PROBE cidr corpus: {n0} docs, 20% strict IPv4 hosts")
+    for tag, lst in (
+        ("no_cidr", _entries(spark, 100_000, with_cidr=False)),
+        ("cidr_5pct_4lens", _entries(spark, 100_000, with_cidr=True)),
+    ):
+        out = filter_by_domain(corpus, blocklist=lst)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            kept = out.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        print(
+            f"PROBE cidr leg={tag}: {best:.2f} s kept={kept}"
+            f" nested_loop={'BroadcastNestedLoopJoin' in plan}"
+        )
+    # tuple path: a handful of ranges compile row-local
+    out = filter_by_domain(
+        corpus,
+        blocklist=("10.0.0.0/16", "10.64.0.0/12", "dom17.com", "dom9.com/p/"),
+    )
+    t0 = time.perf_counter()
+    kept = out.count()
+    dt = time.perf_counter() - t0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    print(f"PROBE cidr tuple leg: {dt:.2f} s kept={kept} joins=0")
+
+
+def main() -> None:
+    which = set(sys.argv[1:]) or {"pct", "cidr"}
+    spark = get_spark(app_name="probe-r12")
+    spark.range(10_000_000).select((F.col("id") * 3) % 7).write.format(
+        "noop"
+    ).mode("overwrite").save()  # warm
+    if "pct" in which:
+        probe_pct(spark)
+    if "cidr" in which:
+        probe_cidr(spark)
+
+
+if __name__ == "__main__":
+    main()
