@@ -9,12 +9,14 @@ A. `pct` — the percent-normalization fold's per-row cost at scale:
 
 B. `cidr` — the CIDR peel legs at dump scale: the r11 probe's 5M-doc
    corpus reshaped so 20% of hosts are strict IPv4 literals, gated by
-   a 100k-entry DataFrame list carrying 5% CIDR entries over 4
-   distinct prefix lengths (each length = one extra broadcast-equi
-   anti join) — wall cost vs the same list with its CIDR lines
-   dropped, plus the tuple path with a handful of ranges (row-local,
-   zero joins). Decides whether the peel shape holds at 100 TB: the
-   corpus is never shuffled, each peel is one AQE-broadcast probe.
+   a 100k-entry string DataFrame list WITH vs WITHOUT 5k extra range
+   entries over 4 distinct prefix lengths (each length = one extra
+   broadcast-equi anti join; the kept-count delta between the legs is
+   asserted equal to a pure-Python coverage replay — the r11
+   unreachable-entry lesson), plus the tuple path with a handful of
+   ranges (row-local, zero joins). Decides whether the peel shape
+   holds at 100 TB: the corpus is never shuffled, each peel is one
+   AQE-broadcast probe of a tiny mask-normalized net list.
 
 Usage:
     python tools/probe_r12.py [pct|cidr ...]
@@ -111,29 +113,63 @@ def probe_pct(spark) -> None:
     )
 
 
-def _entries(spark, n: int, with_cidr: bool):
+def _str_entries(spark, n: int):
+    # the r11 probe's UT1-shaped string list (90% domain / 5% host /
+    # 5% path), spread over 4x the corpus domain space
     i = F.col("id")
     dom = F.concat(
         F.lit("dom"), ((i * 4_000_003) % (4 * _N_DOMAINS)).cast("string"),
         F.lit(".com"),
-    )
-    cidr = F.concat(
-        F.lit("10."),
-        (i % 100).cast("string"),
-        F.lit(".0.0/"),
-        F.when(i % 4 == 0, F.lit("16"))
-        .when(i % 4 == 1, F.lit("15"))
-        .when(i % 4 == 2, F.lit("12"))
-        .otherwise(F.lit("24")),
     )
     entry = (
         F.when(i % 20 == 18, F.concat(F.lit("ads."), dom))
         .when(i % 20 == 19, F.concat(dom, F.lit("/p/1")))
         .otherwise(dom)
     )
-    if with_cidr:
-        entry = F.when(i % 20 == 17, cidr).otherwise(entry)
     return spark.range(n).select(entry.alias("entry"))
+
+
+def _cidr_entry_specs(n: int) -> list[tuple[int, int]]:
+    """(octet2, masklen) for the n synthetic range entries — the pure
+    Python source of truth the probe self-checks against."""
+    return [(i % 100, (16, 15, 12, 24)[i % 4]) for i in range(n)]
+
+
+def _cidr_entries(spark, n: int):
+    i = F.col("id")
+    return spark.range(n).select(
+        F.concat(
+            F.lit("10."),
+            (i % 100).cast("string"),
+            F.lit(".0.0/"),
+            F.when(i % 4 == 0, F.lit("16"))
+            .when(i % 4 == 1, F.lit("15"))
+            .when(i % 4 == 2, F.lit("12"))
+            .otherwise(F.lit("24")),
+        ).alias("entry")
+    )
+
+
+def _expected_cidr_blocked(n_entries: int) -> int:
+    """Exact pure-Python replay of how many corpus IP rows the range
+    entries cover (the probe ASSERTS the measured delta equals this —
+    the r11 release probe's unreachable-entry lesson: a probe fixture
+    without an arithmetic self-check can silently measure nothing)."""
+    nets: set[tuple[int, int]] = set()
+    for o2, ml in _cidr_entry_specs(n_entries):
+        mask = (0xFFFFFFFF << (32 - ml)) & 0xFFFFFFFF
+        nets.add((((10 << 24) + (o2 << 16)) & mask, mask))
+    blocked = 0
+    for i in range(0, _N_DOCS, 5):
+        ip = (
+            (10 << 24)
+            + (int((i / 256) % 120) << 16)
+            + ((i % 250) << 8)
+            + 7
+        )
+        if any((ip & m) == n for n, m in nets):
+            blocked += 1
+    return blocked
 
 
 def probe_cidr(spark) -> None:
@@ -142,9 +178,14 @@ def probe_cidr(spark) -> None:
     corpus = _corpus(spark, ip_share_mod=5)
     n0 = corpus.count()
     print(f"PROBE cidr corpus: {n0} docs, 20% strict IPv4 hosts")
+    strs = _str_entries(spark, 100_000)
+    kept_by_leg = {}
     for tag, lst in (
-        ("no_cidr", _entries(spark, 100_000, with_cidr=False)),
-        ("cidr_5pct_4lens", _entries(spark, 100_000, with_cidr=True)),
+        ("strings_only", strs),
+        # SAME string entries plus 5k ranges over 4 prefix lengths —
+        # the kept-count delta between the legs is exactly the range
+        # coverage, asserted below
+        ("plus_5k_cidr_4lens", strs.unionByName(_cidr_entries(spark, 5_000))),
     ):
         out = filter_by_domain(corpus, blocklist=lst)
         best = None
@@ -153,11 +194,16 @@ def probe_cidr(spark) -> None:
             kept = out.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        kept_by_leg[tag] = kept
         plan = out._jdf.queryExecution().executedPlan().toString()
         print(
             f"PROBE cidr leg={tag}: {best:.2f} s kept={kept}"
             f" nested_loop={'BroadcastNestedLoopJoin' in plan}"
         )
+    delta = kept_by_leg["strings_only"] - kept_by_leg["plus_5k_cidr_4lens"]
+    want = _expected_cidr_blocked(5_000)
+    assert delta == want, f"range coverage {delta} != python twin {want}"
+    print(f"PROBE cidr delta={delta} == python twin (self-check passed)")
     # tuple path: a handful of ranges compile row-local
     out = filter_by_domain(
         corpus,
