@@ -359,7 +359,7 @@ def _psl_domain_from_host(host0: Column, rules: PslRules) -> Column:
 
     def _core(host: Column, labels: Column) -> Column:
         n = F.size(labels)
-        is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+        is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+\\z")  # \z: Java $ admits a trailing newline the twins reject (r12)
         null = F.lit(None).cast("string")
 
         by_exc: dict[int, list[str]] = {}
@@ -431,7 +431,7 @@ def _compact_domain_from_host(
     # branches otherwise re-run the host regex chain each
     def _compact(host: Column, labels: Column) -> Column:
         n = F.size(labels)
-        is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+        is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+\\z")  # \z: Java $ admits a trailing newline the twins reject (r12)
         return (
             F.when(host == "", F.lit(None).cast("string"))
             .when(is_ip, host)
@@ -603,14 +603,16 @@ def _check_idna(idna: bool | str) -> None:
     IDNA-2003 codec — the same silent-downgrade class the
     executor-side package gate closes, on the knob-value axis (r11
     third review pass). Round 12 (ADVICE r11) extends the guard to
-    the TYPE axis: ``idna=1`` or ``idna=["uts46"]`` are now errors,
-    not silent 2003 folds. Accepted spellings: ``False``/``True``,
-    ``None`` and ``""`` (both mean 'disabled' everywhere the knob is
-    consumed — the r11 fourth pass pinned ``idna=""`` as valid), and
-    ``"uts46"``."""
-    if idna is None or isinstance(idna, bool):
+    the TYPE axis: TRUTHY non-bool values (``idna=1``,
+    ``idna=["uts46"]``) are now errors, not silent 2003 folds. Every
+    FALSY value stays a valid 'disabled' spelling (``False``, ``None``,
+    ``""``, ``0`` — the r11 fourth pass pinned the falsy contract
+    after its first guard crashed ``idna=""``; falsy values cannot
+    trigger the downgrade the guard targets), plus ``True`` and
+    exactly ``"uts46"``."""
+    if not idna or isinstance(idna, bool):
         return
-    if isinstance(idna, str) and idna in ("", "uts46"):
+    if isinstance(idna, str) and idna == "uts46":
         return
     raise ValueError(
         f"idna={idna!r} ({type(idna).__name__}): pass False, True"
@@ -726,12 +728,17 @@ def pct_normalize(s: str | None) -> str | None:
 # an unambiguous numeric value, so only they participate in CIDR
 # range matching.
 _IPV4_OCTET_RE = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-IPV4_STRICT_RE = f"^({_IPV4_OCTET_RE}\\.){{3}}{_IPV4_OCTET_RE}$"
+# \z, not $: Java regex '$' matches before a trailing line terminator
+# (a host extracted from 'http://1.2.3.4\n/x' would pass the "strict"
+# test and get range-matched), where RE2 (the DuckDB twins) and
+# Python's fullmatch treat end-of-text — an engine-parity divergence
+# in a parity-certified operator (r12 second review pass, live repro)
+IPV4_STRICT_RE = f"^({_IPV4_OCTET_RE}\\.){{3}}{_IPV4_OCTET_RE}\\z"
 # entry-side CIDR shape: strict quad + '/' + prefix length 0-32
 _CIDR_BODY_RE = (
     f"({_IPV4_OCTET_RE}\\.){{3}}{_IPV4_OCTET_RE}/(3[0-2]|[12]?[0-9])"
 )
-CIDR_ENTRY_RE = f"^{_CIDR_BODY_RE}$"
+CIDR_ENTRY_RE = f"^{_CIDR_BODY_RE}\\z"
 
 
 def parse_cidr_entry(entry: str) -> tuple[int, int] | None:
@@ -1051,6 +1058,7 @@ def filter_by_domain(
         raise ValueError(
             "pass exactly one of blocklist / allowlist (non-empty)"
         )
+    kind = "blocklist" if has_block else "allowlist"
     # ONE host derivation feeds both the registered-domain key and the
     # host-suffix predicates (r11 review: computing the domain from
     # the URL separately instantiated the optional idna Arrow leg — and
@@ -1101,6 +1109,10 @@ def filter_by_domain(
                 "",
             )
             base_entries = lst.select(e0.alias("__fbd_e"))
+            # ONE host-part extraction feeds the CIDR quad, the
+            # host/path split and the keying below (r12 second review
+            # pass: two spellings of the same regex drift apart)
+            eh0 = F.regexp_extract(F.col("__fbd_e"), "^([^/]*)", 1)
             # r12 CIDR leg: strict-shape range entries split off BEFORE
             # the host/path keying (under the old grammar '10.0.0.0/16'
             # would have keyed as host 10.0.0.0 + path '/16' and
@@ -1117,9 +1129,8 @@ def filter_by_domain(
             emlq = F.regexp_extract(
                 F.col("__fbd_e"), "/([0-9]+)$", 1
             ).try_cast("int")
-            equad = F.regexp_extract(F.col("__fbd_e"), "^([^/]*)", 1)
             eip = F.aggregate(
-                F.split(equad, "\\."),
+                F.split(eh0, "\\."),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc * F.lit(256) + x.try_cast("long"),
             )
@@ -1138,14 +1149,34 @@ def filter_by_domain(
                 )
                 .distinct()
             )
-            # bounded plan-time collect: at most 33 distinct prefix
-            # lengths exist; each becomes ONE extra broadcast-equi
-            # anti/semi join below (no range join, no nested loop)
-            masklens = sorted(
-                r["__fbd_ml"]
-                for r in cidr_keyed.select("__fbd_ml").distinct().collect()
+            # ONE bounded plan-time job over the LIST side: total
+            # count, the distinct prefix lengths (<= 33 — each becomes
+            # ONE extra broadcast-equi anti/semi join below, no range
+            # join, no nested loop), and the near-miss count (the
+            # typo'd-mask class the tuple path warns about — real
+            # dumps arrive in THIS shape, so the silent-never-match
+            # diagnostic must exist here too; r12 second review pass)
+            looks_cidr = F.col("__fbd_e").rlike(
+                "^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+/[0-9]+\\z"
             )
-            eh0 = F.regexp_extract(F.col("__fbd_e"), "^([^/]*)", 1)
+            lstats = base_entries.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(F.when(is_cidr, emlq)).alias("mls"),
+                F.sum((looks_cidr & ~is_cidr).cast("int")).alias("near"),
+            ).collect()[0]
+            masklens = sorted(lstats["mls"])
+            if lstats["near"]:
+                import warnings
+
+                warnings.warn(
+                    f"{kind} DataFrame: {lstats['near']} entries look"
+                    " like CIDR ranges but are not valid ones"
+                    " (mask > 32, octet > 255, or a leading-zero"
+                    " octet) — they are treated as host + path"
+                    " prefixes under the round-11 grammar and likely"
+                    " never match",
+                    stacklevel=2,
+                )
             # entry path prefixes percent-normalize exactly like the
             # row tails they compare against (r12)
             ep = pct_normalize_expr(
@@ -1200,17 +1231,13 @@ def filter_by_domain(
             # ADVICE r11: a systematically malformed list (wrong
             # column content — every entry '?'-in-host, unkeyable, or
             # whitespace) used to shrink to nothing and gate nothing,
-            # silently. Two bounded plan-time probes (limit-1 scans of
-            # the LIST side, short-circuited so the healthy path pays
-            # one early-out scan) make it loud instead.
-            if (
-                not masklens
-                and keyed.isEmpty()
-                and not base_entries.isEmpty()
-            ):
+            # silently. The count comes from the one plan-time agg
+            # above; the limit-1 keyed probe only fires when there are
+            # entries but no ranges.
+            if not masklens and lstats["n"] and keyed.isEmpty():
                 raise ValueError(
-                    "filter_by_domain: every entry in the non-empty"
-                    " list DataFrame was dropped during keying"
+                    f"filter_by_domain: every entry in the non-empty"
+                    f" {kind} DataFrame was dropped during keying"
                     " (malformed '?'/'#' hosts, public-suffix-only"
                     " hosts, or non-entry column content) — the gate"
                     " would silently match nothing"
@@ -1326,7 +1353,7 @@ def filter_by_domain(
             import warnings
 
             warnings.warn(
-                f"blocklist entry {raw!r} looks like a CIDR range but"
+                f"{kind} entry {raw!r} looks like a CIDR range but"
                 " is not a valid one (mask > 32, octet > 255, or a"
                 " leading-zero octet) — treating it as host + path"
                 " prefix under the round-11 grammar; write"
@@ -1344,7 +1371,7 @@ def filter_by_domain(
         key = registered_domain_of_host(ehost, psl=psl)
         if key is None:
             raise ValueError(
-                f"blocklist entry {raw!r}: host {ehost!r} has no"
+                f"{kind} entry {raw!r}: host {ehost!r} has no"
                 " registered domain under the active rules"
                 " (public-suffix-only or empty) — an eTLD+1-keyed gate"
                 " cannot express a suffix-wide block and the entry"

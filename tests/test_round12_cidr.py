@@ -59,6 +59,45 @@ def test_cidr_near_miss_warns(spark):
     # ...and the entry then behaves as host 10.0.0.0 + path '/99':
     # the /x row survives
     assert out.count() == 1
+    # r12 second review pass: the diagnostic exists on the DataFrame
+    # shape too (real dumps arrive as DataFrames), and names the list
+    # KIND it came from
+    lst = spark.createDataFrame(
+        [("10.0.0.0/99",), ("keep.org",)], ["entry"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        urlops.filter_by_domain(df, blocklist=lst).count()
+        assert any(
+            "CIDR" in str(x.message) and "blocklist" in str(x.message)
+            for x in w
+        )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        urlops.filter_by_domain(df, allowlist=("10.0.0.0/99",))
+        assert any("allowlist entry" in str(x.message) for x in w)
+
+
+def test_strict_literal_rejects_trailing_newline(spark):
+    """r12 second review pass (live repro): Java regex '$' matches
+    before a trailing line terminator, so a host extracted from
+    'http://1.2.3.4\\n/x' passed the STRICT test and got
+    range-matched in Spark while the RE2/Python twins rejected it —
+    the anchors are now \\z and the pathological row survives the
+    range (and is not a strict literal anywhere)."""
+    df = spark.createDataFrame(
+        [(1, "http://1.2.3.4\n/x"), (2, "http://1.2.3.4/x")],
+        "i long, url string",
+    )
+    for lst in (
+        ("1.2.3.0/24",),
+        df.sparkSession.createDataFrame([("1.2.3.0/24",)], ["entry"]),
+    ):
+        kept = {
+            r["i"]
+            for r in urlops.filter_by_domain(df, blocklist=lst).collect()
+        }
+        assert kept == {1}, type(lst).__name__
 
 
 # ---------------------------------------------------------------------------
@@ -283,8 +322,11 @@ def test_idna_knob_type_axis(spark):
             urlops.filter_by_domain(df, blocklist=("a.com",), idna=bad)
         with pytest.raises(ValueError, match="idna="):
             urlops.registered_domain_of_host("a.com", idna=bad)
-    # the documented spellings all stay valid
-    for ok in (False, True, None, "", "uts46"):
+    # the documented spellings all stay valid — including EVERY falsy
+    # value (r12 second review pass: the first type guard crashed
+    # idna=0, the same regression class the r11 fourth pass fixed for
+    # idna=''; falsy values cannot trigger the silent downgrade)
+    for ok in (False, True, None, "", 0, 0.0, "uts46"):
         urlops._check_idna(ok)
 
 
