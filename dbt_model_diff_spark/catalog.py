@@ -6372,7 +6372,12 @@ def _domain_gate_oracle() -> str:
     """Block-gate membership from the HAND-PINNED entry triples above
     (the Spark tuple path independently re-derives its keying from
     parse_blocklist_entry + registered_domain_of_host)."""
-    assert tuple(e for e, _, _, _ in _GATE_TRIPLES) == _GATE_ENTRIES
+    if tuple(e for e, _, _, _ in _GATE_TRIPLES) != _GATE_ENTRIES:
+        # explicit raise, not assert: the tripwire must survive -O
+        # exactly like the per-entry drift check below
+        raise AssertionError(
+            "_GATE_TRIPLES is out of sync with _GATE_ENTRIES"
+        )
     for raw, key, h, p in _GATE_TRIPLES:
         dh, dp = _urlops.parse_blocklist_entry(raw)
         dkey = _urlops.registered_domain_of_host(dh, psl=_GATE_RULES)

@@ -753,11 +753,11 @@ def parse_cidr_entry(entry: str) -> tuple[int, int] | None:
     strict IPv4-literal host, an all-digit suffix ``/nn`` with
     nn <= 32 is a prefix length, NOT a path named "nn" — a genuine
     all-digit path prefix on an IP host must be written with more
-    path (``1.2.3.4/16/``). Near-miss shapes — mask > 32, an octet
-    > 255, a leading-zero octet (octal ambiguity) — stay host/path
-    entries under the round-11 grammar, and the tuple path warns
-    about them (they are usually typo'd masks that would otherwise
-    silently never match)."""
+    path (``1.2.3.4/16/``). Near-miss shapes — mask > 32, a
+    zero-padded mask ('/08'), an octet > 255, a leading-zero octet
+    (octal ambiguity) — stay host/path entries under the round-11
+    grammar, and both list shapes warn about them (they are usually
+    typo'd masks that would otherwise silently never match)."""
     import re as _re
 
     e = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", entry.strip())
@@ -1032,12 +1032,12 @@ def filter_by_domain(
     to punycode so they match the ASCII entries real UT1 dumps carry
     (``"uts46"`` for the UTS #46 leg on both rows and entries).
 
-    DataFrame-list plan-time cost (r12): building the plan runs up to
-    two tiny jobs on the LIST side only (never the corpus) — the
-    distinct CIDR prefix lengths collect (bounded at 33 rows; each
-    length becomes one extra broadcast-equi anti/semi join over a
-    mask-normalized key, never a range join or nested loop), and the
-    all-entries-dropped guard (ADVICE r11: a systematically malformed
+    DataFrame-list plan-time cost (r12): building the plan runs ONE
+    bounded aggregate over the LIST side only (never the corpus) —
+    total count, distinct CIDR prefix lengths (<= 33; each length
+    becomes one extra broadcast-equi join over a mask-normalized key,
+    never a range join or nested loop), near-miss count — plus at
+    most one limit-1 keyed probe for the all-entries-dropped guard (ADVICE r11: a systematically malformed
     ``entry`` list — wrong column content, '?'-in-host rows,
     public-suffix-only hosts — used to shrink to nothing silently;
     now a non-empty list whose keyed side AND CIDR side are both
@@ -1171,8 +1171,9 @@ def filter_by_domain(
                 warnings.warn(
                     f"{kind} DataFrame: {lstats['near']} entries look"
                     " like CIDR ranges but are not valid ones"
-                    " (mask > 32, octet > 255, or a leading-zero"
-                    " octet) — they are treated as host + path"
+                    " (mask > 32, a zero-padded mask, octet > 255,"
+                    " or a leading-zero octet) — they are treated as"
+                    " host + path"
                     " prefixes under the round-11 grammar and likely"
                     " never match",
                     stacklevel=2,
@@ -1320,17 +1321,36 @@ def filter_by_domain(
         else:
             kept = tagged.join(keyed, how="left_semi", **join_args)
             if masklens:
-                # peel: each row lands in exactly one semi result
-                # (rest shrinks by the rows already admitted), so the
-                # union is duplicate-free even when several ranges
-                # cover one address
+                # single-lineage range admission (r12 third review
+                # pass: the first cut peeled semi/anti pairs off
+                # `rest`, re-deriving the corpus folds once per prefix
+                # length — ~2k extra corpus scans at k lengths): ONE
+                # anti pass against the string entries, then one
+                # LEFT-OUTER hit-flag join per length chained on the
+                # same lineage. Per length a row matches at most one
+                # net (cidr_keyed is distinct and `ip & mask` is a
+                # single value), so the outer joins cannot duplicate;
+                # rows admitted by a string entry never reach here, so
+                # the union stays exactly-once.
                 rest = tagged.join(keyed, how="left_anti", **join_args)
+                hit = F.lit(False)
+                flags = []
                 for nn in masklens:
-                    nets, c = _cidr_leg(nn)
-                    kept = kept.unionByName(
-                        rest.join(nets, on=c, how="left_semi")
+                    nets, _ = _cidr_leg(nn)
+                    flag = f"__fbd_net_{nn}"
+                    rest = rest.join(
+                        nets.withColumnRenamed("__fbd_net", flag),
+                        on=(
+                            F.col("__fbd_ip").bitwiseAND(
+                                F.lit((0xFFFFFFFF << (32 - nn)) & 0xFFFFFFFF)
+                            )
+                            == F.col(flag)
+                        ),
+                        how="left",
                     )
-                    rest = rest.join(nets, on=c, how="left_anti")
+                    hit = hit | F.col(flag).isNotNull()
+                    flags.append(flag)
+                kept = kept.unionByName(rest.filter(hit).drop(*flags))
             if keep_null_domain:
                 kept = kept.unionByName(
                     tagged.filter(F.col("__fbd_domain").isNull())
@@ -1354,8 +1374,9 @@ def filter_by_domain(
 
             warnings.warn(
                 f"{kind} entry {raw!r} looks like a CIDR range but"
-                " is not a valid one (mask > 32, octet > 255, or a"
-                " leading-zero octet) — treating it as host + path"
+                " is not a valid one (mask > 32, a zero-padded mask,"
+                " octet > 255, or a leading-zero octet) — treating it"
+                " as host + path"
                 " prefix under the round-11 grammar; write"
                 " 'host/digits/' if a literal all-digit path prefix"
                 " is meant",

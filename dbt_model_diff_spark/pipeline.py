@@ -234,8 +234,13 @@ def curate_corpus(
     Returns ``(kept, report)``: the curated frame (original columns,
     ``text`` replaced by its normalized form) and a per-stage
     accounting list of ``{"stage", "docs", "tokens"}`` dicts — the
-    numbers a release note quotes. ``benchmark`` (same shape) enables
-    the decontamination stage.
+    numbers a release note quotes. Some stage rows carry EXTRA keys
+    (the report is heterogeneous by design — build a frame from it
+    with explicit fieldnames): ``domain_gate``/``domain_cap`` add
+    ``psl_version`` (r12 provenance stamp), ``media_triage`` a
+    ``formats`` breakdown, ``dedup_near`` the LSH bucket-cap guard
+    ledger. ``benchmark`` (same shape) enables the decontamination
+    stage.
     """
     c = config
     report: list[dict] = []
