@@ -1037,7 +1037,8 @@ def filter_by_domain(
     total count, distinct CIDR prefix lengths (<= 33; each length
     becomes one extra broadcast-equi join over a mask-normalized key,
     never a range join or nested loop), near-miss count — plus at
-    most one limit-1 keyed probe for the all-entries-dropped guard (ADVICE r11: a systematically malformed
+    most one limit-1 keyed probe for the all-entries-dropped guard
+    (ADVICE r11: a systematically malformed
     ``entry`` list — wrong column content, '?'-in-host rows,
     public-suffix-only hosts — used to shrink to nothing silently;
     now a non-empty list whose keyed side AND CIDR side are both
@@ -1071,20 +1072,17 @@ def filter_by_domain(
     path0 = pct_normalize_expr(_url_tail_expr(F.col(url_col)))
     lst = blocklist if has_block else allowlist
     if isinstance(lst, DataFrame):
-        internal = (
-            "__fbd_domain", "__fbd_host", "__fbd_path", "__fbd_ip",
-            # keyed-side names: a corpus column with one of these
-            # would make the join condition's bare F.col references
-            # ambiguous — fail here with the clear message instead
-            "__fbd_key", "__fbd_ehost", "__fbd_epath",
-            "__fbd_net", "__fbd_ml",
-        )
-        clash = [c for c in internal if c in df.columns]
+        # the whole __fbd_ prefix is reserved (r12 fourth review pass:
+        # enumerating names missed the per-length flag columns
+        # __fbd_net_{nn}, where a corpus clash would surface as an
+        # ambiguous-reference error or a silently dropped user column
+        # instead of this message)
+        clash = [c for c in df.columns if c.startswith("__fbd_")]
         if clash:
             raise ValueError(
                 f"input frame already has {clash} column(s) — rename"
-                " them; the DataFrame-list join uses those names"
-                " internally"
+                " them; the DataFrame-list join reserves the __fbd_"
+                " prefix internally"
             )
         if "entry" in lst.columns and "domain" in lst.columns:
             raise ValueError(
@@ -1295,20 +1293,24 @@ def filter_by_domain(
             {"on": "__fbd_domain"} if cond is None else {"on": cond}
         )
 
-        def _cidr_leg(nn: int):
+        def _cidr_leg(nn: int, net_col: str = "__fbd_net"):
             # one (entries, condition) pair per distinct prefix length:
             # the mask is a per-length CONSTANT, so `ip & mask == net`
             # is a plain equi-join key Spark hash-joins (AQE broadcasts
             # the tiny net-list side); a NULL __fbd_ip (non-IP-literal
-            # host) makes the condition NULL, which anti keeps and
-            # semi drops — exactly the IP-rows-only contract
+            # host) makes the condition NULL, which the anti join
+            # keeps and the outer join leaves unflagged — exactly the
+            # IP-rows-only contract. net_col renames the key for the
+            # allow-mode flag columns (ONE spelling of the mask
+            # arithmetic for both modes — fourth review pass).
             mask = (0xFFFFFFFF << (32 - nn)) & 0xFFFFFFFF
-            nets = cidr_keyed.filter(F.col("__fbd_ml") == nn).select(
-                "__fbd_net"
+            nets = (
+                cidr_keyed.filter(F.col("__fbd_ml") == nn)
+                .select(F.col("__fbd_net").alias(net_col))
             )
             return nets, (
                 F.col("__fbd_ip").bitwiseAND(F.lit(mask))
-                == F.col("__fbd_net")
+                == F.col(net_col)
             )
 
         if has_block:
@@ -1336,18 +1338,9 @@ def filter_by_domain(
                 hit = F.lit(False)
                 flags = []
                 for nn in masklens:
-                    nets, _ = _cidr_leg(nn)
                     flag = f"__fbd_net_{nn}"
-                    rest = rest.join(
-                        nets.withColumnRenamed("__fbd_net", flag),
-                        on=(
-                            F.col("__fbd_ip").bitwiseAND(
-                                F.lit((0xFFFFFFFF << (32 - nn)) & 0xFFFFFFFF)
-                            )
-                            == F.col(flag)
-                        ),
-                        how="left",
-                    )
+                    nets, c = _cidr_leg(nn, net_col=flag)
+                    rest = rest.join(nets, on=c, how="left")
                     hit = hit | F.col(flag).isNotNull()
                     flags.append(flag)
                 kept = kept.unionByName(rest.filter(hit).drop(*flags))

@@ -285,6 +285,17 @@ def test_cidr_legs_are_equi_joins(spark):
     assert "CartesianProduct" not in plan
     # 3 distinct masklens (/12, /16, /32) + the string-entry join
     assert plan.count("Join") >= 4
+    # allow mode's left-outer hit-flag chain stays equi-joined too
+    # (fourth review pass: the rewrite had no plan check of its own)
+    aplan = (
+        urlops.filter_by_domain(df, allowlist=lst)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in aplan
+    assert "CartesianProduct" not in aplan
+    assert aplan.count("Join") >= 5  # semi + anti + 3 hit-flag joins
     tup_plan = (
         urlops.filter_by_domain(df, blocklist=_ENTRIES)
         ._jdf.queryExecution()
