@@ -773,17 +773,18 @@ def parse_cidr_entry(entry: str) -> tuple[int, int] | None:
 
 
 def _cidr_near_miss(entry: str) -> bool:
-    """True for entries that LOOK like CIDR (loose quad + all-digit
-    suffix) but fail the strict parse — the typo'd-mask class the
-    tuple path warns about."""
+    """True for entries that LOOK like CIDR but fail the strict parse
+    — the warned classes: a loose quad + all-digit suffix (typo'd
+    mask / bad octets) and a bracketed-IPv6 + prefix shape (this gate's
+    range grammar is IPv4-only; an IPv6 range would otherwise silently
+    key as an exact '[...]' host with a '/nn' path and never match)."""
     import re as _re
 
     e = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", entry.strip())
-    return (
-        _re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+/[0-9]+", e)
-        is not None
-        and parse_cidr_entry(entry) is None
+    looks = _re.fullmatch(
+        r"([0-9]+\.[0-9]+\.[0-9]+\.[0-9]+|\[[^\]]*\])/[0-9]+", e
     )
+    return looks is not None and parse_cidr_entry(entry) is None
 
 
 def _ipv4_long_expr(host: Column) -> Column:
@@ -1155,7 +1156,8 @@ def filter_by_domain(
             # dumps arrive in THIS shape, so the silent-never-match
             # diagnostic must exist here too; r12 second review pass)
             looks_cidr = F.col("__fbd_e").rlike(
-                "^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+/[0-9]+\\z"
+                "^([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+                "|\\[[^\\]]*\\])/[0-9]+\\z"
             )
             lstats = base_entries.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -1169,9 +1171,9 @@ def filter_by_domain(
                 warnings.warn(
                     f"{kind} DataFrame: {lstats['near']} entries look"
                     " like CIDR ranges but are not valid ones"
-                    " (mask > 32, a zero-padded mask, octet > 255,"
-                    " or a leading-zero octet) — they are treated as"
-                    " host + path"
+                    " (mask > 32, a zero-padded mask, octet > 255, a"
+                    " leading-zero octet, or an unsupported IPv6"
+                    " range) — they are treated as host + path"
                     " prefixes under the round-11 grammar and likely"
                     " never match",
                     stacklevel=2,
@@ -1368,8 +1370,8 @@ def filter_by_domain(
             warnings.warn(
                 f"{kind} entry {raw!r} looks like a CIDR range but"
                 " is not a valid one (mask > 32, a zero-padded mask,"
-                " octet > 255, or a leading-zero octet) — treating it"
-                " as host + path"
+                " octet > 255, a leading-zero octet, or an unsupported"
+                " IPv6 range) — treating it as host + path"
                 " prefix under the round-11 grammar; write"
                 " 'host/digits/' if a literal all-digit path prefix"
                 " is meant",

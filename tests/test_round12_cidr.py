@@ -76,6 +76,24 @@ def test_cidr_near_miss_warns(spark):
         warnings.simplefilter("always")
         urlops.filter_by_domain(df, allowlist=("10.0.0.0/99",))
         assert any("allowlist entry" in str(x.message) for x in w)
+    # IPv6 ranges are inexpressible in the IPv4-only grammar — they
+    # warn instead of silently keying as '[...]' host + '/nn' path
+    # (exact bracketed-IPv6 HOST entries stay silent: they key fine)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        urlops.filter_by_domain(df, blocklist=("[2001:db8::]/32",))
+        assert any("IPv6" in str(x.message) for x in w)
+    lst6 = spark.createDataFrame(
+        [("[2001:db8::]/32",), ("keep.org",)], ["entry"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        urlops.filter_by_domain(df, blocklist=lst6).count()
+        assert any("IPv6" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        urlops.filter_by_domain(df, blocklist=("[::1]",))
+        assert not w
 
 
 def test_strict_literal_rejects_trailing_newline(spark):
@@ -373,9 +391,118 @@ def test_psl_version_stamp(spark):
         assert rows["domain_gate"]["docs"] == 1
 
 
+def _ref12_keep(
+    url: str, entries: tuple[str, ...], block: bool, keep_null: bool
+) -> bool:
+    """Pure-Python replay of the FULL r12 gate: the r11 reference
+    (registered-domain / deeper-host / path-prefix keying) extended
+    with percent-normalization of both tails and prefixes, and CIDR
+    range membership over strict IPv4 literals."""
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)([^#]*)", url)
+    host, tail = ("", "")
+    if m:
+        host = re.sub(r"^[^/?#]*@", "", m.group(1))
+        host = re.sub(r":[0-9]*$", "", host).lower()
+        host = re.sub(r"\.+$", "", host)
+        tail = m.group(2)
+    tail = urlops.pct_normalize(tail)
+    d = urlops.registered_domain_of_host(host) if host else None
+    if d is None:
+        return keep_null
+    oct_re = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    ipl = None
+    if re.fullmatch(f"({oct_re}\\.){{3}}{oct_re}", host):
+        ipl = 0
+        for o in host.split("."):
+            ipl = ipl * 256 + int(o)
+    member = False
+    for raw in entries:
+        c = urlops.parse_cidr_entry(raw)
+        if c is not None:
+            net, ml = c
+            mask = (0xFFFFFFFF << (32 - ml)) & 0xFFFFFFFF
+            member = member or (ipl is not None and (ipl & mask) == net)
+            continue
+        eh, ep = urlops.parse_blocklist_entry(raw)
+        if ep is not None:
+            ep = urlops.pct_normalize(ep)
+        key = urlops.registered_domain_of_host(eh)
+        if ep is None and eh == key:
+            member = member or d == key
+        else:
+            hit = host == eh or host.endswith("." + eh)
+            if ep is not None:
+                hit = hit and tail.startswith(ep)
+            member = member or (d == key and hit)
+    return (not member) if block else member
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
+
+    _host12 = st.sampled_from(
+        [
+            "example.com", "bad.example.com", "x.co.uk", "blocked.io",
+            "10.0.4.3", "10.1.2.3", "1.2.3.4", "999.1.1.1", "010.0.0.1",
+            "172.16.9.9", "172.32.0.1",
+        ]
+    )
+    _path12 = st.sampled_from(
+        ["", "/", "/ads/x", "/%61ds/x", "/ads%2Fx", "/a%2fb", "/p%G",
+         "/w?id=9", "/w?id=%311"]
+    )
+    _url12 = st.one_of(
+        st.builds(lambda h, p: f"http://{h}{p}", _host12, _path12),
+        st.sampled_from(["not a url", "relative/x", ""]),
+    )
+    _entry12 = st.sampled_from(
+        [
+            "example.com", "bad.example.com", "blocked.io",
+            "example.com/ads/", "example.com/%61ds/", "x.co.uk/w?id=",
+            "10.0.0.0/16", "10.0.0.0/8", "1.2.3.4/32", "172.16.0.0/12",
+            "10.0.4.3", "10.0.0.0/99",
+        ]
+    )
+
+    @given(
+        batch=st.lists(_url12, min_size=1, max_size=8),
+        raw_entries=st.lists(_entry12, min_size=1, max_size=6),
+        block=st.booleans(),
+        keep_null=st.booleans(),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_gate_composition_referee(
+        spark, batch, raw_entries, block, keep_null
+    ):
+        """Composition-level referee over the FULL r12 grammar: random
+        escaped paths + ranges + near-misses, tuple AND DataFrame plan
+        shapes, block AND allow modes, vs the pure-Python replay."""
+        entries = tuple(dict.fromkeys(raw_entries))
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(batch)], "i long, url string"
+        )
+        kw = "blocklist" if block else "allowlist"
+        expect = {
+            i
+            for i, u in enumerate(batch)
+            if _ref12_keep(u, entries, block, keep_null)
+        }
+        lst_df = spark.createDataFrame([(e,) for e in entries], ["entry"])
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # intentional near-misses
+            for lst in (entries, lst_df):
+                kept = {
+                    r["i"]
+                    for r in urlops.filter_by_domain(
+                        df, keep_null_domain=keep_null, **{kw: lst}
+                    ).collect()
+                }
+                assert kept == expect, (
+                    batch, entries, block, keep_null, type(lst).__name__,
+                )
 
     @given(
         octets=st.tuples(*[st.integers(0, 255)] * 4),
