@@ -339,7 +339,7 @@ def psl_registered_domain_expr(
     tests/test_round10_psl.py)."""
 
     _check_idna(idna)
-    host0 = F.regexp_replace(host_expr(url), "\\.+$", "")
+    host0 = F.regexp_replace(host_expr(url), "\\.+\\z", "")
     if idna:
         # internationalized hosts fold to punycode FIRST so they group
         # under the (ASCII) rules; opt-in — it adds an Arrow leg to an
@@ -521,12 +521,12 @@ def canonicalize_url_expr(
         lp = _bind(
             lp0,
             lambda p: F.when(
-                p.rlike("^http://[^/?#]*:80$"),
-                F.regexp_replace(p, ":80$", ""),
+                p.rlike("^http://[^/?#]*:80\\z"),
+                F.regexp_replace(p, ":80\\z", ""),
             )
             .when(
-                p.rlike("^https://[^/?#]*:443$"),
-                F.regexp_replace(p, ":443$", ""),
+                p.rlike("^https://[^/?#]*:443\\z"),
+                F.regexp_replace(p, ":443\\z", ""),
             )
             .otherwise(p),
         )
@@ -592,7 +592,7 @@ def host_expr(url: Column) -> Column:
     no-match value in both engines)."""
     auth = F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     host = F.regexp_replace(auth, "^[^/?#]*@", "")
-    host = F.regexp_replace(host, ":[0-9]*$", "")
+    host = F.regexp_replace(host, ":[0-9]*\\z", "")
     return F.lower(host)
 
 
@@ -827,8 +827,8 @@ def registered_domain_of_host(
 
     _check_idna(idna)
     h = host.strip().lower()
-    h = _re.sub(r":[0-9]*$", "", h)
-    h = _re.sub(r"\.+$", "", h)
+    h = _re.sub(r":[0-9]*\Z", "", h)
+    h = _re.sub(r"\.+\Z", "", h)
     if idna:
         h = _idna_fold_host(h, uts46=(idna == "uts46"))
     if h == "":
@@ -891,7 +891,7 @@ def parse_blocklist_entry(entry: str) -> tuple[str, str | None]:
             f"blocklist entry {entry!r}: '?'/'#' in the host part —"
             " write path/query prefixes after a '/'"
         )
-    host = _re.sub(r"\.+$", "", _re.sub(r":[0-9]*$", "", host.lower()))
+    host = _re.sub(r"\.+\Z", "", _re.sub(r":[0-9]*\Z", "", host.lower()))
     return host, ("/" + rest) if sep else None
 
 
@@ -924,7 +924,7 @@ def registered_domain_expr(
     the string "uts46" instead of True for the UTS #46 / IDNA-2008
     mapping leg."""
     _check_idna(idna)
-    host0 = F.regexp_replace(host_expr(url), "\\.+$", "")
+    host0 = F.regexp_replace(host_expr(url), "\\.+\\z", "")
     if idna:
         # unicode hosts fold to punycode so they key like their ASCII
         # spellings (and like blocklist entries, which real UT1 dumps
@@ -1065,7 +1065,7 @@ def filter_by_domain(
     # host-suffix predicates (r11 review: computing the domain from
     # the URL separately instantiated the optional idna Arrow leg — and
     # the host regex chain — twice per row)
-    host0 = F.regexp_replace(host_expr(F.col(url_col)), "\\.+$", "")
+    host0 = F.regexp_replace(host_expr(F.col(url_col)), "\\.+\\z", "")
     if idna:
         host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
     # r12: the row tail percent-normalizes so encoded spellings
@@ -1126,7 +1126,7 @@ def filter_by_domain(
             # job (seen live, r12); the filter guarantees no NULL
             # survives to the join key
             emlq = F.regexp_extract(
-                F.col("__fbd_e"), "/([0-9]+)$", 1
+                F.col("__fbd_e"), "/([0-9]+)\\z", 1
             ).try_cast("int")
             eip = F.aggregate(
                 F.split(eh0, "\\."),
@@ -1202,10 +1202,10 @@ def filter_by_domain(
                             F.col("__fbd_eh0"), "^[^/?#]*@", ""
                         )
                     ),
-                    ":[0-9]*$",
+                    ":[0-9]*\\z",
                     "",
                 ),
-                "\\.+$",
+                "\\.+\\z",
                 "",
             )
             if idna:
@@ -1279,7 +1279,7 @@ def filter_by_domain(
                 F.lower(
                     F.regexp_replace(F.col("domain"), "^\\s+|\\s+$", "")
                 ),
-                "\\.+$",
+                "\\.+\\z",
                 "",
             )
             if idna:

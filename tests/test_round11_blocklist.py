@@ -492,8 +492,8 @@ def _ref_host_path(url: str) -> tuple[str, str]:
     if not m:
         return "", ""
     host = re.sub(r"^[^/?#]*@", "", m.group(1))
-    host = re.sub(r":[0-9]*$", "", host).lower()
-    host = re.sub(r"\.+$", "", host)
+    host = re.sub(r":[0-9]*\Z", "", host).lower()
+    host = re.sub(r"\.+\Z", "", host)
     return host, m.group(2)
 
 

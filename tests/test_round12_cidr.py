@@ -116,6 +116,33 @@ def test_strict_literal_rejects_trailing_newline(spark):
             for r in urlops.filter_by_domain(df, blocklist=lst).collect()
         }
         assert kept == {1}, type(lst).__name__
+    # the whole row-side host-fold chain (port strip, root-dot strip,
+    # domain key) is likewise \z-anchored now: Spark and the DuckDB
+    # twin agree byte-for-byte on newline-bearing authorities
+    # (garbage in, the SAME garbage key out in both engines — RE2 was
+    # the odd engine out before the sweep). Values below are the
+    # engine-agreed literals (verified against DuckDB live). NOTE the
+    # deliberate asymmetry: registered_domain_of_host .strip()s its
+    # input because it keys whitespace-bearing dump ENTRIES; the
+    # row-side fold never trims — a '\n' authority is a distinct
+    # garbage key, not a cleaned one.
+    from pyspark.sql import functions as F
+
+    pins = {
+        "http://a.example.com.\n/x": "com.\n",
+        "http://b.example.com:80\n/y": "example.com:80\n",
+        "http://c.example.com./z": "example.com",
+        "http://d.example.com:8080/w": "example.com",
+    }
+    weird = spark.createDataFrame([(u,) for u in pins], ["url"])
+    got = {
+        r["url"]: r["d"]
+        for r in weird.select(
+            "url",
+            urlops.registered_domain_expr(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert got == pins
 
 
 # ---------------------------------------------------------------------------
@@ -404,8 +431,8 @@ def _ref12_keep(
     host, tail = ("", "")
     if m:
         host = re.sub(r"^[^/?#]*@", "", m.group(1))
-        host = re.sub(r":[0-9]*$", "", host).lower()
-        host = re.sub(r"\.+$", "", host)
+        host = re.sub(r":[0-9]*\Z", "", host).lower()
+        host = re.sub(r"\.+\Z", "", host)
         tail = m.group(2)
     tail = urlops.pct_normalize(tail)
     d = urlops.registered_domain_of_host(host) if host else None
