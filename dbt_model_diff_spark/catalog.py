@@ -6371,7 +6371,8 @@ _GATE_TRIPLES = (
 def _domain_gate_oracle() -> str:
     """Block-gate membership from the HAND-PINNED entry triples above
     (the Spark tuple path independently re-derives its keying from
-    parse_blocklist_entry + registered_domain_of_host)."""
+    parse_blocklist_entry + the fold-free _domain_of_folded_host —
+    single-fold since the r12 fifth review pass)."""
     if tuple(e for e, _, _, _ in _GATE_TRIPLES) != _GATE_ENTRIES:
         # explicit raise, not assert: the tripwire must survive -O
         # exactly like the per-entry drift check below
@@ -6380,7 +6381,7 @@ def _domain_gate_oracle() -> str:
         )
     for raw, key, h, p in _GATE_TRIPLES:
         dh, dp = _urlops.parse_blocklist_entry(raw)
-        dkey = _urlops.registered_domain_of_host(dh, psl=_GATE_RULES)
+        dkey = _urlops._domain_of_folded_host(dh, psl=_GATE_RULES)
         if (dkey, dh, dp) != (key, h, p):
             raise AssertionError(
                 f"gate entry keying drifted for {raw!r}:"

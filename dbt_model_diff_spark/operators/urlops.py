@@ -739,6 +739,18 @@ _CIDR_BODY_RE = (
     f"({_IPV4_OCTET_RE}\\.){{3}}{_IPV4_OCTET_RE}/(3[0-2]|[12]?[0-9])"
 )
 CIDR_ENTRY_RE = f"^{_CIDR_BODY_RE}\\z"
+# near-miss shapes the gate warns about (ONE body, shared by the
+# Python fullmatch and the Spark rlike so the two list shapes cannot
+# drift — r12 fifth review pass): a loose dotted quad, a bracketed
+# IPv6 (with or without a port), or any pre-'/' part with two or more
+# colons (hostnames carry at most one, the port separator; two means
+# an unbracketed IPv6 range like 2001:db8::/32), each followed by an
+# all-digit suffix
+_CIDR_NEARMISS_BODY_RE = (
+    "([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    "|\\[[^/]*"
+    "|[^/]*:[^/]*:[^/]*)/[0-9]+"
+)
 
 
 def parse_cidr_entry(entry: str) -> tuple[int, int] | None:
@@ -774,17 +786,20 @@ def parse_cidr_entry(entry: str) -> tuple[int, int] | None:
 
 def _cidr_near_miss(entry: str) -> bool:
     """True for entries that LOOK like CIDR but fail the strict parse
-    — the warned classes: a loose quad + all-digit suffix (typo'd
-    mask / bad octets) and a bracketed-IPv6 + prefix shape (this gate's
-    range grammar is IPv4-only; an IPv6 range would otherwise silently
-    key as an exact '[...]' host with a '/nn' path and never match)."""
+    — the warned classes (one shared body,
+    :data:`_CIDR_NEARMISS_BODY_RE`): a loose quad + all-digit suffix
+    (typo'd mask / bad octets), and IPv6-range shapes — bracketed or
+    the standard unbracketed spelling (``2001:db8::/32``, detected by
+    the two-plus-colon host part no hostname can have) — which this
+    IPv4-only range grammar cannot express and which would otherwise
+    silently key as garbage host + '/nn' path and never match."""
     import re as _re
 
     e = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", entry.strip())
-    looks = _re.fullmatch(
-        r"([0-9]+\.[0-9]+\.[0-9]+\.[0-9]+|\[[^\]]*\])/[0-9]+", e
+    return (
+        _re.fullmatch(_CIDR_NEARMISS_BODY_RE, e) is not None
+        and parse_cidr_entry(entry) is None
     )
-    return looks is not None and parse_cidr_entry(entry) is None
 
 
 def _ipv4_long_expr(host: Column) -> Column:
@@ -831,6 +846,24 @@ def registered_domain_of_host(
     h = _re.sub(r"\.+\Z", "", h)
     if idna:
         h = _idna_fold_host(h, uts46=(idna == "uts46"))
+    return _domain_of_folded_host(h, extra_suffixes, psl)
+
+
+def _domain_of_folded_host(
+    h: str,
+    extra_suffixes: tuple[str, ...] = (),
+    psl: PslRules | None = None,
+) -> str | None:
+    """The domain arithmetic of :func:`registered_domain_of_host`
+    WITHOUT the host fold — for callers whose input is already folded
+    exactly once (r12 fifth review pass: the tuple gate path fed
+    parse_blocklist_entry output back through the full fold, so an
+    entry like 'example.com::80' lost its residual trailing ':' on
+    the second port-strip pass and keyed DIFFERENTLY from the
+    once-folded row host and from the DataFrame list shape — garbage
+    must key as the SAME garbage everywhere)."""
+    import re as _re
+
     if h == "":
         return None
     if _re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", h):
@@ -1156,8 +1189,7 @@ def filter_by_domain(
             # dumps arrive in THIS shape, so the silent-never-match
             # diagnostic must exist here too; r12 second review pass)
             looks_cidr = F.col("__fbd_e").rlike(
-                "^([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
-                "|\\[[^\\]]*\\])/[0-9]+\\z"
+                f"^{_CIDR_NEARMISS_BODY_RE}\\z"
             )
             lstats = base_entries.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -1384,7 +1416,11 @@ def filter_by_domain(
             epath = pct_normalize(epath)
         if idna:
             ehost = _idna_fold_host(ehost, uts46=(idna == "uts46"))
-        key = registered_domain_of_host(ehost, psl=psl)
+        # fold-free core: parse_blocklist_entry already folded the
+        # host exactly once (like host_expr folds the rows); a second
+        # full fold would strip a residual trailing ':' that the row
+        # side and the DataFrame shape both keep (fifth review pass)
+        key = _domain_of_folded_host(ehost, psl=psl)
         if key is None:
             raise ValueError(
                 f"{kind} entry {raw!r}: host {ehost!r} has no"

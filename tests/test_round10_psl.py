@@ -186,12 +186,12 @@ def _ref_psl_domain(url: str, rules: urlops.PslRules) -> str | None:
     if not m:
         return None
     host = re.sub(
-        r":[0-9]*$", "", re.sub(r"^[^/?#]*@", "", m.group(1))
+        r":[0-9]*\Z", "", re.sub(r"^[^/?#]*@", "", m.group(1))
     ).lower()
-    host = re.sub(r"\.+$", "", host)
+    host = re.sub(r"\.+\Z", "", host)
     if host == "":
         return None
-    if re.match(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$", host):
+    if re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", host):
         return host
     labels = host.split(".")
 

@@ -501,13 +501,13 @@ def _ref_gate_keep(
     url: str, entries: tuple[str, ...], block: bool, keep_null: bool
 ) -> bool:
     host, path = _ref_host_path(url)
-    d = urlops.registered_domain_of_host(host) if host else None
+    d = urlops._domain_of_folded_host(host) if host else None
     if d is None:
         return keep_null
     member = False
     for raw in entries:
         eh, ep = urlops.parse_blocklist_entry(raw)
-        key = urlops.registered_domain_of_host(eh)
+        key = urlops._domain_of_folded_host(eh)
         if ep is None and eh == key:
             member = member or d == key
         else:

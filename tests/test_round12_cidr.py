@@ -94,6 +94,49 @@ def test_cidr_near_miss_warns(spark):
         warnings.simplefilter("always")
         urlops.filter_by_domain(df, blocklist=("[::1]",))
         assert not w
+    # r12 fifth review pass: the STANDARD unbracketed IPv6 CIDR
+    # spelling (two-plus colons before the '/', impossible for a
+    # hostname) and a bracketed range with a port warn too — both
+    # would silently key as garbage host + '/nn' path otherwise
+    for e6 in ("2001:db8::/32", "[2001:db8::]:8080/32"):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            urlops.filter_by_domain(df, blocklist=(e6,))
+            assert any("CIDR" in str(x.message) for x in w), e6
+    # ...while a ported host + all-digit path (one colon) stays quiet
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        urlops.filter_by_domain(df, blocklist=("example.com:80/16",))
+        assert not w
+
+
+def test_garbage_entry_keys_like_garbage_rows(spark):
+    """r12 fifth review pass: the tuple path used to refold
+    parse_blocklist_entry output through registered_domain_of_host,
+    whose second port-strip pass ate the residual trailing ':' of a
+    degenerate 'example.com::80' entry — so the entry keyed
+    'example.com' while the once-folded row host (and the DataFrame
+    list shape) keyed 'example.com:'. Garbage must key as the SAME
+    garbage everywhere: both plan shapes now drop the matching
+    garbage row and keep the clean one."""
+    df = spark.createDataFrame(
+        [(1, "http://example.com::80/x"), (2, "http://example.com/x")],
+        "i long, url string",
+    )
+    for lst in (
+        ("example.com::80",),
+        df.sparkSession.createDataFrame([("example.com::80",)], ["entry"]),
+    ):
+        kept = {
+            r["i"]
+            for r in urlops.filter_by_domain(df, blocklist=lst).collect()
+        }
+        assert kept == {2}, type(lst).__name__
+    # the public entry-keying twin folds its input exactly ONCE (one
+    # port-strip pass, same as host_expr on rows) — the old bug was
+    # STACKING parse_blocklist_entry's fold with this one
+    assert urlops.registered_domain_of_host("example.com::80") == "example.com:"
+    assert urlops._domain_of_folded_host("example.com:") == "example.com:"
 
 
 def test_strict_literal_rejects_trailing_newline(spark):
@@ -435,7 +478,7 @@ def _ref12_keep(
         host = re.sub(r"\.+\Z", "", host)
         tail = m.group(2)
     tail = urlops.pct_normalize(tail)
-    d = urlops.registered_domain_of_host(host) if host else None
+    d = urlops._domain_of_folded_host(host) if host else None
     if d is None:
         return keep_null
     oct_re = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
@@ -455,7 +498,7 @@ def _ref12_keep(
         eh, ep = urlops.parse_blocklist_entry(raw)
         if ep is not None:
             ep = urlops.pct_normalize(ep)
-        key = urlops.registered_domain_of_host(eh)
+        key = urlops._domain_of_folded_host(eh)
         if ep is None and eh == key:
             member = member or d == key
         else:

@@ -258,10 +258,10 @@ def _ref_canon(url: str) -> str:
     mu = re.match(r"(?s)^(.*@)", auth)
     ui = mu.group(1) if mu else ""
     lp = schemep.lower() + ui + auth[len(ui):].lower()
-    if re.match(r"^http://[^/?#]*:80$", lp):
-        lp = re.sub(r":80$", "", lp)
-    elif re.match(r"^https://[^/?#]*:443$", lp):
-        lp = re.sub(r":443$", "", lp)
+    if re.match(r"^http://[^/?#]*:80\Z", lp):
+        lp = re.sub(r":80\Z", "", lp)
+    elif re.match(r"^https://[^/?#]*:443\Z", lp):
+        lp = re.sub(r":443\Z", "", lp)
     q = rest.find("?")
     if q >= 0:
         path, query = rest[:q], rest[q + 1:]
@@ -277,11 +277,11 @@ def _ref_domain(url: str) -> str | None:
     m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", url)
     if not m:
         return None
-    host = re.sub(r":[0-9]*$", "", re.sub(r"^[^/?#]*@", "", m.group(1))).lower()
-    host = re.sub(r"\.+$", "", host)
+    host = re.sub(r":[0-9]*\Z", "", re.sub(r"^[^/?#]*@", "", m.group(1))).lower()
+    host = re.sub(r"\.+\Z", "", host)
     if host == "":
         return None
-    if re.match(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$", host):
+    if re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", host):
         return host
     labels = host.split(".")
     n = len(labels)
