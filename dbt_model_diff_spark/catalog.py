@@ -6349,9 +6349,9 @@ def _duck_psl_case(rules) -> str:
 
 # Hand-pinned (entry, eTLD+1 key, folded host, path) for each gate
 # entry (ADVICE r11: the oracle previously DERIVED these by calling
-# parse_blocklist_entry + registered_domain_of_host — the code under
-# test — so a shared entry-keying bug was invisible to the registered
-# check). The oracle now builds from these literals; the derivation
+# the entry-keying code under test — parse_blocklist_entry into the
+# fold-free _domain_of_folded_host — so a shared keying bug was
+# invisible to the registered check). The oracle now builds from these literals; the derivation
 # is still replayed at import as a DRIFT TRIPWIRE (a keying change
 # fails the build loudly instead of the oracle silently following it;
 # the independent pure-Python spec referee stays in

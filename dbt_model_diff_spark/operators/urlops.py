@@ -742,14 +742,16 @@ CIDR_ENTRY_RE = f"^{_CIDR_BODY_RE}\\z"
 # near-miss shapes the gate warns about (ONE body, shared by the
 # Python fullmatch and the Spark rlike so the two list shapes cannot
 # drift — r12 fifth review pass): a loose dotted quad, a bracketed
-# IPv6 (with or without a port), or any pre-'/' part with two or more
-# colons (hostnames carry at most one, the port separator; two means
-# an unbracketed IPv6 range like 2001:db8::/32), each followed by an
-# all-digit suffix
+# IPv6 (with or without a port), or a userinfo-free pre-'/' part with
+# two or more colons (a hostname carries at most one, the port
+# separator; two means an unbracketed IPv6 range like 2001:db8::/32 —
+# the '@' exclusion keeps valid userinfo+port entries like
+# 'user:pw@bad.com:80/123' out of the warned class, r12 sixth review
+# pass), each followed by an all-digit suffix
 _CIDR_NEARMISS_BODY_RE = (
     "([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
     "|\\[[^/]*"
-    "|[^/]*:[^/]*:[^/]*)/[0-9]+"
+    "|[^/@]*:[^/@]*:[^/@]*)/[0-9]+"
 )
 
 
@@ -828,10 +830,12 @@ def registered_domain_of_host(
     idna: bool | str = False,
 ) -> str | None:
     """Driver-side Python twin of :func:`registered_domain_expr`, for
-    a bare HOST string (no scheme): the fold :func:`filter_by_domain`
-    applies to blocklist ENTRIES so they key exactly like the corpus
-    rows they must match, and the reference implementation the
-    round-11 blocklist referee replays. Same contract, mirrored
+    a bare HOST string (no scheme): ONE full host fold (strip, lower,
+    port, root-dot, optional IDNA) into the shared domain arithmetic
+    (:func:`_domain_of_folded_host` — which is what
+    :func:`filter_by_domain` keys already-folded entry hosts with, so
+    garbage entries key exactly like once-folded garbage rows; r12
+    fifth review pass). Same contract as the column twin, mirrored
     branch-for-branch: lowercase + trailing-dot/port strip, optional
     IDNA fold (``idna="uts46"`` for the UTS #46 leg), IPv4 literals
     pass through whole, empty -> None; compact heuristic = last two
@@ -1042,8 +1046,10 @@ def filter_by_domain(
 
     Entry keying: each entry's host folds to its registered domain
     with the SAME ``psl``/``idna`` settings as the corpus rows
-    (:func:`registered_domain_of_host` driver-side for tuples, the
-    column expression for DataFrames). A tuple entry whose host has
+    (parse_blocklist_entry's single fold into the fold-free
+    :func:`_domain_of_folded_host` driver-side for tuples, the
+    column expression for DataFrames — one fold each, so degenerate
+    entries key like once-folded rows). A tuple entry whose host has
     no registered domain under the rules (a public-suffix-only host
     like bare ``github.io`` with private PSL rules) raises — a
     suffix-wide gate is not expressible at eTLD+1 keying and silently

@@ -413,7 +413,7 @@ def _duck_gate_where(entries: tuple[str, ...]) -> str:
     conds = []
     for raw in entries:
         h, p = urlops.parse_blocklist_entry(raw)
-        key = urlops.registered_domain_of_host(h)
+        key = urlops._domain_of_folded_host(h)
         if p is None and h == key:
             conds.append(f"d = '{key}'")
         else:
@@ -556,7 +556,7 @@ try:
         entries = tuple(
             e
             for e in dict.fromkeys(raw_entries)
-            if urlops.registered_domain_of_host(
+            if urlops._domain_of_folded_host(
                 urlops.parse_blocklist_entry(e)[0]
             )
             is not None

@@ -108,6 +108,20 @@ def test_cidr_near_miss_warns(spark):
         warnings.simplefilter("always")
         urlops.filter_by_domain(df, blocklist=("example.com:80/16",))
         assert not w
+    # r12 sixth review pass: a valid userinfo+port entry with an
+    # all-digit path has two colons too — the '@' exclusion keeps it
+    # out of the warned class, and it still gates its host+path
+    df2 = spark.createDataFrame(
+        [(1, "http://bad.com/123x"), (2, "http://bad.com/9")],
+        "i long, url string",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out2 = urlops.filter_by_domain(
+            df2, blocklist=("http://user:pw@bad.com:80/123",)
+        )
+        assert not w
+    assert sorted(r["i"] for r in out2.collect()) == [2]
 
 
 def test_garbage_entry_keys_like_garbage_rows(spark):
@@ -309,7 +323,7 @@ def test_cidr_duckdb_parity(spark):
         if urlops.parse_cidr_entry(e) is not None:
             continue
         h, p = urlops.parse_blocklist_entry(e)
-        key = urlops.registered_domain_of_host(h)
+        key = urlops._domain_of_folded_host(h)
         c = f"(d = '{key}' AND (host = '{h}' OR ends_with(host, '.{h}'))"
         if p is not None:
             c += f" AND starts_with(path, '{urlops.pct_normalize(p)}')"
