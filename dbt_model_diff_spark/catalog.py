@@ -2654,17 +2654,33 @@ def text_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocklist path prefixes, CIDR/IP-range entries, the PSL version
 # stamp (tests/test_round12_*.py).
 #
-# ROUND-13 WINDOW PLAN (mechanical, execute first thing after
-# CORRECTNESS_r12 lands): the mandatory tier is every query whose
-# newest green row is r10 — the 50 r10-certified queries MINUS the
-# three re-certified as r12 fillers (diff_partitioned_orders,
-# pricing_summary, pipeline_curation_report) = 47 queries; plus any
-# never-certified r13 registrations first. Fill the remaining ~3
-# slots from the r11-certified tier (the stalest outside; greedy
+# ROUND-13 WINDOW PLAN (EXECUTED in the r13 rotation below): the
+# mandatory tier is every query whose newest green row is r10 — the
+# 50 r10-certified queries MINUS the three re-certified as r12
+# fillers (diff_partitioned_orders, pricing_summary,
+# pipeline_curation_report) = 47 queries. Fillers: the three
+# hard-mandatory anchors diff_counts_orders, diff_profile_orders,
+# diff_schema_drift (all r11) — the anchor-cadence clause strands
+# them the moment CORRECTNESS_r13 lands. Round-13 surfaces stay
+# pytest-DuckDB-parity certified, NOT registered (growth policy,
+# effective cap 147): IPv6 CIDR range entries, the PSL refresh
+# tool, the canonicalize/gate pct-divergence pin
+# (tests/test_round13_*.py).
+#
+# ROUND-14 WINDOW PLAN (mechanical, execute first thing after
+# CORRECTNESS_r13 lands): the mandatory tier is every query whose
+# newest green row is r11 — the 50 r11-certified queries MINUS the
+# three re-certified as r13 fillers (diff_counts_orders,
+# diff_profile_orders, diff_schema_drift) = 47 queries; plus any
+# never-certified r14 registrations first. Fill the remaining ~3
+# slots from the r12-certified tier (the stalest outside; greedy
 # tie-split allows choosing among them) — the anchor-cadence clause
-# makes diff_counts_orders, diff_profile_orders and
-# diff_schema_drift (all r11) hard-mandatory the moment
-# CORRECTNESS_r12 lands, so seat those three first.
+# makes diff_partitioned_orders, pricing_summary and
+# model_order_agg (all r12) hard-mandatory the moment
+# CORRECTNESS_r13 lands, so seat those three first.
+# (pipeline_curation_report, also r12, then becomes part of r15's
+# mandatory tier — the composed-pipeline family keeps its 3-round
+# carousel cadence.)
 #
 # EFFECTIVE CAP IS 147, NOT 150 (r12 arithmetic): each of the six
 # flagship anchors needs a window seat at least every 2 rounds (its
@@ -6479,76 +6495,75 @@ def pipeline_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-12 window (executes the ROUND-12 WINDOW PLAN written in
-    # r11; see the plan comment above for the derivation).
-    # Tier 1: the 47 queries whose newest green row is r9 — the 50
-    # r9-certified queries minus the three re-certified as r11 anchor
-    # fillers (diff_counts_orders, diff_profile_orders,
-    # diff_schema_drift). They hit the 3-round staleness bound the
-    # moment CORRECTNESS_r11 landed. Includes model_order_agg, which
-    # ceded its planned r11 seat to the pipeline_domain_gate
-    # registration.
-    "bpe_train_merges",
-    "dedup_components",
-    "dedup_exact_groups",
-    "dedup_incremental_batch",
-    "dedup_minhash_signatures",
-    "dedup_oph_signatures",
-    "dedup_simhash",
-    "dedup_simhash_near_pairs",
-    "diff_counts_embeddings",
-    "diff_distribution_drift_orders",
-    "embedding_stats",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_props_typed",
-    "events_sessionize",
-    "jsonl_roundtrip_documents",
-    "knn_bruteforce",
-    "model_order_agg",
-    "pivot_status_by_priority",
-    "q11_high_value_suppliers",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_predicates",
-    "q20_excess_stock_suppliers",
-    "q22_rich_idle_customers",
-    "q2_min_retail_parts",
-    "sample_mixture_temperature",
-    "semantic_dedup_embeddings",
-    "setop_except_intersect",
-    "sketch_count_min_terms",
-    "split_leakage_safe_documents",
-    "stream_incremental_dedup",
-    "text_bpe_tokenize",
-    "text_classifier_score",
-    "text_fingerprint",
-    "text_language_id",
-    "text_lm_bigram_score",
-    "text_quality_features",
-    "text_rebuild_dedup_chunks",
-    "text_shingle_stats",
-    "text_token_length_deciles",
-    "top_revenue_orders",
-    "topk_orders",
-    "window_dedup_keep_latest",
-    "window_running_total",
-    # Tier 2: three r10-certified fillers (the stalest tier outside
+    # Round-13 window (executes the ROUND-13 WINDOW PLAN written in
+    # r12; see the plan comment above for the derivation).
+    # Tier 1: the 47 queries whose newest green row is r10 — the 50
+    # r10-certified queries minus the three re-certified as r12
+    # fillers (diff_partitioned_orders, pricing_summary,
+    # pipeline_curation_report). They hit the 3-round staleness
+    # bound the moment CORRECTNESS_r12 landed.
+    "agg_cube_orders",
+    "agg_grouping_sets_orders",
+    "agg_rollup_orders",
+    "asof_latest_purchase",
+    "bpe_train_merges_batched",
+    "cap_per_group_documents",
+    "csv_roundtrip_orders",
+    "decontaminate_source_report",
+    "dedup_cross_doc_chunks",
+    "dedup_intra_doc_tokens",
+    "dedup_jaccard_verified",
+    "dedup_lsh_pairs",
+    "dedup_oph_components",
+    "dedup_rep_by_quality",
+    "dedup_source_overlap_matrix",
+    "dsir_importance_weights",
+    "events_rolling_features",
+    "join_anti_customers",
+    "join_salted_skew",
+    "join_semi_customers",
+    "knn_hard_negatives",
+    "median_price_by_priority",
+    "merge_apply_changes_orders",
+    "pack_sequences_documents",
+    "pipeline_bpe_train_apply",
+    "pipeline_training_data",
+    "prune_prototypes_embeddings",
+    "quality_checks_orders",
+    "quality_fk_orders_customer",
+    "range_join_value_bands",
+    "sample_weighted_documents",
+    "scd2_orders_changelog",
+    "skew_salted_status_totals",
+    "stream_dedup_bounded_state",
+    "text_bm25_topk",
+    "text_chunk_stride",
+    "text_corpus_frequency_score",
+    "text_dup_substring_spans",
+    "text_lm_backoff_score",
+    "text_pii_scrub",
+    "text_remove_dup_substrings",
+    "text_remove_dup_substrings_keep1",
+    "text_repetition_signals",
+    "text_rolling_fingerprint",
+    "text_token_stats",
+    "text_top_terms",
+    "zorder_orders_layout",
+    # Tier 2: three r11-certified fillers (the stalest tier outside
     # the mandatory set; the greedy clause allows splitting the
-    # 50-way r10 tie). The two hard-mandatory flagship anchors
-    # diff_partitioned_orders and pricing_summary seat first — the
-    # anchor-cadence clause would strand them at r10 the moment
-    # CORRECTNESS_r12 lands — then pipeline_curation_report, which
-    # keeps the composed-pipeline family on its 2-round driver
-    # cadence (r10 plan precedent; round 12's urlops churn —
-    # encoded-path fold, CIDR entries, PSL stamp — is certified by
-    # tests/test_round12_*.py pytest parity, not a registration).
-    "diff_partitioned_orders",
-    "pricing_summary",
-    "pipeline_curation_report",
+    # 50-way r11 tie). All three are hard-mandatory flagship
+    # anchors — the anchor-cadence clause (in-window-or-green-in-
+    # two-newest) would strand them at r11 the moment
+    # CORRECTNESS_r13 lands, so they take all three filler seats
+    # (round 13's urlops churn — IPv6 CIDR ranges, PSL refresh
+    # tool — is certified by tests/test_round13_*.py pytest
+    # parity, not a registration; growth policy, 147 = the
+    # effective cap).
+    "diff_counts_orders",
+    "diff_profile_orders",
+    "diff_schema_drift",
 ]
+
 
 
 
