@@ -683,7 +683,11 @@ def pct_normalize_expr(s: Column) -> Column:
         dec = F.char(F.conv(two, 16, 10).cast("int"))
         return (
             F.when(
-                ~two.rlike("^[0-9A-F]{2}$"),
+                # \z for convention parity with every other Spark-
+                # facing anchor (ADVICE r12; unreachable-divergent
+                # here — the tested string is at most 2 chars — but
+                # '$' invites copy-paste drift)
+                ~two.rlike("^[0-9A-F]{2}\\z"),
                 F.concat(F.lit("%"), piece),
             )
             .when(two.isin(*PCT_UNRESERVED_HEX), F.concat(dec, rest))
@@ -728,12 +732,13 @@ def pct_normalize(s: str | None) -> str | None:
 # an unambiguous numeric value, so only they participate in CIDR
 # range matching.
 _IPV4_OCTET_RE = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_IPV4_STRICT_BODY = f"({_IPV4_OCTET_RE}\\.){{3}}{_IPV4_OCTET_RE}"
 # \z, not $: Java regex '$' matches before a trailing line terminator
 # (a host extracted from 'http://1.2.3.4\n/x' would pass the "strict"
 # test and get range-matched), where RE2 (the DuckDB twins) and
 # Python's fullmatch treat end-of-text — an engine-parity divergence
 # in a parity-certified operator (r12 second review pass, live repro)
-IPV4_STRICT_RE = f"^({_IPV4_OCTET_RE}\\.){{3}}{_IPV4_OCTET_RE}\\z"
+IPV4_STRICT_RE = f"^{_IPV4_STRICT_BODY}\\z"
 # entry-side CIDR shape: strict quad + '/' + prefix length 0-32
 _CIDR_BODY_RE = (
     f"({_IPV4_OCTET_RE}\\.){{3}}{_IPV4_OCTET_RE}/(3[0-2]|[12]?[0-9])"
@@ -742,17 +747,135 @@ CIDR_ENTRY_RE = f"^{_CIDR_BODY_RE}\\z"
 # near-miss shapes the gate warns about (ONE body, shared by the
 # Python fullmatch and the Spark rlike so the two list shapes cannot
 # drift — r12 fifth review pass): a loose dotted quad, a bracketed
-# IPv6 (with or without a port), or a userinfo-free pre-'/' part with
-# two or more colons (a hostname carries at most one, the port
-# separator; two means an unbracketed IPv6 range like 2001:db8::/32 —
-# the '@' exclusion keeps valid userinfo+port entries like
-# 'user:pw@bad.com:80/123' out of the warned class, r12 sixth review
-# pass), each followed by an all-digit suffix
+# IPv6-shaped part (a ':' inside the brackets — ADVICE r12: a plain
+# malformed bracket host like '[weird]/123' is NOT IPv6-shaped and
+# stays out of the warned class; with or without a port), or a
+# userinfo-free pre-'/' part with two or more colons (a hostname
+# carries at most one, the port separator; two means an unbracketed
+# IPv6 range like 2001:db8::/32 — the '@' exclusion keeps valid
+# userinfo+port entries like 'user:pw@bad.com:80/123' out of the
+# warned class, r12 sixth review pass), each followed by an all-digit
+# suffix. Since r13, entries in this class that PASS the strict
+# IPv4/IPv6 parse are real range entries, not near-misses — the
+# near-miss predicates subtract both parses.
 _CIDR_NEARMISS_BODY_RE = (
     "([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
-    "|\\[[^/]*"
+    "|\\[[^/]*:[^/]*"
     "|[^/@]*:[^/@]*:[^/@]*)/[0-9]+"
 )
+# --- IPv6 ranges (r13, VERDICT r12 task #2) -------------------------
+# One set of regex BODIES shared by the Spark rlike legs (anchored
+# ^...\z) and the Python twin (fullmatch) so the two list shapes and
+# the row side cannot drift. Grammar: RFC 4291 §2.2 text forms — 8
+# colon-separated groups of 1-4 hex digits, at most one '::'
+# zero-compression, an optional embedded STRICT dotted-quad tail
+# (same no-leading-zero octets as the IPv4 grammar; Python's
+# ipaddress module rejects leading-zero v4-in-v6 octets too) — and a
+# prefix length 0-128 with no zero-padding, mirroring the IPv4 mask
+# rule. Zone ids ('%eth0') and unbracketed-with-port shapes are
+# near-misses, never ranges.
+_IPV6_GROUP_RE = "[0-9a-f]{1,4}"
+_IPV6_FULL_BODY = f"({_IPV6_GROUP_RE}:){{7}}{_IPV6_GROUP_RE}"
+_IPV6_SIDE_BODY = f"({_IPV6_GROUP_RE}(:{_IPV6_GROUP_RE})*)?"
+_IPV6_V4TAIL_BODY = f":({_IPV4_STRICT_BODY})"
+_CIDR6_MASK_RE = "(12[0-8]|1[01][0-9]|[1-9]?[0-9])"
+# entry shapes: '[addr]/nn' (bracketed, the URL-literal spelling) and
+# bare 'addr/nn' (the standard CIDR spelling real UT1-family dumps
+# carry); addr validity is the full parse, not this envelope
+_CIDR6_BRACKET_BODY = f"\\[([^\\]]*)\\]/{_CIDR6_MASK_RE}"
+_CIDR6_BARE_BODY = f"([^/\\[\\]]*)/{_CIDR6_MASK_RE}"
+
+_U64 = (1 << 64) - 1
+
+
+def _to_signed64(x: int) -> int:
+    """Two's-complement fold of an unsigned 64-bit value into the
+    signed range Spark's LongType carries. Python's arbitrary-precision
+    ``&`` on negative ints is exact two's-complement, so driver-side
+    mask arithmetic on these signed values is bit-identical to the
+    executor-side ``bitwiseAND``."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _v6_masks(masklen: int) -> tuple[int, int]:
+    """(hi64, lo64) signed masks of a /masklen IPv6 prefix — the
+    per-prefix-length CONSTANTS the broadcast-equi legs bind, and the
+    driver-side normalizer for entry network values."""
+    m128 = (~((1 << (128 - masklen)) - 1)) & ((1 << 128) - 1)
+    return _to_signed64(m128 >> 64), _to_signed64(m128 & _U64)
+
+
+def _ipv6_hilo(addr: str) -> tuple[int, int] | None:
+    """Strict IPv6 text parse into signed (hi64, lo64), or ``None``
+    when ``addr`` is not a valid RFC 4291 §2.2 literal. Pure-Python
+    twin of :func:`_ipv6_struct_expr` — same v4-tail transform, same
+    '::' split, same shared regex bodies, step for step (the
+    ipaddress-module referee in tests/test_round13_cidr6.py pins both
+    against the stdlib parser)."""
+    import re as _re
+
+    h = addr.lower()
+    m = _re.search(f"{_IPV6_V4TAIL_BODY}\\Z", h)
+    if m:
+        quad = m.group(1)
+        v = 0
+        for o in quad.split("."):
+            v = v * 256 + int(o)
+        h = h[: -len(quad)] + f"{v >> 16:x}:{v & 0xFFFF:x}"
+    parts = h.split("::")
+    if len(parts) == 1:
+        if not _re.fullmatch(_IPV6_FULL_BODY, h):
+            return None
+        groups = h.split(":")
+    elif len(parts) == 2:
+        left, right = parts
+        if not _re.fullmatch(_IPV6_SIDE_BODY, left) or not _re.fullmatch(
+            _IPV6_SIDE_BODY, right
+        ):
+            return None
+        lg = left.split(":") if left else []
+        rg = right.split(":") if right else []
+        # '::' stands for AT LEAST one zero group (ipaddress parity:
+        # '1:2:3:4:5:6:7::8' is invalid)
+        if len(lg) + len(rg) > 7:
+            return None
+        groups = lg + ["0"] * (8 - len(lg) - len(rg)) + rg
+    else:
+        return None
+    v = 0
+    for g in groups:
+        v = v * 65536 + int(g, 16)
+    return _to_signed64(v >> 64), _to_signed64(v & _U64)
+
+
+def parse_cidr6_entry(entry: str) -> tuple[int, int, int] | None:
+    """Parse an IPv6 CIDR blocklist line — bracketed
+    (``[2001:db8::]/32``, the URL-literal spelling) or bare
+    (``2001:db8::/32``, the standard dump spelling) — into
+    mask-normalized signed ``(net_hi64, net_lo64, prefix_len)``, or
+    ``None`` when the entry is not an IPv6 range (VERDICT r12 task
+    #2: real UT1-family dumps carry IPv6 ranges, and the r12 grammar
+    could only WARN about them). Same precedence contract as the
+    IPv4 grammar: on a strict IPv6-literal host an all-digit ``/nn``
+    with nn <= 128 is a prefix length, never a path named "nn";
+    mask > 128, a zero-padded mask, a zone id, a port after the
+    bracket, or an invalid address stay host/path entries and warn
+    as near-misses. Spell a host-exact gate as ``/128``."""
+    import re as _re
+
+    e = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", entry.strip())
+    m = _re.fullmatch(_CIDR6_BRACKET_BODY, e) or _re.fullmatch(
+        _CIDR6_BARE_BODY, e
+    )
+    if not m:
+        return None
+    hilo = _ipv6_hilo(m.group(1))
+    if hilo is None:
+        return None
+    masklen = int(m.group(2))
+    mhi, mlo = _v6_masks(masklen)
+    return hilo[0] & mhi, hilo[1] & mlo, masklen
+# --------------------------------------------------------------------
 
 
 def parse_cidr_entry(entry: str) -> tuple[int, int] | None:
@@ -787,20 +910,24 @@ def parse_cidr_entry(entry: str) -> tuple[int, int] | None:
 
 
 def _cidr_near_miss(entry: str) -> bool:
-    """True for entries that LOOK like CIDR but fail the strict parse
-    — the warned classes (one shared body,
+    """True for entries that LOOK like CIDR but fail BOTH strict
+    parses — the warned classes (one shared body,
     :data:`_CIDR_NEARMISS_BODY_RE`): a loose quad + all-digit suffix
-    (typo'd mask / bad octets), and IPv6-range shapes — bracketed or
-    the standard unbracketed spelling (``2001:db8::/32``, detected by
-    the two-plus-colon host part no hostname can have) — which this
-    IPv4-only range grammar cannot express and which would otherwise
-    silently key as garbage host + '/nn' path and never match."""
+    (typo'd mask / bad octets), and IPv6-shaped entries — bracketed
+    or the standard unbracketed spelling (detected by the
+    two-plus-colon host part no hostname can have) — whose address,
+    mask, or envelope the r13 IPv6 grammar rejects (mask > 128, a
+    zero-padded mask, a zone id, a port after the bracket, bad hex
+    groups) and which would otherwise silently key as garbage host +
+    '/nn' path and never match. Valid IPv6 ranges parse and gate
+    since r13; they are no longer in this class."""
     import re as _re
 
     e = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", entry.strip())
     return (
         _re.fullmatch(_CIDR_NEARMISS_BODY_RE, e) is not None
         and parse_cidr_entry(entry) is None
+        and parse_cidr6_entry(entry) is None
     )
 
 
@@ -820,6 +947,100 @@ def _ipv4_long_expr(host: Column) -> Column:
             # ANSI (the entry-side leg hit exactly that, r12)
             lambda acc, x: acc * F.lit(256) + x.try_cast("long"),
         ),
+    )
+
+
+def _ipv6_struct_expr(addr: Column) -> Column:
+    """``struct<hi:long, lo:long>`` of a strict IPv6-literal text
+    column (no brackets), NULL for everything else — the column twin
+    of :func:`_ipv6_hilo`, same shared regex bodies, same v4-tail
+    transform, same '::' split arithmetic, evaluated entirely in
+    whole-stage codegen (split/regexp/conv — zero UDFs). The 128-bit
+    value lands as two signed longs via ``conv(hex, 16, -10)``
+    (Spark's signed-base conv IS the two's-complement fold
+    :func:`_to_signed64` applies driver-side). Every sub-expression
+    is total on garbage input (conv/array ops return NULL, never
+    throw), so ANSI-mode subexpression elimination outside the
+    CaseWhen guards is safe — the r12 try_cast lesson, applied at
+    design time."""
+
+    empty_arr = F.array().cast("array<string>")
+    side_re = f"^{_IPV6_SIDE_BODY}\\z"
+
+    def _expand(h2: Column) -> Column:
+        parts = F.split(h2, "::", -1)
+        n_parts = F.size(parts)
+        left = F.element_at(parts, 1)
+        right = F.when(n_parts == 2, F.element_at(parts, 2))
+        lg = F.when(left == "", empty_arr).otherwise(F.split(left, ":"))
+        rg = F.when(
+            F.coalesce(right, F.lit("")) == "", empty_arr
+        ).otherwise(F.split(right, ":"))
+        nl, nr = F.size(lg), F.size(rg)
+        valid_full = (n_parts == 1) & h2.rlike(f"^{_IPV6_FULL_BODY}\\z")
+        # '::' stands for AT LEAST one zero group (nl + nr <= 7),
+        # exactly the Python twin's rule
+        valid_comp = (
+            (n_parts == 2)
+            & left.rlike(side_re)
+            & F.coalesce(right, F.lit("")).rlike(side_re)
+            & ((nl + nr) <= 7)
+        )
+        groups = F.when(valid_full, F.split(h2, ":")).when(
+            valid_comp,
+            F.concat(lg, F.array_repeat(F.lit("0"), 8 - nl - nr), rg),
+        )
+        hex32 = F.array_join(
+            F.transform(groups, lambda g: F.lpad(g, 4, "0")), ""
+        )
+        return F.when(
+            groups.isNotNull(),
+            F.struct(
+                F.conv(F.substring(hex32, 1, 16), 16, -10)
+                .cast("long")
+                .alias("hi"),
+                F.conv(F.substring(hex32, 17, 16), 16, -10)
+                .cast("long")
+                .alias("lo"),
+            ),
+        )
+
+    def _core(h0: Column) -> Column:
+        h = F.lower(h0)
+        quad = F.regexp_extract(h, f"{_IPV6_V4TAIL_BODY}\\z", 1)
+        v4 = F.aggregate(
+            F.split(quad, "\\."),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * F.lit(256) + x.try_cast("long"),
+        )
+        # v4-tail transform: '::ffff:1.2.3.4' -> '::ffff:102:304'
+        # (the prefix slice keeps the ':' before the quad; the two
+        # hex groups come from the quad's 32-bit value, unpadded
+        # lowercase exactly like the Python twin's '%x')
+        h2 = F.when(quad == "", h).otherwise(
+            F.concat(
+                F.substring(h, F.lit(1), F.length(h) - F.length(quad)),
+                F.lower(F.conv(F.shiftright(v4, 16), 10, 16)),
+                F.lit(":"),
+                F.lower(F.conv(v4.bitwiseAND(F.lit(65535)), 10, 16)),
+            )
+        )
+        return _bind(h2, _expand)
+
+    return _bind(addr, _core)
+
+
+def _ipv6_literal_struct_expr(host: Column) -> Column:
+    """``struct<hi, lo>`` of a BRACKETED IPv6-literal host column
+    (``[2001:db8::1]`` — the only spelling a URL authority can carry,
+    RFC 3986 §3.2.2; :func:`host_expr` has already lowercased it and
+    stripped any port, which the closing bracket protects), NULL for
+    every non-bracket host. Unbracketed IPv6 text never reaches a
+    host column intact (the port-strip regex would truncate it), so
+    rows are bracket-only by design; ENTRIES accept both spellings
+    via :func:`parse_cidr6_entry`."""
+    return _ipv6_struct_expr(
+        F.regexp_extract(host, "^\\[([^\\]]*)\\]\\z", 1)
     )
 
 
@@ -979,6 +1200,7 @@ def filter_by_domain(
     psl: PslRules | None = None,
     keep_null_domain: bool = True,
     idna: bool | str = False,
+    pct: bool = True,
 ) -> DataFrame:
     """Provenance gate keyed on the registered domain — the
     UT1-blocklist stage of RefinedWeb/C4-style curation (adult/fraud
@@ -1019,7 +1241,33 @@ def filter_by_domain(
       as a prefix length, never as a path named "nn"
       (:func:`parse_cidr_entry` pins the precedence and the
       near-miss contract: mask > 32 / octet > 255 / leading-zero
-      octets stay host-path entries, with a tuple-path warning).
+      octets stay host-path entries, with a tuple-path warning);
+    - ``[2001:db8::]/32`` or bare ``2001:db8::/32`` — IPv6 CIDR
+      range (r13, VERDICT r12 task #2): blocks every URL whose host
+      is a bracketed strict IPv6 literal (``http://[2001:db8::1]/x``
+      — the only URL spelling, RFC 3986 §3.2.2; a port folds off the
+      host like every other entry shape) inside the range. Network
+      values mask-normalize into a signed (hi64, lo64) pair, so
+      ``[2001:db8::ff]/32`` spells the same range; '::' compression
+      and embedded strict dotted-quad tails (``::ffff:1.2.3.4``)
+      parse per RFC 4291 §2.2. Same ``/nn`` precedence as IPv4 with
+      nn <= 128; mask > 128, zero-padded masks, zone ids, and
+      bracket-plus-port shapes stay host/path entries and warn as
+      near-misses (:func:`parse_cidr6_entry`). Spell a host-exact
+      IPv6 gate as ``/128``.
+      Matching is equi-join/row-local exactly like IPv4: per
+      distinct prefix length the mask pair is a CONSTANT, so
+      ``(hi & mhi, lo & mlo) = (net_hi, net_lo)`` is a two-long
+      hash-join key — never a range join.
+
+    ``pct`` (ADVICE r12): percent-encoding normalization of path
+    prefixes and row tails before the startswith compare — ON by
+    default (the r12 gate semantics). ``pct=False`` restores the
+    byte-verbatim pre-r12 compare for corpora whose lists were
+    curated against raw spellings. :func:`canonicalize_url_expr`
+    deliberately defaults the OTHER way (``pct=False``) to keep
+    pre-r12 canonical keys stable — the divergence is pinned in
+    tests/test_round12_pct.py.
 
     Two list shapes, two plans:
 
@@ -1108,8 +1356,11 @@ def filter_by_domain(
     if idna:
         host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
     # r12: the row tail percent-normalizes so encoded spellings
-    # compare equal to the (equally normalized) entry prefixes
-    path0 = pct_normalize_expr(_url_tail_expr(F.col(url_col)))
+    # compare equal to the (equally normalized) entry prefixes;
+    # pct=False (ADVICE r12) restores the byte-verbatim compare
+    path0 = _url_tail_expr(F.col(url_col))
+    if pct:
+        path0 = pct_normalize_expr(path0)
     lst = blocklist if has_block else allowlist
     if isinstance(lst, DataFrame):
         # the whole __fbd_ prefix is reserved (r12 fourth review pass:
@@ -1146,7 +1397,14 @@ def filter_by_domain(
                 "^[a-zA-Z][a-zA-Z0-9+.-]*://",
                 "",
             )
-            base_entries = lst.select(e0.alias("__fbd_e"))
+            # persist the derived entry list (ADVICE r12): plan
+            # building runs eager actions over it — the stats agg
+            # below, plus at most one limit-1 probe — so an uncached
+            # derived lineage would execute two or three times before
+            # the join even runs; unpersisted again once the plan is
+            # built (the join then recomputes the lineage once, at
+            # execution, like any other input)
+            base_entries = lst.select(e0.alias("__fbd_e")).persist()
             # ONE host-part extraction feeds the CIDR quad, the
             # host/path split and the keying below (r12 second review
             # pass: two spellings of the same regex drift apart)
@@ -1187,48 +1445,104 @@ def filter_by_domain(
                 )
                 .distinct()
             )
+            # r13 IPv6 leg (VERDICT r12 task #2): range entries in
+            # either spelling — '[addr]/nn' or bare 'addr/nn' — parse
+            # to a signed (hi64, lo64) pair; the envelope regexes
+            # carry the strict mask grammar (0-128, no zero-pad), so
+            # emlq on a matching entry is already a valid length.
+            addr6 = F.lower(
+                F.coalesce(
+                    F.when(
+                        F.col("__fbd_e").rlike(
+                            f"^{_CIDR6_BRACKET_BODY}\\z"
+                        ),
+                        F.regexp_extract(
+                            F.col("__fbd_e"), "^\\[([^\\]]*)\\]/", 1
+                        ),
+                    ),
+                    F.when(
+                        F.col("__fbd_e").rlike(f"^{_CIDR6_BARE_BODY}\\z"),
+                        F.regexp_extract(
+                            F.col("__fbd_e"), "^([^/\\[\\]]*)/", 1
+                        ),
+                    ),
+                )
+            )
+            s6 = _ipv6_struct_expr(addr6)
+            # a v4 CIDR also matches the bare envelope but its addr
+            # never parses as IPv6, so s6 alone separates the families
+            is_cidr6 = s6.isNotNull()
+            # per-row signed masks from the prefix length: (-1 << k)
+            # == -(2^k), and 2^k is exact in IEEE for k <= 63, so the
+            # pow/cast chain is the same two's-complement arithmetic
+            # as _v6_masks (ANSI-safe: exponents stay in [0, 63])
+            mhi6 = (
+                F.when(emlq == 0, F.lit(0).cast("long"))
+                .when(emlq >= 64, F.lit(-1).cast("long"))
+                .otherwise(
+                    (-F.pow(F.lit(2.0), F.lit(64) - emlq)).cast("long")
+                )
+            )
+            mlo6 = F.when(emlq <= 64, F.lit(0).cast("long")).otherwise(
+                (-F.pow(F.lit(2.0), F.lit(128) - emlq)).cast("long")
+            )
+            cidr6_keyed = (
+                base_entries.filter(is_cidr6)
+                .select(
+                    s6["hi"].bitwiseAND(mhi6).alias("__fbd_net6h"),
+                    s6["lo"].bitwiseAND(mlo6).alias("__fbd_net6l"),
+                    emlq.alias("__fbd_ml6"),
+                )
+                .distinct()
+            )
             # ONE bounded plan-time job over the LIST side: total
-            # count, the distinct prefix lengths (<= 33 — each becomes
-            # ONE extra broadcast-equi anti/semi join below, no range
-            # join, no nested loop), and the near-miss count (the
-            # typo'd-mask class the tuple path warns about — real
-            # dumps arrive in THIS shape, so the silent-never-match
-            # diagnostic must exist here too; r12 second review pass)
+            # count, the distinct prefix lengths (<= 33 IPv4 + <= 129
+            # IPv6 — each becomes ONE extra broadcast-equi anti/semi
+            # join below, no range join, no nested loop), and the
+            # near-miss count (the typo'd-mask class the tuple path
+            # warns about — real dumps arrive in THIS shape, so the
+            # silent-never-match diagnostic must exist here too; r12
+            # second review pass)
             looks_cidr = F.col("__fbd_e").rlike(
                 f"^{_CIDR_NEARMISS_BODY_RE}\\z"
             )
             lstats = base_entries.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.collect_set(F.when(is_cidr, emlq)).alias("mls"),
-                F.sum((looks_cidr & ~is_cidr).cast("int")).alias("near"),
+                F.collect_set(F.when(is_cidr6, emlq)).alias("mls6"),
+                F.sum(
+                    (looks_cidr & ~is_cidr & ~is_cidr6).cast("int")
+                ).alias("near"),
             ).collect()[0]
             masklens = sorted(lstats["mls"])
+            masklens6 = sorted(lstats["mls6"])
             if lstats["near"]:
                 import warnings
 
                 warnings.warn(
                     f"{kind} DataFrame: {lstats['near']} entries look"
-                    " like CIDR ranges but are not valid ones"
-                    " (mask > 32, a zero-padded mask, octet > 255, a"
-                    " leading-zero octet, or an unsupported IPv6"
-                    " range) — they are treated as host + path"
-                    " prefixes under the round-11 grammar and likely"
-                    " never match",
+                    " like CIDR ranges but are not valid IPv4 or IPv6"
+                    " ones (mask > 32 v4 / > 128 v6, a zero-padded"
+                    " mask, octet > 255, a leading-zero octet, a zone"
+                    " id, or a port after the bracket) — they are"
+                    " treated as host + path prefixes under the"
+                    " round-11 grammar and likely never match",
                     stacklevel=2,
                 )
             # entry path prefixes percent-normalize exactly like the
-            # row tails they compare against (r12)
-            ep = pct_normalize_expr(
-                F.when(
-                    F.length(F.col("__fbd_e"))
-                    > F.length(F.col("__fbd_eh0")),
-                    F.substring(
-                        F.col("__fbd_e"),
-                        F.length(F.col("__fbd_eh0")) + 1,
-                        F.length(F.col("__fbd_e")),
-                    ),
-                )
+            # row tails they compare against (r12; both sides follow
+            # the pct knob together, ADVICE r12)
+            ep = F.when(
+                F.length(F.col("__fbd_e"))
+                > F.length(F.col("__fbd_eh0")),
+                F.substring(
+                    F.col("__fbd_e"),
+                    F.length(F.col("__fbd_eh0")) + 1,
+                    F.length(F.col("__fbd_e")),
+                ),
             )
+            if pct:
+                ep = pct_normalize_expr(ep)
             # same normalization order as parse_blocklist_entry:
             # userinfo strip (dump lines occasionally carry it — it
             # would otherwise silently never match, r11 review), then
@@ -1249,7 +1563,7 @@ def filter_by_domain(
             if idna:
                 eh = idna_fold_expr(eh, uts46=(idna == "uts46"))
             keyed = (
-                base_entries.filter(~is_cidr)
+                base_entries.filter(~is_cidr & ~is_cidr6)
                 .select("__fbd_e", eh0.alias("__fbd_eh0"))
                 # '?'/'#' in the host part is the malformed class the
                 # tuple path REJECTS; row-wise we DROP it explicitly —
@@ -1273,7 +1587,13 @@ def filter_by_domain(
             # silently. The count comes from the one plan-time agg
             # above; the limit-1 keyed probe only fires when there are
             # entries but no ranges.
-            if not masklens and lstats["n"] and keyed.isEmpty():
+            if (
+                not masklens
+                and not masklens6
+                and lstats["n"]
+                and keyed.isEmpty()
+            ):
+                base_entries.unpersist()
                 raise ValueError(
                     f"filter_by_domain: every entry in the non-empty"
                     f" {kind} DataFrame was dropped during keying"
@@ -1292,6 +1612,13 @@ def filter_by_domain(
             if masklens:
                 tagged = tagged.withColumn(
                     "__fbd_ip", _ipv4_long_expr(F.col("__fbd_host"))
+                )
+            if masklens6:
+                # one bracket-literal fold per corpus row, only when
+                # the list actually carries IPv6 ranges
+                tagged = tagged.withColumn(
+                    "__fbd_ip6",
+                    _ipv6_literal_struct_expr(F.col("__fbd_host")),
                 )
             cond = (
                 (F.col("__fbd_domain") == F.col("__fbd_key"))
@@ -1329,6 +1656,8 @@ def filter_by_domain(
             )
             cond = None  # pure equi join on __fbd_domain
             cidr_keyed, masklens = None, []
+            cidr6_keyed, masklens6 = None, []
+            base_entries = None
         join_args = (
             {"on": "__fbd_domain"} if cond is None else {"on": cond}
         )
@@ -1353,16 +1682,45 @@ def filter_by_domain(
                 == F.col(net_col)
             )
 
+        def _cidr6_leg(
+            nn: int,
+            hcol: str = "__fbd_net6h",
+            lcol: str = "__fbd_net6l",
+        ):
+            # IPv6 mirror of _cidr_leg: per distinct prefix length the
+            # (hi, lo) masks are CONSTANTS, so the two-conjunct
+            # equality is a two-long hash-join key — still an equi
+            # join, never a range join; NULL __fbd_ip6 (non-bracket
+            # host) behaves exactly like NULL __fbd_ip.
+            mhi, mlo = _v6_masks(nn)
+            nets = cidr6_keyed.filter(F.col("__fbd_ml6") == nn).select(
+                F.col("__fbd_net6h").alias(hcol),
+                F.col("__fbd_net6l").alias(lcol),
+            )
+            return nets, (
+                (
+                    F.col("__fbd_ip6")["hi"].bitwiseAND(F.lit(mhi))
+                    == F.col(hcol)
+                )
+                & (
+                    F.col("__fbd_ip6")["lo"].bitwiseAND(F.lit(mlo))
+                    == F.col(lcol)
+                )
+            )
+
         if has_block:
             kept = tagged.join(keyed, how="left_anti", **join_args)
             for nn in masklens:
                 nets, c = _cidr_leg(nn)
                 kept = kept.join(nets, on=c, how="left_anti")
+            for nn in masklens6:
+                nets, c = _cidr6_leg(nn)
+                kept = kept.join(nets, on=c, how="left_anti")
             if not keep_null_domain:
                 kept = kept.filter(F.col("__fbd_domain").isNotNull())
         else:
             kept = tagged.join(keyed, how="left_semi", **join_args)
-            if masklens:
+            if masklens or masklens6:
                 # single-lineage range admission (r12 third review
                 # pass: the first cut peeled semi/anti pairs off
                 # `rest`, re-deriving the corpus folds once per prefix
@@ -1383,13 +1741,25 @@ def filter_by_domain(
                     rest = rest.join(nets, on=c, how="left")
                     hit = hit | F.col(flag).isNotNull()
                     flags.append(flag)
+                for nn in masklens6:
+                    fh, fl = f"__fbd_net6h_{nn}", f"__fbd_net6l_{nn}"
+                    nets, c = _cidr6_leg(nn, hcol=fh, lcol=fl)
+                    rest = rest.join(nets, on=c, how="left")
+                    hit = hit | F.col(fh).isNotNull()
+                    flags.extend((fh, fl))
                 kept = kept.unionByName(rest.filter(hit).drop(*flags))
             if keep_null_domain:
                 kept = kept.unionByName(
                     tagged.filter(F.col("__fbd_domain").isNull())
                 )
+        if base_entries is not None:
+            # plan built — the eager plan-time actions are done, so
+            # release the cache (ADVICE r12); execution recomputes the
+            # list lineage once, like any other input
+            base_entries.unpersist()
         return kept.drop(
-            "__fbd_domain", "__fbd_host", "__fbd_path", "__fbd_ip"
+            "__fbd_domain", "__fbd_host", "__fbd_path", "__fbd_ip",
+            "__fbd_ip6",
         )
     # tuple path: split entries into registered-domain-level (isin),
     # deeper host/path entries (OR'd row-local predicates), and CIDR
@@ -1397,28 +1767,35 @@ def filter_by_domain(
     plain: set[str] = set()
     hostpath: list[tuple[str, str, str | None]] = []
     cidrs: set[tuple[int, int]] = set()
+    cidrs6: set[tuple[int, int, int]] = set()
     for raw in lst:
         cidr = parse_cidr_entry(raw)
         if cidr is not None:
             cidrs.add(cidr)
+            continue
+        cidr6 = parse_cidr6_entry(raw)
+        if cidr6 is not None:
+            cidrs6.add(cidr6)
             continue
         if _cidr_near_miss(raw):
             import warnings
 
             warnings.warn(
                 f"{kind} entry {raw!r} looks like a CIDR range but"
-                " is not a valid one (mask > 32, a zero-padded mask,"
-                " octet > 255, a leading-zero octet, or an unsupported"
-                " IPv6 range) — treating it as host + path"
+                " is not a valid IPv4 or IPv6 one (mask > 32 v4"
+                " / > 128 v6, a zero-padded mask, octet > 255, a"
+                " leading-zero octet, a zone id, or a port after the"
+                " bracket) — treating it as host + path"
                 " prefix under the round-11 grammar; write"
                 " 'host/digits/' if a literal all-digit path prefix"
                 " is meant",
                 stacklevel=2,
             )
         ehost, epath = parse_blocklist_entry(raw)
-        if epath is not None:
+        if epath is not None and pct:
             # entry prefixes percent-normalize exactly like the row
-            # tails they compare against (r12)
+            # tails they compare against (r12; both sides follow the
+            # pct knob together, ADVICE r12)
             epath = pct_normalize(epath)
         if idna:
             ehost = _idna_fold_host(ehost, uts46=(idna == "uts46"))
@@ -1476,6 +1853,27 @@ def filter_by_domain(
                         )
                         == F.lit(net)
                         for net, ml in sorted(cidrs)
+                    ),
+                    F.lit(False),
+                ),
+            )
+        if cidrs6:
+            # IPv6 mirror (r13): the bracket-literal (hi, lo) pair
+            # binds once; per range both mask compares are constant
+            # folds. Same coalesce NULL discipline as the v4 clause.
+            member = member | _bind(
+                _ipv6_literal_struct_expr(rh),
+                lambda s6: F.coalesce(
+                    _reduce_or(
+                        (
+                            s6["hi"].bitwiseAND(F.lit(_v6_masks(ml)[0]))
+                            == F.lit(net_hi)
+                        )
+                        & (
+                            s6["lo"].bitwiseAND(F.lit(_v6_masks(ml)[1]))
+                            == F.lit(net_lo)
+                        )
+                        for net_hi, net_lo, ml in sorted(cidrs6)
                     ),
                     F.lit(False),
                 ),

@@ -161,6 +161,61 @@ def test_canonicalize_pct_leg(spark):
     assert got[1]["c0"] == got[1]["c1"] == "not a url %2f"
 
 
+def test_gate_canonicalize_pct_divergence_pin(spark):
+    """VERDICT r12 task #8 — the documented fork, pinned so a
+    'helpful' unification of either side trips THIS test instead of
+    silently re-keying existing corpora or changing gate semantics:
+
+    - ``filter_by_domain`` percent-normalizes the path compare BY
+      DEFAULT (``pct=True``, the r12 gate semantics), with
+      ``pct=False`` as the byte-verbatim escape hatch (ADVICE r12);
+    - ``canonicalize_url_expr`` keeps ``pct=False`` as the default so
+      pre-r12 canonical keys stay stable, with ``pct=True`` opt-in.
+    """
+    import inspect
+
+    # the contract is in the signatures, not just behavior
+    gate_sig = inspect.signature(urlops.filter_by_domain)
+    assert gate_sig.parameters["pct"].default is True
+    canon_sig = inspect.signature(urlops.canonicalize_url_expr)
+    assert canon_sig.parameters["pct"].default is False
+
+    # behavior: the %61ds row is gated by /ads/ under the default,
+    # survives under pct=False, on BOTH plan shapes and both entry
+    # spellings
+    df = spark.createDataFrame(
+        [(1, "http://a.com/%61ds/x"), (2, "http://a.com/ads/x")],
+        "i long, url string",
+    )
+    for lst in (
+        ("a.com/ads/",),
+        spark.createDataFrame([("a.com/ads/",)], ["entry"]),
+    ):
+        on = {r["i"] for r in urlops.filter_by_domain(df, blocklist=lst).collect()}
+        off = {
+            r["i"]
+            for r in urlops.filter_by_domain(
+                df, blocklist=lst, pct=False
+            ).collect()
+        }
+        assert on == set(), type(lst).__name__
+        assert off == {1}, type(lst).__name__
+    # ...and an ENCODED entry under pct=False only matches its own
+    # verbatim spelling (the pre-r12 behavior, byte-for-byte)
+    enc = ("a.com/%61ds/",)
+    off2 = {
+        r["i"]
+        for r in urlops.filter_by_domain(df, blocklist=enc, pct=False).collect()
+    }
+    assert off2 == {2}
+    # canonicalize default keys stay pre-r12-stable (the fork's other
+    # side, asserted next to it so the pair reads as one contract)
+    got = df.select(
+        urlops.canonicalize_url_expr(F.col("url")).alias("c")
+    ).collect()
+    assert got[0]["c"] == "http://a.com/%61ds/x"
+
+
 def test_blocklist_pct_plan_stays_udf_free(spark):
     """The pct fold is pure codegen: the no-idna gate plan still has
     ZERO Python evaluation nodes on both plan shapes."""

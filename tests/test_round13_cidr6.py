@@ -1,0 +1,339 @@
+"""Round-13 IPv6 CIDR-range blocklist certification (VERDICT r12
+task #2).
+
+`urlops.parse_cidr6_entry` / `urlops._ipv6_hilo` /
+`urlops._ipv6_struct_expr` and the `filter_by_domain` IPv6 range legs
+are pytest-parity certified, NOT catalog-registered (growth policy,
+catalog.py round-13 note; effective cap 147). Certification shape
+mirrors tests/test_round12_cidr.py: pinned grammar-precedence fixture
+(incl. the VERDICT done-case — a /32 that blocks `[2001:db8::1]` but
+not `[2001:db9::1]`), ipaddress-module referees (enumerated + random),
+tuple == DataFrame plan equivalence in block AND allow mode, the
+equi-join-only plan check, and the near-miss warning contract for
+v6-shaped entries the grammar rejects.
+
+Reference parity note: dbt-model-diff has no URL/IP surface at all —
+this operator family belongs to the LLM-curation extension mandated by
+the build prompt (UT1-style provenance gating at crawl scale).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import warnings
+
+import pytest
+
+from dbt_model_diff_spark.operators import urlops
+
+
+def _ref_hilo(addr: str):
+    """ipaddress-module referee for the signed (hi64, lo64) pair."""
+    v = int(ipaddress.IPv6Address(addr))
+    return (
+        urlops._to_signed64(v >> 64),
+        urlops._to_signed64(v & urlops._U64),
+    )
+
+
+# ---------------------------------------------------------------------------
+# parse_cidr6_entry: grammar precedence pins
+# ---------------------------------------------------------------------------
+
+def test_parse_cidr6_entry_pins():
+    want = _ref_hilo("2001:db8::") + (32,)
+    # both spellings, scheme tolerance, case fold
+    assert urlops.parse_cidr6_entry("[2001:db8::]/32") == want
+    assert urlops.parse_cidr6_entry("2001:db8::/32") == want
+    assert urlops.parse_cidr6_entry("http://[2001:DB8::]/32") == want
+    # mask normalization: however the dump spells the range
+    assert urlops.parse_cidr6_entry("[2001:db8::ff]/32") == want
+    assert urlops.parse_cidr6_entry("2001:db8:0:0:0:0:0:1/32") == want
+    # /0 and /128 bounds; host-exact spells as /128
+    assert urlops.parse_cidr6_entry("[::]/0") == (0, 0, 0)
+    assert urlops.parse_cidr6_entry("[::1]/128") == (0, 1, 128)
+    # embedded strict dotted-quad tail (RFC 4291 §2.2 form 3)
+    assert urlops.parse_cidr6_entry("::ffff:1.2.3.4/128") == _ref_hilo(
+        "::ffff:1.2.3.4"
+    ) + (128,)
+    # near-miss shapes are NOT ranges (they stay host/path entries):
+    assert urlops.parse_cidr6_entry("2001:db8::/129") is None  # mask > 128
+    assert urlops.parse_cidr6_entry("[2001:db8::]/032") is None  # zero-pad
+    assert urlops.parse_cidr6_entry("[2001:db8::]:8080/32") is None  # port
+    assert urlops.parse_cidr6_entry("[fe80::1%eth0]/64") is None  # zone id
+    assert urlops.parse_cidr6_entry("[1:2:3:4:5:6:7:8:9]/32") is None
+    assert urlops.parse_cidr6_entry("[1::2::3]/32") is None
+    assert urlops.parse_cidr6_entry("[12345::]/32") is None  # 5-digit group
+    assert urlops.parse_cidr6_entry("::ffff:256.1.1.1/96") is None
+    assert urlops.parse_cidr6_entry("::ffff:01.2.3.4/96") is None  # octal
+    # '::' must stand for at least one zero group (ipaddress parity)
+    assert urlops.parse_cidr6_entry("1:2:3:4:5:6:7::8/64") is None
+    # non-v6 shapes
+    assert urlops.parse_cidr6_entry("10.0.0.0/16") is None  # v4 grammar
+    assert urlops.parse_cidr6_entry("example.com/16") is None
+    assert urlops.parse_cidr6_entry("[2001:db8::1]") is None  # no mask
+    assert urlops.parse_cidr6_entry("[2001:db8::1]/ads/") is None
+
+
+def test_ipv6_hilo_ipaddress_referee_enumerated():
+    """The hand-rolled strict parser agrees with the stdlib ipaddress
+    module on every accepted form AND every rejection — except zone
+    ids, which ipaddress accepts and this grammar deliberately
+    rejects (an interface-local scope is meaningless in a blocklist),
+    pinned here as the single documented divergence."""
+    cases = [
+        "2001:db8::1", "::", "::1", "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7::",
+        "::8:7:6:5:4:3:2:1", "8:7:6:5:4:3:2:1::", "::ffff:1.2.3.4",
+        "1:2:3:4:5:6:1.2.3.4", "64:ff9b::255.255.255.255", "2001:DB8::A",
+        "0:0:0:0:0:0:0:0", "1::ffff:1.2.3.4",
+        # rejections
+        "1:2:3:4:5:6:7:1.2.3.4", "1:2:3:4:5:6:7:8:9", "1::2::3", ":::a",
+        "a:::b", "12345::", "g::1", "", "1.2.3.4", ":1.2.3.4",
+        "::ffff:256.1.1.1", "::01.2.3.4", "1.2.3.4::", "::1.2.3.4.5",
+        "1:2:3:4:5:6:7", "abcd", ":", "2001:db8::1:",
+    ]
+    for c in cases:
+        try:
+            want = _ref_hilo(c)
+        except Exception:
+            want = None
+        assert urlops._ipv6_hilo(c) == want, c
+    # the pinned zone-id divergence
+    assert urlops._ipv6_hilo("fe80::1%eth0") is None
+    assert ipaddress.IPv6Address("fe80::1%eth0") is not None
+
+
+def test_ipv6_expr_matches_python_twin(spark):
+    """The whole-stage-codegen column parser replays the Python twin
+    byte-for-byte — valid forms, every rejection class, and NULL."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "2001:db8::1", "::", "::1", "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7::",
+        "::ffff:1.2.3.4", "1:2:3:4:5:6:1.2.3.4", "2001:DB8::A",
+        "64:ff9b::255.255.255.255", "8:7:6:5:4:3:2:1::",
+        "1:2:3:4:5:6:7:1.2.3.4", "1::2::3", ":::a", "a:::b", "12345::",
+        "g::1", "", "1.2.3.4", ":1.2.3.4", "::ffff:256.1.1.1",
+        "::01.2.3.4", "fe80::1%eth0", "1:2:3:4:5:6:7:8:9", None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "a string")
+    rows = df.select(
+        "a", urlops._ipv6_struct_expr(F.col("a")).alias("s")
+    ).collect()
+    for r in rows:
+        got = (r["s"]["hi"], r["s"]["lo"]) if r["s"] is not None else None
+        want = urlops._ipv6_hilo(r["a"]) if r["a"] is not None else None
+        assert got == want, r["a"]
+
+
+# ---------------------------------------------------------------------------
+# gate semantics: pinned fixture, both plan shapes, block + allow
+# ---------------------------------------------------------------------------
+
+# mixed list: IPv6 ranges alongside IPv4 ranges and string entries
+_ENTRIES6 = (
+    "[2001:db8::]/32",         # the VERDICT done-case, bracketed
+    "::ffff:0:0/96",           # bare spelling; the v4-mapped block
+    "[fd00::]/8",              # non-nibble-aligned reach via hi64
+    "[::1]/128",               # single-address range
+    "10.0.0.0/16",             # v4 range rides along
+    "bad.example.org",         # string entries ride along
+)
+
+_CASES6 = [
+    ("http://[2001:db8::1]/x", False),          # the done-case block
+    ("http://[2001:db9::1]/x", True),           # the done-case not-case
+    ("http://[2001:db8:ffff::2]/y", False),     # range upper reach
+    ("http://[2001:db8::1]:8080/p", False),     # port folds off the host
+    ("http://[2001:DB8::1]/x", False),          # case folds
+    ("http://[::ffff:1.2.3.4]/q", False),       # v4-mapped, quad spelling
+    ("http://[::ffff:102:304]/q", False),       # same address, hex spelling
+    ("http://[::fffe:102:304]/q", True),        # just outside /96
+    ("http://[fd12:3456::1]/z", False),         # inside fd00::/8
+    ("http://[fe00::1]/z", True),               # just past /8
+    ("http://[::1]/l", False),                  # /128 exact
+    ("http://[::2]/l", True),
+    ("http://10.0.4.3/x", False),               # v4 leg still gates
+    ("http://bad.example.org/a", False),        # string leg still gates
+    ("http://keep.net/", True),
+    ("http://2001:db8::1/x", True),             # unbracketed v6 never
+    #   reaches a host column intact (port-strip truncates) — stays kept
+    ("not a url", True),                        # NULL domain follows keep
+]
+
+
+def _fixture6_df(spark):
+    return spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_CASES6)], "i long, url string"
+    )
+
+
+def test_cidr6_pinned_fixture_block(spark):
+    out = urlops.filter_by_domain(_fixture6_df(spark), blocklist=_ENTRIES6)
+    kept = {r["i"] for r in out.collect()}
+    for i, (u, keep) in enumerate(_CASES6):
+        assert (i in kept) == keep, f"block {u!r}"
+
+
+def test_cidr6_tuple_vs_dataframe_equivalence(spark):
+    df = _fixture6_df(spark)
+    lst = spark.createDataFrame([(e,) for e in _ENTRIES6], ["entry"])
+    for kw in ("blocklist", "allowlist"):
+        for null_keep in (True, False):
+            tup = urlops.filter_by_domain(
+                df, **{kw: _ENTRIES6}, keep_null_domain=null_keep
+            )
+            dfl = urlops.filter_by_domain(
+                df, **{kw: lst}, keep_null_domain=null_keep
+            )
+            a = sorted(r["i"] for r in tup.collect())
+            b = sorted(r["i"] for r in dfl.collect())
+            assert a == b, (kw, null_keep)
+
+
+def test_cidr6_allow_mode_complement(spark):
+    """Allow mode admits exactly the rows block mode drops, and each
+    row appears exactly ONCE even when several ranges cover one
+    address (the flag-join contract extends to the v6 legs)."""
+    entries = ("[2001:db8::]/32", "[2001::]/16", "[::1]/128")
+    df = spark.createDataFrame(
+        [(1, "http://[2001:db8::1]/x"), (2, "http://[3001::1]/y")],
+        "i long, url string",
+    )
+    for lst in (
+        entries,
+        df.sparkSession.createDataFrame([(e,) for e in entries], ["entry"]),
+    ):
+        got = [
+            r["i"]
+            for r in urlops.filter_by_domain(
+                df, allowlist=lst, keep_null_domain=False
+            ).collect()
+        ]
+        assert got == [1], type(lst).__name__  # exactly once, no dupes
+
+
+def test_cidr6_legs_are_equi_joins(spark):
+    """Plan shape: each distinct v6 prefix length is ONE anti join
+    whose key is the two-long `(hi & const, lo & const)` pair — hash-
+    joinable, never a range join or BroadcastNestedLoopJoin; the
+    tuple shape stays row-local (zero joins) and UDF-free."""
+    df = _fixture6_df(spark)
+    lst = spark.createDataFrame([(e,) for e in _ENTRIES6], ["entry"])
+    plan = (
+        urlops.filter_by_domain(df, blocklist=lst)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # 4 distinct v6 masklens (/8 /32 /96 /128) + /16 v4 + string join
+    assert plan.count("Join") >= 6
+    aplan = (
+        urlops.filter_by_domain(df, allowlist=lst)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in aplan
+    assert "CartesianProduct" not in aplan
+    tup_plan = (
+        urlops.filter_by_domain(df, blocklist=_ENTRIES6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in tup_plan
+    assert "ArrowEvalPython" not in tup_plan
+
+
+def test_cidr6_near_miss_warns(spark):
+    """v6-shaped entries the r13 grammar rejects warn on BOTH list
+    shapes instead of silently keying as garbage host + '/nn' path."""
+    df = spark.createDataFrame([("http://[2001:db8::1]/x",)], ["url"])
+    for bad in (
+        "2001:db8::/129",
+        "[2001:db8::]/032",
+        "[2001:db8::]:8080/32",
+        "[fe80::1%eth0]/64",
+        "1::2::3/32",
+    ):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            urlops.filter_by_domain(df, blocklist=(bad,))
+            assert any("CIDR" in str(x.message) for x in w), bad
+    lstbad = spark.createDataFrame(
+        [("2001:db8::/129",), ("keep.org",)], ["entry"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        urlops.filter_by_domain(df, blocklist=lstbad).count()
+        assert any(
+            "CIDR" in str(x.message) and "blocklist" in str(x.message)
+            for x in w
+        )
+    # ...and the rejected entries gate nothing (the row survives)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert (
+            urlops.filter_by_domain(
+                df, blocklist=("2001:db8::/129",)
+            ).count()
+            == 1
+        )
+    # ADVICE r12: a malformed bracket host WITHOUT a colon inside is
+    # NOT IPv6-shaped — no over-warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        urlops.filter_by_domain(df, blocklist=("[weird]/123",))
+        assert not any("CIDR" in str(x.message) for x in w)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except Exception:  # pragma: no cover - hypothesis is baked in
+    _HYP = False
+
+
+if _HYP:
+
+    @given(
+        hi=st.integers(0, (1 << 64) - 1),
+        lo=st.integers(0, (1 << 64) - 1),
+        ml=st.integers(0, 128),
+        probe_hi=st.integers(0, (1 << 64) - 1),
+        probe_lo=st.integers(0, (1 << 64) - 1),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_cidr6_twin_referee_python(hi, lo, ml, probe_hi, probe_lo):
+        """parse_cidr6_entry's value/mask arithmetic agrees with the
+        ipaddress module on membership for arbitrary ranges and probe
+        addresses across the whole 128-bit space."""
+        addr = ipaddress.IPv6Address((hi << 64) | lo)
+        probe = ipaddress.IPv6Address((probe_hi << 64) | probe_lo)
+        entry = f"[{addr}]/{ml}"
+        net_hi, net_lo, got_ml = urlops.parse_cidr6_entry(entry)
+        assert got_ml == ml
+        mhi, mlo = urlops._v6_masks(ml)
+        p_hi, p_lo = _ref_hilo(str(probe))
+        member = (p_hi & mhi, p_lo & mlo) == (net_hi, net_lo)
+        want = probe in ipaddress.IPv6Network(f"{addr}/{ml}", strict=False)
+        assert member == want, (entry, str(probe))
+
+    @given(
+        hi=st.integers(0, (1 << 64) - 1),
+        lo=st.integers(0, (1 << 64) - 1),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_ipv6_hilo_roundtrip_referee(hi, lo):
+        """Every canonical ipaddress rendering (compressed, ::-form,
+        v4-mapped) round-trips through the strict parser to the exact
+        signed pair."""
+        addr = ipaddress.IPv6Address((hi << 64) | lo)
+        want = (urlops._to_signed64(hi), urlops._to_signed64(lo))
+        assert urlops._ipv6_hilo(str(addr)) == want
+        assert urlops._ipv6_hilo(addr.exploded) == want
