@@ -1,0 +1,103 @@
+"""Round-13 PSL refresh-tool certification (VERDICT r12 task #5).
+
+``tools/refresh_psl.py`` validates an arbitrary publicsuffix.org file
+against the parser invariants and the pinned trap fixture before it is
+vendored; this suite runs it against both vendored files (the full
+upstream snapshot must pass every check, the abridged fixture passes
+with the unicode traps skipped) and pins the failure modes — a missing
+``snapshot-version:`` header (the pipeline's ``psl_version`` stamp
+would silently go empty) and unbalanced private-section markers."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+from dbt_model_diff_spark.operators import urlops
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from refresh_psl import validate_psl_file  # noqa: E402
+
+
+def test_full_list_validates_clean():
+    result = validate_psl_file(urlops.PSL_FULL_PATH)
+    assert result["ok"]
+    assert result["version"] == "upstream-20230209.2326"
+    # nothing skipped on the full list — every trap rule is present
+    assert all(status is True for _, status, _ in result["checks"])
+
+
+def test_abridged_snapshot_validates_with_skips():
+    result = validate_psl_file(urlops.PSL_SNAPSHOT_PATH)
+    assert result["ok"]
+    assert result["version"] == "2026-08-15-abridged-1"
+    skipped = [n for n, s, _ in result["checks"] if s is None]
+    # the abridged file has no unicode rules; those traps skip loudly
+    assert skipped == ["trap-unicode-rule", "trap-punycode-twin"]
+    assert not [n for n, s, _ in result["checks"] if s is False]
+
+
+def test_missing_version_header_fails_with_suggestion(tmp_path):
+    f = tmp_path / "psl.dat"
+    f.write_text(
+        "// a future upstream list without our version convention\n"
+        "com\nco.uk\nco.il\n*.ck\n!www.ck\n"
+        "// ===BEGIN PRIVATE DOMAINS===\ngithub.io\n"
+        "// ===END PRIVATE DOMAINS===\n",
+        encoding="utf-8",
+    )
+    result = validate_psl_file(f)
+    assert not result["ok"]
+    assert result["suggested_header"].startswith(
+        "// snapshot-version: upstream-sha256-"
+    )
+    bad = {n for n, s, _ in result["checks"] if s is False}
+    assert bad == {"version-header"}
+    # with the suggested line added, the same file validates
+    f.write_text(
+        result["suggested_header"] + "\n" + f.read_text(encoding="utf-8"),
+        encoding="utf-8",
+    )
+    again = validate_psl_file(f)
+    assert again["ok"]
+    assert again["version"].startswith("upstream-sha256-")
+
+
+def test_unbalanced_private_markers_fail(tmp_path):
+    f = tmp_path / "psl.dat"
+    f.write_text(
+        "// snapshot-version: test-1\n"
+        "com\n// ===BEGIN PRIVATE DOMAINS===\ngithub.io\n",
+        encoding="utf-8",
+    )
+    result = validate_psl_file(f)
+    assert not result["ok"]
+    assert any(
+        n == "private-markers" and s is False
+        for n, s, _ in result["checks"]
+    )
+
+
+def test_cli_exit_codes(tmp_path):
+    repo = Path(__file__).resolve().parent.parent
+    ok = subprocess.run(
+        [sys.executable, "tools/refresh_psl.py"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+    )
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    assert "OK — safe to vendor" in ok.stdout
+    assert "upstream-20230209.2326" in ok.stdout
+    bad = tmp_path / "noversion.dat"
+    bad.write_text("com\nco.uk\n", encoding="utf-8")
+    fail = subprocess.run(
+        [sys.executable, "tools/refresh_psl.py", str(bad)],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+    )
+    assert fail.returncode == 1
+    assert "FAILED" in fail.stdout

@@ -1,0 +1,236 @@
+"""Validate a (newer) publicsuffix.org data file before vendoring it.
+
+VERDICT r12 task #5: ``data/psl_full.dat`` is an honestly-pinned
+upstream snapshot and ``load_psl()`` accepts any newer file, but until
+now a user dropping in a current list had no check that the parser and
+the pinned trap semantics still hold on it. This tool re-runs the
+parse invariants and the trap fixture (co.il, ``*.ck``/``!www.ck``,
+github.io siblings, unicode/punycode twins) against an arbitrary file
+and prints the version header it would stamp through the pipeline's
+``psl_version`` provenance column.
+
+Usage::
+
+    python tools/refresh_psl.py [path/to/public_suffix_list.dat]
+
+Defaults to the vendored full list. Exit code 0 = safe to vendor
+(every applicable check passed and the file carries a
+``snapshot-version:`` header); 1 = something failed, with the exact
+reason (and, for a missing version header, the exact comment line to
+add) printed.
+
+Trap cases whose rules a smaller file doesn't carry are SKIPPED
+loudly, not failed — the abridged fixture snapshot stays validatable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dbt_model_diff_spark.operators import urlops  # noqa: E402
+
+
+def _check_markers(text: str) -> list[tuple[str, bool, str]]:
+    """Section-marker sanity on the raw file: the PRIVATE begin/end
+    markers, when present, appear exactly once each and in order (an
+    unbalanced pair silently swallows or leaks the private tier)."""
+    begin = text.count("===BEGIN PRIVATE DOMAINS===")
+    end = text.count("===END PRIVATE DOMAINS===")
+    out = []
+    if begin == 0 and end == 0:
+        out.append(
+            ("private-markers", True, "no private section (allowed)")
+        )
+        return out
+    ok = begin == 1 and end == 1
+    out.append(
+        ("private-markers", ok, f"begin={begin} end={end} (want 1/1)")
+    )
+    if ok:
+        out.append(
+            (
+                "private-marker-order",
+                text.index("===BEGIN PRIVATE DOMAINS===")
+                < text.index("===END PRIVATE DOMAINS==="),
+                "BEGIN before END",
+            )
+        )
+    return out
+
+
+def _check_rule_shapes(rules: "urlops.PslRules") -> list[tuple[str, bool, str]]:
+    """Parsed-rule invariants: lowercase, whitespace-free, non-empty
+    bodies, no nested wildcard/exception markers surviving the strip,
+    and the punycode twin of every non-ASCII rule present in the same
+    tier (the load_psl contract raw unicode hosts depend on)."""
+    out = []
+    for tier_name, tier in (
+        ("normal", rules.normal),
+        ("wildcard", rules.wildcard),
+        ("exception", rules.exception),
+    ):
+        bad = [
+            r
+            for r in tier
+            if not r
+            or r != r.lower()
+            or any(c.isspace() for c in r)
+            or r.startswith(("*.", "!"))
+            or r.startswith(".")
+            or r.endswith(".")
+        ]
+        out.append(
+            (
+                f"rule-shapes-{tier_name}",
+                not bad,
+                "clean" if not bad else f"bad rules: {sorted(bad)[:5]}",
+            )
+        )
+        missing_twin = [
+            r
+            for r in tier
+            if not r.isascii() and urlops._rule_ascii(r) not in tier
+        ]
+        out.append(
+            (
+                f"idn-twins-{tier_name}",
+                not missing_twin,
+                "every unicode rule has its punycode fold"
+                if not missing_twin
+                else f"missing folds for: {sorted(missing_twin)[:5]}",
+            )
+        )
+    out.append(
+        (
+            "tiers-nonempty",
+            bool(rules.normal) and bool(rules.wildcard)
+            and bool(rules.exception),
+            f"normal={len(rules.normal)} wildcard={len(rules.wildcard)}"
+            f" exception={len(rules.exception)}",
+        )
+    )
+    return out
+
+
+# (name, host, expected registered domain, rules the case needs,
+#  include_private) — the pinned trap semantics from
+# tests/test_round10_psl.py, re-run via the driver twin so no Spark
+# session is needed. A case whose needed rules the file lacks SKIPs.
+_TRAP_CASES = [
+    ("co.il-second-level", "www.example.co.il", "example.co.il",
+     [("normal", "co.il")], True),
+    ("wildcard-ck-suffix", "foo.ck", None, [("wildcard", "ck")], True),
+    ("wildcard-ck-domain", "bar.foo.ck", "bar.foo.ck",
+     [("wildcard", "ck")], True),
+    ("exception-www-ck", "a.www.ck", "www.ck",
+     [("wildcard", "ck"), ("exception", "www.ck")], True),
+    ("github-io-sibling", "a.b.user.github.io", "user.github.io",
+     [("normal", "github.io")], True),
+    ("github-io-is-suffix", "github.io", None,
+     [("normal", "github.io")], True),
+    ("unicode-rule", "example.中国", "example.中国",
+     [("normal", "中国")], True),
+    ("punycode-twin", "example.xn--fiqs8s", "example.xn--fiqs8s",
+     [("normal", "中国")], True),
+]
+
+
+def _check_traps(path: Path) -> list[tuple[str, bool | None, str]]:
+    rules_priv = urlops.load_psl(path, include_private=True)
+    rules_icann = urlops.load_psl(path, include_private=False)
+    tiers = {
+        "normal": rules_priv.normal,
+        "wildcard": rules_priv.wildcard,
+        "exception": rules_priv.exception,
+    }
+    out: list[tuple[str, bool | None, str]] = []
+    for name, host, want, needs, _priv in _TRAP_CASES:
+        missing = [r for t, r in needs if r not in tiers[t]]
+        if missing:
+            out.append((f"trap-{name}", None, f"SKIP (no rule {missing})"))
+            continue
+        got = urlops.registered_domain_of_host(host, psl=rules_priv)
+        out.append(
+            (
+                f"trap-{name}",
+                got == want,
+                f"{host!r} -> {got!r} (want {want!r})",
+            )
+        )
+    # private gating: with a private github.io rule, the ICANN-only
+    # load must key the sibling differently
+    if "github.io" in tiers["normal"]:
+        on = urlops.registered_domain_of_host(
+            "user.github.io", psl=rules_priv
+        )
+        off = urlops.registered_domain_of_host(
+            "user.github.io", psl=rules_icann
+        )
+        out.append(
+            (
+                "trap-private-gating",
+                on == "user.github.io" and off == "github.io",
+                f"private={on!r} icann={off!r}",
+            )
+        )
+    return out
+
+
+def validate_psl_file(path: str | Path) -> dict:
+    """Run every check; return ``{"ok", "version", "checks",
+    "suggested_header"}``. ``checks`` rows are (name, status, detail)
+    with status True/False/None(=skipped)."""
+    p = Path(path)
+    text = p.read_text(encoding="utf-8")
+    checks: list[tuple[str, bool | None, str]] = []
+    checks.extend(_check_markers(text))
+    rules = urlops.load_psl(p, include_private=True)
+    checks.extend(_check_rule_shapes(rules))
+    checks.extend(_check_traps(p))
+    suggested = None
+    if rules.version:
+        checks.append(
+            ("version-header", True, f"would stamp {rules.version!r}")
+        )
+    else:
+        digest = hashlib.sha256(text.encode("utf-8")).hexdigest()[:12]
+        suggested = f"// snapshot-version: upstream-sha256-{digest}"
+        checks.append(
+            (
+                "version-header",
+                False,
+                "no 'snapshot-version:' comment — the pipeline's"
+                " psl_version provenance stamp would be EMPTY; add"
+                f" this line near the top: {suggested!r}"
+                " (replace the hash with the upstream release date"
+                " if known)",
+            )
+        )
+    ok = all(status is not False for _, status, _ in checks)
+    return {
+        "ok": ok,
+        "version": rules.version,
+        "checks": checks,
+        "suggested_header": suggested,
+    }
+
+
+def main(argv: list[str]) -> int:
+    path = Path(argv[1]) if len(argv) > 1 else urlops.PSL_FULL_PATH
+    print(f"validating PSL file: {path}")
+    result = validate_psl_file(path)
+    for name, status, detail in result["checks"]:
+        tag = "PASS" if status else ("SKIP" if status is None else "FAIL")
+        print(f"  [{tag}] {name}: {detail}")
+    if result["version"]:
+        print(f"version header to stamp: {result['version']}")
+    print("OK — safe to vendor" if result["ok"] else "FAILED")
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
