@@ -954,15 +954,28 @@ def _ipv6_struct_expr(addr: Column) -> Column:
     """``struct<hi:long, lo:long>`` of a strict IPv6-literal text
     column (no brackets), NULL for everything else — the column twin
     of :func:`_ipv6_hilo`, same shared regex bodies, same v4-tail
-    transform, same '::' split arithmetic, evaluated entirely in
-    whole-stage codegen (split/regexp/conv — zero UDFs). The 128-bit
-    value lands as two signed longs via ``conv(hex, 16, -10)``
-    (Spark's signed-base conv IS the two's-complement fold
-    :func:`_to_signed64` applies driver-side). Every sub-expression
-    is total on garbage input (conv/array ops return NULL, never
-    throw), so ANSI-mode subexpression elimination outside the
-    CaseWhen guards is safe — the r12 try_cast lesson, applied at
-    design time."""
+    transform, same '::' split arithmetic. The 128-bit value lands as
+    two signed longs via ``conv(hex, 16, -10)`` (Spark's signed-base
+    conv IS the two's-complement fold :func:`_to_signed64` applies
+    driver-side).
+
+    Construction note (r13 §9 decomposition): the ``transform``/
+    ``aggregate``/``_bind`` nodes here are higher-order functions —
+    CodegenFallback, so the parse tree evaluates interpreted at
+    ~4 µs per LITERAL row. That is the deliberate trade: an unrolled
+    HOF-free variant was measured and REJECTED — without lambda-bound
+    sharing every shared term (h2, the split arrays, the counts)
+    duplicates statically into each of the eight group slots, the
+    analyzed tree explodes to ~10^4 nodes, and Catalyst ANALYSIS of
+    every gate plan slows from sub-second to tens of seconds (the
+    full cidr6 suite went 50 s -> 480 s). The HOF tree stays ~10^2
+    nodes, plans instantly, and only actual bracket-literal rows pay
+    the interpreted evaluation (the caller gates on
+    ``startswith('[')``); at a real crawl's <<1% literal share the
+    cost vanishes into the scan. Every sub-expression is total on
+    garbage input (conv/array ops return NULL, never throw), so
+    ANSI-mode subexpression elimination outside the CaseWhen guards
+    is safe — the r12 try_cast lesson, applied at design time."""
 
     empty_arr = F.array().cast("array<string>")
     side_re = f"^{_IPV6_SIDE_BODY}\\z"
@@ -1038,9 +1051,22 @@ def _ipv6_literal_struct_expr(host: Column) -> Column:
     every non-bracket host. Unbracketed IPv6 text never reaches a
     host column intact (the port-strip regex would truncate it), so
     rows are bracket-only by design; ENTRIES accept both spellings
-    via :func:`parse_cidr6_entry`."""
-    return _ipv6_struct_expr(
-        F.regexp_extract(host, "^\\[([^\\]]*)\\]\\z", 1)
+    via :func:`parse_cidr6_entry`.
+
+    The parse chain sits inside a lazy CaseWhen branch behind a cheap
+    ``startswith('[')`` probe: non-bracket rows (the overwhelming
+    majority of any real crawl) skip the whole interpreted chain
+    instead of running it on empty strings. §9 r13 decomposition: the
+    cost is ~4 µs per LITERAL row (the HOF tree evaluates interpreted
+    — see _ipv6_struct_expr's construction note for why that beats
+    the HOF-free alternative), so a 20%-literal synthetic corpus pays
+    ~4 s per 5M rows while a real crawl's <<1% share vanishes into
+    the scan."""
+    return F.when(
+        host.startswith("["),
+        _ipv6_struct_expr(
+            F.regexp_extract(host, "^\\[([^\\]]*)\\]\\z", 1)
+        ),
     )
 
 

@@ -1,0 +1,236 @@
+"""Round-13 probes (SURVEY §9):
+
+A. `adjudicate` — VERDICT r12 task #3: the two loaded-box watch items
+   (`orc_roundtrip_orders` best 0.52->0.72 / med 0.55->0.86,
+   `diff_profile_orders` 0.98->1.25 / 1.09->1.26 in a driver record
+   stamped loadavg 6.2-6.51, on code untouched since r9). Bracketed
+   6-sample idle runs per the §9 rule: median-of-3 pure-codegen
+   calibration before and after (the bench.py bracket), best + median
+   per query, loadavg at both brackets. Run on an IDLE box after the
+   5-minute cool-down.
+
+B. `cidr6` — the r13 IPv6 peel legs at dump scale: the r12 probe's
+   5M-doc corpus reshaped so 20% of hosts are bracketed IPv6
+   literals, gated by a 100k-entry string DataFrame list WITH vs
+   WITHOUT 5k extra v6 range entries over 4 distinct prefix lengths
+   (each length = one extra two-long broadcast-equi anti join; the
+   kept-count delta between the legs is asserted equal to a
+   pure-Python coverage replay — the r11 unreachable-entry lesson),
+   plus the tuple path with a handful of ranges (row-local, zero
+   joins). Decides whether the v6 peel shape holds at 100 TB: the
+   corpus is never shuffled, each peel probes a tiny mask-normalized
+   (hi, lo) net list.
+
+Usage:
+    python tools/probe_r13.py [adjudicate|cidr6 ...]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+from statistics import median
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbt_model_diff_spark.session import get_spark  # noqa: E402
+
+_N_DOCS = 5_000_000
+_N_DOMAINS = 100_000
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+# ---------------------------------------------------------------------------
+# A. watch-item adjudication
+# ---------------------------------------------------------------------------
+
+def adjudicate() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(
+        app_name="probe-r13-adjudicate",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    def calibration() -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(200_000_000)
+                .select(((F.col("id") * 2654435761) % 8192).alias("k"))
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            samples.append(time.perf_counter() - t0)
+        return statistics.median(samples)
+
+    load_pre = os.getloadavg()[0]
+    cal_pre = calibration()
+    out = {}
+    for name in ("orc_roundtrip_orders", "diff_profile_orders"):
+        fn = QUERIES[name]
+        samples = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            _noop(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        out[name] = {
+            "best": round(min(samples), 3),
+            "med": round(statistics.median(samples), 3),
+            "samples": [round(s, 3) for s in samples],
+        }
+    cal_post = calibration()
+    load_post = os.getloadavg()[0]
+    print(
+        {
+            "probe": "adjudicate",
+            "cal_pre": round(cal_pre, 3),
+            "cal_post": round(cal_post, 3),
+            "load": [round(load_pre, 2), round(load_post, 2)],
+            "queries": out,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. IPv6 peel legs at dump scale
+# ---------------------------------------------------------------------------
+
+def _corpus6(spark):
+    """5M synthetic doc URLs: ids ≡ 0 (mod 5) carry bracketed IPv6
+    literal hosts `[2001:db8:H::Y]` with H = id%256 (hex), the rest
+    carry the r11/r12 probe's domain hosts."""
+    i = F.col("id")
+    h_hex = F.lower(F.conv((i % 256).cast("string"), 10, 16))
+    y_hex = F.lower(F.conv((i % 9973).cast("string"), 10, 16))
+    v6_host = F.concat(
+        F.lit("[2001:db8:"), h_hex, F.lit("::"), y_hex, F.lit("]")
+    )
+    dom_host = F.concat(
+        F.when(i % 11 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("dom"),
+        (i % _N_DOMAINS).cast("string"),
+        F.lit(".example"),
+    )
+    host = F.when(i % 5 == 0, v6_host).otherwise(dom_host)
+    return spark.range(_N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("http://"), host, F.lit("/p/"), i % 97).alias(
+            "url"
+        ),
+    )
+
+
+def _expected_v6_blocked(h48: set[int], h96: set[int]) -> int:
+    """Pure-Python replay of the range coverage over the id
+    arithmetic: ids ≡ 0 (mod 5) whose id%256 lands in a blocked /48
+    or /96 H-slot. Counted exactly per 256·5 = 1280-id period."""
+    blocked_h = h48 | h96
+    period = 1280  # lcm(5, 256)
+    per_period = sum(
+        1
+        for r in range(0, period, 5)
+        if (r % 256) in blocked_h
+    )
+    full, rem = divmod(_N_DOCS, period)
+    tail = sum(
+        1
+        for r in range(0, rem, 5)
+        if (r % 256) in blocked_h
+    )
+    return full * per_period + tail
+
+
+def cidr6() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(
+        app_name="probe-r13-cidr6",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    from dbt_model_diff_spark.operators import urlops
+
+    docs = _corpus6(spark)
+
+    # 100k string entries (every 7th domain), the r11/r12 probe shape
+    strings = spark.range(0, _N_DOMAINS, 7).select(
+        F.concat(F.lit("dom"), F.col("id"), F.lit(".example")).alias(
+            "entry"
+        )
+    )
+    # 5k v6 ranges over 4 distinct prefix lengths: 64 /48 slots and 32
+    # DISJOINT /96 slots actually cover rows; a /32 on a sibling
+    # second group and 4,904 /128 exacts on out-of-corpus addresses
+    # pad the list to dump scale without changing coverage.
+    h48 = set(range(0, 64))
+    h96 = set(range(128, 160))
+    ranges = (
+        [f"[2001:db8:{h:x}::]/48" for h in sorted(h48)]
+        + [f"[2001:db8:{h:x}::]/96" for h in sorted(h96)]
+        + ["[2001:db7::]/32"]
+        + [f"[2001:db6::{k:x}]/128" for k in range(4903)]
+    )
+    ranges_df = spark.createDataFrame(
+        [(e,) for e in ranges], ["entry"]
+    )
+    both = strings.unionByName(ranges_df)
+
+    t0 = time.perf_counter()
+    base_kept = urlops.filter_by_domain(docs, blocklist=strings).count()
+    t_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with_kept = urlops.filter_by_domain(docs, blocklist=both).count()
+    t_with = time.perf_counter() - t0
+
+    # referee: the extra drop must be EXACTLY the replayed coverage of
+    # the /48 + /96 slots (the /32 and /128 pads cover nothing)
+    want_delta = _expected_v6_blocked(h48, h96)
+    got_delta = base_kept - with_kept
+    assert got_delta == want_delta, (got_delta, want_delta)
+
+    # tuple path: a handful of ranges, row-local (zero joins)
+    few = (
+        "[2001:db8:0::]/48",
+        "[2001:db8:80::]/96",
+        "2001:db7::/32",
+    )
+    t0 = time.perf_counter()
+    tup_kept = urlops.filter_by_domain(docs, blocklist=few).count()
+    t_tup = time.perf_counter() - t0
+    want_tup = _N_DOCS - _expected_v6_blocked({0}, {0x80})
+    assert tup_kept == want_tup, (tup_kept, want_tup)
+
+    print(
+        {
+            "probe": "cidr6",
+            "docs": _N_DOCS,
+            "string_entries": _N_DOMAINS // 7 + 1,
+            "range_entries": len(ranges),
+            "t_strings_only": round(t_base, 2),
+            "t_with_ranges": round(t_with, 2),
+            "extra_cost_sec": round(t_with - t_base, 2),
+            "rows_blocked_by_ranges": got_delta,
+            "t_tuple_3_ranges": round(t_tup, 2),
+            "load": round(os.getloadavg()[0], 2),
+        }
+    )
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["adjudicate", "cidr6"]
+    for w in which:
+        {"adjudicate": adjudicate, "cidr6": cidr6}[w]()
