@@ -95,10 +95,13 @@ class CurationConfig:
     # UT1/RefinedWeb-style blocklist (urlops.filter_by_domain): docs
     # matching a listed entry are dropped as the VERY FIRST stage —
     # the cheapest gate runs before any text work. Entries take the
-    # full UT1 grammar as of r11: a registered domain blocks every
+    # full UT1 grammar as of r13: a registered domain blocks every
     # host under it, a deeper host ('bad.example.com') blocks that
-    # host + its subdomains only, and 'host/path-prefix' additionally
-    # requires the raw path prefix. A small hand-curated tuple
+    # host + its subdomains only, 'host/path-prefix' additionally
+    # requires the percent-normalized path prefix, and IPv4/IPv6 CIDR
+    # ranges ('10.0.0.0/16', '[2001:db8::]/32' or bare
+    # '2001:db8::/32') block literal-host URLs inside the range via
+    # broadcast-equi peels. A small hand-curated tuple
     # compiles to row-local predicates; a full ~4M-entry UT1 dump
     # goes in as a DataFrame with an `entry` column (full grammar;
     # AQE-broadcast anti join, measured envelope in the

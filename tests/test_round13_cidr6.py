@@ -290,6 +290,40 @@ def test_cidr6_near_miss_warns(spark):
         assert not any("CIDR" in str(x.message) for x in w)
 
 
+def test_curation_config_ipv6_range_gate(spark):
+    """CurationConfig.blocked_domains takes IPv6 ranges unchanged —
+    the pipeline threads the r13 grammar straight through to
+    filter_by_domain, the gate still runs first with its own report
+    row, and string entries ride along."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (i, "the quick brown fox with several words here token "
+            f"t{i}",
+         [
+             "http://[2001:db8::1]/a",    # inside the /32 — gated
+             "http://[2001:db9::1]/b",    # outside — kept
+             "http://spam.net/c",         # string entry — gated
+             "http://keep.org/d",         # kept
+         ][i % 4])
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CurationConfig(
+        dedup="none", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None, url_col="url",
+        blocked_domains=("[2001:db8::]/32", "spam.net"),
+    )
+    kept, report = curate_corpus(docs, cfg)
+    kept_urls = {r["url"] for r in kept.select("url").collect()}
+    assert kept_urls == {
+        "http://[2001:db9::1]/b",
+        "http://keep.org/d",
+    }
+    assert [r["stage"] for r in report][:2] == ["input", "domain_gate"]
+    assert next(r for r in report if r["stage"] == "domain_gate")["docs"] == 10
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
