@@ -1933,7 +1933,16 @@ def domain_stats(
     ``idna`` folds unicode hosts to punycode first ("uts46" for the
     UTS #46 leg) — same knobs as the gate and the cap, so the three
     domain-keyed stages always group identically (r11 API symmetry;
-    the pipeline already threads url_idna into all of them)."""
+    the pipeline already threads url_idna into all of them).
+
+    Known limitation (r13, documented not built): IP-literal hosts
+    key TEXTUALLY here — fine for IPv4 (one canonical spelling
+    survives the strict grammar), but two spellings of one IPv6
+    address (``[2001:db8::1]`` vs ``[2001:0db8::1]``) group as two
+    keys. The r13 GATE is immune (its range compare is numeric and
+    mask-normalized); only stats/cap grouping is affected, and only
+    for the vanishing v6-literal share of a real crawl. Canonicalize
+    upstream if a corpus actually carries mixed v6 spellings."""
     d = registered_domain_expr(
         F.col(url_col), psl=psl, idna=idna
     ).alias("domain")
