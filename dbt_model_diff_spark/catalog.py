@@ -5452,9 +5452,18 @@ _PII_DECORATE_SQL = """
             ELSE '' END
     || CASE WHEN doc_id % 7 = 0
             THEN ' call +1 555-01' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' node 2001:db8::' || CAST(doc_id % 97 AS VARCHAR)
             ELSE '' END AS text
   FROM documents
 """
+
+# the r13 IPv6 scrub pattern, shared verbatim with the Spark side
+# (pii.IPV6_TEXT_RE) so the oracle replays the same branch set in RE2
+from dbt_model_diff_spark.operators.pii import (  # noqa: E402
+    IPV6_TEXT_RE as _PII_IPV6_RE,
+)
 
 
 @register(
@@ -5465,8 +5474,10 @@ scrub AS (
   SELECT doc_id,
          regexp_replace(
            regexp_replace(
-             regexp_replace(text,
-               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+', '<EMAIL>', 'g'),
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+', '<EMAIL>', 'g'),
+               '{_PII_IPV6_RE}', '<IP>', 'g'),
              '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g'),
            '\\+?[0-9][0-9 -]{{6,}}[0-9]', '<PHONE>', 'g') AS scrubbed
   FROM deco
@@ -5485,10 +5496,12 @@ FROM scrub
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (`operators/pii.py::pii_scrub`). The synthetic
     corpus carries no real PII, so the query deterministically decorates
-    documents with emails / IPv4s / phone numbers derived from doc_id
-    (identically in both engines), then scrubs them — the full
-    regex-replace path and placeholder-count arithmetic are what's
-    under test. Shuffle-free codegen map over the scan."""
+    documents with emails / IPv4s / phone numbers / IPv6 addresses
+    (r13) derived from doc_id (identically in both engines), then
+    scrubs them — the full regex-replace path and placeholder-count
+    arithmetic are what's under test; the oracle replays the shared
+    IPV6_TEXT_RE verbatim in RE2. Shuffle-free codegen map over the
+    scan."""
     from dbt_model_diff_spark.operators.pii import pii_scrub
 
     d = F.col("doc_id")
@@ -5505,6 +5518,10 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             d % 7 == 0,
             F.concat(F.lit(" call +1 555-01"), (d % 100).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit(" node 2001:db8::"), (d % 97).cast("string")),
         ).otherwise(F.lit("")),
     )
     docs = read_table(spark, sf_dir, "documents").select(

@@ -18,13 +18,50 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# IPv6 in running text (r13 — the v4-only scrub leaked every IPv6
+# address). Recall-oriented branch set, lookahead-free so Java and
+# RE2 agree (both are leftmost-position, first-alternative, greedy on
+# these shapes): full 8-group forms, one-'::' compressed forms, and
+# leading-'::' forms, each with an embedded dotted-quad-tail variant
+# ordered BEFORE its hex-tail twin so '::ffff:1.2.3.4' scrubs as ONE
+# token (first-match would otherwise stop at '::ffff:1'). Deliberate
+# recall choices, pinned in tests: bare trailing-'::' prefixes
+# ('fe80::' — a prefix, not a leakable host; also the C++/Perl
+# 'db::open' false-positive class) and bare '::' do NOT scrub; an
+# all-hex-letters identifier pair ('ab::cd') DOES — the standard
+# scrubber false-positive envelope, placeholder damage over leak.
+_PII_H6 = "[0-9a-fA-F]{1,4}"
+_PII_Q4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+IPV6_TEXT_RE = "|".join(
+    [
+        f"({_PII_H6}:){{6}}{_PII_Q4}",
+        f"({_PII_H6}:){{7}}{_PII_H6}",
+        f"({_PII_H6}:){{1,6}}(:{_PII_H6}){{0,5}}:{_PII_Q4}",
+        f"({_PII_H6}:){{1,6}}(:{_PII_H6}){{1,6}}",
+        f"::({_PII_H6}:){{0,6}}{_PII_Q4}",
+        f"::{_PII_H6}(:{_PII_H6}){{0,6}}",
+    ]
+)
+
 # Pattern -> placeholder, applied in order. Order matters: emails are
 # scrubbed before digit runs so the local part of user123@... is not
-# half-eaten by the phone pattern.
+# half-eaten by the phone pattern, and IPv6 runs before IPv4 so an
+# embedded quad tail ('::ffff:1.2.3.4') scrubs as one <IP> instead of
+# a v6 fragment plus a v4 remnant.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+", "<EMAIL>"),
+    (IPV6_TEXT_RE, "<IP>"),
     (r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", "<IP>"),
     (r"\+?[0-9][0-9 -]{6,}[0-9]", "<PHONE>"),
+]
+
+# unique placeholder -> count column (v4 and v6 share <IP>, so n_ips
+# counts both and the output schema is unchanged from the pre-r13
+# contract)
+PII_MARKERS: list[tuple[str, str]] = [
+    ("<EMAIL>", "n_emails"),
+    ("<IP>", "n_ips"),
+    ("<PHONE>", "n_phones"),
 ]
 
 
@@ -36,10 +73,18 @@ def _count_marker(text: Column, marker: str) -> Column:
 
 
 def scrub_expr(text: Column) -> Column:
-    """The composed redaction expression (email -> IP -> phone)."""
+    """The composed redaction expression (email -> IPv6 -> IPv4 ->
+    phone). The IPv6 pass hides behind a ``contains(':')`` gate —
+    every v6 text form carries a colon, so colon-free docs skip the
+    six-branch alternation scan entirely (semantics identical, which
+    is why the DuckDB oracle replays the regex unconditionally; §9
+    r13 priced the ungated pass at ~2x the headliner)."""
     out = text
     for pattern, placeholder in PII_PATTERNS:
-        out = F.regexp_replace(out, pattern, placeholder)
+        rep = F.regexp_replace(out, pattern, placeholder)
+        if pattern is IPV6_TEXT_RE:
+            rep = F.when(out.contains(":"), rep).otherwise(out)
+        out = rep
     return out
 
 
@@ -48,14 +93,14 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns (doc_id, scrubbed, n_emails, n_ips, n_phones, pii_total).
     Counts come from placeholder occurrences in the scrubbed text via
-    replace-length arithmetic (engine-portable, no regex count dialects).
+    replace-length arithmetic (engine-portable, no regex count
+    dialects); ``n_ips`` covers IPv4 and IPv6 together (one ``<IP>``
+    placeholder, r13).
     """
     scrubbed = scrub_expr(F.col(text_col))
     counts = [
         _count_marker(scrubbed, marker).alias(name)
-        for (_, marker), name in zip(
-            PII_PATTERNS, ["n_emails", "n_ips", "n_phones"]
-        )
+        for marker, name in PII_MARKERS
     ]
     return df.select("doc_id", scrubbed.alias("scrubbed"), *counts).withColumn(
         "pii_total", F.col("n_emails") + F.col("n_ips") + F.col("n_phones")

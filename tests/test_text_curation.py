@@ -137,6 +137,61 @@ def test_pii_scrub_kinds_and_counts(spark):
     assert out[4]["pii_total"] == 0
 
 
+def test_pii_scrub_ipv6(spark):
+    """r13: the v4-only scrub leaked every IPv6 address. Pinned
+    envelope — every RFC 4291 text form scrubs as ONE <IP> (v6 runs
+    before v4 so embedded quad tails don't leave remnants), counts
+    fold into n_ips, and the deliberate recall choices hold: bare
+    '::', trailing-'::' prefixes, times, MACs, and non-hex '::'
+    identifiers stay; an all-hex-letter pair is the accepted
+    false-positive class."""
+    df = spark.createDataFrame(
+        [
+            (1, "node 2001:db8:85a3::8a2e:370:7334 up"),
+            (2, "ping ::1 and full 1:2:3:4:5:6:7:8 now"),
+            (3, "mapped ::ffff:192.168.0.1 and 64:ff9b::1.2.3.4 ok"),
+            (4, "v4 10.0.0.2 plus v6 fe80::1 both"),
+            (5, "time 12:30:45 mac 00:1f:2b:aa:bb:cc std::vector db::open"),
+            (6, "prefix fe80:: and bare :: stay"),
+            (7, "ab::cd is the accepted false-positive class"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii.pii_scrub(df).collect()}
+    assert out[1]["scrubbed"] == "node <IP> up"
+    assert out[1]["n_ips"] == 1
+    assert out[2]["scrubbed"] == "ping <IP> and full <IP> now"
+    assert out[2]["n_ips"] == 2
+    assert out[3]["scrubbed"] == "mapped <IP> and <IP> ok"
+    assert out[3]["n_ips"] == 2
+    assert out[4]["scrubbed"] == "v4 <IP> plus v6 <IP> both"
+    assert out[4]["n_ips"] == 2
+    assert out[5]["scrubbed"] == (
+        "time 12:30:45 mac 00:1f:2b:aa:bb:cc std::vector db::open"
+    )
+    assert out[5]["pii_total"] == 0
+    assert out[6]["scrubbed"] == "prefix fe80:: and bare :: stay"
+    assert out[7]["scrubbed"] == "<IP> is the accepted false-positive class"
+    # DuckDB replays the shared pattern identically (RE2 leg of the
+    # PII_PATTERNS portability rule)
+    import duckdb
+
+    con = duckdb.connect()
+    for doc_id, text in [
+        (1, "node 2001:db8:85a3::8a2e:370:7334 up"),
+        (3, "mapped ::ffff:192.168.0.1 and 64:ff9b::1.2.3.4 ok"),
+        (5, "time 12:30:45 mac 00:1f:2b:aa:bb:cc std::vector db::open"),
+        (7, "ab::cd is the accepted false-positive class"),
+    ]:
+        got = con.execute(
+            "SELECT regexp_replace(?, ?, '<IP>', 'g')",
+            [text, pii.IPV6_TEXT_RE],
+        ).fetchone()[0]
+        # these rows' only quads sit INSIDE v6 matches (embedded
+        # tails), so the v6-only replay equals Spark's full chain
+        assert got == out[doc_id]["scrubbed"], text
+
+
 def test_pii_scrub_email_before_phone(spark):
     # digits inside an email local part must not be half-eaten by the
     # phone pattern (order of PII_PATTERNS)
