@@ -107,6 +107,80 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Secret / credential redaction (r13): leaked credentials are the
+# training-data hygiene class NEXT to PII — a model that memorizes an
+# AWS key is a live incident. VENDOR-PREFIXED formats only, by design:
+# every pattern here is anchored to a fixed vendor prefix (AKIA/ghp_/
+# xoxb/AIza/sk_live_/eyJ/-----BEGIN) with a pinned body alphabet, so
+# the false-positive envelope is effectively empty. Generic
+# high-entropy/hex detectors are a deliberate NON-GOAL: a 32-64 hex
+# run in a code corpus is usually a git commit or content hash —
+# PUBLIC data a recall-oriented pattern would corrupt corpus-wide.
+# Patterns are lookahead-free and alternation-light (the PII_PATTERNS
+# portability rule), so a DuckDB/RE2 twin replays them verbatim.
+# Order matters: the private-key BLOCK (lazy body up to the matching
+# footer) scrubs before the bare HEADER fallback (truncated docs), and
+# JWT runs last so a vendor token inside a JWT segment is impossible
+# to double-count (segments are base64url, '<' never appears).
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    (
+        # lazy UNBOUNDED body, not {0,8192}?: RE2 compiles bounded
+        # repeats by expansion and silently fails to match past its
+        # size limit (~1000) — the Spark side would then scrub the
+        # block while the twin scrubbed only the header (live repro,
+        # r13). '*?' still stops at the FIRST footer in both engines.
+        r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY( BLOCK)?-----"
+        r"[\s\S]*?"
+        r"-----END [A-Z ]{0,24}PRIVATE KEY( BLOCK)?-----",
+        "<PRIVKEY>",
+    ),
+    (r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY( BLOCK)?-----", "<PRIVKEY>"),
+    (r"(AKIA|ASIA)[0-9A-Z]{16}", "<AWSKEY>"),
+    (r"gh[pousr]_[A-Za-z0-9]{36}", "<GHTOKEN>"),
+    (r"github_pat_[A-Za-z0-9_]{22,255}", "<GHTOKEN>"),
+    (r"xox[baprs]-[0-9A-Za-z-]{10,48}", "<SLACKTOKEN>"),
+    (r"AIza[0-9A-Za-z_-]{35}", "<GCPKEY>"),
+    (r"sk_live_[0-9a-zA-Z]{24,99}", "<STRIPEKEY>"),
+    (
+        r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{4,}",
+        "<JWT>",
+    ),
+]
+
+SECRET_MARKERS: list[str] = list(
+    dict.fromkeys(m for _, m in SECRET_PATTERNS)
+)
+
+
+def scrub_secrets_expr(text: Column) -> Column:
+    """The composed credential-redaction expression — same shape as
+    :func:`scrub_expr`: chained ``regexp_replace``, shuffle-free
+    whole-stage codegen over the scan."""
+    out = text
+    for pattern, placeholder in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def scrub_secrets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact vendor-keyed credentials in ``text_col``.
+
+    Returns (doc_id, scrubbed, n_secrets) — n_secrets totals the
+    distinct-marker occurrences via the same replace-length
+    arithmetic as :func:`pii_scrub` (engine-portable, no regex count
+    dialects). Compose with :func:`pii_scrub` /
+    :func:`scrub_credit_cards` for the full hygiene pass."""
+    scrubbed = scrub_secrets_expr(F.col(text_col))
+    total: Column = F.lit(0)
+    for marker in SECRET_MARKERS:
+        total = total + _count_marker(scrubbed, marker)
+    return df.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        total.cast("int").alias("n_secrets"),
+    )
+
+
 def luhn_valid(candidate: Column) -> Column:
     """Luhn checksum over a contiguous-digit string column — pure
     codegen higher-order functions, exact integer arithmetic (no UDF,

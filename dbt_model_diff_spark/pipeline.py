@@ -76,9 +76,17 @@ class CurationConfig:
     # corpus (VERDICT r7 task #4). Off by default: the ASCII corpus
     # tests and oracle replays stay UDF-free.
     nfc: bool = False
-    # PII redaction (pii.scrub_expr: email/IP/phone), applied right
-    # after normalization so dedup hashes see the scrubbed text
+    # PII redaction (pii.scrub_expr: email/IPv6/IPv4/phone), applied
+    # right after normalization so dedup hashes see the scrubbed text
     scrub_pii: bool = False
+    # credential redaction (pii.scrub_secrets_expr: vendor-prefixed
+    # keys/tokens/JWTs/private-key blocks — r13). Unlike scrub_pii it
+    # runs on the RAW text BEFORE normalization (the vendor prefixes
+    # are case-sensitive; the lowercase fold would hide them), so in
+    # pipeline output the markers appear lowercased ('<awskey>');
+    # direct pii.scrub_secrets() calls keep '<AWSKEY>'. Composes with
+    # scrub_pii.
+    scrub_secrets: bool = False
     # binary media column: when set, multimodal.media_triage_expr adds
     # a `media_format` routing column and a per-format breakdown row to
     # the stage report (ingest triage for a mixed text+media corpus) —
@@ -357,6 +365,21 @@ def curate_corpus(
             )
         )
         account("boilerplate_lines", base)
+
+    # 0c. credential scrub (r13) — on the RAW text, BEFORE
+    # normalization: the vendor prefixes are case-sensitive artifacts
+    # (AKIA/AIza/sk_live_/eyJ) that normalization's lowercase fold
+    # would destroy, unlike the case-insensitive-by-construction PII
+    # patterns, which scrub post-normalize as always. Dedup hashes
+    # still see scrubbed text (this runs upstream of everything
+    # hashed). Fused into the scan — no extra stage pass, so no
+    # report row of its own.
+    if c.scrub_secrets:
+        from dbt_model_diff_spark.operators.pii import scrub_secrets_expr
+
+        base = base.withColumn(
+            c.text_col, scrub_secrets_expr(F.col(c.text_col))
+        )
 
     # 1. normalize (textops.normalize_text) — dedup hashes see the
     # normalized text, so trivially-different copies collide; markup
