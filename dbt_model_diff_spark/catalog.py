@@ -2667,20 +2667,37 @@ def text_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tool, the canonicalize/gate pct-divergence pin
 # (tests/test_round13_*.py).
 #
-# ROUND-14 WINDOW PLAN (mechanical, execute first thing after
-# CORRECTNESS_r13 lands): the mandatory tier is every query whose
-# newest green row is r11 — the 50 r11-certified queries MINUS the
-# three re-certified as r13 fillers (diff_counts_orders,
-# diff_profile_orders, diff_schema_drift) = 47 queries; plus any
-# never-certified r14 registrations first. Fill the remaining ~3
-# slots from the r12-certified tier (the stalest outside; greedy
-# tie-split allows choosing among them) — the anchor-cadence clause
-# makes diff_partitioned_orders, pricing_summary and
-# model_order_agg (all r12) hard-mandatory the moment
-# CORRECTNESS_r13 lands, so seat those three first.
-# (pipeline_curation_report, also r12, then becomes part of r15's
-# mandatory tier — the composed-pipeline family keeps its 3-round
-# carousel cadence.)
+# ROUND-14 WINDOW PLAN (EXECUTED in the r14 rotation below): the
+# mandatory tier is every query whose newest green row is r11 — the
+# 50 r11-certified queries MINUS the three re-certified as r13
+# fillers (diff_counts_orders, diff_profile_orders,
+# diff_schema_drift) = 47 queries; no never-certified registrations
+# exist (147 = cap). Fillers: the three hard-mandatory anchors
+# diff_partitioned_orders, pricing_summary, model_order_agg (all
+# r12) — the anchor-cadence clause strands them the moment
+# CORRECTNESS_r13 lands. (pipeline_curation_report, also r12,
+# becomes part of r15's mandatory tier — the composed-pipeline
+# family keeps its 3-round carousel cadence.) Round-14 surfaces
+# stay pytest-DuckDB-parity certified, NOT registered (growth
+# policy, effective cap 147): extended vendor credential families,
+# RFC 5952 IPv6 host rendering (tests/test_round14_*.py).
+#
+# ROUND-15 WINDOW PLAN (mechanical, execute first thing after
+# CORRECTNESS_r14 lands): the mandatory tier is every query whose
+# newest green row is r12 — the 50 r12-certified queries MINUS the
+# three re-certified as r14 fillers (diff_partitioned_orders,
+# pricing_summary, model_order_agg) = 47 queries, which includes
+# pipeline_curation_report; plus any never-certified r15
+# registrations first. Fill the remaining ~3 slots from the
+# r13-certified tier — the anchor-cadence clause makes
+# diff_counts_orders, diff_profile_orders and diff_schema_drift
+# (all r13) hard-mandatory the moment CORRECTNESS_r14 lands, so
+# seat those three first. NOTE for r16: when text_pii_scrub next
+# takes its carousel seat (r13-certified, so mandatory in r16),
+# land the deterministic `% 13` credential decoration (VERDICT r13
+# Next #3) in the SAME round so the changed oracle certifies the
+# round it changes — replay SECRET_PATTERNS in the oracle the way
+# IPV6_TEXT_RE already is.
 #
 # EFFECTIVE CAP IS 147, NOT 150 (r12 arithmetic): each of the six
 # flagship anchors needs a window seat at least every 2 rounds (its
@@ -6512,73 +6529,73 @@ def pipeline_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-13 window (executes the ROUND-13 WINDOW PLAN written in
-    # r12; see the plan comment above for the derivation).
-    # Tier 1: the 47 queries whose newest green row is r10 — the 50
-    # r10-certified queries minus the three re-certified as r12
-    # fillers (diff_partitioned_orders, pricing_summary,
-    # pipeline_curation_report). They hit the 3-round staleness
-    # bound the moment CORRECTNESS_r12 landed.
-    "agg_cube_orders",
-    "agg_grouping_sets_orders",
-    "agg_rollup_orders",
-    "asof_latest_purchase",
-    "bpe_train_merges_batched",
-    "cap_per_group_documents",
-    "csv_roundtrip_orders",
-    "decontaminate_source_report",
-    "dedup_cross_doc_chunks",
-    "dedup_intra_doc_tokens",
-    "dedup_jaccard_verified",
-    "dedup_lsh_pairs",
-    "dedup_oph_components",
-    "dedup_rep_by_quality",
-    "dedup_source_overlap_matrix",
-    "dsir_importance_weights",
-    "events_rolling_features",
-    "join_anti_customers",
-    "join_salted_skew",
-    "join_semi_customers",
-    "knn_hard_negatives",
-    "median_price_by_priority",
-    "merge_apply_changes_orders",
-    "pack_sequences_documents",
-    "pipeline_bpe_train_apply",
-    "pipeline_training_data",
-    "prune_prototypes_embeddings",
-    "quality_checks_orders",
-    "quality_fk_orders_customer",
-    "range_join_value_bands",
-    "sample_weighted_documents",
-    "scd2_orders_changelog",
-    "skew_salted_status_totals",
-    "stream_dedup_bounded_state",
-    "text_bm25_topk",
-    "text_chunk_stride",
-    "text_corpus_frequency_score",
-    "text_dup_substring_spans",
-    "text_lm_backoff_score",
-    "text_pii_scrub",
-    "text_remove_dup_substrings",
-    "text_remove_dup_substrings_keep1",
-    "text_repetition_signals",
-    "text_rolling_fingerprint",
-    "text_token_stats",
-    "text_top_terms",
-    "zorder_orders_layout",
-    # Tier 2: three r11-certified fillers (the stalest tier outside
+    # Round-14 window (executes the ROUND-14 WINDOW PLAN written in
+    # r13; see the plan comment above for the derivation).
+    # Tier 1: the 47 queries whose newest green row is r11 — the 50
+    # r11-certified queries minus the three re-certified as r13
+    # fillers (diff_counts_orders, diff_profile_orders,
+    # diff_schema_drift). They hit the 3-round staleness bound the
+    # moment CORRECTNESS_r13 landed.
+    "approx_profile_orders",
+    "budget_select_documents",
+    "decontaminate_train_docs",
+    "dedup_impact_report",
+    "dedup_prioritized_sources",
+    "diff_changed_sample_keys",
+    "diff_counts_lineitem_multikey",
+    "diff_rowcount_where",
+    "embedding_near_dup",
+    "epoch_shuffle_documents",
+    "filter_project_lineitem",
+    "join_bloom_pruned_lineitem",
+    "kmeans_embedding_clusters",
+    "knn_ivf",
+    "knn_ivf_pq",
+    "model_case_when",
+    "model_int_orders",
+    "model_stg_customers",
+    "multimodal_decode_features",
+    "multimodal_resize_frames",
+    "orc_roundtrip_orders",
+    "pipeline_domain_gate",
+    "q10_returned_revenue_by_customer",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_sole_problem_supplier",
+    "q4_priority_with_returns",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q8_share_by_year",
+    "q9_product_profit_by_nation",
+    "quantize_embeddings_int8",
+    "sample_stratified_documents",
+    "source_mixture_weights",
+    "split_train_eval_documents",
+    "stats_moments_lineitem",
+    "stream_cdc_apply_orders",
+    "stream_click_attribution",
+    "stream_hourly_rollup",
+    "stream_running_max",
+    "stream_sessionize",
+    "text_lm_quality_bands",
+    "text_normalize_documents",
+    "text_top_terms_by_group",
+    "unpivot_orders_metrics",
+    # Tier 2: three r12-certified fillers (the stalest tier outside
     # the mandatory set; the greedy clause allows splitting the
-    # 50-way r11 tie). All three are hard-mandatory flagship
+    # 50-way r12 tie). All three are hard-mandatory flagship
     # anchors — the anchor-cadence clause (in-window-or-green-in-
-    # two-newest) would strand them at r11 the moment
-    # CORRECTNESS_r13 lands, so they take all three filler seats
-    # (round 13's urlops churn — IPv6 CIDR ranges, PSL refresh
-    # tool — is certified by tests/test_round13_*.py pytest
-    # parity, not a registration; growth policy, 147 = the
-    # effective cap).
-    "diff_counts_orders",
-    "diff_profile_orders",
-    "diff_schema_drift",
+    # two-newest) would strand them at r12 the moment
+    # CORRECTNESS_r14 lands, so they take all three filler seats
+    # (round 14's churn — urlops v6 gate fixes, vendor credential
+    # families, RFC 5952 rendering — is certified by
+    # tests/test_round14_*.py pytest parity, not a registration;
+    # growth policy, 147 = the effective cap).
+    "diff_partitioned_orders",
+    "pricing_summary",
+    "model_order_agg",
 ]
 
 
