@@ -6368,6 +6368,8 @@ def _duck_psl_case(rules) -> str:
         "WHEN host = '' THEN NULL",
         "WHEN regexp_matches(host,"
         " '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN host",
+        # bracket IPv6 literals whole (r14, the IPv4 precedent)
+        "WHEN starts_with(host, '[') THEN host",
     ]
     for k in sorted(by_exc, reverse=True):
         branches.append(

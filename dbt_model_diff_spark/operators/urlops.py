@@ -374,7 +374,18 @@ def _psl_domain_from_host(host0: Column, rules: PslRules) -> Column:
             if k >= 2:  # 1-label rules decide the same as the default '*'
                 by_norm.setdefault(k, []).append(r)
 
-        expr = F.when(host == "", null).when(is_ip, host)
+        # bracket IPv6 literals pass through whole, mirroring the IPv4
+        # branch (ADVICE r13: the NULL a PSL-keyed bracket host used to
+        # get here short-circuited the tuple gate to keep_null_domain
+        # BEFORE the cidrs6 membership check — every v6-literal URL
+        # leaked past a v6 range block — and on the DataFrame allow
+        # path the same NULL admitted range-hit rows TWICE via the
+        # keep_null_domain union)
+        expr = (
+            F.when(host == "", null)
+            .when(is_ip, host)
+            .when(host.startswith("["), host)
+        )
         # exception rules first (they defeat the wildcard they
         # annotate); a matching exception's own name is the registered
         # domain
@@ -435,6 +446,10 @@ def _compact_domain_from_host(
         return (
             F.when(host == "", F.lit(None).cast("string"))
             .when(is_ip, host)
+            # bracket IPv6 literals whole (r14, IPv4 precedent): a
+            # dotted one ('[::ffff:10.0.0.1]') used to fall through
+            # the label split and key as its last two "labels"
+            .when(host.startswith("["), host)
             .when(
                 (n >= 3) & _last_k(labels, 2).isin(suffixes),
                 _last_k(labels, 3),
@@ -1084,8 +1099,11 @@ def registered_domain_of_host(
     garbage entries key exactly like once-folded garbage rows; r12
     fifth review pass). Same contract as the column twin, mirrored
     branch-for-branch: lowercase + trailing-dot/port strip, optional
-    IDNA fold (``idna="uts46"`` for the UTS #46 leg), IPv4 literals
-    pass through whole, empty -> None; compact heuristic = last two
+    IDNA fold (``idna="uts46"`` for the UTS #46 leg), IPv4 and bracket
+    IPv6 literals pass through whole (BOTH modes — r14, closing the
+    PSL NULL that leaked v6 literals past the tuple gate and
+    duplicated them in DataFrame allow mode), empty -> None; compact
+    heuristic = last two
     labels (three over a known second-level suffix, single label
     passes through), PSL = exception-first / longest-rule semantics
     where public-suffix-only and single-label hosts return None."""
@@ -1118,6 +1136,8 @@ def _domain_of_folded_host(
     if h == "":
         return None
     if _re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", h):
+        return h
+    if h.startswith("["):  # bracket IPv6 literal, whole (r14)
         return h
     labels = h.split(".")
     n = len(labels)
@@ -1189,8 +1209,8 @@ def registered_domain_expr(
     of every per-domain crawl-curation knob. Heuristic by design — the
     last two host labels, or three when the last two form a known
     second-level public suffix (:data:`MULTI_SUFFIXES` +
-    ``extra_suffixes``); IPv4 literals pass through whole; NULL for
-    non-absolute inputs. A trailing root-dot (RFC-valid FQDN form,
+    ``extra_suffixes``); IPv4 and bracket IPv6 literals pass through
+    whole (both modes, r14); NULL for non-absolute inputs. A trailing root-dot (RFC-valid FQDN form,
     'example.com.') is stripped before splitting — otherwise the
     empty trailing label would map every such .com URL to the shared
     bogus domain 'com.' (r9 code-review live repro). Exact string

@@ -344,6 +344,7 @@ def _duck_psl_select(rules: urlops.PslRules) -> str:
         "WHEN host = '' THEN NULL",
         "WHEN regexp_matches(host,"
         " '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN host",
+        "WHEN starts_with(host, '[') THEN host",
     ]
     for k in sorted(by_exc, reverse=True):
         branches.append(

@@ -329,6 +329,8 @@ def _spec_psl_domain(host: str, rules) -> str | None:
         return None
     if re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", host):
         return host
+    if host.startswith("["):  # bracket IPv6 literal, whole (r14)
+        return host
     hl = host.split(".")
     exc = [e for e in rules.exception if _spec_match(hl, e)]
     if exc:
@@ -431,6 +433,7 @@ SELECT doc_id FROM (
     CASE WHEN host = '' THEN NULL
          WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
            THEN host
+         WHEN starts_with(host, '[') THEN host
          WHEN n >= 3 AND (labels[n-1] || '.' || labels[n]) IN ({suffixes})
            THEN labels[n-2] || '.' || labels[n-1] || '.' || labels[n]
          WHEN n >= 2 THEN labels[n-1] || '.' || labels[n]

@@ -357,6 +357,7 @@ def test_cidr_duckdb_parity(spark):
                 CASE WHEN host = '' THEN NULL
                      WHEN regexp_matches(host,
                        '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN host
+                     WHEN starts_with(host, '[') THEN host
                      WHEN len(string_split(host, '.')) >= 2
                        THEN array_to_string(
                          list_slice(string_split(host, '.'),

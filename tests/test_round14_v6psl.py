@@ -1,0 +1,197 @@
+"""Round-14 certification: bracket IPv6 literals key as their own
+registered domain in BOTH keying modes (ADVICE r13, two high findings).
+
+Before this round `_psl_domain_from_host` returned NULL for a bracket
+host (only IPv4 had a pass-through branch), so under ``psl=load_psl()``:
+
+- the TUPLE gate path short-circuited NULL-domain rows to
+  ``keep_null_domain`` before the cidrs6 membership check — a v6 range
+  block leaked every bracket-literal URL (live repro, pinned below);
+- the DataFrame ALLOW path admitted a range-hit NULL-domain row twice
+  (once via the range flag join, once via the keep_null_domain union)
+  — the exactly-once union contract broke (live repro, pinned below).
+
+The fix mirrors the IPv4 precedent — bracket hosts pass through whole
+— in all keying implementations at once: the Spark PSL core, the Spark
+compact core (where a DOTTED literal like ``[::ffff:10.0.0.1]`` used
+to fall through the label split and key as ``0.1]``), the Python twin
+``_domain_of_folded_host``, the DuckDB twins in the round-9/11/12 test
+files and catalog's ``_duck_psl_case``, and the round-11 spec referee.
+
+Reference parity note: dbt-model-diff has no URL/IP surface — this
+family belongs to the LLM-curation extension mandated by the build
+prompt. Pytest-parity certified, NOT catalog-registered (growth
+policy; effective cap 147).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dbt_model_diff_spark.operators import urlops
+from tests.test_round13_cidr6 import _CASES6, _ENTRIES6, _fixture6_df
+
+
+@pytest.fixture(scope="module")
+def rules():
+    return urlops.load_psl(include_private=True)
+
+
+# ---------------------------------------------------------------------------
+# keying parity: Spark expr == Python twin == DuckDB oracle twin
+# ---------------------------------------------------------------------------
+
+_BRACKET_HOSTS = [
+    "[2001:db8::1]",            # plain literal
+    "[2001:0db8:0:0:0:0:0:1]",  # expanded spelling (keys as ITS text;
+    #   spelling-insensitive grouping stays a documented limitation)
+    "[::ffff:10.0.0.1]",        # dotted quad tail — the compact-path
+    #   label-split trap ('0.1]' before r14)
+    "[::1]",
+    "[notanip]",                # garbage keys as the SAME garbage
+    "10.1.2.3",                 # IPv4 precedent unchanged
+    "sub.example.co.uk",        # name keying unchanged
+    "localhost",                # single label: compact=itself, psl=None
+    "",
+]
+
+
+def test_bracket_host_keying_python_twin(rules):
+    for h in _BRACKET_HOSTS:
+        want = h if h.startswith("[") else None
+        if want is not None:
+            assert urlops.registered_domain_of_host(h) == want, h
+            assert (
+                urlops.registered_domain_of_host(h, psl=rules) == want
+            ), h
+
+
+def test_bracket_host_keying_spark_matches_twin(spark, rules):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(h,) for h in _BRACKET_HOSTS], ["h"])
+    out = df.select(
+        "h",
+        urlops._domain_from_host(F.col("h")).alias("c"),
+        urlops._domain_from_host(F.col("h"), psl=rules).alias("p"),
+    ).collect()
+    for r in out:
+        assert r["c"] == urlops._domain_of_folded_host(r["h"]), r["h"]
+        assert r["p"] == urlops._domain_of_folded_host(
+            r["h"], psl=rules
+        ), r["h"]
+
+
+def test_bracket_host_keying_duckdb_oracle_twin(rules):
+    """catalog._duck_psl_case (the registered pipeline_domain_gate
+    oracle's keying CASE) carries the same bracket branch."""
+    from dbt_model_diff_spark import catalog
+
+    case = catalog._duck_psl_case(rules)
+    con = duckdb.connect()
+    for h in _BRACKET_HOSTS:
+        got = con.execute(
+            f"SELECT {case} FROM (SELECT ? AS host,"
+            " string_split(? , '.') AS labels,"
+            " len(string_split(?, '.')) AS n)",
+            [h, h, h],
+        ).fetchone()[0]
+        assert got == urlops._domain_of_folded_host(h, psl=rules), h
+
+
+# ---------------------------------------------------------------------------
+# the two ADVICE live repros, pinned
+# ---------------------------------------------------------------------------
+
+def _v6_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "http://[2001:db8::1]/x"),
+            (2, "http://[2001:db9::1]/x"),
+            (3, "http://keep.example.org/y"),
+        ],
+        "i int, url string",
+    )
+
+
+def test_psl_tuple_v6_range_block_regression(spark, rules):
+    """ADVICE r13 #1: tuple path + psl used to KEEP [2001:db8::1]
+    against a [2001:db8::]/32 block (NULL-domain short-circuit fired
+    before the cidrs6 check)."""
+    out = urlops.filter_by_domain(
+        _v6_df(spark), blocklist=("[2001:db8::]/32",), psl=rules
+    )
+    assert sorted(r["i"] for r in out.collect()) == [2, 3]
+
+
+def test_psl_dataframe_v6_allow_exactly_once_regression(spark, rules):
+    """ADVICE r13 #2: DataFrame path + psl in allow mode used to
+    return the range-admitted row TWICE ([1, 1]) via the
+    keep_null_domain union."""
+    lst = spark.createDataFrame([("[2001:db8::]/32",)], "entry string")
+    out = urlops.filter_by_domain(_v6_df(spark), allowlist=lst, psl=rules)
+    assert sorted(r["i"] for r in out.collect()) == [1]
+
+
+def test_psl_plain_bracket_entry_both_paths(spark, rules):
+    """A non-range bracket entry gates by exact host on both plan
+    shapes under psl (it keys as itself, like an IPv4 entry)."""
+    df = _v6_df(spark)
+    lst = spark.createDataFrame([("[2001:db8::1]",)], "entry string")
+    for blk in (("[2001:db8::1]",), lst):
+        out = urlops.filter_by_domain(df, blocklist=blk, psl=rules)
+        assert sorted(r["i"] for r in out.collect()) == [2, 3], type(blk)
+
+
+# ---------------------------------------------------------------------------
+# the round-13 fixture, replayed under psl (the legs ADVICE asked for)
+# ---------------------------------------------------------------------------
+
+def test_cidr6_pinned_fixture_block_psl(spark, rules):
+    """The full r13 grammar-precedence fixture holds verbatim under
+    PSL keying — range membership is numeric and must not depend on
+    the keying mode."""
+    out = urlops.filter_by_domain(
+        _fixture6_df(spark), blocklist=_ENTRIES6, psl=rules
+    )
+    kept = {r["i"] for r in out.collect()}
+    for i, (u, keep) in enumerate(_CASES6):
+        assert (i in kept) == keep, f"psl block {u!r}"
+
+
+def test_cidr6_tuple_vs_dataframe_equivalence_psl(spark, rules):
+    df = _fixture6_df(spark)
+    lst = spark.createDataFrame([(e,) for e in _ENTRIES6], ["entry"])
+    for kw in ("blocklist", "allowlist"):
+        for null_keep in (True, False):
+            tup = urlops.filter_by_domain(
+                df, **{kw: _ENTRIES6}, keep_null_domain=null_keep,
+                psl=rules,
+            )
+            dfl = urlops.filter_by_domain(
+                df, **{kw: lst}, keep_null_domain=null_keep, psl=rules
+            )
+            a = sorted(r["i"] for r in tup.collect())
+            b = sorted(r["i"] for r in dfl.collect())
+            assert a == b, (kw, null_keep)
+
+
+def test_domain_stats_groups_bracket_hosts_psl(spark, rules):
+    """Bracket hosts now carry their own (textual) domain key under
+    PSL, so domain_stats accounts them instead of lumping them into
+    the NULL group; two spellings of one address remain two textual
+    keys (the documented r13 limitation, unchanged by this fix)."""
+    df = spark.createDataFrame(
+        [
+            ("http://[2001:db8::1]/a",),
+            ("http://[2001:db8::1]/b",),
+            ("http://[2001:0db8::1]/c",),
+        ],
+        ["url"],
+    )
+    rows = {
+        r["domain"]: r["n_docs"]
+        for r in urlops.domain_stats(df, psl=rules).collect()
+    }
+    assert rows == {"[2001:db8::1]": 2, "[2001:0db8::1]": 1}

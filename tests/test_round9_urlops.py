@@ -194,6 +194,7 @@ SELECT doc_id,
   CASE WHEN host = '' THEN NULL
        WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
          THEN host
+       WHEN starts_with(host, '[') THEN host
        WHEN n >= 3 AND (labels[n-1] || '.' || labels[n]) IN ({suffix_list})
          THEN labels[n-2] || '.' || labels[n-1] || '.' || labels[n]
        WHEN n >= 2 THEN labels[n-1] || '.' || labels[n]
