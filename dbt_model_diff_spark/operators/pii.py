@@ -55,6 +55,15 @@ PII_PATTERNS: list[tuple[str, str]] = [
     (r"\+?[0-9][0-9 -]{6,}[0-9]", "<PHONE>"),
 ]
 
+# pattern -> cheap substring gate: a doc that lacks the substring
+# cannot match the pattern, so the (interpreted, alternation-heavy)
+# regex pass is skipped entirely for it. Keyed by pattern EQUALITY,
+# not object identity (ADVICE r13: `pattern is IPV6_TEXT_RE` silently
+# dropped the gate for any PII_PATTERNS rebuilt from equal strings).
+# Semantics are identical with or without a gate — which is why the
+# DuckDB oracle replays the regexes unconditionally.
+PII_GATES: dict[str, str] = {IPV6_TEXT_RE: ":"}
+
 # unique placeholder -> count column (v4 and v6 share <IP>, so n_ips
 # counts both and the output schema is unchanged from the pre-r13
 # contract)
@@ -82,8 +91,9 @@ def scrub_expr(text: Column) -> Column:
     out = text
     for pattern, placeholder in PII_PATTERNS:
         rep = F.regexp_replace(out, pattern, placeholder)
-        if pattern is IPV6_TEXT_RE:
-            rep = F.when(out.contains(":"), rep).otherwise(out)
+        gate = PII_GATES.get(pattern)
+        if gate is not None:
+            rep = F.when(out.contains(gate), rep).otherwise(out)
         out = rep
     return out
 

@@ -1447,206 +1447,215 @@ def filter_by_domain(
             # building runs eager actions over it — the stats agg
             # below, plus at most one limit-1 probe — so an uncached
             # derived lineage would execute two or three times before
-            # the join even runs; unpersisted again once the plan is
-            # built (the join then recomputes the lineage once, at
-            # execution, like any other input)
+            # the join even runs; the try/finally releases the cache
+            # the moment those eager probes are done, on every exit
+            # path (ADVICE r13: an unhandled py4j/analysis error used
+            # to leak it for the session)
             base_entries = lst.select(e0.alias("__fbd_e")).persist()
-            # ONE host-part extraction feeds the CIDR quad, the
-            # host/path split and the keying below (r12 second review
-            # pass: two spellings of the same regex drift apart)
-            eh0 = F.regexp_extract(F.col("__fbd_e"), "^([^/]*)", 1)
-            # r12 CIDR leg: strict-shape range entries split off BEFORE
-            # the host/path keying (under the old grammar '10.0.0.0/16'
-            # would have keyed as host 10.0.0.0 + path '/16' and
-            # silently never matched the range). The (net, masklen)
-            # pairs are mask-normalized, so the downstream join key is
-            # canonical however the dump spells the range.
-            is_cidr = F.col("__fbd_e").rlike(CIDR_ENTRY_RE)
-            # try_cast, not cast: whole-stage codegen's subexpression
-            # elimination can evaluate these projections inside the
-            # is_cidr FILTER pass, i.e. on non-CIDR entries whose
-            # extract is '' — under ANSI a plain cast then aborts the
-            # job (seen live, r12); the filter guarantees no NULL
-            # survives to the join key
-            emlq = F.regexp_extract(
-                F.col("__fbd_e"), "/([0-9]+)\\z", 1
-            ).try_cast("int")
-            eip = F.aggregate(
-                F.split(eh0, "\\."),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc * F.lit(256) + x.try_cast("long"),
-            )
-            # mask via exact double pow (2^k is exact in IEEE up to
-            # 2^53; shiftleft needs a literal shift amount) — same
-            # arithmetic as the DuckDB twin
-            emask = (
-                F.lit(4294967295)
-                - (F.pow(F.lit(2.0), F.lit(32) - emlq) - F.lit(1.0))
-            ).cast("long")
-            cidr_keyed = (
-                base_entries.filter(is_cidr)
-                .select(
-                    eip.bitwiseAND(emask).alias("__fbd_net"),
-                    emlq.alias("__fbd_ml"),
+            try:
+                # ONE host-part extraction feeds the CIDR quad, the
+                # host/path split and the keying below (r12 second review
+                # pass: two spellings of the same regex drift apart)
+                eh0 = F.regexp_extract(F.col("__fbd_e"), "^([^/]*)", 1)
+                # r12 CIDR leg: strict-shape range entries split off BEFORE
+                # the host/path keying (under the old grammar '10.0.0.0/16'
+                # would have keyed as host 10.0.0.0 + path '/16' and
+                # silently never matched the range). The (net, masklen)
+                # pairs are mask-normalized, so the downstream join key is
+                # canonical however the dump spells the range.
+                is_cidr = F.col("__fbd_e").rlike(CIDR_ENTRY_RE)
+                # try_cast, not cast: whole-stage codegen's subexpression
+                # elimination can evaluate these projections inside the
+                # is_cidr FILTER pass, i.e. on non-CIDR entries whose
+                # extract is '' — under ANSI a plain cast then aborts the
+                # job (seen live, r12); the filter guarantees no NULL
+                # survives to the join key
+                emlq = F.regexp_extract(
+                    F.col("__fbd_e"), "/([0-9]+)\\z", 1
+                ).try_cast("int")
+                eip = F.aggregate(
+                    F.split(eh0, "\\."),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc * F.lit(256) + x.try_cast("long"),
                 )
-                .distinct()
-            )
-            # r13 IPv6 leg (VERDICT r12 task #2): range entries in
-            # either spelling — '[addr]/nn' or bare 'addr/nn' — parse
-            # to a signed (hi64, lo64) pair; the envelope regexes
-            # carry the strict mask grammar (0-128, no zero-pad), so
-            # emlq on a matching entry is already a valid length.
-            addr6 = F.lower(
-                F.coalesce(
-                    F.when(
-                        F.col("__fbd_e").rlike(
-                            f"^{_CIDR6_BRACKET_BODY}\\z"
+                # mask via exact double pow (2^k is exact in IEEE up to
+                # 2^53; shiftleft needs a literal shift amount) — same
+                # arithmetic as the DuckDB twin
+                emask = (
+                    F.lit(4294967295)
+                    - (F.pow(F.lit(2.0), F.lit(32) - emlq) - F.lit(1.0))
+                ).cast("long")
+                cidr_keyed = (
+                    base_entries.filter(is_cidr)
+                    .select(
+                        eip.bitwiseAND(emask).alias("__fbd_net"),
+                        emlq.alias("__fbd_ml"),
+                    )
+                    .distinct()
+                )
+                # r13 IPv6 leg (VERDICT r12 task #2): range entries in
+                # either spelling — '[addr]/nn' or bare 'addr/nn' — parse
+                # to a signed (hi64, lo64) pair; the envelope regexes
+                # carry the strict mask grammar (0-128, no zero-pad), so
+                # emlq on a matching entry is already a valid length.
+                addr6 = F.lower(
+                    F.coalesce(
+                        F.when(
+                            F.col("__fbd_e").rlike(
+                                f"^{_CIDR6_BRACKET_BODY}\\z"
+                            ),
+                            F.regexp_extract(
+                                F.col("__fbd_e"), "^\\[([^\\]]*)\\]/", 1
+                            ),
                         ),
-                        F.regexp_extract(
-                            F.col("__fbd_e"), "^\\[([^\\]]*)\\]/", 1
+                        F.when(
+                            F.col("__fbd_e").rlike(f"^{_CIDR6_BARE_BODY}\\z"),
+                            F.regexp_extract(
+                                F.col("__fbd_e"), "^([^/\\[\\]]*)/", 1
+                            ),
                         ),
-                    ),
-                    F.when(
-                        F.col("__fbd_e").rlike(f"^{_CIDR6_BARE_BODY}\\z"),
-                        F.regexp_extract(
-                            F.col("__fbd_e"), "^([^/\\[\\]]*)/", 1
-                        ),
-                    ),
+                    )
                 )
-            )
-            s6 = _ipv6_struct_expr(addr6)
-            # a v4 CIDR also matches the bare envelope but its addr
-            # never parses as IPv6, so s6 alone separates the families
-            is_cidr6 = s6.isNotNull()
-            # per-row signed masks from the prefix length: (-1 << k)
-            # == -(2^k), and 2^k is exact in IEEE for k <= 63, so the
-            # pow/cast chain is the same two's-complement arithmetic
-            # as _v6_masks (ANSI-safe: exponents stay in [0, 63])
-            mhi6 = (
-                F.when(emlq == 0, F.lit(0).cast("long"))
-                .when(emlq >= 64, F.lit(-1).cast("long"))
-                .otherwise(
-                    (-F.pow(F.lit(2.0), F.lit(64) - emlq)).cast("long")
+                s6 = _ipv6_struct_expr(addr6)
+                # a v4 CIDR also matches the bare envelope but its addr
+                # never parses as IPv6, so s6 alone separates the families
+                is_cidr6 = s6.isNotNull()
+                # per-row signed masks from the prefix length: (-1 << k)
+                # == -(2^k), and 2^k is exact in IEEE for k <= 63, so the
+                # pow/cast chain is the same two's-complement arithmetic
+                # as _v6_masks (ANSI-safe: exponents stay in [0, 63])
+                mhi6 = (
+                    F.when(emlq == 0, F.lit(0).cast("long"))
+                    .when(emlq >= 64, F.lit(-1).cast("long"))
+                    .otherwise(
+                        (-F.pow(F.lit(2.0), F.lit(64) - emlq)).cast("long")
+                    )
                 )
-            )
-            mlo6 = F.when(emlq <= 64, F.lit(0).cast("long")).otherwise(
-                (-F.pow(F.lit(2.0), F.lit(128) - emlq)).cast("long")
-            )
-            cidr6_keyed = (
-                base_entries.filter(is_cidr6)
-                .select(
-                    s6["hi"].bitwiseAND(mhi6).alias("__fbd_net6h"),
-                    s6["lo"].bitwiseAND(mlo6).alias("__fbd_net6l"),
-                    emlq.alias("__fbd_ml6"),
+                mlo6 = F.when(emlq <= 64, F.lit(0).cast("long")).otherwise(
+                    (-F.pow(F.lit(2.0), F.lit(128) - emlq)).cast("long")
                 )
-                .distinct()
-            )
-            # ONE bounded plan-time job over the LIST side: total
-            # count, the distinct prefix lengths (<= 33 IPv4 + <= 129
-            # IPv6 — each becomes ONE extra broadcast-equi anti/semi
-            # join below, no range join, no nested loop), and the
-            # near-miss count (the typo'd-mask class the tuple path
-            # warns about — real dumps arrive in THIS shape, so the
-            # silent-never-match diagnostic must exist here too; r12
-            # second review pass)
-            looks_cidr = F.col("__fbd_e").rlike(
-                f"^{_CIDR_NEARMISS_BODY_RE}\\z"
-            )
-            lstats = base_entries.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.collect_set(F.when(is_cidr, emlq)).alias("mls"),
-                F.collect_set(F.when(is_cidr6, emlq)).alias("mls6"),
-                F.sum(
-                    (looks_cidr & ~is_cidr & ~is_cidr6).cast("int")
-                ).alias("near"),
-            ).collect()[0]
-            masklens = sorted(lstats["mls"])
-            masklens6 = sorted(lstats["mls6"])
-            if lstats["near"]:
-                import warnings
+                cidr6_keyed = (
+                    base_entries.filter(is_cidr6)
+                    .select(
+                        s6["hi"].bitwiseAND(mhi6).alias("__fbd_net6h"),
+                        s6["lo"].bitwiseAND(mlo6).alias("__fbd_net6l"),
+                        emlq.alias("__fbd_ml6"),
+                    )
+                    .distinct()
+                )
+                # ONE bounded plan-time job over the LIST side: total
+                # count, the distinct prefix lengths (<= 33 IPv4 + <= 129
+                # IPv6 — each becomes ONE extra broadcast-equi anti/semi
+                # join below, no range join, no nested loop), and the
+                # near-miss count (the typo'd-mask class the tuple path
+                # warns about — real dumps arrive in THIS shape, so the
+                # silent-never-match diagnostic must exist here too; r12
+                # second review pass)
+                looks_cidr = F.col("__fbd_e").rlike(
+                    f"^{_CIDR_NEARMISS_BODY_RE}\\z"
+                )
+                lstats = base_entries.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_set(F.when(is_cidr, emlq)).alias("mls"),
+                    F.collect_set(F.when(is_cidr6, emlq)).alias("mls6"),
+                    F.sum(
+                        (looks_cidr & ~is_cidr & ~is_cidr6).cast("int")
+                    ).alias("near"),
+                ).collect()[0]
+                masklens = sorted(lstats["mls"])
+                masklens6 = sorted(lstats["mls6"])
+                if lstats["near"]:
+                    import warnings
 
-                warnings.warn(
-                    f"{kind} DataFrame: {lstats['near']} entries look"
-                    " like CIDR ranges but are not valid IPv4 or IPv6"
-                    " ones (mask > 32 v4 / > 128 v6, a zero-padded"
-                    " mask, octet > 255, a leading-zero octet, a zone"
-                    " id, or a port after the bracket) — they are"
-                    " treated as host + path prefixes under the"
-                    " round-11 grammar and likely never match",
-                    stacklevel=2,
-                )
-            # entry path prefixes percent-normalize exactly like the
-            # row tails they compare against (r12; both sides follow
-            # the pct knob together, ADVICE r12)
-            ep = F.when(
-                F.length(F.col("__fbd_e"))
-                > F.length(F.col("__fbd_eh0")),
-                F.substring(
-                    F.col("__fbd_e"),
-                    F.length(F.col("__fbd_eh0")) + 1,
-                    F.length(F.col("__fbd_e")),
-                ),
-            )
-            if pct:
-                ep = pct_normalize_expr(ep)
-            # same normalization order as parse_blocklist_entry:
-            # userinfo strip (dump lines occasionally carry it — it
-            # would otherwise silently never match, r11 review), then
-            # lower/port/root-dot folds
-            eh = F.regexp_replace(
-                F.regexp_replace(
-                    F.lower(
-                        F.regexp_replace(
-                            F.col("__fbd_eh0"), "^[^/?#]*@", ""
-                        )
+                    warnings.warn(
+                        f"{kind} DataFrame: {lstats['near']} entries look"
+                        " like CIDR ranges but are not valid IPv4 or IPv6"
+                        " ones (mask > 32 v4 / > 128 v6, a zero-padded"
+                        " mask, octet > 255, a leading-zero octet, a zone"
+                        " id, or a port after the bracket) — they are"
+                        " treated as host + path prefixes under the"
+                        " round-11 grammar and likely never match",
+                        stacklevel=2,
+                    )
+                # entry path prefixes percent-normalize exactly like the
+                # row tails they compare against (r12; both sides follow
+                # the pct knob together, ADVICE r12)
+                ep = F.when(
+                    F.length(F.col("__fbd_e"))
+                    > F.length(F.col("__fbd_eh0")),
+                    F.substring(
+                        F.col("__fbd_e"),
+                        F.length(F.col("__fbd_eh0")) + 1,
+                        F.length(F.col("__fbd_e")),
                     ),
-                    ":[0-9]*\\z",
+                )
+                if pct:
+                    ep = pct_normalize_expr(ep)
+                # same normalization order as parse_blocklist_entry:
+                # userinfo strip (dump lines occasionally carry it — it
+                # would otherwise silently never match, r11 review), then
+                # lower/port/root-dot folds
+                eh = F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(
+                            F.regexp_replace(
+                                F.col("__fbd_eh0"), "^[^/?#]*@", ""
+                            )
+                        ),
+                        ":[0-9]*\\z",
+                        "",
+                    ),
+                    "\\.+\\z",
                     "",
-                ),
-                "\\.+\\z",
-                "",
-            )
-            if idna:
-                eh = idna_fold_expr(eh, uts46=(idna == "uts46"))
-            keyed = (
-                base_entries.filter(~is_cidr & ~is_cidr6)
-                .select("__fbd_e", eh0.alias("__fbd_eh0"))
-                # '?'/'#' in the host part is the malformed class the
-                # tuple path REJECTS; row-wise we DROP it explicitly —
-                # never silently widen to a domain block (the naive
-                # [^/?#] host extraction would)
-                .filter(~F.col("__fbd_eh0").rlike("[?#]"))
-                .select(eh.alias("__fbd_ehost"), ep.alias("__fbd_epath"))
-                .select(
-                    _domain_from_host(
-                        F.col("__fbd_ehost"), psl=psl
-                    ).alias("__fbd_key"),
-                    "__fbd_ehost",
-                    "__fbd_epath",
                 )
-                .filter(F.col("__fbd_key").isNotNull())
-                .distinct()
-            )
-            # ADVICE r11: a systematically malformed list (wrong
-            # column content — every entry '?'-in-host, unkeyable, or
-            # whitespace) used to shrink to nothing and gate nothing,
-            # silently. The count comes from the one plan-time agg
-            # above; the limit-1 keyed probe only fires when there are
-            # entries but no ranges.
-            if (
-                not masklens
-                and not masklens6
-                and lstats["n"]
-                and keyed.isEmpty()
-            ):
+                if idna:
+                    eh = idna_fold_expr(eh, uts46=(idna == "uts46"))
+                keyed = (
+                    base_entries.filter(~is_cidr & ~is_cidr6)
+                    .select("__fbd_e", eh0.alias("__fbd_eh0"))
+                    # '?'/'#' in the host part is the malformed class the
+                    # tuple path REJECTS; row-wise we DROP it explicitly —
+                    # never silently widen to a domain block (the naive
+                    # [^/?#] host extraction would)
+                    .filter(~F.col("__fbd_eh0").rlike("[?#]"))
+                    .select(eh.alias("__fbd_ehost"), ep.alias("__fbd_epath"))
+                    .select(
+                        _domain_from_host(
+                            F.col("__fbd_ehost"), psl=psl
+                        ).alias("__fbd_key"),
+                        "__fbd_ehost",
+                        "__fbd_epath",
+                    )
+                    .filter(F.col("__fbd_key").isNotNull())
+                    .distinct()
+                )
+                # ADVICE r11: a systematically malformed list (wrong
+                # column content — every entry '?'-in-host, unkeyable, or
+                # whitespace) used to shrink to nothing and gate nothing,
+                # silently. The count comes from the one plan-time agg
+                # above; the limit-1 keyed probe only fires when there are
+                # entries but no ranges.
+                if (
+                    not masklens
+                    and not masklens6
+                    and lstats["n"]
+                    and keyed.isEmpty()
+                ):
+                    raise ValueError(
+                        f"filter_by_domain: every entry in the non-empty"
+                        f" {kind} DataFrame was dropped during keying"
+                        " (malformed '?'/'#' hosts, public-suffix-only"
+                        " hosts, or non-entry column content) — the gate"
+                        " would silently match nothing"
+                    )
+            finally:
+                # the eager plan-time actions end here; release
+                # the cache on EVERY exit — including a py4j/
+                # analysis error from the collect or the probe,
+                # which used to leak the cached list for the
+                # session (ADVICE r13). Execution recomputes the
+                # lineage once, like any other input.
                 base_entries.unpersist()
-                raise ValueError(
-                    f"filter_by_domain: every entry in the non-empty"
-                    f" {kind} DataFrame was dropped during keying"
-                    " (malformed '?'/'#' hosts, public-suffix-only"
-                    " hosts, or non-entry column content) — the gate"
-                    " would silently match nothing"
-                )
             tagged = (
                 df.withColumn("__fbd_host", host0)
                 .withColumn(
@@ -1703,7 +1712,6 @@ def filter_by_domain(
             cond = None  # pure equi join on __fbd_domain
             cidr_keyed, masklens = None, []
             cidr6_keyed, masklens6 = None, []
-            base_entries = None
         join_args = (
             {"on": "__fbd_domain"} if cond is None else {"on": cond}
         )
@@ -1798,11 +1806,6 @@ def filter_by_domain(
                 kept = kept.unionByName(
                     tagged.filter(F.col("__fbd_domain").isNull())
                 )
-        if base_entries is not None:
-            # plan built — the eager plan-time actions are done, so
-            # release the cache (ADVICE r12); execution recomputes the
-            # list lineage once, like any other input
-            base_entries.unpersist()
         return kept.drop(
             "__fbd_domain", "__fbd_host", "__fbd_path", "__fbd_ip",
             "__fbd_ip6",

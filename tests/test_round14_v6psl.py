@@ -177,6 +177,27 @@ def test_cidr6_tuple_vs_dataframe_equivalence_psl(spark, rules):
             assert a == b, (kw, null_keep)
 
 
+def test_entry_list_cache_released_on_error_path(spark):
+    """ADVICE r13 (low): the plan-time persist of the derived entry
+    list is wrapped in try/finally, so even the all-entries-dropped
+    ValueError exit releases the cache instead of leaking it for the
+    session."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    df = spark.createDataFrame([(1, "http://a.example.com/x")], "i int, url string")
+    lst = spark.createDataFrame([("bad?host",), ("   ",)], "entry string")
+    with pytest.raises(ValueError, match="dropped during keying"):
+        urlops.filter_by_domain(df, blocklist=lst)
+    assert cm.isEmpty()
+    # the happy path releases it too once the plan is built
+    ok = urlops.filter_by_domain(
+        df,
+        blocklist=spark.createDataFrame([("bad.org",)], "entry string"),
+    )
+    assert cm.isEmpty()
+    assert [r["i"] for r in ok.collect()] == [1]
+
+
 def test_domain_stats_groups_bracket_hosts_psl(spark, rules):
     """Bracket hosts now carry their own (textual) domain key under
     PSL, so domain_stats accounts them instead of lumping them into

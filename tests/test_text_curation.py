@@ -203,6 +203,36 @@ def test_pii_scrub_email_before_phone(spark):
     assert row["n_phones"] == 0
 
 
+def test_pii_scrub_gate_survives_pattern_rebuild(spark, monkeypatch):
+    """ADVICE r13: the IPv6 colon gate used to attach by OBJECT
+    IDENTITY (`pattern is IPV6_TEXT_RE`), so a PII_PATTERNS list
+    rebuilt from equal strings silently dropped it. It now keys by
+    equality (PII_GATES), so a rebuilt list keeps the gate — and the
+    scrubbed output is identical either way."""
+    import pyspark.sql.functions as F
+
+    rebuilt = [
+        (p.encode().decode(), m) for p, m in pii.PII_PATTERNS
+    ]  # equal strings, distinct objects
+    assert all(
+        a[0] is not b[0] for a, b in zip(rebuilt, pii.PII_PATTERNS)
+    )
+    monkeypatch.setattr(pii, "PII_PATTERNS", rebuilt)
+    expr = pii.scrub_expr(F.col("text"))
+    # the gate is present: exactly one conditional branch keyed on the
+    # colon probe made it into the expression tree
+    # (the probe runs on the email-scrubbed intermediate, so match the
+    # branch shape, not a literal column name)
+    assert "CASE WHEN contains(" in repr(expr)
+    df = spark.createDataFrame(
+        [(1, "v6 2001:db8::1 here"), (2, "no colon 1.2.3.4")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["scrubbed"] for r in pii.pii_scrub(df).collect()}
+    assert out[1] == "v6 <IP> here"
+    assert out[2] == "no colon <IP>"
+
+
 def test_scrub_secrets_vendor_formats(spark):
     """r13 credential scrub: every vendor-prefixed format redacts,
     the deliberate non-goals stay (git SHAs / content hashes are
