@@ -203,6 +203,25 @@ def main() -> None:
     cal_post = run_calibration(3)
     load_post = os.getloadavg()[0]
     cal_mid = (cal_pre + cal_post) / 2
+    # machine-readable degradation flag (VERDICT r13 task #6, after
+    # three consecutive loaded-box driver records): consumers can
+    # discount the record mechanically instead of re-deriving it from
+    # load/cal_pre/cal_post each round. Thresholds from the adjudicated
+    # history: the loaded records read loadavg 5.3-7.2 at a bracket
+    # (idle runs sit well under 3 even counting the bench's own
+    # warm-up), and r13's flagged intra-run calibration drift was 2.8x
+    # against a same-day idle spread well under 1.5x. Measurements
+    # themselves are unchanged.
+    cal_drift = (
+        round(max(cal_pre, cal_post) / min(cal_pre, cal_post), 2)
+        if min(cal_pre, cal_post)
+        else None
+    )
+    degraded = bool(
+        load_pre > 3.0
+        or load_post > 3.0
+        or (cal_drift is not None and cal_drift > 1.5)
+    )
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -226,6 +245,12 @@ def main() -> None:
         # loadavg far above `cpus` at either bracket means external
         # contention was squeezing the run.
         "load": [round(load_pre, 2), round(load_post, 2)],
+        # True when either bracket's loadavg or the intra-run
+        # calibration drift says the box, not the code, moved —
+        # discount `value`/`queries` and lean on `normalized` plus the
+        # same-day idle twin (SURVEY §9 rule)
+        "degraded": degraded,
+        "cal_drift": cal_drift,
         # box-drift-normalized total: raw seconds divided by the pinned
         # pure-codegen calibration workload's seconds on the SAME box
         # bracketing the SAME run. Compare THIS number round-over-round;
