@@ -151,6 +151,29 @@ SECRET_PATTERNS: list[tuple[str, str]] = [
     (r"xox[baprs]-[0-9A-Za-z-]{10,48}", "<SLACKTOKEN>"),
     (r"AIza[0-9A-Za-z_-]{35}", "<GCPKEY>"),
     (r"sk_live_[0-9a-zA-Z]{24,99}", "<STRIPEKEY>"),
+    # r14 families (VERDICT r13 task #5), same discipline: fixed
+    # vendor prefix, pinned body alphabet, RE2-replayable (bounded
+    # repeats stay far under RE2's ~1000-expansion compile limit).
+    # Azure SAS: the sig= query param carries a URL-encoded base64
+    # HMAC — scrubbing keys on the param name, so the (documented)
+    # false-positive envelope is any 30+-char sig= value that is a
+    # NON-secret checksum; placeholder damage over leak, as with
+    # 'ab::cd' for IPv6.
+    (r"sig=[A-Za-z0-9%+/=]{30,128}", "<AZURESAS>"),
+    # npm granular tokens: npm_ + exactly 36 base62 chars (published
+    # format, same shape family as ghp_)
+    (r"npm_[A-Za-z0-9]{36}", "<NPMTOKEN>"),
+    # PyPI API tokens: pypi- + a macaroon in base64url, 50+ chars in
+    # practice (the real ones run 150+)
+    (r"pypi-[A-Za-z0-9_-]{50,}", "<PYPITOKEN>"),
+    # OpenAI-style secret keys: sk- + 20+ base64url chars (covers the
+    # sk-proj-/sk-ant- segmented spellings since '-' is in the body
+    # alphabet). Kept prefix-anchored; the false-positive envelope is
+    # a 20+-char base64url-ish run right after a literal 'sk-' in
+    # prose — vanishing, and documented here like the sig= class.
+    # MUST sort after sk_live_ in this list? No ordering hazard:
+    # '_' is not '-', the prefixes cannot overlap on one span.
+    (r"sk-[A-Za-z0-9_-]{20,}", "<SKKEY>"),
     (
         r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{4,}",
         "<JWT>",

@@ -257,6 +257,17 @@ def test_scrub_secrets_vendor_formats(spark):
                 "and d2f8b1e3a4c5064758493021fedcba9876543210abcdef01"
                 " stay"),
             (10, "clean text"),
+            # r14 vendor families (VERDICT r13 task #5)
+            (11, "https://acct.blob.example/c/b?sv=2021-08-06&sig="
+                 "kp2Fb%2BQ8mX1vR7cJ0aZ5nE9tW4yU6iO3sD1gH8jKlMn%3D"
+                 "&se=2024-01-01 sas"),
+            (12, "npm npm_" + "Ab1" * 12 + " publish"),
+            (13, "pypi pypi-AgEIcHlwaS5vcmcCJGFiY2RlZi0xMjM0LTU2NzgtOWFi"
+                 "Yy1kZWYwMTIzNDU2NzgAAAYgn0 upload"),
+            (14, "openai sk-proj-Ab1Cd2Ef3Gh4Ij5Kl6Mn7Op8 call"),
+            # envelope guards: short sig= values and a bare 'sk-' in
+            # prose stay untouched
+            (15, "design doc sig=abc and sk-launch plan"),
         ],
         "doc_id long, text string",
     )
@@ -274,6 +285,16 @@ def test_scrub_secrets_vendor_formats(spark):
     assert out[9]["scrubbed"] == df.collect()[8]["text"]  # hashes stay
     assert out[9]["n_secrets"] == 0
     assert out[10]["scrubbed"] == "clean text"
+    assert out[11]["scrubbed"] == (
+        "https://acct.blob.example/c/b?sv=2021-08-06&<AZURESAS>"
+        "&se=2024-01-01 sas"
+    )
+    assert out[11]["n_secrets"] == 1
+    assert out[12]["scrubbed"] == "npm <NPMTOKEN> publish"
+    assert out[13]["scrubbed"] == "pypi <PYPITOKEN> upload"
+    assert out[14]["scrubbed"] == "openai <SKKEY> call"
+    assert out[15]["scrubbed"] == "design doc sig=abc and sk-launch plan"
+    assert out[15]["n_secrets"] == 0
     # plan: shuffle-free codegen map, like every scrub
     plan = pii.scrub_secrets(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
@@ -282,7 +303,7 @@ def test_scrub_secrets_vendor_formats(spark):
     import duckdb
 
     con = duckdb.connect()
-    for doc_id in (1, 2, 3, 4, 5, 6, 7, 8, 9):
+    for doc_id in (1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15):
         text = [r for r in df.collect() if r["doc_id"] == doc_id][0]["text"]
         got = text
         for pat, marker in pii.SECRET_PATTERNS:
