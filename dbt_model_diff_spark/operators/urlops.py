@@ -1085,11 +1085,137 @@ def _ipv6_literal_struct_expr(host: Column) -> Column:
     )
 
 
+def rfc5952_host_expr(host: Column) -> Column:
+    """RFC 5952 §4 minimal spelling for bracket IPv6-literal hosts —
+    lowercase unpadded hex groups, the LONGEST run of two-or-more zero
+    groups compressed to ``::`` (leftmost on ties, single zero groups
+    never compressed), embedded v4 tails rendered as two hex groups —
+    exactly ``str(ipaddress.IPv6Address(...))``, the referee the tests
+    pin. Every other host (names, IPv4 literals, non-parsing bracket
+    garbage) passes through unchanged, so the expression composes
+    safely over a whole host column.
+
+    This is the opt-in ``canon_ipv6`` leg of the domain-keying fold
+    (VERDICT r13 task #4): the r13 GATE's range compare is numeric and
+    was always spelling-insensitive, but ``domain_stats`` /
+    ``cap_per_domain`` key hosts TEXTUALLY, so ``[2001:db8::1]`` and
+    ``[2001:0db8::1]`` grouped apart (documented limitation, commit
+    e4f0385). Folding both to the canonical spelling closes it.
+
+    Plan shape: the whole render hides behind the same cheap
+    ``startswith('[')`` probe as the parse (non-bracket rows skip
+    everything), reuses :func:`_ipv6_literal_struct_expr`'s bound
+    (hi, lo) pair once, and the render itself is arithmetic over the
+    eight 16-bit groups — an in-row HOF chain like the parse (the
+    compact-tree/cheap-gate trade-off pinned in §9 r13), zero joins,
+    zero UDFs, zero shuffles."""
+
+    def _render(s6: Column) -> Column:
+        m = F.lit(65535)
+        garr = F.array(
+            F.shiftrightunsigned(s6["hi"], 48).bitwiseAND(m),
+            F.shiftrightunsigned(s6["hi"], 32).bitwiseAND(m),
+            F.shiftrightunsigned(s6["hi"], 16).bitwiseAND(m),
+            s6["hi"].bitwiseAND(m),
+            F.shiftrightunsigned(s6["lo"], 48).bitwiseAND(m),
+            F.shiftrightunsigned(s6["lo"], 32).bitwiseAND(m),
+            F.shiftrightunsigned(s6["lo"], 16).bitwiseAND(m),
+            s6["lo"].bitwiseAND(m),
+        )
+
+        def _with_groups(gs: Column) -> Column:
+            hexes = F.transform(
+                gs, lambda g: F.lower(F.conv(g.cast("string"), 10, 16))
+            )
+            # '1' marks a zero group; the longest '::'-compressible run
+            # is the longest '1'-run in this 8-char map, and instr's
+            # first-match rule gives the RFC's leftmost-on-tie for free
+            zmap = F.concat_ws(
+                "",
+                F.transform(
+                    gs,
+                    lambda g: F.when(g == 0, F.lit("1")).otherwise(
+                        F.lit("0")
+                    ),
+                ),
+            )
+
+            def _with_hex_z(hz: Column) -> Column:
+                hx, z = hz["hx"], hz["z"]
+                st = None
+                ln = None
+                for run_len in range(8, 1, -1):
+                    pos = F.instr(z, "1" * run_len)
+                    if st is None:
+                        st = F.when(pos > 0, pos - 1)
+                        ln = F.when(pos > 0, F.lit(run_len))
+                    else:
+                        st = st.when(pos > 0, pos - 1)
+                        ln = ln.when(pos > 0, F.lit(run_len))
+                st = st.otherwise(F.lit(0))
+                ln = ln.otherwise(F.lit(0))
+
+                def _with_run(run: Column) -> Column:
+                    s, length = run["s"], run["l"]
+                    left = F.concat_ws(":", F.slice(hx, 1, s))
+                    right = F.concat_ws(
+                        ":",
+                        F.slice(hx, s + length + 1, F.lit(8) - s - length),
+                    )
+                    return F.when(
+                        length >= 2,
+                        F.concat(left, F.lit("::"), right),
+                    ).otherwise(F.concat_ws(":", hx))
+
+                return _bind(
+                    F.struct(st.alias("s"), ln.alias("l")), _with_run
+                )
+
+            return _bind(
+                F.struct(hexes.alias("hx"), zmap.alias("z")), _with_hex_z
+            )
+
+        return _bind(garr, _with_groups)
+
+    def _core(h: Column) -> Column:
+        def _with_s6(s6: Column) -> Column:
+            return F.when(
+                s6.isNotNull(),
+                F.concat(F.lit("["), _render(s6), F.lit("]")),
+            ).otherwise(h)
+
+        return _bind(_ipv6_literal_struct_expr(h), _with_s6)
+
+    return _bind(host, _core)
+
+
+def rfc5952_host(host: str) -> str:
+    """Driver-side Python twin of :func:`rfc5952_host_expr`: the SAME
+    strict acceptance (:func:`_ipv6_hilo` — what the column parse
+    twins), with the stdlib ``ipaddress`` module as the RENDERER, so
+    the twin doubles as the referee for the column-side run-compression
+    arithmetic."""
+    import ipaddress
+    import re as _re
+
+    if not host.startswith("["):
+        return host
+    m = _re.fullmatch(r"\[([^\]]*)\]", host)
+    if m is None:
+        return host
+    hilo = _ipv6_hilo(m.group(1))
+    if hilo is None:
+        return host
+    v = ((hilo[0] & _U64) << 64) | (hilo[1] & _U64)
+    return "[" + str(ipaddress.IPv6Address(v)) + "]"
+
+
 def registered_domain_of_host(
     host: str,
     extra_suffixes: tuple[str, ...] = (),
     psl: PslRules | None = None,
     idna: bool | str = False,
+    canon_ipv6: bool = False,
 ) -> str | None:
     """Driver-side Python twin of :func:`registered_domain_expr`, for
     a bare HOST string (no scheme): ONE full host fold (strip, lower,
@@ -1115,6 +1241,8 @@ def registered_domain_of_host(
     h = _re.sub(r"\.+\Z", "", h)
     if idna:
         h = _idna_fold_host(h, uts46=(idna == "uts46"))
+    if canon_ipv6:
+        h = rfc5952_host(h)
     return _domain_of_folded_host(h, extra_suffixes, psl)
 
 
@@ -1204,6 +1332,7 @@ def registered_domain_expr(
     extra_suffixes: tuple[str, ...] = (),
     psl: PslRules | None = None,
     idna: bool | str = False,
+    canon_ipv6: bool = False,
 ) -> Column:
     """Registered domain (eTLD+1) of an absolute URL: the grouping key
     of every per-domain crawl-curation knob. Heuristic by design — the
@@ -1235,6 +1364,10 @@ def registered_domain_expr(
         # carry in punycode) — r10 code-review composition gap.
         # "uts46" picks the UTS #46 / IDNA-2008 leg.
         host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
+    if canon_ipv6:
+        # RFC 5952 fold for bracket v6 literals (r14 opt-in): both
+        # spellings of one address share a key, like idna for names
+        host0 = rfc5952_host_expr(host0)
     return _domain_from_host(host0, extra_suffixes, psl)
 
 
@@ -1947,6 +2080,7 @@ def domain_stats(
     text_col: str | None = None,
     psl: PslRules | None = None,
     idna: bool | str = False,
+    canon_ipv6: bool = False,
 ) -> DataFrame:
     """Per-registered-domain corpus accounting: doc counts (+ whitespace
     tokens when ``text_col`` given) — the table a curation run consults
@@ -1958,16 +2092,16 @@ def domain_stats(
     domain-keyed stages always group identically (r11 API symmetry;
     the pipeline already threads url_idna into all of them).
 
-    Known limitation (r13, documented not built): IP-literal hosts
-    key TEXTUALLY here — fine for IPv4 (one canonical spelling
-    survives the strict grammar), but two spellings of one IPv6
-    address (``[2001:db8::1]`` vs ``[2001:0db8::1]``) group as two
-    keys. The r13 GATE is immune (its range compare is numeric and
-    mask-normalized); only stats/cap grouping is affected, and only
-    for the vanishing v6-literal share of a real crawl. Canonicalize
-    upstream if a corpus actually carries mixed v6 spellings."""
+    IP-literal hosts key TEXTUALLY by default — fine for IPv4 (one
+    canonical spelling survives the strict grammar), while two
+    spellings of one IPv6 address (``[2001:db8::1]`` vs
+    ``[2001:0db8::1]``) group as two keys; pass ``canon_ipv6=True``
+    (:func:`rfc5952_host_expr`, r14 — closes the limitation the r13
+    round documented) to fold bracket literals to the RFC 5952
+    minimal spelling before keying. The GATE never needed the knob —
+    its range compare is numeric and mask-normalized."""
     d = registered_domain_expr(
-        F.col(url_col), psl=psl, idna=idna
+        F.col(url_col), psl=psl, idna=idna, canon_ipv6=canon_ipv6
     ).alias("domain")
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if text_col is not None:
@@ -1988,6 +2122,7 @@ def cap_per_domain(
     psl: PslRules | None = None,
     split: int | None = None,
     idna: bool | str = False,
+    canon_ipv6: bool = False,
 ) -> DataFrame:
     """At most ``cap`` docs per registered domain, deterministic
     hash-order subsample — :func:`registered_domain_expr` composed
@@ -1999,11 +2134,14 @@ def cap_per_domain(
     downstream mixture stages key on it. ``idna`` folds unicode hosts
     before keying ("uts46" for the UTS #46 leg), so a unicode URL and
     its punycode twin share one cap budget — same knob the gate and
-    domain_stats take."""
+    domain_stats take; ``canon_ipv6`` does the same for bracket v6
+    spellings (:func:`rfc5952_host_expr`, r14)."""
     from dbt_model_diff_spark.operators.sampling import cap_per_group
 
     with_domain = df.withColumn(
         domain_col,
-        registered_domain_expr(F.col(url_col), psl=psl, idna=idna),
+        registered_domain_expr(
+            F.col(url_col), psl=psl, idna=idna, canon_ipv6=canon_ipv6
+        ),
     )
     return cap_per_group(with_domain, domain_col, id_col, cap, split=split)

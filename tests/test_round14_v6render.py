@@ -1,0 +1,159 @@
+"""Round-14 RFC 5952 IPv6 host rendering (VERDICT r13 task #4).
+
+`urlops.rfc5952_host_expr` / `urlops.rfc5952_host` fold a bracket
+IPv6-literal host to its RFC 5952 §4 minimal spelling so
+`domain_stats` / `cap_per_domain` (the TEXTUAL domain-keyed stages)
+group mixed spellings of one address together — the limitation the
+r13 round documented (commit e4f0385) instead of fixing. The referee
+is the stdlib: `str(ipaddress.IPv6Address(...))` implements exactly
+the RFC's rules (lowercase unpadded hex, longest zero-run compressed,
+leftmost on ties, runs of one never compressed).
+
+Opt-in `canon_ipv6=False` by default, so every registered oracle and
+the r9-r13 twin matrix are untouched. Pytest-parity certified, NOT
+catalog-registered (growth policy; effective cap 147).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import random
+
+import pytest
+
+from dbt_model_diff_spark.operators import urlops
+
+
+def _canon(addr: str) -> str:
+    return "[" + str(ipaddress.IPv6Address(addr)) + "]"
+
+
+# enumerated edge matrix: every compression shape the RFC calls out
+_EDGE_ADDRS = [
+    "2001:db8::1",
+    "2001:0db8:0:0:0:0:0:1",       # expanded + zero-padded
+    "2001:DB8::1",                 # case fold (twin takes folded input)
+    "::",                          # all zeros
+    "::1",
+    "1::",
+    "0:0:1:0:0:0:0:0",             # long run wins over leftmost short
+    "1:0:0:2:0:0:0:3",             # len-3 run beats len-2
+    "2001:db8:0:0:1:0:0:1",        # tie -> leftmost
+    "1:2:3:4:5:6:7:8",             # nothing to compress
+    "1:0:2:3:4:5:6:7",             # single zero group stays
+    "fe80:0:0:1:0:0:0:0",          # run to the end
+    "::ffff:1.2.3.4",              # v4 tail -> two hex groups
+    "::ffff:255.255.255.255",
+    "64:ff9b::192.0.2.33",
+]
+
+
+def test_rfc5952_python_twin_pins():
+    for a in _EDGE_ADDRS:
+        want = _canon(a)
+        assert urlops.rfc5952_host(f"[{a.lower()}]") == want, a
+    # non-v6 hosts pass through untouched
+    for h in ["example.com", "10.1.2.3", "[notanip]", "", "[1::2::3]"]:
+        assert urlops.rfc5952_host(h) == h
+
+
+def _random_spellings(n: int, seed: int = 52) -> list[str]:
+    """n random 128-bit addresses, each in its canonical AND a
+    deterministically-expanded spelling (full 8 groups, zero-padded)."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        # bias toward zero-heavy layouts so compression paths exercise
+        groups = [
+            0 if rng.random() < 0.45 else rng.randrange(1 << 16)
+            for _ in range(8)
+        ]
+        v = 0
+        for g in groups:
+            v = (v << 16) | g
+        a = ipaddress.IPv6Address(v)
+        out.append(str(a))
+        out.append(":".join(f"{g:04x}" for g in groups))
+    return out
+
+
+def test_rfc5952_expr_matches_ipaddress_referee(spark):
+    addrs = [a.lower() for a in _EDGE_ADDRS] + _random_spellings(150)
+    hosts = [f"[{a}]" for a in addrs] + [
+        "example.com",
+        "10.1.2.3",
+        "[notanip]",
+        "[1::2::3]",
+        "[fe80::1%eth0]",  # zone id: strict parse rejects, passthrough
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["h"])
+    got = {
+        r["h"]: r["c"]
+        for r in df.select(
+            "h", urlops.rfc5952_host_expr(df["h"]).alias("c")
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == urlops.rfc5952_host(h), h
+
+
+def test_domain_stats_canon_ipv6_groups_one_row(spark):
+    """The VERDICT done-case: two spellings of one v6 address group as
+    ONE domain_stats row under canon_ipv6=True (and still two without
+    the knob — default behavior unchanged)."""
+    rules = urlops.load_psl(include_private=True)
+    df = spark.createDataFrame(
+        [
+            ("http://[2001:db8::1]/a",),
+            ("http://[2001:0db8:0:0:0:0:0:1]/b",),
+            ("http://keep.example.org/c",),
+        ],
+        ["url"],
+    )
+    folded = {
+        r["domain"]: r["n_docs"]
+        for r in urlops.domain_stats(
+            df, psl=rules, canon_ipv6=True
+        ).collect()
+    }
+    assert folded == {"[2001:db8::1]": 2, "example.org": 1}
+    plain = urlops.domain_stats(df, psl=rules).collect()
+    assert len(plain) == 3  # default: textual keys, unchanged
+    # Python twin symmetry for the host-level keying
+    assert (
+        urlops.registered_domain_of_host(
+            "[2001:0DB8:0:0:0:0:0:1]", psl=rules, canon_ipv6=True
+        )
+        == "[2001:db8::1]"
+    )
+
+
+def test_cap_per_domain_canon_ipv6_shares_budget(spark):
+    """Both spellings draw from ONE cap budget under the knob."""
+    df = spark.createDataFrame(
+        [
+            (1, "http://[2001:db8::1]/a"),
+            (2, "http://[2001:0db8::1]/b"),
+            (3, "http://[2001:0:0:0:0:0:0:db8]/c"),
+        ],
+        "doc_id long, url string",
+    )
+    out = urlops.cap_per_domain(df, cap=1, canon_ipv6=True).collect()
+    domains = sorted(r["domain"] for r in out)
+    assert domains == ["[2001::db8]", "[2001:db8::1]"]
+
+
+def test_canon_ipv6_plan_no_new_shuffle(spark):
+    """The fold is row-local: domain_stats' plan keeps exactly its one
+    aggregation exchange — no join, no UDF, no extra shuffle."""
+    df = spark.createDataFrame([("http://[::1]/x",)], ["url"])
+    plan = (
+        urlops.domain_stats(df, canon_ipv6=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
