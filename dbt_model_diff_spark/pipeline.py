@@ -138,6 +138,13 @@ class CurationConfig:
     # mapping leg (r10 task #4; the two diverge on ß/ZWJ classes —
     # pick ONE per corpus).
     url_idna: bool | str = False
+    # RFC 5952 fold for bracket IPv6-literal hosts in the TEXTUAL
+    # domain-keyed stage (the per-domain cap): two spellings of one
+    # v6 address share a cap budget (urlops.rfc5952_host_expr, r14).
+    # The blocklist gate never needs it — its range compare is
+    # numeric and mask-normalized. Off by default: the fold only
+    # matters for corpora that actually carry mixed v6 spellings.
+    url_canon_ipv6: bool = False
     # language allowlist (documents carry a lang column; None = keep all)
     keep_langs: tuple[str, ...] | None = None
     lang_col: str = "lang"
@@ -649,7 +656,10 @@ def curate_corpus(
         cur = cur.withColumn(
             "domain",
             urlops.registered_domain_expr(
-                F.col(c.url_col), psl=psl_rules, idna=c.url_idna
+                F.col(c.url_col),
+                psl=psl_rules,
+                idna=c.url_idna,
+                canon_ipv6=c.url_canon_ipv6,
             ),
         )
         cur = sampling.cap_per_group(

@@ -143,6 +143,31 @@ def test_cap_per_domain_canon_ipv6_shares_budget(spark):
     assert domains == ["[2001::db8]", "[2001:db8::1]"]
 
 
+def test_pipeline_url_canon_ipv6_cap(spark):
+    """CurationConfig.url_canon_ipv6 threads the fold into the
+    per-domain cap stage: mixed spellings share one budget."""
+    from dbt_model_diff_spark.pipeline import CurationConfig, curate_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog once more",
+             "http://[2001:db8::1]/a"),
+            (2, "the quick brown fox jumps over the lazy dog once again",
+             "http://[2001:0db8::1]/b"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    cfg = CurationConfig(
+        dedup="none", min_tokens=1, min_stopwords=0,
+        max_dup_token_frac=None, url_col="url",
+        max_docs_per_domain=1, url_canon_ipv6=True,
+    )
+    kept, _ = curate_corpus(df, cfg)
+    rows = kept.collect()
+    assert len(rows) == 1
+    assert rows[0]["domain"] == "[2001:db8::1]"
+
+
 def test_canon_ipv6_plan_no_new_shuffle(spark):
     """The fold is row-local: domain_stats' plan keeps exactly its one
     aggregation exchange — no join, no UDF, no extra shuffle."""
