@@ -692,18 +692,23 @@ def dsir_importance(
     caller's policy knob; the threshold form here is its deterministic
     stand-in.
 
-    Scale shape: the feature explode is expressed ONCE but the corpus
-    is scanned TWICE per action — the model fit aggregates the exploded
-    stream to ``n_buckets`` rows (vocab-scale: tiny) plus a 1-row
-    total, and the scoring side re-derives the same stream to join it
-    to the broadcast 64-row lam table and aggregate per doc (one
-    doc-keyed shuffle, no windows, no driver data, no UDFs). The shared
-    ``staged`` frame is deliberately NOT pinned (ADVICE r7 weighed
-    both): caching a corpus-scale exploded token stream to save one
-    columnar scan trades executor storage memory for IO at exactly the
-    scale where storage is the scarcer resource — unlike
-    lm_backoff_score, whose pinned frame is the tiny model derivation,
-    not the corpus. SURVEY §9's probe records exactly these two scans.
+    Scale shape (single-scan as of r14 — VERDICT r13 task #2
+    root-cause path): the exploded feature stream first aggregates to
+    per-``(doc_id, __tgt, bkt)`` occurrence counts — ONE exchange
+    whose map-side combine collapses each task's stream to at most
+    ``n_buckets`` rows per doc — and BOTH consumers derive from that
+    same exchange: the model fit re-aggregates it to ``n_buckets``
+    rows (vocab-scale: tiny), the scoring side joins it to the
+    broadcast 64-row lam table and weights each lam by its occurrence
+    count (``sum(lam * cnt)`` / ``sum(cnt)`` — the same exact
+    integers as summing per occurrence, so results are bit-identical
+    to the two-scan shape). Spark's ReuseExchange rule dedupes the
+    shared child, so the corpus is scanned ONCE per action where the
+    pre-r14 shape scanned it twice (the r7 decision not to PIN the
+    exploded stream stands — exchange reuse gets the second scan for
+    free without spending executor storage on a corpus-scale cache;
+    plan-asserted in tests/test_round14_dsir.py). No windows over the
+    corpus, no driver data, no UDFs.
     """
     nb = int(n_buckets)
     bucket = (
@@ -742,10 +747,22 @@ def dsir_importance(
         .select(
             "doc_id", "__tgt", F.explode(F.concat("__ub", "__bb")).alias("bkt")
         )
+        # bkt is never NULL (md5 of a non-null string), but the
+        # broadcast join below INFERS isnotnull(bkt) on its streamed
+        # side — stating it here, inside the SHARED subplan, keeps the
+        # two consumers' children canonically identical so
+        # ReuseExchange fires (without it the inferred filter pushes
+        # into one branch's scan only and the corpus is read twice)
+        .filter(F.col("bkt").isNotNull())
+        # the shared exchange both consumers reuse: per-(doc, bucket)
+        # occurrence counts, map-side combined to <= n_buckets rows
+        # per doc before the shuffle
+        .groupBy("doc_id", "__tgt", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     counts = staged.groupBy("bkt").agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("cq"),
+        F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(F.col("cnt"))).alias("cq"),
     )
     # totals via an unpartitioned window over the n_buckets-row counts
     # frame, NOT counts.agg(...)+crossJoin: a separate aggregate
@@ -770,13 +787,21 @@ def dsir_importance(
         .select("bkt", "lam")
     )
     return (
-        staged.filter(~F.col("__tgt"))
-        .join(F.broadcast(lam), on="bkt")
+        # NO pre-join ~__tgt filter: it would push through the shared
+        # aggregate (tgt is a grouping key) into this branch's scan
+        # and break exchange reuse. Every doc is uniformly target or
+        # raw, so the cut moves AFTER the per-doc aggregation — the
+        # (small, trusted) target slice rides the broadcast join and
+        # is dropped per doc, a few rows of extra agg work in exchange
+        # for halving the corpus IO.
+        staged.join(F.broadcast(lam), on="bkt")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_feats"),
-            F.sum("lam").alias("weight_sum"),
+            F.max("__tgt").alias("__is_tgt"),
+            F.sum("cnt").cast("int").alias("n_feats"),
+            F.sum(F.col("lam") * F.col("cnt")).alias("weight_sum"),
         )
+        .filter(~F.col("__is_tgt"))
         .select(
             "doc_id",
             "n_feats",

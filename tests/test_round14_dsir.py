@@ -1,0 +1,93 @@
+"""Round-14 dsir_importance single-scan shape (VERDICT r13 task #2).
+
+The r13 idle twin read `dsir_importance_weights` above its r9-r12
+band (2.12/2.33 vs 1.55-1.97) on untouched code, and the idle
+adjudication probe confirmed the creep (2.03/2.12 on a fast box), so
+the verdict's root-cause path applied: the two-scan shape folded into
+ONE — the exploded feature stream aggregates to per-(doc, bucket)
+occurrence counts in a single exchange that BOTH the model fit and
+the scoring side reuse (Spark's ReuseExchange), weighting each lam by
+its count. Exact integers, so results are bit-identical to the
+two-scan shape (test_extensions.py::test_dsir_importance_exact_integer_replay
+pins the values against a pure-Python replay; the registered DuckDB
+oracle still replays the original per-occurrence SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators.textops import dsir_importance
+
+
+def test_dsir_single_scan_reused_exchange(spark, sf_dir):
+    """Plan shape: the corpus is scanned ONCE — the model branch reads
+    the scoring branch's (doc, bucket) exchange via ReusedExchange.
+    The reuse lands in AQE's FINAL plan (the pre-execution string
+    shows two structurally identical exchanges which the runtime
+    dedupes), so execute first, then assert."""
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dsir_importance(docs, target=F.col("doc_id") % 20 == 0)
+    assert len(out.collect()) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_single_scan_values_match_replayed_shape(spark):
+    """The occurrence-weighted aggregation (`sum(lam*cnt)`/`sum(cnt)`)
+    equals the per-occurrence two-scan shape on data with REPEATED
+    features per doc (cnt > 1 is the only way the two shapes could
+    diverge)."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha beta", True),
+            (2, "alpha beta beta gamma gamma gamma", False),
+            (3, "delta delta delta delta", False),
+        ],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(df, target=F.col("tgt")).collect()
+    }
+    # replay per occurrence in pure Python (the test_extensions twin
+    # already covers the model; here the point is repeated buckets)
+    import hashlib
+
+    nb, scale = 64, 1_000_000
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[1:16], 16) % nb
+
+    def feats(text):
+        toks = text.split(" ")
+        return [bucket(f"u|{t}") for t in toks] + [
+            bucket(f"b|{a} {b}") for a, b in zip(toks, toks[1:])
+        ]
+
+    ct: dict[int, int] = {}
+    cq: dict[int, int] = {}
+    for _, text, tgt in [
+        (1, "alpha alpha alpha beta", True),
+        (2, "alpha beta beta gamma gamma gamma", False),
+        (3, "delta delta delta delta", False),
+    ]:
+        for b in feats(text):
+            (ct if tgt else cq)[b] = (ct if tgt else cq).get(b, 0) + 1
+    tt, tq = sum(ct.values()), sum(cq.values())
+    lam = {
+        b: ((ct.get(b, 0) + 1) * (tq + nb) * scale)
+        // ((cq.get(b, 0) + 1) * (tt + nb))
+        for b in set(ct) | set(cq)
+    }
+    for doc_id, text in [(2, "alpha beta beta gamma gamma gamma"),
+                         (3, "delta delta delta delta")]:
+        fs = feats(text)
+        ws = sum(lam[b] for b in fs)
+        assert out[doc_id]["n_feats"] == len(fs), doc_id
+        assert out[doc_id]["weight_sum"] == ws, doc_id
