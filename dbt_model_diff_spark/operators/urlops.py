@@ -1380,6 +1380,7 @@ def filter_by_domain(
     keep_null_domain: bool = True,
     idna: bool | str = False,
     pct: bool = True,
+    canon_ipv6: bool = False,
 ) -> DataFrame:
     """Provenance gate keyed on the registered domain — the
     UT1-blocklist stage of RefinedWeb/C4-style curation (adult/fraud
@@ -1447,6 +1448,13 @@ def filter_by_domain(
     deliberately defaults the OTHER way (``pct=False``) to keep
     pre-r12 canonical keys stable — the divergence is pinned in
     tests/test_round12_pct.py.
+
+    ``canon_ipv6`` (r14): RFC 5952 fold of bracket IPv6-literal hosts
+    on BOTH sides of every textual compare (:func:`rfc5952_host_expr`
+    on rows and DataFrame entries, :func:`rfc5952_host` on tuple
+    entries), so a plain bracket entry blocks every spelling of its
+    address. Off by default; the CIDR range legs are
+    spelling-insensitive either way (numeric, mask-normalized).
 
     Two list shapes, two plans:
 
@@ -1534,6 +1542,13 @@ def filter_by_domain(
     host0 = F.regexp_replace(host_expr(F.col(url_col)), "\\.+\\z", "")
     if idna:
         host0 = idna_fold_expr(host0, uts46=(idna == "uts46"))
+    if canon_ipv6:
+        # RFC 5952 fold (r14): rows and entries fold TOGETHER (both
+        # sides of every textual compare), so a plain bracket entry
+        # blocks every spelling of its address; the CIDR legs never
+        # needed it (numeric, mask-normalized) but parse the
+        # canonical spelling identically
+        host0 = rfc5952_host_expr(host0)
     # r12: the row tail percent-normalizes so encoded spellings
     # compare equal to the (equally normalized) entry prefixes;
     # pct=False (ADVICE r12) restores the byte-verbatim compare
@@ -1743,6 +1758,8 @@ def filter_by_domain(
                 )
                 if idna:
                     eh = idna_fold_expr(eh, uts46=(idna == "uts46"))
+                if canon_ipv6:
+                    eh = rfc5952_host_expr(eh)  # fold like the rows
                 keyed = (
                     base_entries.filter(~is_cidr & ~is_cidr6)
                     .select("__fbd_e", eh0.alias("__fbd_eh0"))
@@ -1981,6 +1998,8 @@ def filter_by_domain(
             epath = pct_normalize(epath)
         if idna:
             ehost = _idna_fold_host(ehost, uts46=(idna == "uts46"))
+        if canon_ipv6:
+            ehost = rfc5952_host(ehost)  # fold like the rows (r14)
         # fold-free core: parse_blocklist_entry already folded the
         # host exactly once (like host_expr folds the rows); a second
         # full fold would strip a residual trailing ':' that the row

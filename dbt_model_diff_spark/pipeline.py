@@ -139,11 +139,13 @@ class CurationConfig:
     # pick ONE per corpus).
     url_idna: bool | str = False
     # RFC 5952 fold for bracket IPv6-literal hosts in the TEXTUAL
-    # domain-keyed stage (the per-domain cap): two spellings of one
-    # v6 address share a cap budget (urlops.rfc5952_host_expr, r14).
-    # The blocklist gate never needs it — its range compare is
-    # numeric and mask-normalized. Off by default: the fold only
-    # matters for corpora that actually carry mixed v6 spellings.
+    # domain-keyed stages (urlops.rfc5952_host_expr, r14): two
+    # spellings of one v6 address share a cap budget, and a PLAIN
+    # bracket blocklist entry blocks every spelling of its address
+    # (rows and entries fold together in the gate; the CIDR range
+    # legs were always spelling-insensitive — numeric and
+    # mask-normalized). Off by default: the fold only matters for
+    # corpora that actually carry mixed v6 spellings.
     url_canon_ipv6: bool = False
     # language allowlist (documents carry a lang column; None = keep all)
     keep_langs: tuple[str, ...] | None = None
@@ -308,6 +310,7 @@ def curate_corpus(
             url_col=c.url_col,
             psl=psl_rules,
             idna=c.url_idna,
+            canon_ipv6=c.url_canon_ipv6,
         )
         # deliberately NOT pinned, even under full-PSL + idna keying:
         # the r11 release probe measured pinning the gated corpus at

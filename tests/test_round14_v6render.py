@@ -168,6 +168,48 @@ def test_pipeline_url_canon_ipv6_cap(spark):
     assert rows[0]["domain"] == "[2001:db8::1]"
 
 
+def test_gate_canon_ipv6_plain_entry_cross_spelling(spark):
+    """With canon_ipv6=True a PLAIN bracket entry blocks every
+    spelling of its address, on both plan shapes and with/without
+    PSL keying (rows and entries fold together); default off keeps
+    the textual compare (only the exact spelling blocks)."""
+    rules = urlops.load_psl(include_private=True)
+    df = spark.createDataFrame(
+        [
+            (1, "http://[2001:db8::1]/x"),
+            (2, "http://[2001:0db8:0:0:0:0:0:1]/y"),
+            (3, "http://[2001:db9::1]/z"),
+        ],
+        "i int, url string",
+    )
+    entry = "[2001:0DB8::1]"  # a third spelling, uppercased
+    lst = spark.createDataFrame([(entry,)], "entry string")
+    for psl in (None, rules):
+        for blk in ((entry,), lst):
+            out = urlops.filter_by_domain(
+                df, blocklist=blk, psl=psl, canon_ipv6=True
+            )
+            kept = sorted(r["i"] for r in out.collect())
+            assert kept == [3], (type(blk).__name__, psl is not None)
+    # default: textual, no spelling matches -> nothing blocked
+    out = urlops.filter_by_domain(df, blocklist=(entry,))
+    assert sorted(r["i"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_gate_canon_ipv6_range_legs_unaffected(spark):
+    """CIDR legs stay correct under the fold (the canonical spelling
+    parses to the same (hi, lo)): the r13 done-case replays with
+    canon_ipv6=True on both shapes."""
+    df = spark.createDataFrame(
+        [(1, "http://[2001:0db8::1]/x"), (2, "http://[2001:db9::1]/x")],
+        "i int, url string",
+    )
+    lst = spark.createDataFrame([("[2001:db8::]/32",)], "entry string")
+    for blk in (("[2001:db8::]/32",), lst):
+        out = urlops.filter_by_domain(df, blocklist=blk, canon_ipv6=True)
+        assert sorted(r["i"] for r in out.collect()) == [2], type(blk)
+
+
 def test_canon_ipv6_plan_no_new_shuffle(spark):
     """The fold is row-local: domain_stats' plan keeps exactly its one
     aggregation exchange — no join, no UDF, no extra shuffle."""
