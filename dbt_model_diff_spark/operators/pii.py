@@ -163,6 +163,12 @@ SECRET_PATTERNS: list[tuple[str, str]] = [
     # npm granular tokens: npm_ + exactly 36 base62 chars (published
     # format, same shape family as ghp_)
     (r"npm_[A-Za-z0-9]{36}", "<NPMTOKEN>"),
+    # GitLab personal access tokens: glpat- + 20 base64url chars
+    # (published format)
+    (r"glpat-[A-Za-z0-9_-]{20}", "<GLTOKEN>"),
+    # Hugging Face user access tokens: hf_ + 34 base62 chars — the
+    # family an ML training corpus carries most often
+    (r"hf_[A-Za-z0-9]{34}", "<HFTOKEN>"),
     # PyPI API tokens: pypi- + a macaroon in base64url, 50+ chars in
     # practice (the real ones run 150+)
     (r"pypi-[A-Za-z0-9_-]{50,}", "<PYPITOKEN>"),

@@ -268,6 +268,8 @@ def test_scrub_secrets_vendor_formats(spark):
             # envelope guards: short sig= values and a bare 'sk-' in
             # prose stay untouched
             (15, "design doc sig=abc and sk-launch plan"),
+            (16, "gitlab glpat-" + "aB3_" * 5 + " and hf hf_"
+                 + "Xy9" * 11 + "Z push"),
         ],
         "doc_id long, text string",
     )
@@ -295,6 +297,8 @@ def test_scrub_secrets_vendor_formats(spark):
     assert out[14]["scrubbed"] == "openai <SKKEY> call"
     assert out[15]["scrubbed"] == "design doc sig=abc and sk-launch plan"
     assert out[15]["n_secrets"] == 0
+    assert out[16]["scrubbed"] == "gitlab <GLTOKEN> and hf <HFTOKEN> push"
+    assert out[16]["n_secrets"] == 2
     # plan: shuffle-free codegen map, like every scrub
     plan = pii.scrub_secrets(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
@@ -303,7 +307,7 @@ def test_scrub_secrets_vendor_formats(spark):
     import duckdb
 
     con = duckdb.connect()
-    for doc_id in (1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15):
+    for doc_id in (1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16):
         text = [r for r in df.collect() if r["doc_id"] == doc_id][0]["text"]
         got = text
         for pat, marker in pii.SECRET_PATTERNS:

@@ -144,12 +144,14 @@ def secrets14() -> None:
             s.append(time.perf_counter() - t0)
         return round(min(s), 2), round(statistics.median(s), 2)
 
+    r14_markers = (
+        "<AZURESAS>", "<NPMTOKEN>", "<PYPITOKEN>", "<SKKEY>",
+        "<GLTOKEN>", "<HFTOKEN>",
+    )
     r13_set = [
-        (p, m)
-        for p, m in pii.SECRET_PATTERNS
-        if m not in ("<AZURESAS>", "<NPMTOKEN>", "<PYPITOKEN>", "<SKKEY>")
+        (p, m) for p, m in pii.SECRET_PATTERNS if m not in r14_markers
     ]
-    assert len(r13_set) == len(pii.SECRET_PATTERNS) - 4
+    assert len(r13_set) == len(pii.SECRET_PATTERNS) - len(r14_markers)
 
     def scrub_with(patterns):
         out = F.col("text")
