@@ -220,19 +220,30 @@ def lsh_candidate_pairs(
     disabled), and correctness of the coverage ledger beats saving one
     vocab-scale job.
 
-    The guard is a windowed count over the SAME (band_id, bucket)
-    partitioning the self-join needs, not a separate histogram +
-    semi-join: everything downstream of the banding shares ONE exchange
-    (both self-join sides are canonically identical, so AQE reuses the
-    shuffle), and the signature pipeline runs exactly once. The window
-    pass over a degenerate bucket is linear (count + filter), never the
-    quadratic join it is guarding against. In a multi-stage 100 TB
+    Pair generation (r14 optimization round): ONE groupBy(band_id,
+    bucket) folds each bucket's ids into a sorted array (the cap filter
+    is ``size() <= max_bucket_size`` — identical drop semantics to the
+    previous windowed count), and the in-bucket pairs stream out of two
+    nested Generates (posexplode of the array, then explode of the
+    strictly-greater tail slice), so ``id_a < id_b`` holds by
+    construction. The previous shape — windowed count + self-join on
+    (band_id, bucket) — ASSUMED AQE reuses the one exchange for both
+    join sides; measured at sf0.1 the planner broadcast one side
+    instead and the ENTIRE upstream signature pipeline (corpus scan,
+    shingle explode, md5 hashing, signature aggregation) was evaluated
+    twice (plans/r14/dedup_lsh_pairs_before.txt: two full Scan->
+    Generate->HashAggregate->Window legs feeding a BroadcastHashJoin).
+    The aggregate shape evaluates the pipeline exactly once by
+    construction — it cannot regress to a double evaluation on any
+    planner, and it drops the per-bucket sort+probe of the join and the
+    window sort entirely. Memory: the collect_list buffer and each
+    Generate row carry O(bucket) ids (8 KB at the default cap), never
+    the O(bucket^2) pair set — the quadratic pair stream exists only as
+    Generate output, exactly like the join's. In a multi-stage 100 TB
     pipeline the signatures frame is written to parquet ONCE upstream
     (see SnapshotManager) and this function reads that narrow table,
     never the raw corpus.
     """
-    from pyspark.sql import Window
-
     stacked = band_buckets(
         signatures,
         bands=bands,
@@ -248,18 +259,23 @@ def lsh_candidate_pairs(
             )
         )
 
-    guard = Window.partitionBy("band_id", "bucket")
-    stacked = (
-        stacked.withColumn("__n", F.count(F.lit(1)).over(guard))
-        .filter(F.col("__n") <= max_bucket_size)
-        .drop("__n")
+    buckets = (
+        stacked.groupBy("band_id", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(
+            (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size)
+        )
     )
-
-    a = stacked.select(F.col(id_col).alias("id_a"), "band_id", "bucket")
-    b = stacked.select(F.col(id_col).alias("id_b"), "band_id", "bucket")
     return (
-        a.join(b, on=["band_id", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(
+            F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("__ids"), F.col("__i") + 2, F.size("__ids"))
+            ).alias("id_b"),
+        )
         .select("id_a", "id_b")
         .distinct()
     )

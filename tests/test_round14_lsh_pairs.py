@@ -1,0 +1,109 @@
+"""Round-14 optimization: lsh_candidate_pairs pair generation.
+
+The r14 optimization round replaced the windowed-count + self-join pair
+generation with ONE groupBy(band_id, bucket) -> sorted id array ->
+nested Generates (posexplode + tail-slice explode). The previous shape
+assumed AQE reuses the single (band_id, bucket) exchange for both join
+sides; measured at sf0.1 the planner broadcast one side and the whole
+upstream signature pipeline was evaluated twice
+(plans/r14/dedup_lsh_pairs_before.txt). These tests pin the new shape's
+two guarantees:
+
+1. values: the pair set is exactly the old join semantics (every
+   in-bucket unordered pair with id_a < id_b, deduped across bands,
+   buckets over the cap dropped whole) — checked against a brute-force
+   Python replay of the banding;
+2. plan: no Join node and exactly ONE evaluation of the source (the
+   single-evaluation property is structural, not planner-dependent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def sig_rows():
+    # 12 docs, 8-wide signatures chosen so several band collisions and
+    # one over-cap bucket exist at cap=3: docs 0..4 share band 0
+    # (mh0, mh1), docs 5..6 share band 2, docs 7..11 are loners except
+    # docs 10/11 which share band 3.
+    rows = []
+    for d in range(12):
+        mh = [100 * d + j for j in range(8)]
+        if d <= 4:
+            mh[0], mh[1] = 7, 9  # band 0 bucket shared by 5 docs
+        if d in (5, 6):
+            mh[4], mh[5] = 13, 17  # band 2 bucket shared by 2 docs
+        if d in (10, 11):
+            mh[6], mh[7] = 23, 29  # band 3 bucket shared by 2 docs
+        rows.append((d, *mh))
+    return rows
+
+
+def _expected_pairs(rows, cap):
+    """Brute-force replay of band_buckets + cap + pairing."""
+    buckets: dict = {}
+    for r in rows:
+        doc, mh = r[0], r[1:]
+        for b in range(4):
+            key = (b, hashlib.md5(f"{mh[2*b]}|{mh[2*b+1]}".encode()).hexdigest())
+            buckets.setdefault(key, []).append(doc)
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) > cap:
+            continue
+        pairs |= {tuple(sorted(p)) for p in combinations(ids, 2)}
+    return pairs
+
+
+@pytest.mark.parametrize("cap", [3, 1000])
+def test_pair_values_match_bruteforce(spark, sig_rows, cap):
+    sigs = spark.createDataFrame(
+        sig_rows, ["doc_id"] + [f"mh{i}" for i in range(8)]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs, bands=4, rows_per_band=2, max_bucket_size=cap
+        ).collect()
+    }
+    assert got == _expected_pairs(sig_rows, cap)
+    assert all(a < b for a, b in got)
+
+
+def test_single_evaluation_no_join(spark, sig_rows):
+    """The optimized plan must contain no join and evaluate the source
+    exactly once — the structural guarantee the old self-join shape
+    could not make (its exchange reuse was planner-weather)."""
+    sigs = spark.createDataFrame(
+        sig_rows, ["doc_id"] + [f"mh{i}" for i in range(8)]
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=1000
+    )
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1
+
+
+def test_guard_stats_unchanged(spark, sig_rows):
+    sigs = spark.createDataFrame(
+        sig_rows, ["doc_id"] + [f"mh{i}" for i in range(8)]
+    )
+    stats: dict = {}
+    dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=3, guard_stats=stats
+    ).count()
+    # the 5-doc band-0 bucket is over the cap: 5 postings, 5*4 pair-slots
+    assert stats == {
+        "dropped_rows": 5,
+        "dropped_buckets": 1,
+        "dropped_pairs_x2": 20,
+    }

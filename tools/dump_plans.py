@@ -1,0 +1,74 @@
+"""Dump .explain('formatted') for bench headliner queries to plans/r14/.
+
+Usage: python tools/dump_plans.py <suffix> [query ...]
+Writes plans/r14/<query>_<suffix>.txt for each named query (default: all
+bench headliners that are plain catalog queries). diff_full_orders is a
+multi-action engine call, not one DataFrame; its row-diff join plan is
+dumped as diff_full_orders_rowdiff_<suffix>.txt.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BENCH_QUERIES = [
+    "diff_counts_orders", "diff_profile_orders", "pricing_summary",
+    "model_order_agg", "model_int_orders", "dedup_exact_groups",
+    "dedup_minhash_signatures", "dedup_lsh_pairs", "text_quality_features",
+    "knn_bruteforce", "events_hourly_rollup", "q5_local_supplier_volume",
+    "q9_product_profit_by_nation", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q21_sole_problem_supplier",
+    "asof_latest_purchase", "quality_checks_orders",
+    "merge_apply_changes_orders", "pack_sequences_documents",
+    "events_rolling_features", "text_repetition_signals", "text_pii_scrub",
+    "dedup_cross_doc_chunks", "dedup_prioritized_sources",
+    "epoch_shuffle_documents", "quantize_embeddings_int8",
+    "budget_select_documents", "stats_moments_lineitem", "knn_ivf_pq",
+    "knn_ivf", "approx_profile_orders", "dedup_components",
+    "join_bloom_pruned_lineitem", "orc_roundtrip_orders",
+    "text_bpe_tokenize", "text_classifier_score", "dedup_oph_components",
+    "text_dup_substring_spans", "dsir_importance_weights",
+    "knn_hard_negatives", "text_bm25_topk", "dedup_source_overlap_matrix",
+]
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or BENCH_QUERIES
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    from dbt_model_diff_spark.session import get_spark
+
+    spark = get_spark(app_name="dump-plans", shuffle_partitions=32)
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    for name in names:
+        if name == "diff_full_orders":
+            from dbt_model_diff_spark.catalog import _orders_base, _orders_head
+            from dbt_model_diff_spark.config import DiffConfig
+            from dbt_model_diff_spark.operators.diff import row_diff_frame
+
+            base = _orders_base(spark, sf_dir)
+            head = _orders_head(spark, sf_dir)
+            non_key = [c for c in base.columns if c != "o_orderkey"]
+            df = row_diff_frame(base, head, ["o_orderkey"], non_key, DiffConfig())
+            out = out_dir / f"diff_full_orders_rowdiff_{suffix}.txt"
+        else:
+            df = QUERIES[name](spark, sf_dir)
+            out = out_dir / f"{name}_{suffix}.txt"
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.write_text(plan)
+        print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

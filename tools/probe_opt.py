@@ -1,0 +1,80 @@
+"""Optimization-round probe: time a named subset of bench headliners in
+bench conditions (noop sink, local[$SPARK_GRAFT_CPUS], shuffle=cpus) with
+median-of-3 calibration brackets. NOT the bench record — use for the
+r14 optimization iteration loop (guide §1: isolate, measure, change,
+re-measure).
+
+Usage: python tools/probe_opt.py <query> [query ...] [--runs N]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = 5
+    for a in sys.argv[1:]:
+        if a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    from dbt_model_diff_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="probe-opt", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def cal() -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(200_000_000)
+                .select(((F.col("id") * 2654435761) % 8192).alias("k"))
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            samples.append(time.perf_counter() - t0)
+        return statistics.median(samples)
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    load_pre = os.getloadavg()[0]
+    c_pre = cal()
+    out = {}
+    for name in args:
+        fn = QUERIES[name]
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            noop(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        out[name] = (round(min(samples), 3), round(statistics.median(samples), 3))
+    c_post = cal()
+    print(
+        f"cal_pre={c_pre:.3f} cal_post={c_post:.3f} load_pre={load_pre:.2f}"
+    )
+    for name, (best, med) in out.items():
+        print(f"{name}: best={best} med={med}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
