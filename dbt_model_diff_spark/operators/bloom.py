@@ -34,9 +34,24 @@ The shipped shape: the distributed part aggregates bit positions into
 at most ``n_bits/64`` (word, bit_or) rows — the only thing bounded by
 key count is map-side combine input, never driver traffic — which the
 driver packs into a single BINARY literal (one Literal node, 128 KB at
-2^20 bits, shared by codegen, never copied per row). The probe extracts
-one byte per hash (substring -> hex -> conv) and tests the bit with
-``bit_get`` — pure built-in expressions, fused into the fact scan.
+2^20 bits, shared by codegen, never copied per row).
+
+Probe (r14 optimization round): the bitset enters the plan as
+``from_json('<json array of longs>', 'array<bigint>')`` — an expression
+of literals that ConstantFolding collapses into ONE ArrayType Literal
+at optimization time (plan-asserted in tests), sidestepping both
+rejected array shapes above: no 16k-child CreateArray for the
+optimizer to crawl, no per-row copy. Each hash then costs one
+``element_at`` + one ``bit_get`` — pure long arithmetic. The previous
+probe read a byte out of the BINARY literal per hash via
+substring -> hex -> conv, i.e. two string allocations and a radix
+parse per (row, hash); measured at sf0.1 over 600k fact rows the
+filter stage dropped 0.75 s -> 0.32 s against a 0.26 s no-filter scan
+floor (~7x less per-row probe work — the term that scales with fact
+rows at 100 TB). Bit addressing is unchanged (bit ``p`` ==
+``word[p // 64] >> (p % 64)`` == ``byte[p // 8] >> (p % 8)`` under the
+little-endian pack), so membership — and therefore the pruned join's
+result — is bit-identical.
 """
 
 from __future__ import annotations
@@ -130,14 +145,22 @@ def bloom_might_contain(
 
     ``col`` must already be hash-normalized to the same dataType the
     build side hashed (``bloom_pruned_join`` handles this; direct
-    callers with integral keys should pass ``col.cast("long")``)."""
-    lit_bits = F.lit(bytearray(bitset))
+    callers with integral keys should pass ``col.cast("long")``).
+
+    The bitset rides the plan as a from_json of a literal JSON string —
+    foldable, so the optimizer collapses it to a single array<bigint>
+    Literal before execution (see the module docstring's probe note);
+    per (row, hash) the test is element_at + bit_get, no string ops."""
+    import json
+    import struct as _struct
+
+    words = _struct.unpack(f"<{n_bits // 64}q", bitset)
+    lit_words = F.from_json(F.lit(json.dumps(words)), "array<bigint>")
     tests = []
     for i in range(n_hashes):
         p = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
-        byte = F.substring(lit_bits, (p / 8).cast("int") + 1, 1)
-        val = F.conv(F.hex(byte), 16, 10).cast("int")
-        tests.append(F.bit_get(val, (p % 8).cast("int")) == 1)
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        tests.append(F.bit_get(word, (p % 64).cast("int")) == 1)
     out = tests[0]
     for t in tests[1:]:
         out = out & t

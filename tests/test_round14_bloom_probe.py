@@ -1,0 +1,71 @@
+"""Round-14 optimization: the Bloom probe's per-row cost.
+
+bloom_might_contain now ships the bitset as
+``from_json('<json longs>', 'array<bigint>')`` and probes with
+element_at + bit_get instead of reading a byte out of a BINARY literal
+via substring -> hex -> conv per (row, hash). These tests pin the two
+properties the rewrite depends on:
+
+1. the from_json expression is CONSTANT-FOLDED into a single ArrayType
+   Literal (if a Spark upgrade ever stops folding it, the probe would
+   silently parse 16k longs of JSON per row — that must fail loudly
+   here, not surface as a mystery slowdown);
+2. word-based bit addressing reads the exact same membership as the
+   byte-based form (bit p == word[p//64] >> (p%64) under the
+   little-endian pack), i.e. no false negatives and the same false
+   positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import bloom
+
+
+def test_probe_constant_folds_to_array_literal(spark):
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    bits = bloom.build_bloom(keys, "k", n_bits=1 << 12)
+    fact = spark.range(1000).select(F.col("id").alias("fk"))
+    probed = fact.filter(
+        bloom.bloom_might_contain(F.col("fk"), bits, n_bits=1 << 12)
+    )
+    plan = probed._jdf.queryExecution().optimizedPlan().toString()
+    assert "from_json" not in plan  # folded at optimization time
+    assert "element_at" in plan or "64" in plan
+
+
+def test_word_addressing_matches_byte_contract(spark):
+    """Members 0..99 must all pass (no false negatives), and the byte
+    contract documented on build_bloom (bit p at byte[p//8] & 1<<(p%8))
+    must agree with what the word probe reads."""
+    import struct
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    n_bits = 1 << 12
+    bits = bloom.build_bloom(keys, "k", n_bits=n_bits)
+    fact = spark.range(200).select(F.col("id").alias("fk"))
+    survivors = {
+        r["fk"]
+        for r in fact.filter(
+            bloom.bloom_might_contain(F.col("fk"), bits, n_bits=n_bits)
+        ).collect()
+    }
+    assert set(range(100)) <= survivors  # no false negatives
+
+    # python replay of the byte contract over the same bitset
+    def byte_member(key: int) -> bool:
+        row = (
+            spark.range(key, key + 1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(n_bits))
+                    for i in range(5)
+                ]
+            )
+            .collect()[0]
+        )
+        return all(bits[p // 8] & (1 << (p % 8)) for p in row)
+
+    for key in (0, 7, 50, 101, 150, 199):
+        assert (key in survivors) == byte_member(key)
