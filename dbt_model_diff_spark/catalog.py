@@ -1012,7 +1012,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
     ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
-    comp = dedup.connected_components(ver)
+    comp = dedup.connected_components(ver, assume_canonical=True)
     return comp.groupBy(F.col("label").alias("component_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max("node").alias("max_member"),
@@ -1071,7 +1071,7 @@ def dedup_rep_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
     ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
-    comp = dedup.connected_components(ver)
+    comp = dedup.connected_components(ver, assume_canonical=True)
     members = comp.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), on="node"
     )
@@ -1235,7 +1235,7 @@ def dedup_oph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=_LSH_CAP,
         sig_prefix="oph",
     )
-    comp = dedup.connected_components(pairs)
+    comp = dedup.connected_components(pairs, assume_canonical=True)
     return comp.groupBy(F.col("label").alias("component_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max("node").alias("max_member"),

@@ -692,6 +692,7 @@ def connected_components(
     right: str = "id_b",
     max_iters: int = 25,
     driver_threshold: int = 2_000_000,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph via alternating
     star contraction: every node's label converges to the minimum id
@@ -701,12 +702,18 @@ def connected_components(
     singletons are trivially their own component and callers keep them
     without a join (see ``near_dedup``).
 
-    Size-gated driver fallback: after the edge pin the EXACT distinct
-    edge count is known; at or below ``driver_threshold`` edges the
-    graph is a single-machine problem and is solved with one Arrow
+    Size-gated driver fallback: at or below ``driver_threshold`` edges
+    the graph is a single-machine problem and is solved with one Arrow
     collect + path-compressed union-find, avoiding ~10 shuffle-stage
     round trips whose scheduling latency dwarfs the compute at
-    pair-graph sizes. Driver budget at the 2M default: the Arrow frame
+    pair-graph sizes. The gate probe IS the collect (r14 optimization
+    round): one ``limit(threshold + 1).toPandas()`` both tests the gate
+    and, when it passes, already holds the full edge set — the previous
+    count()-then-toPandas shape ran the whole job graph once per hop
+    (two jobs, and on the driver path the second one re-read a cache
+    the first had just filled). Above the gate the head collect is
+    discarded and the distributed path counts the persisted edge set as
+    before. Driver budget at the 2M default: the Arrow frame
     is ~32 MB, but the union-find dict of boxed Python ints is the real
     cost — up to ~4M entries at ~100 B each, so plan for a few hundred
     MB of driver RSS at the gate (code-review r7 sizing), not 32 MB.
@@ -769,17 +776,29 @@ def connected_components(
     # operator at scale (~20 s of hashing at a 30x probe vs ~1 s for
     # the contraction loop). persist+count keeps the AQE planning path
     # (localCheckpoint routes through non-AQE df.rdd).
-    edges_all = (
-        pairs.select(
-            F.greatest(F.col(left), F.col(right)).alias("src"),
-            F.least(F.col(left), F.col(right)).alias("dst"),
+    if assume_canonical:
+        # caller guarantees left < right on every row and no duplicate
+        # pairs (lsh_candidate_pairs' contract) — the canonical
+        # src > dst orientation is then a pure column rename, and the
+        # re-canonicalizing distinct below would be a full extra
+        # exchange of the pair set for nothing (r14 optimization round)
+        edges_all = pairs.select(
+            F.col(right).alias("src"), F.col(left).alias("dst")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        edges_all = (
+            pairs.select(
+                F.greatest(F.col(left), F.col(right)).alias("src"),
+                F.least(F.col(left), F.col(right)).alias("dst"),
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_edges = edges_all.count()  # materialize under AQE; exact size gate
-    if n_edges <= driver_threshold:
-        # Driver path: the pinned edge set is provably small — collect
+    # Gate probe == collect: one job answers "is the graph small?" and,
+    # when yes, already holds every edge (see docstring).
+    head = edges_all.limit(driver_threshold + 1).toPandas()
+    if len(head) <= driver_threshold:
+        # Driver path: the pinned edge set is provably small — we hold
         # it (NOT the corpus; these are verified near-dup pairs) and
         # run union-find with path compression. Self-pairs ride along,
         # naming their node as a singleton component. Both driver hops
@@ -789,7 +808,7 @@ def connected_components(
         import pandas as pd
 
         spark = pairs.sparkSession
-        pdf = edges_all.toPandas()
+        pdf = head
         edges_all.unpersist()
         parent: dict = {}
 
@@ -823,6 +842,10 @@ def connected_components(
             ),
             out_schema,
         )
+    # Above the gate: fully materialize the pinned edge set under AQE
+    # before the loop's repeated reads (the head collect above may have
+    # cached only the partitions its limit touched).
+    edges_all.count()
     # node inventory BEFORE dropping self-pairs: a degenerate (x, x)
     # pair still names x as a single-node component. Lazy on purpose —
     # it is only read by the final (checkpointed) result join below,

@@ -1,0 +1,64 @@
+"""Round-14 optimization: connected_components gate probe and the
+assume_canonical fast path.
+
+The gate probe is now ONE limit(threshold+1).toPandas() job that, when
+the graph is small, already holds the full edge set (previously:
+count() then a second toPandas job). assume_canonical=True lets callers
+that guarantee left < right distinct pairs (lsh_candidate_pairs'
+contract) skip the re-canonicalizing distinct — a full exchange of the
+pair set. Both must be invisible in the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import dedup
+
+EDGES = [(1, 2), (2, 3), (5, 6), (8, 8), (10, 11), (11, 12), (3, 4)]
+
+
+def _labels(df):
+    return {(r["node"], r["label"]) for r in df.collect()}
+
+
+def test_canonical_flag_matches_default(spark):
+    canon = [(a, b) for a, b in EDGES if a < b]  # strict, no self-pairs
+    pairs = spark.createDataFrame(canon, "id_a long, id_b long")
+    base = _labels(dedup.connected_components(pairs))
+    fast = _labels(dedup.connected_components(pairs, assume_canonical=True))
+    assert fast == base
+    # expected closure: {1,2,3,4}, {5,6}, {10,11,12}
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (5, 5), (6, 5),
+        (10, 10), (11, 10), (12, 10),
+    }
+
+
+def test_canonical_flag_skips_the_distinct_exchange(spark):
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in EDGES if a < b], "id_a long, id_b long"
+    )
+    # probe the edge-pin plan shape the flag controls: canonical input
+    # must reach the pin as a bare projection (no Aggregate/Exchange)
+    fast_pin = pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+    )
+    plan = fast_pin._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan and "Deduplicate" not in plan
+
+
+def test_gate_boundary_paths_agree(spark):
+    """Exactly at the threshold -> driver path; one over -> distributed.
+    Output must be identical either way (the old count()-based gate had
+    the same boundary: <= threshold is the driver path)."""
+    canon = [(i, i + 1) for i in range(1, 8)]  # one 8-node chain, 7 edges
+    pairs = spark.createDataFrame(canon, "id_a long, id_b long")
+    at_gate = _labels(
+        dedup.connected_components(pairs, driver_threshold=7)
+    )
+    over_gate = _labels(
+        dedup.connected_components(pairs, driver_threshold=6)
+    )
+    assert at_gate == over_gate == {(i, 1) for i in range(1, 9)}
