@@ -1047,12 +1047,23 @@ def source_overlap_matrix(
     overlap_share) with source_a < source_b, share =
     shared / min(n_a, n_b) — one double division of exact integers.
 
-    Scale shape: one scan chunks + hashes (codegen, no shuffle), ONE
-    exchange dedupes (chunk, source), the per-chunk source-set fold is
-    bounded by the source count (provenance cardinality is small BY
-    DEFINITION — tens, not millions), and pair expansion is
-    |sources|^2-bounded per chunk. No all-pairs anything; the matrix
-    aggregate is source^2-scale (tiny).
+    Scale shape (r14 optimization round): one scan chunks + hashes
+    (codegen, no shuffle) and ONE exchange — groupBy(chunk hash) with a
+    map-side-deduping collect_set(source) — feeds EVERY downstream leg:
+    the pair matrix, and both per-source totals (distinct-chunk counts
+    fall out of exploding the per-chunk source sets — vocab-scale).
+    The previous shape deduped (chunk, source) in its own exchange and
+    then re-aggregated, and because the totals frame is consumed twice
+    (n_a and n_b sides) the corpus-scale chunk+md5 pipeline was
+    evaluated THREE times per action (3 scans in
+    plans/r14/dedup_source_overlap_matrix_before.txt); now the three
+    consumers' children are canonically identical, ReuseExchange
+    dedupes them (executed-plan-asserted in tests), and the corpus is
+    scanned once. The per-chunk source-set fold is bounded by the
+    source count (provenance cardinality is small BY DEFINITION — tens,
+    not millions), and pair expansion is |sources|^2-bounded per chunk.
+    No all-pairs anything; the matrix aggregate is source^2-scale
+    (tiny).
     """
     from dbt_model_diff_spark.operators.textops import chunk_documents
 
@@ -1072,14 +1083,19 @@ def source_overlap_matrix(
             F.col(source_col).alias("source"),
             F.md5(F.col("chunk_text")).alias("f"),
         )
-        .distinct()
     )
-    tot = ch.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    sets = (
-        ch.groupBy("f")
-        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
-        .filter(F.size("ss") >= 2)
+    # the ONE corpus-keyed exchange: collect_set dedups (chunk, source)
+    # map-side, so the separate distinct() exchange the old shape paid
+    # is folded into this aggregate
+    sets_all = ch.groupBy("f").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
     )
+    tot = (
+        sets_all.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sets = sets_all.filter(F.size("ss") >= 2)
     pairs = sets.select(F.explode("ss").alias("source_a"), "ss").select(
         "source_a",
         F.explode(

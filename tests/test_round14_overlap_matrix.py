@@ -1,0 +1,50 @@
+"""Round-14 optimization: source_overlap_matrix single corpus scan.
+
+The matrix now derives per-source distinct-chunk totals from the same
+groupBy(chunk-hash) collect_set exchange the pair legs read, instead of
+a separate distinct(source, chunk) exchange re-aggregated per consumer.
+At runtime all three consumers (pair matrix, n_a side, n_b side) must
+resolve to ONE materialized exchange — the old shape's legs only
+deduplicated partially (1 ReusedExchange of the needed 2, so the
+corpus chunk+md5 pipeline ran twice per action).
+"""
+
+from __future__ import annotations
+
+from dbt_model_diff_spark.operators import dedup
+from dbt_model_diff_spark.sources.readers import read_table
+
+
+def test_overlap_matrix_reuses_one_corpus_exchange(spark, sf_dir):
+    df = dedup.source_overlap_matrix(
+        read_table(spark, sf_dir, "documents")
+    )
+    rows = df.collect()
+    assert rows  # sf0.01 has cross-source chunk overlap by construction
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # both totals legs AND the pair leg share the chunk-hash exchange:
+    # two of the three consumers read it as ReusedExchange
+    assert plan.count("ReusedExchange") == 2
+
+
+def test_overlap_matrix_values(spark):
+    docs = spark.createDataFrame(
+        [
+            # 17 tokens => two 16-token chunks (stride 16, tail chunk of 1)
+            (1, "a " * 16 + "x", "s1"),
+            (2, "a " * 16 + "y", "s2"),  # shares the 16-token chunk with 1
+            (3, "b " * 16 + "x", "s2"),  # shares tail chunk "x" with 1
+            (4, "c " * 5, "s3"),         # one short chunk, unshared
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared_chunks"], r["n_a"], r["n_b"], r["overlap_share"]
+        )
+        for r in dedup.source_overlap_matrix(docs).collect()
+    }
+    # s1 chunks: {"a"*16, "x"}; s2 chunks: {"a"*16, "y", "b"*16, "x"};
+    # s3: {"c c c c c"}; shared s1&s2 = {"a"*16, "x"} = 2
+    assert out == {("s1", "s2"): (2, 2, 4, 1.0)}
