@@ -5431,10 +5431,10 @@ FROM per_doc d LEFT JOIN bstats USING (doc_id)
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (`textops.repetition_signals`):
-    duplicate-token fraction + top-bigram share per document. The
-    exploded bigrams are partitioned on doc_id once; the per-(doc,
-    bigram) count, per-doc rollup, and the join to per-doc token stats
-    all ride that single exchange (plan-tested)."""
+    duplicate-token fraction + top-bigram share per document. Row-local
+    as of the r14 optimization round: the top-bigram count is the
+    longest run in the doc's sorted bigram array (one HOF fold), so the
+    plan has zero shuffles and no join (plan-tested)."""
     return textops.repetition_signals(read_table(spark, sf_dir, "documents"))
 
 

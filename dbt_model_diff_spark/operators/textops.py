@@ -1372,50 +1372,75 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     filters drop before LLM training (Rae et al. 2021 §A1.1 use the same
     family of duplicate-n-gram fractions).
 
-    Scale posture: the bigram table is exploded once and BOTH
-    aggregation levels ride ONE exchange — the raw (doc_id, bigram) rows
-    are hash-partitioned on doc_id alone, so the per-(doc, bigram)
-    count, the per-doc max/sum rollup, and the join back to the per-doc
-    token stats are all partition-local (`agg_high_cardinality_by`
-    pattern; the per-doc group count ~= row count, so partial
-    aggregation would buy nothing anyway). No all-pairs, no window over
-    the corpus: 100 TB of documents shuffle once as narrow
-    (doc_id, bigram) pairs.
+    Scale posture (r14 optimization round): ZERO shuffles. The most
+    frequent bigram's count inside one document equals the longest run
+    in that document's SORTED bigram array, so the whole signal is a
+    row-local fold: sort_array + one HOF aggregate carrying (prev, run,
+    best) state. The previous shape exploded (doc_id, bigram) rows,
+    hash-partitioned the corpus on doc_id, counted per (doc, bigram),
+    rolled up per doc, and joined back to the token stats — one full
+    corpus exchange plus a join that this shape simply does not have
+    (the guide's first lever: remove the shuffle outright). Per-row
+    cost is the same order (one sort of the doc's bigrams vs hashing
+    them into an aggregation map), locality is identical (both shapes
+    confined a document to one task), and a degenerate mega-document
+    costs one in-row sort instead of one mega-group aggregation.
 
     Ratios are double divisions of exact ints (deterministic IEEE,
     engine-portable); token/bigram extraction matches the SQL oracle's
     string_split + generate_series semantics.
     """
-    from dbt_model_diff_spark.util import agg_high_cardinality_by, spread_for_compute
+    from dbt_model_diff_spark.util import spread_for_compute
 
-    t = F.col(text_col)
-    toks = F.split(t, " ")
     base = spread_for_compute(df.select("doc_id", text_col))
-    per_doc = base.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-    )
-    # zip_with over slices — see classifier_score.__bigrams / shingles
+    toks_col = F.col("__toks")
+    # zip_with over slices — see classifier_score.__bigrams / shingles;
+    # each HOF column staged in its own projection so the upstream
+    # split() cannot inline into a lambda body and re-run per element
     bigram_expr = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
+        F.slice(toks_col, 1, F.size(toks_col) - 1),
+        F.slice(toks_col, 2, F.size(toks_col) - 1),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
-    bigrams = base.filter(F.size(toks) >= 2).select(
-        "doc_id", F.explode(bigram_expr).alias("bigram")
+    staged = base.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__toks")
+    ).select(
+        "doc_id",
+        F.size(toks_col).alias("n_tokens"),
+        F.size(F.array_distinct(toks_col)).alias("n_distinct_tokens"),
+        F.sort_array(bigram_expr).alias("__bg"),
     )
-    per_bigram = agg_high_cardinality_by(
-        bigrams,
-        ["doc_id", "bigram"],
-        ["doc_id"],
-        F.count(F.lit(1)).alias("cnt"),
+    # longest run in the sorted bigram array == max per-bigram count;
+    # the fold state is (prev value, current run, best run)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    bigram_stats = per_bigram.groupBy("doc_id").agg(
-        F.max("cnt").alias("top_bigram_cnt"),
-        F.sum("cnt").alias("n_bigrams"),
+
+    def _step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).cast("long").alias("best"),
+        )
+
+    top_cnt = F.aggregate(F.col("__bg"), init, _step, lambda acc: acc["best"])
+    # the fold staged once (its own projection) — it is referenced by
+    # two output columns and must not run twice per row
+    folded = staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.coalesce(top_cnt, F.lit(0)).alias("__top"),
+        F.size("__bg").alias("__nbg"),
     )
-    return per_doc.join(bigram_stats, "doc_id", "left").select(
+    return folded.select(
         "doc_id",
         "n_tokens",
         "n_distinct_tokens",
@@ -1423,10 +1448,12 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double")
             / F.col("n_tokens").cast("double")
         ).alias("dup_token_frac"),
-        F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).alias("top_bigram_cnt"),
+        F.col("__top").alias("top_bigram_cnt"),
         (
-            F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("double")
-            / F.col("n_bigrams").cast("double")
+            # nullif: a doc with no bigrams has share NULL (the old
+            # left-join-miss divided by NULL; a bare /0 throws in ANSI)
+            F.col("__top").cast("double")
+            / F.nullif(F.col("__nbg"), F.lit(0)).cast("double")
         ).alias("top_bigram_share"),
     )
 

@@ -44,17 +44,17 @@ def test_repetition_signals(spark, docs):
 
 
 def test_repetition_signals_single_exchange(spark, docs):
-    """The bigram branch must ride ONE exchange: raw (doc_id, bigram)
-    rows hash-partitioned on doc_id, then count, rollup, and the join to
-    the per-doc stats stay partition-local... except the per-doc branch
-    itself arrives through its own scan-side path. Assert the full plan
-    holds at most 2 exchanges (one per branch) and that none of them is
-    introduced between the two aggregation levels."""
+    """r14 shape: the signal is a row-local fold (sort_array + HOF
+    aggregate finds the longest run == the top bigram count), so the
+    plan must contain ZERO hash/range exchanges — no bigram explode, no
+    per-doc rollup, no join (the only permitted exchange is
+    spread_for_compute's round-robin repartition)."""
     plan = textops.repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
     import re
 
     n_exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
-    assert n_exchanges <= 2, plan
+    assert n_exchanges == 0, plan
+    assert "Join" not in plan
 
 
 def test_intra_doc_dedup_order_preserved(spark, docs):
