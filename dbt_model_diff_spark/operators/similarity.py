@@ -863,26 +863,30 @@ def ivf_pq_topk(
     """
     import math
 
-    first = candidates.select(vec_col).first()
-    if first is None:
-        raise ValueError("ivf_pq_topk on empty candidate frame")
-    dim = len(first[0])
-    if dim % m_subspaces:
-        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
-    d = dim // m_subspaces
-
     if centroids is not None:
         cent_rows = [
             (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
             for r in centroids.orderBy("centroid_id").collect()
         ]
+        if not cent_rows:
+            raise ValueError("ivf_pq_topk on empty centroid frame")
+        # dim from the pinned centroids — saves the candidates.first()
+        # probe job the sampling path needs (r14 optimization round)
+        dim = len(cent_rows[0][1])
     else:
+        first = candidates.select(vec_col).first()
+        if first is None:
+            raise ValueError("ivf_pq_topk on empty candidate frame")
+        dim = len(first[0])
         cent_rows = [
             (i, [float(x) for x in r[vec_col]])
             for i, r in enumerate(
                 candidates.select(vec_col).sample(False, 1.0, seed).limit(16).collect()
             )
         ]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    d = dim // m_subspaces
     cents = [(cid, v, math.sqrt(py_dot(v, v))) for cid, v in cent_rows]
 
     if codebooks is None:
