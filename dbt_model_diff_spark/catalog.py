@@ -944,11 +944,13 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes shingles/signatures to parquet once upstream and each
     stage re-reads that narrow table."""
     sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
-    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    # combined signature+set aggregate (r14): one shingle explode, one
+    # exchange reused by the banding and both jaccard join sides
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, with_sets=True)
     cand = dedup.lsh_candidate_pairs(
         sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
-    return dedup.ngram_jaccard_pairs(sh, cand)
+    return dedup.ngram_jaccard_pairs(sh, cand, sets_df=sigs)
 
 
 _VERIFIED_PAIRS_SQL = (
@@ -1007,11 +1009,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set counts — a single double division of integers, identical
     in both engines — so no FP-ordering divergence is possible."""
     sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
-    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, with_sets=True)
     cand = dedup.lsh_candidate_pairs(
         sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
-    ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
+    ver = dedup.ngram_jaccard_pairs(
+        sh, cand, threshold=0.6, sets_df=sigs
+    ).select("id_a", "id_b")
     comp = dedup.connected_components(ver, assume_canonical=True)
     return comp.groupBy(F.col("label").alias("component_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -1066,11 +1070,13 @@ def dedup_rep_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score joinable on doc_id slots into the same max_by."""
     docs = read_table(spark, sf_dir, "documents")
     sh = textops.shingles(docs, n=3)
-    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, with_sets=True)
     cand = dedup.lsh_candidate_pairs(
         sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
-    ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
+    ver = dedup.ngram_jaccard_pairs(
+        sh, cand, threshold=0.6, sets_df=sigs
+    ).select("id_a", "id_b")
     comp = dedup.connected_components(ver, assume_canonical=True)
     members = comp.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), on="node"
@@ -1425,11 +1431,13 @@ def split_leakage_safe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     sh = textops.shingles(docs, n=3)
-    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, with_sets=True)
     cand = dedup.lsh_candidate_pairs(
         sigs, bands=4, rows_per_band=2, max_bucket_size=_LSH_CAP
     )
-    ver = dedup.ngram_jaccard_pairs(sh, cand, threshold=0.6).select("id_a", "id_b")
+    ver = dedup.ngram_jaccard_pairs(
+        sh, cand, threshold=0.6, sets_df=sigs
+    ).select("id_a", "id_b")
     out = sampling.leakage_safe_split(docs, ver, eval_sixteenths=2)
     return out.select("doc_id", "group_label", "split")
 

@@ -73,6 +73,7 @@ def minhash_signatures(
     num_hashes: int = 8,
     id_col: str = "doc_id",
     shingle_col: str = "shingle",
+    with_sets: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc: mh_i = min((a_i*b + c_i) mod p) where b
     is a 60-bit int from ONE md5 of the shingle.
@@ -81,16 +82,33 @@ def minhash_signatures(
     shuffle of (doc_id, num_hashes x 8B longs). Hashing each shingle once
     and deriving the family by integer mixing is ~8x less md5 work than
     hashing per (seed, shingle), and bigint mins shuffle 4x narrower than
-    md5 hex strings."""
+    md5 hex strings.
+
+    ``with_sets=True`` (r14 optimization round) additionally folds the
+    doc's distinct-shingle set into the SAME aggregate as a ``__shset``
+    column — for the verify pipelines (``ngram_jaccard_pairs``), which
+    previously ran a second full shingle explode + groupBy(doc) just to
+    build the sets. One combined aggregate means one explode, one md5
+    pass and ONE exchange that the LSH banding and both jaccard join
+    sides all reuse at runtime. A NULL ``id_col`` row is dropped in
+    this mode (stated inside the shared subtree so every consumer's
+    child stays canonically identical — the dsir ReuseExchange lesson);
+    that is value-neutral for the verify pipelines because a NULL id
+    can never form a pair on either the banding path (collect_list
+    skips NULLs) or the jaccard equi-joins."""
     base = (
         F.conv(F.substring(F.md5(F.col(shingle_col)), 2, 15), 16, 10).cast("long")
         % MINHASH_PRIME
     )
+    if with_sets:
+        shingle_df = shingle_df.filter(F.col(id_col).isNotNull())
     withb = shingle_df.withColumn("__mh_b", base)
     aggs = [
         F.min((F.col("__mh_b") * F.lit(a) + F.lit(c)) % MINHASH_PRIME).alias(f"mh{i}")
         for i, (a, c) in enumerate(minhash_params(num_hashes))
     ]
+    if with_sets:
+        aggs.append(F.collect_set(shingle_col).alias("__shset"))
     return withb.groupBy(id_col).agg(*aggs)
 
 
@@ -598,6 +616,7 @@ def ngram_jaccard_pairs(
     candidate_pairs: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.0,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity for candidate (id_a, id_b) pairs.
 
@@ -605,6 +624,13 @@ def ngram_jaccard_pairs(
     array; the pair list joins the two per-doc sets on doc ids and
     |A ∩ B| = ``size(array_intersect(...))`` evaluates per pair, JVM-side.
     |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    ``sets_df`` (r14 optimization round): a frame already carrying
+    ``(id_col, __shset)`` — pass ``minhash_signatures(...,
+    with_sets=True)`` output so BOTH join sides read the combined
+    signature+set aggregate's exchange instead of re-running the
+    shingle explode and a second groupBy(doc) here. ``shingle_df`` is
+    ignored in that mode.
 
     Round-6 rewrite (VERDICT r5 task #3, measured at a 30x probe): the
     previous shape kept shingles EXPLODED — a (doc, shingle) DISTINCT
@@ -621,7 +647,12 @@ def ngram_jaccard_pairs(
     Shuffles are keyed on doc ids and the candidate pair list — never
     all-pairs of the corpus.
     """
-    sets = shingle_df.groupBy(id_col).agg(F.collect_set("shingle").alias("__shset"))
+    if sets_df is not None:
+        sets = sets_df.select(id_col, "__shset")
+    else:
+        sets = shingle_df.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("__shset")
+        )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("__shset").alias("__sa"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("__shset").alias("__sb"))
     n_inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))

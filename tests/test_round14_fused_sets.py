@@ -1,0 +1,87 @@
+"""Round-14 optimization: the combined signature+set aggregate.
+
+minhash_signatures(with_sets=True) folds the doc's distinct-shingle set
+into the SAME groupBy(doc) aggregate as the signature mins, and
+ngram_jaccard_pairs(sets_df=...) joins against that frame instead of
+re-running the shingle explode + a second groupBy. The LSH banding and
+both jaccard join sides must then share ONE exchange at runtime, and
+every value must match the unfused path bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import dedup, textops
+from dbt_model_diff_spark.sources.readers import read_table
+
+
+def _verified(spark, sf_dir, fused: bool):
+    sh = textops.shingles(read_table(spark, sf_dir, "documents"), n=3)
+    if fused:
+        sigs = dedup.minhash_signatures(sh, num_hashes=8, with_sets=True)
+        cand = dedup.lsh_candidate_pairs(
+            sigs, bands=4, rows_per_band=2, max_bucket_size=1000
+        )
+        return dedup.ngram_jaccard_pairs(sh, cand, sets_df=sigs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=1000
+    )
+    return dedup.ngram_jaccard_pairs(sh, cand)
+
+
+def test_fused_matches_unfused(spark, sf_dir):
+    fused = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in _verified(spark, sf_dir, fused=True).collect()
+    }
+    plain = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in _verified(spark, sf_dir, fused=False).collect()
+    }
+    assert fused == plain and fused
+
+
+def test_fused_shares_one_exchange(spark, sf_dir):
+    df = _verified(spark, sf_dir, fused=True)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # banding + both jaccard join sides read the combined aggregate's
+    # exchange: two of the three consumers appear as ReusedExchange
+    assert plan.count("ReusedExchange") == 2
+
+
+def test_with_sets_signature_columns_unchanged(spark):
+    sh = spark.createDataFrame(
+        [(1, "a b c"), (1, "b c d"), (2, "a b c")],
+        "doc_id long, shingle string",
+    )
+    plain = dedup.minhash_signatures(sh, num_hashes=4).collect()
+    combo = dedup.minhash_signatures(sh, num_hashes=4, with_sets=True)
+    assert "__shset" in combo.columns
+    got = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(4))
+        for r in combo.collect()
+    }
+    assert got == {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(4)) for r in plain
+    }
+    sets = {r["doc_id"]: sorted(r["__shset"]) for r in combo.collect()}
+    assert sets == {1: ["a b c", "b c d"], 2: ["a b c"]}
+
+
+def test_with_sets_drops_null_ids_only_in_set_mode(spark):
+    sh = spark.createDataFrame(
+        [(None, "x y z"), (1, "a b c")], "doc_id long, shingle string"
+    )
+    plain_ids = {
+        r["doc_id"] for r in dedup.minhash_signatures(sh, 4).collect()
+    }
+    fused_ids = {
+        r["doc_id"]
+        for r in dedup.minhash_signatures(sh, 4, with_sets=True).collect()
+    }
+    assert plain_ids == {None, 1}  # plain mode keeps reference semantics
+    assert fused_ids == {1}  # set mode: NULL ids can never pair anyway
