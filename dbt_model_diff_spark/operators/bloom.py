@@ -30,11 +30,16 @@ Shapes that were tried and REJECTED (measured at sf0.1, 600k fact rows):
   Spark map literals are UNSORTED arrays, so each lookup is a linear
   scan — the build alone took 15.9 s.
 
-The shipped shape: the distributed part aggregates bit positions into
-at most ``n_bits/64`` (word, bit_or) rows — the only thing bounded by
-key count is map-side combine input, never driver traffic — which the
-driver packs into a single BINARY literal (one Literal node, 128 KB at
-2^20 bits, shared by codegen, never copied per row).
+The shipped shape (build side rewritten r15): the distributed part
+aggregates bit positions into at most ``n_bits/32768`` 4 KB bitmap
+buckets (``bitmap_construct_agg`` — 32 rows at 2^20 bits, vs the
+previous ``n_bits/64`` (word, bit_or) rows = 16k) — the only thing
+bounded by key count is map-side combine input, never driver traffic —
+which the driver concatenates into a single BINARY literal (one
+Literal node, 128 KB at 2^20 bits, shared by codegen, never copied per
+row). The bucket layout is bit-identical to the old word packing
+(pinned in tests/test_round15_bloom_build.py), so probe behavior is
+unchanged.
 
 Probe (r14 optimization round): the bitset enters the plan as
 ``from_json('<json array of longs>', 'array<bigint>')`` — an expression
@@ -56,7 +61,6 @@ result — is bit-identical.
 
 from __future__ import annotations
 
-import struct
 import warnings
 
 from pyspark.sql import Column, DataFrame
@@ -108,22 +112,33 @@ def build_bloom(
             *[F.pmod(F.xxhash64(k, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)]
         )
     ).alias("p")
-    word_masks = (
+    # r15: aggregate 32768-bit bitmap buckets (bitmap_construct_agg)
+    # instead of (word, bit_or) pairs — <= n_bits/32768 groups instead
+    # of n_bits/64, so the reduce side and the driver collect shrink
+    # 512x (32 x 4 KB rows vs 16k x 16 B rows at the default 2^20
+    # bits). Layout is bit-identical: 0-based bit p maps to 1-based
+    # bitmap input p+1 -> bucket p//32768 + 1, in-bucket bit p%32768,
+    # and the bucket's binary packs bit q at byte[q//8] & (1 << q%8),
+    # so global byte (b-1)*4096 + q//8 == p//8 with the same in-byte
+    # bit — the exact little-endian contract the probe side reads
+    # (equality vs the word aggregation pinned in
+    # tests/test_round15_bloom_build.py).
+    buckets = (
         keys.select(pos)
         .selectExpr(
-            "cast(p / 64 as int) AS w",
-            # SQL shiftleft takes a column shift amount (the PySpark
-            # wrapper only takes a literal)
-            "shiftleft(1L, cast(p % 64 as int)) AS m",
+            "bitmap_bucket_number(p + 1) AS b",
+            "bitmap_bit_position(p + 1) AS bp",
         )
-        .groupBy("w")
-        .agg(F.expr("bit_or(m)").alias("m"))
+        .groupBy("b")
+        .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
     )
     buf = bytearray(n_bits // 8)
-    set_bits = 0
-    for r in word_masks.collect():
-        struct.pack_into("<q", buf, r["w"] * 8, r["m"])
-        set_bits += int(r["m"] & ((1 << 64) - 1)).bit_count()
+    bucket_bytes = 32768 // 8
+    for r in buckets.collect():
+        off = (int(r["b"]) - 1) * bucket_bytes
+        chunk = bytes(r["bm"])[: max(0, min(bucket_bytes, len(buf) - off))]
+        buf[off : off + len(chunk)] = chunk
+    set_bits = int.from_bytes(buf, "little").bit_count()
     if set_bits * 2 > n_bits:
         warnings.warn(
             f"bloom bitset density {set_bits / n_bits:.0%} > 50% — the"

@@ -1,0 +1,82 @@
+"""Round-15 bloom build: the bitmap_construct_agg build must produce a
+bitset byte-identical to the previous (word, bit_or) aggregation, so the
+probe side's little-endian byte/bit contract — and therefore every
+pruned join's result — is unchanged."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators.bloom import (
+    _normalize_key,
+    bloom_might_contain,
+    build_bloom,
+)
+
+
+def _build_bloom_word_agg(keys, key_col, n_bits, n_hashes):
+    """The pre-r15 build shape, verbatim: (word, bit_or(mask)) groups
+    packed little-endian by the driver."""
+    k = _normalize_key(F.col(key_col), keys.schema[key_col].dataType)
+    pos = F.explode(
+        F.array(
+            *[F.pmod(F.xxhash64(k, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)]
+        )
+    ).alias("p")
+    word_masks = (
+        keys.select(pos)
+        .selectExpr(
+            "cast(p / 64 as int) AS w",
+            "shiftleft(1L, cast(p % 64 as int)) AS m",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("m"))
+    )
+    buf = bytearray(n_bits // 8)
+    for r in word_masks.collect():
+        struct.pack_into("<q", buf, r["w"] * 8, r["m"])
+    return bytes(buf)
+
+
+@pytest.mark.parametrize("n_bits", [1 << 20, 1 << 16, 192])
+def test_bitmap_build_matches_word_agg(spark, n_bits):
+    # keys spread by xxhash over every bitmap bucket, including the
+    # first/last word of each 32768-bit bucket boundary statistically
+    keys = spark.range(0, 4000, 7).withColumnRenamed("id", "k")
+    new = build_bloom(keys, "k", n_bits=n_bits, n_hashes=5)
+    old = _build_bloom_word_agg(keys, "k", n_bits, 5)
+    assert new == old
+
+
+def test_members_always_probe_true(spark):
+    keys = spark.range(0, 500).withColumnRenamed("id", "k")
+    bits = build_bloom(keys, "k", n_bits=1 << 16, n_hashes=5)
+    probed = (
+        keys.select(
+            bloom_might_contain(
+                F.col("k").cast("long"), bits, n_bits=1 << 16, n_hashes=5
+            ).alias("hit")
+        )
+        .groupBy()
+        .agg(F.sum(F.col("hit").cast("int")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert probed == 500
+
+
+def test_bucket_boundary_bits(spark):
+    # engineer positions that land in the first and last words of the
+    # second bitmap bucket by brute-forcing keys whose hash-0 position
+    # falls there; the other 4 hashes land wherever — equality with the
+    # word build (asserted above) is the real contract, this pins the
+    # cross-bucket offset arithmetic on a tiny bitset
+    n_bits = 1 << 16  # 2 buckets
+    keys = spark.range(0, 20000).withColumnRenamed("id", "k")
+    new = build_bloom(keys, "k", n_bits=n_bits, n_hashes=1)
+    old = _build_bloom_word_agg(keys, "k", n_bits, 1)
+    assert new == old
+    # both buckets must actually carry bits (otherwise the test is vacuous)
+    assert any(new[:4096]) and any(new[4096:])
