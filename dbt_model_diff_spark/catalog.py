@@ -2031,12 +2031,14 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit; recall vs brute force and vs unquantized IVF is
     property-tested in tests/test_extensions.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    pinned = emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
-    cents = pinned.select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
-    )
-    base = [[float(x) for x in r["embedding"]] for r in pinned.collect()]
-    codebooks = [[v[m * 8 : (m + 1) * 8] for v in base] for m in range(8)]
+    # one collect serves both the centroid list and the codebooks (r15:
+    # previously the operator re-collected a centroid FRAME — a second
+    # parquet scan job per invocation)
+    pinned = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    codebooks = [[v[m * 8 : (m + 1) * 8] for _, v in pinned] for m in range(8)]
     return similarity.ivf_pq_topk(
         emb.filter(F.col("vec_id") < 3),
         emb,
@@ -2044,7 +2046,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes=8,
         m_subspaces=8,
         n_codes=16,
-        centroids=cents,
+        centroids=pinned,
         codebooks=codebooks,
     )
 

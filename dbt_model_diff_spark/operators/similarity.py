@@ -165,7 +165,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
@@ -193,11 +193,17 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    if centroids is not None:
-        cent_df = centroids.select("centroid_id", "cvec")
-    else:
+    # r15: the centroid set is collected ONCE (it is needed on the
+    # driver for the Arrow kernel anyway) and the frame every broadcast
+    # join consumes is rebuilt LOCALLY from those rows — a
+    # LocalTableScan instead of a second parquet scan of the centroid
+    # source inside the main action (one fewer scan per invocation;
+    # values bit-identical, doubles round-trip the driver exactly).
+    # ``centroids`` may also be a pre-collected [(id, vector), ...]
+    # list, which skips the collect job entirely.
+    if centroids is None:
         cents = [
-            (i, row[vec_col])
+            (i, list(row[vec_col]))
             for i, row in enumerate(
                 candidates.select(vec_col)
                 .sample(False, 1.0, seed)
@@ -205,8 +211,17 @@ def ivf_topk(
                 .collect()
             )
         ]
-        spark = candidates.sparkSession
-        cent_df = spark.createDataFrame(cents, ["centroid_id", "cvec"])
+    elif isinstance(centroids, DataFrame):
+        cents = [
+            (r["centroid_id"], list(r["cvec"]))
+            for r in centroids.select("centroid_id", "cvec")
+            .orderBy("centroid_id")
+            .collect()
+        ]
+    else:
+        cents = sorted((int(i), list(v)) for i, v in centroids)
+    spark = candidates.sparkSession
+    cent_df = spark.createDataFrame(cents, ["centroid_id", "cvec"])
 
     # per-row and per-centroid norms precomputed below their joins —
     # same bits as cosine(), without refolding a norm for every pair
@@ -231,13 +246,12 @@ def ivf_topk(
             .select(*df.columns, F.col("centroid_id").alias(out))
         )
 
-    cent_rows = cent_df.orderBy("centroid_id").collect()
-    cent_id_arr = np.array([int(r["centroid_id"]) for r in cent_rows], dtype=np.int64)
+    cent_id_arr = np.array([int(cid) for cid, _ in cents], dtype=np.int64)
     cent_mat = np.array(
-        [[float(x) for x in r["cvec"]] for r in cent_rows], dtype=np.float64
+        [[float(x) for x in cv] for _, cv in cents], dtype=np.float64
     )
     cent_norms = np.array(
-        [math.sqrt(py_dot(r["cvec"], r["cvec"])) for r in cent_rows],
+        [math.sqrt(py_dot(cv, cv)) for _, cv in cents],
         dtype=np.float64,
     )
 
@@ -829,7 +843,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list | None = None,
     codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the 100 TB ANN endgame SURVEY §8 names —
@@ -864,10 +878,18 @@ def ivf_pq_topk(
     import math
 
     if centroids is not None:
-        cent_rows = [
-            (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
-            for r in centroids.orderBy("centroid_id").collect()
-        ]
+        # r15: a pre-collected [(id, vector), ...] list skips the
+        # centroid collect job (the catalog query already collects the
+        # pinned rows for its codebooks — one scan instead of two)
+        if isinstance(centroids, DataFrame):
+            cent_rows = [
+                (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+                for r in centroids.orderBy("centroid_id").collect()
+            ]
+        else:
+            cent_rows = sorted(
+                (int(i), [float(x) for x in v]) for i, v in centroids
+            )
         if not cent_rows:
             raise ValueError("ivf_pq_topk on empty centroid frame")
         # dim from the pinned centroids — saves the candidates.first()

@@ -1,0 +1,56 @@
+"""Round-15 knn fixed-overhead cuts: pinned centroids may be passed as a
+pre-collected list (skipping the operator's centroid collect job), and
+the broadcast centroid frame is rebuilt locally instead of re-scanning
+the source — results must be bit-identical either way."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import similarity
+from dbt_model_diff_spark.sources.readers import read_table
+
+
+def _emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_ivf_list_centroids_match_frame(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    cents_list = [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in cents_df.collect()
+    ]
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(
+        map(tuple, similarity.ivf_topk(q, emb, k=5, probes=4, centroids=cents_df).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.ivf_topk(q, emb, k=5, probes=4, centroids=cents_list).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_ivf_pq_list_centroids_match_frame(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    pinned = emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+    cents_df = pinned.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in pinned.collect()
+    ]
+    codebooks = [[v[m * 8 : (m + 1) * 8] for _, v in rows] for m in range(8)]
+    q = emb.filter(F.col("vec_id") < 3)
+    kw = dict(k=5, probes=4, m_subspaces=8, n_codes=16, codebooks=codebooks)
+    a = sorted(
+        map(tuple, similarity.ivf_pq_topk(q, emb, centroids=cents_df, **kw).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.ivf_pq_topk(q, emb, centroids=rows, **kw).collect())
+    )
+    assert a == b and len(a) > 0
