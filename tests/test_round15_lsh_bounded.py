@@ -1,0 +1,81 @@
+"""Round-15 hardening: lsh_candidate_pairs gates the bucket-size cap
+BEFORE the collect_list aggregation (a count window on the same key),
+so no aggregation buffer ever holds more than ``max_bucket_size`` ids —
+a degenerate boilerplate bucket spills in the window's row array
+instead of ballooning one agg buffer. Values are unchanged (the r14
+suite's brute-force replay keeps covering that); these tests pin the
+structure: the gate sits BELOW the aggregate and both ride ONE
+exchange."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.operators import dedup
+
+
+def _pairs_df(spark, n_docs=40, cap=5):
+    # every doc shares band 0 -> one poisoned bucket of n_docs, far
+    # over the cap; docs 2i/2i+1 share band 2 -> surviving 2-buckets
+    rows = []
+    for d in range(n_docs):
+        mh = [1000 * d + j for j in range(8)]
+        mh[0], mh[1] = 7, 9
+        mh[4], mh[5] = 13 + (d // 2), 17
+        rows.append((d, *mh))
+    sigs = spark.createDataFrame(
+        rows, ["doc_id"] + [f"mh{j}" for j in range(8)]
+    )
+    return dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=cap
+    )
+
+
+def test_overcap_bucket_dropped_and_small_buckets_exact(spark):
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in _pairs_df(spark, 40, 5).collect()
+    )
+    expect = sorted((2 * i, 2 * i + 1) for i in range(20))
+    assert got == expect
+
+
+def test_gate_below_aggregate_single_exchange(spark):
+    df = _pairs_df(spark, 12, 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange keyed on (band_id, bucket) serves both the count
+    # window and the collect_list aggregate
+    assert plan.count("Exchange hashpartitioning(band_id") == 1
+    # the window gate is a DESCENDANT of the aggregate (parents print
+    # first): the collect never sees an over-cap bucket's postings
+    agg_at = min(
+        i
+        for i in (plan.find("ObjectHashAggregate"), plan.find("HashAggregate"))
+        if i >= 0
+    )
+    assert 0 <= agg_at < plan.index("Window")
+
+
+def test_cap_boundary_exact(spark):
+    # bucket of exactly cap survives; cap+1 drops
+    def pairs(n, cap):
+        rows = []
+        for d in range(n):
+            mh = [1000 * d + j for j in range(8)]
+            mh[0], mh[1] = 7, 9
+            rows.append((d, *mh))
+        sigs = spark.createDataFrame(
+            rows, ["doc_id"] + [f"mh{j}" for j in range(8)]
+        )
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in dedup.lsh_candidate_pairs(
+                sigs, bands=4, rows_per_band=2, max_bucket_size=cap
+            ).collect()
+        )
+
+    assert pairs(4, 4) == sorted(
+        tuple(sorted(p)) for p in combinations(range(4), 2)
+    )
+    assert pairs(5, 4) == []

@@ -1,0 +1,184 @@
+"""Round-15 optimization probes: interleaved A/Bs + job decompositions.
+
+Every comparison alternates both shapes inside ONE SparkSession
+(best/med of N rounds each) — the box carries intermittent CPU steal, so
+isolated probes are not evidence (SURVEY §9 r14 rule).
+
+Usage: python tools/probe_r15.py <probe> [sf_dir]
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+
+def _spark(name):
+    from dbt_model_diff_spark.session import get_spark
+
+    return get_spark(app_name=name)
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _ab(spark, shapes: dict, rounds: int = 5, warmup: bool = True):
+    """Interleaved best/med over `rounds` alternating executions."""
+    if warmup:
+        for name, thunk in shapes.items():
+            spark.sparkContext.setJobDescription(f"warmup {name}")
+            _noop(thunk())
+    samples = {k: [] for k in shapes}
+    for r in range(rounds):
+        for name, thunk in shapes.items():
+            spark.sparkContext.setJobDescription(f"r{r} {name}")
+            t0 = time.perf_counter()
+            _noop(thunk())
+            samples[name].append(time.perf_counter() - t0)
+    for name, s in samples.items():
+        print(
+            f"{name}: best {min(s):.3f} med {statistics.median(s):.3f} "
+            f"all {[round(x, 3) for x in s]}"
+        )
+    return samples
+
+
+# ---------------------------------------------------------------------------
+
+
+def probe_lsh_gate():
+    """Old post-agg size filter vs r15 window-count gate."""
+    from dbt_model_diff_spark.operators import dedup, textops
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    spark = _spark("probe-lsh-gate")
+    cap = 1000
+
+    def sigs():
+        sh = textops.shingles(read_table(spark, SF_DIR, "documents"), n=3)
+        return dedup.minhash_signatures(sh, num_hashes=8)
+
+    def pairs_from(buckets):
+        return (
+            buckets.select(
+                F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
+            )
+            .select(
+                "id_a",
+                F.explode(
+                    F.slice(F.col("__ids"), F.col("__i") + 2, F.size("__ids"))
+                ).alias("id_b"),
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    def old_shape():
+        stacked = dedup.band_buckets(sigs(), bands=4, rows_per_band=2)
+        buckets = (
+            stacked.groupBy("band_id", "bucket")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
+            .filter((F.size("__ids") >= 2) & (F.size("__ids") <= cap))
+        )
+        return pairs_from(buckets)
+
+    def new_shape():
+        return dedup.lsh_candidate_pairs(
+            sigs(), bands=4, rows_per_band=2, max_bucket_size=cap
+        )
+
+    _ab(spark, {"old_postfilter": old_shape, "new_windowgate": new_shape})
+    spark.stop()
+
+
+def probe_bloom_decomp():
+    """join_bloom_pruned_lineitem stage decomposition: build / probe / join."""
+    from dbt_model_diff_spark.operators import bloom
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    spark = _spark("probe-bloom")
+    import statistics as st
+
+    def keys():
+        return (
+            read_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+
+    # warm
+    bloom.build_bloom(keys(), "o_orderkey")
+    builds = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        bloom.build_bloom(keys(), "o_orderkey")
+        builds.append(time.perf_counter() - t0)
+    print(f"build: best {min(builds):.3f} med {st.median(builds):.3f}")
+
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    fulls = []
+    _noop(QUERIES["join_bloom_pruned_lineitem"](spark, SF_DIR))
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _noop(QUERIES["join_bloom_pruned_lineitem"](spark, SF_DIR))
+        fulls.append(time.perf_counter() - t0)
+    print(f"full query: best {min(fulls):.3f} med {st.median(fulls):.3f}")
+    spark.stop()
+
+
+def probe_knn_jobs():
+    """Count Spark jobs + time per knn query invocation."""
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    spark = _spark("probe-knn")
+    sc = spark.sparkContext
+    for name in ("knn_ivf", "knn_ivf_pq", "knn_bruteforce", "knn_hard_negatives"):
+        _noop(QUERIES[name](spark, SF_DIR))  # warm
+        tracker = sc.statusTracker()
+        before = len(tracker.getJobIdsForGroup() or [])
+        samples = []
+        for r in range(5):
+            sc.setJobGroup(f"knn-{name}", name)
+            t0 = time.perf_counter()
+            _noop(QUERIES[name](spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+            sc.setJobGroup("", "")
+        jobs = len(tracker.getJobIdsForGroup(f"knn-{name}") or [])
+        print(
+            f"{name}: jobs/5runs {jobs} best {min(samples):.3f} "
+            f"med {statistics.median(samples):.3f}"
+        )
+    spark.stop()
+
+
+def probe_dsir_decomp():
+    """dsir stage decomposition + executed-plan ReusedExchange check."""
+    from dbt_model_diff_spark.catalog import QUERIES
+
+    spark = _spark("probe-dsir")
+    df = QUERIES["dsir_importance_weights"](spark, SF_DIR)
+    _noop(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    print("ReusedExchange count:", plan.count("ReusedExchange"))
+    print("Scan parquet count:", plan.count("Scan parquet"))
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _noop(QUERIES["dsir_importance_weights"](spark, SF_DIR))
+        samples.append(time.perf_counter() - t0)
+    print(f"full: best {min(samples):.3f} med {statistics.median(samples):.3f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    globals()[f"probe_{sys.argv[1]}"]()
