@@ -1372,11 +1372,15 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     filters drop before LLM training (Rae et al. 2021 §A1.1 use the same
     family of duplicate-n-gram fractions).
 
-    Scale posture (r14 optimization round): ZERO shuffles. The most
-    frequent bigram's count inside one document equals the longest run
-    in that document's SORTED bigram array, so the whole signal is a
-    row-local fold: sort_array + one HOF aggregate carrying (prev, run,
-    best) state. The previous shape exploded (doc_id, bigram) rows,
+    Scale posture (r14 optimization round): zero hash/range exchanges —
+    the only Exchange left in the executed plan is spread_for_compute's
+    RoundRobin repartition, which is parallelism-derived (no-op when the
+    source is already spread; see util.py) and moves only the narrow
+    input rows, never a keyed corpus shuffle. The most frequent
+    bigram's count inside one document equals the longest run in that
+    document's SORTED bigram array, so the whole signal is a row-local
+    fold: sort_array + one HOF aggregate carrying (prev, run, best)
+    state. The previous shape exploded (doc_id, bigram) rows,
     hash-partitioned the corpus on doc_id, counted per (doc, bigram),
     rolled up per doc, and joined back to the token stats — one full
     corpus exchange plus a join that this shape simply does not have
