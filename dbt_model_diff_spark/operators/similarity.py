@@ -220,31 +220,6 @@ def ivf_topk(
         ]
     else:
         cents = sorted((int(i), list(v)) for i, v in centroids)
-    spark = candidates.sparkSession
-    cent_df = spark.createDataFrame(cents, ["centroid_id", "cvec"])
-
-    # per-row and per-centroid norms precomputed below their joins —
-    # same bits as cosine(), without refolding a norm for every pair
-    cent_n = F.broadcast(cent_df.withColumn("__centn", norm(F.col("cvec"))))
-
-    def nearest(df: DataFrame, vcol: str, out: str, n: int) -> DataFrame:
-        scored = (
-            df.withColumn("__vn", norm(F.col(vcol)))
-            .crossJoin(cent_n)
-            .withColumn(
-                "__d",
-                dot(F.col(vcol), F.col("cvec"))
-                / (F.col("__vn") * F.col("__centn")),
-            )
-        )
-        w = Window.partitionBy(*[c for c in df.columns if c != vcol]).orderBy(
-            F.col("__d").desc(), F.col("centroid_id")
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .select(*df.columns, F.col("centroid_id").alias(out))
-        )
 
     cent_id_arr = np.array([int(cid) for cid, _ in cents], dtype=np.int64)
     cent_mat = np.array(
@@ -277,11 +252,41 @@ def ivf_topk(
     cand_cells = spread_for_compute(cand_in).mapInPandas(
         cell_batches, schema=f"neighbor_id {id_type}, __cv {vec_type}, cell long"
     )
-    query_cells = nearest(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-        "__qv",
-        "cell",
-        probes,
+
+    # r15: query probe cells come from the SAME numpy kernel family as
+    # the candidate assignment (stable argsort over _np_negcos == the
+    # old window's (cosine DESC, centroid_id ASC) top-`probes`,
+    # bit-for-bit — the fold-order-preserving property ivf_pq's
+    # lut_batches already relies on). The previous shape was a
+    # crossJoin against a broadcast centroid frame + a hash exchange +
+    # a row_number window + its own broadcast build: four runtime
+    # stages (and their AQE jobs) for a few-row query set, every
+    # invocation. This is one narrow Python stage with no exchange.
+    def query_cell_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_rows(pdf["__qv"])
+            negcos = _np_negcos(V, cent_mat, cent_norms)
+            probe_idx = np.argsort(negcos, axis=1, kind="stable")[:, :probes]
+            out_q, out_v, out_cell = [], [], []
+            for r in range(V.shape[0]):
+                for cidx in probe_idx[r]:
+                    out_q.append(pdf["query_id"].values[r])
+                    out_v.append(pdf["__qv"].values[r])
+                    out_cell.append(int(cent_id_arr[cidx]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "__qv": out_v, "cell": out_cell}
+            )
+
+    q_in = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    qid_type = q_in.schema["query_id"].dataType.simpleString()
+    qvec_type = q_in.schema["__qv"].dataType.simpleString()
+    query_cells = q_in.mapInPandas(
+        query_cell_batches,
+        schema=f"query_id {qid_type}, __qv {qvec_type}, cell long",
     )
     scored = (
         F.broadcast(query_cells.withColumn("__qn", norm(F.col("__qv"))))
