@@ -2692,21 +2692,32 @@ def text_lm_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy, effective cap 147): extended vendor credential families,
 # RFC 5952 IPv6 host rendering (tests/test_round14_*.py).
 #
-# ROUND-15 WINDOW PLAN (mechanical, execute first thing after
-# CORRECTNESS_r14 lands): the mandatory tier is every query whose
-# newest green row is r12 — the 50 r12-certified queries MINUS the
-# three re-certified as r14 fillers (diff_partitioned_orders,
-# pricing_summary, model_order_agg) = 47 queries, which includes
-# pipeline_curation_report; plus any never-certified r15
-# registrations first. Fill the remaining ~3 slots from the
-# r13-certified tier — the anchor-cadence clause makes
-# diff_counts_orders, diff_profile_orders and diff_schema_drift
-# (all r13) hard-mandatory the moment CORRECTNESS_r14 lands, so
-# seat those three first. NOTE for r16: when text_pii_scrub next
-# takes its carousel seat (r13-certified, so mandatory in r16),
-# land the deterministic `% 13` credential decoration (VERDICT r13
-# Next #3) in the SAME round so the changed oracle certifies the
-# round it changes — replay SECRET_PATTERNS in the oracle the way
+# ROUND-15 WINDOW PLAN (EXECUTED in the r15 rotation below): the
+# mandatory tier is every query whose newest green row is r12 — the 50
+# r12-certified queries MINUS the three re-certified as r14 fillers
+# (diff_partitioned_orders, pricing_summary, model_order_agg) = 47
+# queries, which includes pipeline_curation_report; plus any
+# never-certified r15 registrations first (there are none). Fill the
+# remaining 3 slots from the r13-certified tier — the anchor-cadence
+# clause makes diff_counts_orders, diff_profile_orders and
+# diff_schema_drift (all r13) hard-mandatory the moment
+# CORRECTNESS_r14 lands, so those three seat as fillers.
+#
+# ROUND-16 WINDOW PLAN (mechanical, execute first thing after
+# CORRECTNESS_r15 lands): the mandatory tier is every query whose
+# newest green row is r13 — the 50 r13-certified queries MINUS the
+# three re-certified as r15 fillers (diff_counts_orders,
+# diff_profile_orders, diff_schema_drift) = 47, which includes
+# text_pii_scrub; plus any never-certified r16 registrations first.
+# Fill the remaining 3 slots from the r14-certified tier (all 50 tied
+# at staleness 14 — ties may split either way): seat the three
+# Sec.2-core anchors diff_partitioned_orders, pricing_summary,
+# model_order_agg, which resets their 2-round anchor cadence exactly
+# as this round's rotation did for the other three. NOTE (carried
+# from the r14 plan): when text_pii_scrub takes its r16 seat, land
+# the deterministic `% 13` credential decoration (VERDICT r13 Next
+# #3) in the SAME round so the changed oracle certifies the round it
+# changes — replay SECRET_PATTERNS in the oracle the way
 # IPV6_TEXT_RE already is.
 #
 # EFFECTIVE CAP IS 147, NOT 150 (r12 arithmetic): each of the six
@@ -6547,73 +6558,67 @@ def pipeline_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # Round-14 window (executes the ROUND-14 WINDOW PLAN written in
-    # r13; see the plan comment above for the derivation).
-    # Tier 1: the 47 queries whose newest green row is r11 — the 50
-    # r11-certified queries minus the three re-certified as r13
-    # fillers (diff_counts_orders, diff_profile_orders,
-    # diff_schema_drift). They hit the 3-round staleness bound the
-    # moment CORRECTNESS_r13 landed.
-    "approx_profile_orders",
-    "budget_select_documents",
-    "decontaminate_train_docs",
-    "dedup_impact_report",
-    "dedup_prioritized_sources",
-    "diff_changed_sample_keys",
-    "diff_counts_lineitem_multikey",
-    "diff_rowcount_where",
-    "embedding_near_dup",
-    "epoch_shuffle_documents",
-    "filter_project_lineitem",
-    "join_bloom_pruned_lineitem",
-    "kmeans_embedding_clusters",
-    "knn_ivf",
-    "knn_ivf_pq",
-    "model_case_when",
-    "model_int_orders",
-    "model_stg_customers",
-    "multimodal_decode_features",
-    "multimodal_resize_frames",
-    "orc_roundtrip_orders",
-    "pipeline_domain_gate",
-    "q10_returned_revenue_by_customer",
-    "q14_promo_revenue_share",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_sole_problem_supplier",
-    "q4_priority_with_returns",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q7_volume_shipping",
-    "q8_share_by_year",
-    "q9_product_profit_by_nation",
-    "quantize_embeddings_int8",
-    "sample_stratified_documents",
-    "source_mixture_weights",
-    "split_train_eval_documents",
-    "stats_moments_lineitem",
-    "stream_cdc_apply_orders",
-    "stream_click_attribution",
-    "stream_hourly_rollup",
-    "stream_running_max",
-    "stream_sessionize",
-    "text_lm_quality_bands",
-    "text_normalize_documents",
-    "text_top_terms_by_group",
-    "unpivot_orders_metrics",
-    # Tier 2: three r12-certified fillers (the stalest tier outside
-    # the mandatory set; the greedy clause allows splitting the
-    # 50-way r12 tie). All three are hard-mandatory flagship
-    # anchors — the anchor-cadence clause (in-window-or-green-in-
-    # two-newest) would strand them at r12 the moment
-    # CORRECTNESS_r14 lands, so they take all three filler seats
-    # (round 14's churn — urlops v6 gate fixes, vendor credential
-    # families, RFC 5952 rendering — is certified by
-    # tests/test_round14_*.py pytest parity, not a registration;
-    # growth policy, 147 = the effective cap).
-    "diff_partitioned_orders",
-    "pricing_summary",
-    "model_order_agg",
+    # Round-15 window (executes the ROUND-15 WINDOW PLAN written in
+    # r14; see the plan comment above for the derivation).
+    # Tier 1: the 47 queries whose newest green row is r12 — the 50
+    # r12-certified queries minus the three re-certified as r14
+    # fillers (diff_partitioned_orders, pricing_summary,
+    # model_order_agg). They hit the 3-round staleness bound the
+    # moment CORRECTNESS_r14 landed. No never-certified queries (147
+    # registered, all certified at least once).
+    "bpe_train_merges",
+    "dedup_components",
+    "dedup_exact_groups",
+    "dedup_incremental_batch",
+    "dedup_minhash_signatures",
+    "dedup_oph_signatures",
+    "dedup_simhash",
+    "dedup_simhash_near_pairs",
+    "diff_counts_embeddings",
+    "diff_distribution_drift_orders",
+    "embedding_stats",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_props_typed",
+    "events_sessionize",
+    "jsonl_roundtrip_documents",
+    "knn_bruteforce",
+    "pipeline_curation_report",
+    "pivot_status_by_priority",
+    "q11_high_value_suppliers",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_predicates",
+    "q20_excess_stock_suppliers",
+    "q22_rich_idle_customers",
+    "q2_min_retail_parts",
+    "sample_mixture_temperature",
+    "semantic_dedup_embeddings",
+    "setop_except_intersect",
+    "sketch_count_min_terms",
+    "split_leakage_safe_documents",
+    "stream_incremental_dedup",
+    "text_bpe_tokenize",
+    "text_classifier_score",
+    "text_fingerprint",
+    "text_language_id",
+    "text_lm_bigram_score",
+    "text_quality_features",
+    "text_rebuild_dedup_chunks",
+    "text_shingle_stats",
+    "text_token_length_deciles",
+    "top_revenue_orders",
+    "topk_orders",
+    "window_dedup_keep_latest",
+    "window_running_total",
+    # Tier 2 fillers: the three Sec.2-core anchors whose newest row
+    # is r13 — the anchor-cadence clause (window-or-last-two-records)
+    # makes them hard-mandatory now that CORRECTNESS_r14 exists.
+    "diff_counts_orders",
+    "diff_profile_orders",
+    "diff_schema_drift",
 ]
 
 
