@@ -258,6 +258,32 @@ def main() -> None:
         "normalized": round(total / cal_mid, 2) if cal_mid else None,
     }
 
+    # The driver captures only the tail of stdout (~2-3 KB) and parses the
+    # LAST line as JSON. Round 4's single line (30 headliners + the nested
+    # sf1 block + scaling_x map) outgrew that window and the record came
+    # back "parsed": null. So: full detail (incl. sf1) goes to a
+    # gitignored file + stderr, and the final stdout line is the compact
+    # sf0.1 machine record only. r15: the compact line prints BEFORE the
+    # optional sf1 scaling pass below (now that .localdata/sf1 exists the
+    # pass adds ~10 min at best-of-2, and a driver-side timeout mid-sf1
+    # must not cost the sf0.1 record — stdout still carries exactly ONE
+    # JSON line either way; timing/methodology of the sf0.1 loop is
+    # untouched).
+    detail_path = Path(__file__).resolve().parent / "bench_out.json"
+    compact = {
+        k: result[k]
+        for k in (
+            "metric", "value", "unit", "queries", "med", "sf", "cpus",
+            "calibration", "cal_pre", "cal_post", "normalized", "load",
+            "degraded", "cal_drift",
+        )
+    }
+    line = json.dumps(compact)
+    if len(line) > 1950:  # the driver tail window is ~2000 chars
+        compact.pop("med")
+        line = json.dumps(compact)
+    print(line, flush=True)
+
     # Scaling pass: if a generated sf1 dataset exists (tools/gen_scale_data.py,
     # 10x sf0.1 by key-offset replication), rerun the same headliners at sf1
     # and report per-query wall-clock ratios. Linear data growth should give
@@ -284,33 +310,12 @@ def main() -> None:
                 for k in sf1_timings
             },
         }
+        print(json.dumps({"sf1": result["sf1"]}), file=sys.stderr)
 
-    # The driver captures only the tail of stdout (~2-3 KB) and parses the
-    # LAST line as JSON. Round 4's single line (30 headliners + the nested
-    # sf1 block + scaling_x map) outgrew that window and the record came
-    # back "parsed": null. So: full detail (incl. sf1) goes to a
-    # gitignored file + stderr, and the final stdout line is the compact
-    # sf0.1 machine record only.
-    detail_path = Path(__file__).resolve().parent / "bench_out.json"
     try:
         detail_path.write_text(json.dumps(result, indent=1))
     except OSError:
         pass
-    if "sf1" in result:
-        print(json.dumps({"sf1": result["sf1"]}), file=sys.stderr)
-    compact = {
-        k: result[k]
-        for k in (
-            "metric", "value", "unit", "queries", "med", "sf", "cpus",
-            "calibration", "cal_pre", "cal_post", "normalized", "load",
-            "degraded", "cal_drift",
-        )
-    }
-    line = json.dumps(compact)
-    if len(line) > 1950:  # the driver tail window is ~2000 chars
-        compact.pop("med")
-        line = json.dumps(compact)
-    print(line)
     spark.stop()
 
 
