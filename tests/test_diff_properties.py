@@ -62,6 +62,7 @@ def test_self_diff_is_zero(spark, rows):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(rows=ROWS, k=st.integers(min_value=1, max_value=5))
 def test_appended_rows_count_as_added(spark, rows, k):
     base = _df(spark, rows)

@@ -1107,6 +1107,7 @@ def _naive_prune_replay(rows, keep_num, keep_den, policy):
     return kept
 
 
+@pytest.mark.slow
 def test_prototype_prune_matches_naive_rank_with_ties(spark):
     """The histogram-threshold decomposition must reproduce the naive
     rank-per-cluster plan bit-for-bit — including integer-key TIES at

@@ -329,11 +329,13 @@ def test_cross_doc_chunk_dedup_reused_exchange_no_window(spark, sf_dir):
 def test_ivf_candidate_assignment_shuffle_free(spark, sf_dir):
     """ivf_topk's candidate->cell assignment must be the Arrow kernel
     (MapInPandas), never the crossJoin + rank-1 window that exchanged
-    the whole corpus on the row id: the only exchanges left are the
-    tiny query-side probe window and the final per-query top-k."""
+    the whole corpus on the row id. Since r15 the QUERY probe cells come
+    from the same kernel too (the crossJoin + row_number window and its
+    exchange are gone), so the ONLY hash exchange left is the final
+    per-query top-k window."""
     plan = _executed_plan(QUERIES["knn_ivf"](spark, sf_dir))
-    assert "MapInPandas" in plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_semantic_dedup_cluster_join_no_allpairs_no_corpus_window(spark, sf_dir):

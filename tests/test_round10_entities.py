@@ -9,6 +9,7 @@ and a hypothesis referee over the COMPOSED extract chain."""
 
 from __future__ import annotations
 
+import pytest
 import html as _html
 import re
 
@@ -136,6 +137,7 @@ try:
         max_size=12,
     )
 
+    @pytest.mark.slow
     @given(_fragments)
     @settings(max_examples=30, deadline=None)
     def test_full_entities_matches_python_reference(spark, frags):

@@ -6,6 +6,7 @@ fixture, Arrow-not-rowwise plan check."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_model_diff_spark.operators import urlops
@@ -45,6 +46,7 @@ def test_idna_fold_expected(spark):
     )
 
 
+@pytest.mark.slow
 def test_psl_idna_grouping(spark):
     """The point of the fold: unicode and punycode spellings of the
     same registrable domain yield the SAME grouping key."""

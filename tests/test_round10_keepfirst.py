@@ -5,6 +5,7 @@ referee in pure Python, pipeline knob."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_model_diff_spark.operators import textops
@@ -204,6 +205,7 @@ try:
     )
     _doc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
 
+    @pytest.mark.slow
     @given(st.lists(_doc, min_size=1, max_size=8))
     @settings(max_examples=25, deadline=None)
     def test_keep_first_matches_python_reference(spark, docs):

@@ -12,6 +12,7 @@ per-domain cap."""
 
 from __future__ import annotations
 
+import pytest
 import re
 
 from pyspark.sql import functions as F
@@ -137,6 +138,7 @@ def test_psl_registered_domain_expected_values(spark):
     )
 
 
+@pytest.mark.slow
 def test_psl_private_gating(spark):
     df = spark.createDataFrame([(0, "http://user.github.io/")], "i long, u string")
     on = df.select(
@@ -149,6 +151,7 @@ def test_psl_private_gating(spark):
     assert off == "github.io"  # without private rules, io is the suffix
 
 
+@pytest.mark.slow
 def test_registered_domain_expr_psl_delegation(spark):
     df = spark.createDataFrame([(0, "http://a.example.co.il/")], "i long, u string")
     via_kw = df.select(
@@ -254,6 +257,7 @@ def _referee_hosts() -> list[str]:
     return hosts
 
 
+@pytest.mark.slow
 def test_psl_matches_python_reference(spark):
     urls = [f"http://{h}/x" for h in _referee_hosts()]
     df = spark.createDataFrame(

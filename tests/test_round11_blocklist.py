@@ -15,6 +15,7 @@ residual host/path predicates).
 
 from __future__ import annotations
 
+import pytest
 import re
 
 from pyspark.sql import functions as F
@@ -141,6 +142,7 @@ def test_blocklist_legacy_domain_dataframe_regression(spark):
         urlops.filter_by_domain(df, blocklist=both)
 
 
+@pytest.mark.slow
 def test_blocklist_suffix_only_entry_raises(spark):
     import pytest as _pytest
 

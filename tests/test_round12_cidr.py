@@ -260,6 +260,7 @@ def test_cidr_pinned_fixture_block(spark):
         assert (i in kept) == keep, f"block {u!r}"
 
 
+@pytest.mark.slow
 def test_cidr_tuple_vs_dataframe_equivalence(spark):
     df = _fixture_df(spark)
     lst = spark.createDataFrame([(e,) for e in _ENTRIES], ["entry"])
@@ -453,6 +454,7 @@ def test_idna_knob_type_axis(spark):
         urlops._check_idna(ok)
 
 
+@pytest.mark.slow
 def test_psl_version_stamp(spark):
     """VERDICT r11 task #4: the loaded list's snapshot-version header
     is recorded on the pipeline's domain-keyed report rows, so a
@@ -567,6 +569,7 @@ try:
         block=st.booleans(),
         keep_null=st.booleans(),
     )
+    @pytest.mark.slow
     @settings(max_examples=15, deadline=None)
     def test_gate_composition_referee(
         spark, batch, raw_entries, block, keep_null

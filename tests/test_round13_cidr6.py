@@ -175,6 +175,7 @@ def test_cidr6_pinned_fixture_block(spark):
         assert (i in kept) == keep, f"block {u!r}"
 
 
+@pytest.mark.slow
 def test_cidr6_tuple_vs_dataframe_equivalence(spark):
     df = _fixture6_df(spark)
     lst = spark.createDataFrame([(e,) for e in _ENTRIES6], ["entry"])

@@ -11,6 +11,7 @@ pair set. Both must be invisible in the output.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_model_diff_spark.operators import dedup
@@ -49,6 +50,7 @@ def test_canonical_flag_skips_the_distinct_exchange(spark):
     assert "Aggregate" not in plan and "Deduplicate" not in plan
 
 
+@pytest.mark.slow
 def test_gate_boundary_paths_agree(spark):
     """Exactly at the threshold -> driver path; one over -> distributed.
     Output must be identical either way (the old count()-based gate had

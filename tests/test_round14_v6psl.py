@@ -125,6 +125,7 @@ def test_psl_tuple_v6_range_block_regression(spark, rules):
     assert sorted(r["i"] for r in out.collect()) == [2, 3]
 
 
+@pytest.mark.slow
 def test_psl_dataframe_v6_allow_exactly_once_regression(spark, rules):
     """ADVICE r13 #2: DataFrame path + psl in allow mode used to
     return the range-admitted row TWICE ([1, 1]) via the
@@ -134,6 +135,7 @@ def test_psl_dataframe_v6_allow_exactly_once_regression(spark, rules):
     assert sorted(r["i"] for r in out.collect()) == [1]
 
 
+@pytest.mark.slow
 def test_psl_plain_bracket_entry_both_paths(spark, rules):
     """A non-range bracket entry gates by exact host on both plan
     shapes under psl (it keys as itself, like an IPv4 entry)."""
@@ -160,6 +162,7 @@ def test_cidr6_pinned_fixture_block_psl(spark, rules):
         assert (i in kept) == keep, f"psl block {u!r}"
 
 
+@pytest.mark.slow
 def test_cidr6_tuple_vs_dataframe_equivalence_psl(spark, rules):
     df = _fixture6_df(spark)
     lst = spark.createDataFrame([(e,) for e in _ENTRIES6], ["entry"])

@@ -168,6 +168,7 @@ def test_pipeline_url_canon_ipv6_cap(spark):
     assert rows[0]["domain"] == "[2001:db8::1]"
 
 
+@pytest.mark.slow
 def test_gate_canon_ipv6_plain_entry_cross_spelling(spark):
     """With canon_ipv6=True a PLAIN bracket entry blocks every
     spelling of its address, on both plan shapes and with/without

@@ -1,0 +1,55 @@
+"""Round-15: diff_profile_orders moved from one N-way multi-distinct
+agg (Expand xN) to unpivot + two-level aggregation. The row it returns
+must be bit-identical to the multi-distinct shape — including NULL
+handling (count_distinct ignores NULLs; null counts count them) and the
+injectivity of each per-column string cast."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_model_diff_spark.catalog import _ORDERS_COLS, QUERIES
+
+
+def _wide_multi_distinct(df, cols):
+    exprs = []
+    for c in cols:
+        exprs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
+        exprs.append(F.count_distinct(F.col(c)).alias(f"distinct_{c}"))
+    return df.agg(*exprs)
+
+
+def test_unpivot_profile_matches_multi_distinct(spark, sf_dir):
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    new = QUERIES["diff_profile_orders"](spark, sf_dir)
+    old = _wide_multi_distinct(read_table(spark, sf_dir, "orders"), _ORDERS_COLS)
+    assert new.columns == old.columns
+    assert [f.dataType for f in new.schema.fields] == [
+        f.dataType for f in old.schema.fields
+    ]
+    assert new.collect() == old.collect()
+
+
+def test_unpivot_profile_nulls_and_dupes(spark):
+    rows = [
+        (1, None, "a"),
+        (2, 5.25, "a"),
+        (3, 5.25, None),
+        (None, None, "b"),
+    ]
+    df = spark.createDataFrame(rows, "k int, v double, s string")
+    cols = ["k", "v", "s"]
+    pairs = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    stacked = df.selectExpr(f"stack({len(cols)}, {pairs}) as (col, val)")
+    lvl1 = stacked.groupBy("col", "val").agg(F.count(F.lit(1)).alias("__n"))
+    lvl2 = lvl1.groupBy("col").agg(
+        F.sum(F.when(F.col("val").isNull(), F.col("__n")).otherwise(0)).alias(
+            "__nulls"
+        ),
+        F.count("val").alias("__distinct"),
+    )
+    got = {
+        r["col"]: (r["__nulls"], r["__distinct"]) for r in lvl2.collect()
+    }
+    assert got == {"k": (1, 3), "v": (2, 1), "s": (1, 2)}

@@ -15,6 +15,7 @@ files: small examples, real Spark runs, deadlines off):
 
 from __future__ import annotations
 
+import pytest
 import hashlib
 import math
 
@@ -136,6 +137,7 @@ CHANGES = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(**_SETTINGS)
 @given(batches=CHANGES)
 def test_cdc_compact_apply_matches_dict_replay(spark, batches):
@@ -216,6 +218,7 @@ VEC_CORPUS = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(**_SETTINGS)
 @given(vecs=VEC_CORPUS)
 def test_ivf_pq_exact_when_codebook_saturated(spark, vecs):

@@ -18,6 +18,7 @@ small examples, real Spark runs, deadlines off):
 
 from __future__ import annotations
 
+import pytest
 import hashlib
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -132,6 +133,7 @@ def _union_find_labels(edges):
     return {n: min(members) for members in comps.values() for n in members}
 
 
+@pytest.mark.slow
 @given(edges=EDGES)
 @settings(**_SETTINGS)
 def test_connected_components_equals_union_find(spark, edges):
@@ -207,6 +209,7 @@ def test_token_length_deciles_match_type1_quantiles(spark, lengths):
         assert got[d] == srt[rank - 1], (d, srt)
 
 
+@pytest.mark.slow
 @given(texts=DOCS)
 @settings(**_SETTINGS)
 def test_oph_signatures_match_python_replay(spark, texts):

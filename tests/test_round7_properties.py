@@ -14,6 +14,7 @@ constantly share symbols, exercising every prefix-stop branch).
 
 from __future__ import annotations
 
+import pytest
 import re
 from collections import Counter
 
@@ -60,6 +61,7 @@ WORDS = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(words=WORDS, batch=st.sampled_from([2, 4, 8]))
 @settings(max_examples=12, deadline=None)
 def test_bpe_train_batched_equals_sequential(spark, words, batch):
@@ -537,6 +539,7 @@ def test_source_overlap_matrix_random_replay(spark, docs, chunk):
     num_den=st.sampled_from([(1, 2), (3, 5), (1, 1)]),
     shift=st.sampled_from([0, 40]),
 )
+@pytest.mark.slow
 def test_prototype_prune_random_replay(spark, vecs, num_den, shift):
     """prototype_prune's keep set == the naive (dist desc, id) rank from
     its OWN integer keys on random low-precision vectors (quantized

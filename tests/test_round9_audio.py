@@ -6,6 +6,7 @@ hypothesis referee on independent pure-Python byte parsing."""
 
 from __future__ import annotations
 
+import pytest
 import struct
 
 from pyspark.sql import functions as F
@@ -255,6 +256,7 @@ try:
         max_size=24,
     )
 
+    @pytest.mark.slow
     @given(_blobs)
     @settings(max_examples=25, deadline=None)
     def test_flac_mp3_match_python_reference(spark, blobs):

@@ -255,6 +255,7 @@ try:
         max_size=12,
     )
 
+    @pytest.mark.slow
     @given(_fragments)
     @settings(max_examples=30, deadline=None)
     def test_html_extract_matches_python_reference(spark, frags):

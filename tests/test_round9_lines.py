@@ -5,6 +5,7 @@ decorated documents corpus, hypothesis referee in pure Python."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_model_diff_spark.operators import textops
@@ -161,6 +162,7 @@ try:
     )
     _doc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
 
+    @pytest.mark.slow
     @given(st.lists(st.one_of(st.none(), _doc), min_size=1, max_size=8))
     @settings(max_examples=25, deadline=None)
     def test_remove_common_lines_matches_python_reference(spark, texts):

@@ -8,6 +8,7 @@ re engine, a codegen-only plan test, and the composed per-domain cap."""
 
 from __future__ import annotations
 
+import pytest
 import re
 
 from pyspark.sql import functions as F
@@ -311,6 +312,7 @@ try:
         max_size=8,
     ).map("".join)
 
+    @pytest.mark.slow
     @given(st.lists(_urlish, min_size=1, max_size=6))
     @settings(max_examples=25, deadline=None)
     def test_urlops_match_python_reference(spark, batch):

@@ -71,6 +71,7 @@ def test_stateful_running_max(spark, sf_dir):
         assert row["running_max"] == pytest.approx(batch[uid][0])
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     stream = se.purchase_click_attribution_stream(se.read_events_stream(spark, sf_dir))
     got = se.run_stream_to_memory(stream, "attr_test", output_mode="append").collect()
