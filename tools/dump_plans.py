@@ -1,4 +1,5 @@
-"""Dump .explain('formatted') for bench headliner queries to plans/r14/.
+"""Dump .explain('formatted') for bench headliner queries to plans/<round>/
+(env SPARK_GRAFT_PLANS_ROUND, default r15).
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
 Writes plans/r14/<query>_<suffix>.txt for each named query (default: all
@@ -40,7 +41,7 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or BENCH_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from dbt_model_diff_spark.session import get_spark

@@ -101,12 +101,16 @@ def probe_lsh_gate():
 
 
 def probe_bloom_decomp():
-    """join_bloom_pruned_lineitem stage decomposition: build / probe / join."""
+    """Bloom BUILD stage: old (word, bit_or) aggregation vs r15 bitmap
+    buckets, interleaved in one session; plus the full query for context."""
+    import struct
+    import statistics as st
+
     from dbt_model_diff_spark.operators import bloom
     from dbt_model_diff_spark.sources.readers import read_table
 
     spark = _spark("probe-bloom")
-    import statistics as st
+    n_bits, n_hashes = 1 << 20, 5
 
     def keys():
         return (
@@ -115,14 +119,45 @@ def probe_bloom_decomp():
             .select("o_orderkey")
         )
 
-    # warm
-    bloom.build_bloom(keys(), "o_orderkey")
-    builds = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        bloom.build_bloom(keys(), "o_orderkey")
-        builds.append(time.perf_counter() - t0)
-    print(f"build: best {min(builds):.3f} med {st.median(builds):.3f}")
+    def old_build():
+        k = bloom._normalize_key(
+            F.col("o_orderkey"), keys().schema["o_orderkey"].dataType
+        )
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(k, F.lit(i)), F.lit(n_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+        word_masks = (
+            keys()
+            .select(pos)
+            .selectExpr(
+                "cast(p / 64 as int) AS w",
+                "shiftleft(1L, cast(p % 64 as int)) AS m",
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(m)").alias("m"))
+        )
+        buf = bytearray(n_bits // 8)
+        for r in word_masks.collect():
+            struct.pack_into("<q", buf, r["w"] * 8, r["m"])
+        return bytes(buf)
+
+    def new_build():
+        return bloom.build_bloom(keys(), "o_orderkey", n_bits, n_hashes)
+
+    assert old_build() == new_build()  # warm + equality
+    samples = {"old_wordagg": [], "new_bitmap": []}
+    for _ in range(7):
+        for name, fn in (("old_wordagg", old_build), ("new_bitmap", new_build)):
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(time.perf_counter() - t0)
+    for name, s in samples.items():
+        print(f"build {name}: best {min(s):.3f} med {st.median(s):.3f}")
 
     from dbt_model_diff_spark.catalog import QUERIES
 
@@ -177,6 +212,66 @@ def probe_dsir_decomp():
         _noop(QUERIES["dsir_importance_weights"](spark, SF_DIR))
         samples.append(time.perf_counter() - t0)
     print(f"full: best {min(samples):.3f} med {statistics.median(samples):.3f}")
+    spark.stop()
+
+
+def probe_diff_profile():
+    """Expand x6 multi-distinct agg vs unpivot + two-level aggregation
+    (VERDICT r14 item 6) — at the query's 6 columns and at a doubled 12
+    to see where the Expand factor starts hurting."""
+    from dbt_model_diff_spark.sources.readers import read_table
+
+    spark = _spark("probe-diff-profile")
+    cols6 = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+
+    def base(cols):
+        df = read_table(spark, SF_DIR, "orders")
+        # widen by aliasing derived copies — same bytes scanned per col
+        out = df
+        for c in cols:
+            if c not in df.columns:
+                src = c.split("__")[0]
+                out = out.withColumn(c, F.col(src))
+        return out.select(*cols)
+
+    def expand_shape(cols):
+        def thunk():
+            df = base(cols)
+            exprs = []
+            for c in cols:
+                exprs.append(
+                    F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}")
+                )
+                exprs.append(F.count_distinct(F.col(c)).alias(f"distinct_{c}"))
+            return df.agg(*exprs)
+        return thunk
+
+    def unpivot_shape(cols):
+        def thunk():
+            df = base(cols)
+            pairs = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+            stacked = df.selectExpr(
+                f"stack({len(cols)}, {pairs}) as (col, val)"
+            )
+            lvl1 = stacked.groupBy("col", "val").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            return lvl1.groupBy("col").agg(
+                F.sum(
+                    F.when(F.col("val").isNull(), F.col("n")).otherwise(0)
+                ).alias("nulls"),
+                F.count("val").alias("distinct"),
+            )
+        return thunk
+
+    cols12 = cols6 + [f"{c}__b" for c in cols6]
+    print("== 6 columns (the registered query width) ==")
+    _ab(spark, {"expand6": expand_shape(cols6), "unpivot6": unpivot_shape(cols6)})
+    print("== 12 columns ==")
+    _ab(spark, {"expand12": expand_shape(cols12), "unpivot12": unpivot_shape(cols12)})
     spark.stop()
 
 
